@@ -1,0 +1,391 @@
+package graft
+
+/** DuckDB-dialect oracle SQL for every SQL-expressible SparkEntry query.
+  *
+  * Determinism contract (mirrors SparkEntry): decimal-exact aggregation of
+  * doubles with a final CAST to DOUBLE, avg as double-division of exact
+  * parts, BIGINT-pinned counts (DuckDB SUM(int) is HUGEINT otherwise),
+  * total-order ORDER BY, and DuckDB regexp_replace always with the 'g'
+  * flag (Spark's is global by default).
+  */
+object OracleSql {
+
+  private val q01 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val q02 = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R') AND l_quantity > 45
+ORDER BY l_orderkey, l_linenumber"""
+
+  private val q03 = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1"""
+
+  private val q04 = """
+SELECT r_name, n_name,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val q05 = """
+SELECT p_brand, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY 1 ORDER BY 1"""
+
+  private val q06 = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey"""
+
+  private val q07 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey"""
+
+  private val q08 = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1"""
+
+  private val q09 = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+WHERE rn = 1 ORDER BY o_custkey"""
+
+  private val q10 = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  private val q11 = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+  private val q12 = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2"""
+
+  private val q13 = """
+SELECT 'both' AS side, nationkey FROM (
+  (SELECT c_nationkey AS nationkey FROM customer)
+  INTERSECT (SELECT s_nationkey FROM supplier))
+UNION ALL
+SELECT 'customer_only' AS side, nationkey FROM (
+  (SELECT c_nationkey AS nationkey FROM customer)
+  EXCEPT (SELECT s_nationkey FROM supplier))
+ORDER BY side, nationkey"""
+
+  private val q14 = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  private val q15 = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1 ORDER BY 1"""
+
+  private val q16 = """
+SELECT p_brand, COUNT(*) AS n_parts,
+  CAST(MAX(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+FROM part GROUP BY 1 HAVING COUNT(*) > 5 ORDER BY 1"""
+
+  private val q17 = """
+SELECT price_band, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM (SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                  WHEN o_totalprice < 300000 THEN 'mid'
+                  ELSE 'high' END AS price_band, o_totalprice FROM orders)
+GROUP BY 1 ORDER BY 1"""
+
+  private val q18 = """
+SELECT p_partkey, UPPER(p_name) AS name_upper,
+  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+  SUBSTRING(p_name, 1, 8) AS name_prefix,
+  CONCAT_WS(':', p_brand, p_type) AS brand_type,
+  REPLACE(p_type, ' ', '_') AS type_snake
+FROM part ORDER BY p_partkey"""
+
+  private val q19 = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val q20 = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY 1 ORDER BY 1"""
+
+  private val q21 = """
+SELECT user_id, event_id, event_type, "value", ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1 ORDER BY user_id"""
+
+  private val q22 = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1 ORDER BY 1"""
+
+  private val q23 = """
+WITH base AS (
+  SELECT event_id, ts, "value",
+    CASE WHEN event_id % 17 = 0 THEN 'not-a-number'
+         WHEN event_id % 13 = 0 THEN CAST(9100000000 + event_id AS VARCHAR) || '.0'
+         WHEN event_id % 11 = 0 THEN CAST(91000 + event_id AS VARCHAR)
+         ELSE CAST(9100000000 + event_id AS VARCHAR) END AS mobile_raw
+  FROM events),
+m AS (SELECT *,
+  right(CAST(CAST(TRUNC(TRY_CAST(mobile_raw AS DOUBLE)) AS BIGINT) AS VARCHAR), 10) AS last10
+  FROM base)
+SELECT event_id,
+  CASE WHEN regexp_matches(last10, '^[0-9]{10}$') THEN last10 END AS mobile,
+  CAST(TRUNC("value" * 100) AS BIGINT) AS reward_paise,
+  '$D_' || CAST(CAST(epoch(CAST(strftime(ts, '%Y-%m-%d') AS TIMESTAMP)) AS BIGINT) AS VARCHAR) AS d_epoch
+FROM m ORDER BY event_id"""
+
+  private val q24 = """
+WITH base AS (
+  SELECT event_id,
+    strftime(make_date(CAST(1850 + event_id % 200 AS INTEGER),
+                       CAST(1 + event_id % 12 AS INTEGER),
+                       CAST(1 + event_id % 28 AS INTEGER)), '%Y-%m-%d') AS base_str
+  FROM events),
+raw AS (
+  SELECT event_id,
+    CASE WHEN event_id % 19 = 0 THEN 'garbage'
+         WHEN event_id % 17 = 0 THEN base_str || ' BC'
+         WHEN event_id % 23 = 0 THEN base_str || ' 10:30:00'
+         ELSE base_str END AS dob_raw
+  FROM base),
+parsed AS (
+  SELECT event_id, dob_raw,
+    CAST(COALESCE(try_strptime(cleaned, '%Y-%m-%d %H:%M:%S'),
+                  try_strptime(cleaned, '%Y-%m-%d'),
+                  try_strptime(cleaned, '%Y-%m-%d %H:%M:%S.%f')) AS DATE) AS d
+  FROM (SELECT *, regexp_replace(dob_raw, ' BC$', '') AS cleaned FROM raw)),
+fixed AS (
+  SELECT event_id, dob_raw,
+    CASE WHEN year(d) < 1900
+         THEN make_date(1952, CAST(month(d) AS INTEGER), CAST(day(d) AS INTEGER))
+         ELSE d END AS f
+  FROM parsed)
+SELECT event_id, dob_raw, strftime(f, '%Y-%m-%d') AS dob_fixed,
+  strftime(f, '%b-%d') AS birth_day
+FROM fixed ORDER BY event_id"""
+
+  private val q25 = """
+WITH base AS (
+  SELECT event_id,
+    trim(CASE WHEN user_id % 10 = 0 THEN ''
+              WHEN user_id % 7 = 0 THEN '0'
+              WHEN user_id % 5 = 0 THEN NULL
+              ELSE CAST(user_id AS VARCHAR) END) AS s1,
+    trim(CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR) END) AS s2
+  FROM events),
+ids AS (
+  SELECT event_id,
+    COALESCE(
+      CASE WHEN s1 IS NOT NULL AND LENGTH(s1) > 0 AND s1 <> '0' AND s1 <> '0.0' THEN s1 END,
+      CASE WHEN s2 IS NOT NULL AND LENGTH(s2) > 0 AND s2 <> '0' AND s2 <> '0.0' THEN s2 END) AS idv
+  FROM base)
+SELECT event_id, idv AS "identity", idv IS NOT NULL AS is_valid
+FROM ids ORDER BY event_id"""
+
+  private val q26 = """
+WITH ids AS (
+  SELECT event_id, event_type, user_id,
+    COALESCE(
+      CASE WHEN LENGTH(trim(CAST(user_id AS VARCHAR))) > 0
+                AND trim(CAST(user_id AS VARCHAR)) <> '0'
+                AND trim(CAST(user_id AS VARCHAR)) <> '0.0'
+           THEN trim(CAST(user_id AS VARCHAR)) END,
+      CASE WHEN LENGTH(trim(CAST(event_id AS VARCHAR))) > 0
+                AND trim(CAST(event_id AS VARCHAR)) <> '0'
+                AND trim(CAST(event_id AS VARCHAR)) <> '0.0'
+           THEN trim(CAST(event_id AS VARCHAR)) END) AS idv
+  FROM events)
+SELECT event_id,
+  '{"type":"profile","identity":"' || idv || '","profileData":{"event_type":"'
+    || event_type || '","user":"' || CAST(user_id AS VARCHAR) || '"}}' AS payload
+FROM ids ORDER BY event_id"""
+
+  private val q27 = """
+SELECT doc_id, CAST(LENGTH("text") AS BIGINT) AS len_chars,
+  CAST(CASE WHEN "text" IS NULL OR LENGTH(TRIM("text")) = 0 THEN 0
+       ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+       END AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all("text", '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+FROM documents ORDER BY doc_id"""
+
+  private val q28 = """
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(LENGTH("text")) AS BIGINT) AS total_chars,
+  CAST(MIN(LENGTH("text")) AS BIGINT) AS min_chars,
+  CAST(MAX(LENGTH("text")) AS BIGINT) AS max_chars,
+  CAST(SUM(LENGTH("text")) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY 1 ORDER BY 1"""
+
+  private val q29 = """
+WITH n AS (
+  SELECT doc_id, "text",
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks,
+    regexp_extract_all("text", '[A-Za-z]+') AS words,
+    CASE WHEN "text" IS NULL OR LENGTH(TRIM("text")) = 0 THEN 0
+         ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+         END AS ntok
+  FROM documents),
+c AS (
+  SELECT doc_id, ntok,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> list_contains(
+        ['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN LENGTH("text") > 0 THEN
+      CAST(LENGTH(regexp_replace("text", '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / CAST(LENGTH("text") AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN
+      CAST(list_sum(list_transform(words, w -> LENGTH(w))) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mean_word_len
+  FROM n)
+SELECT doc_id, stopword_ratio, punct_ratio, mean_word_len,
+  (CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+  + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+  + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END) * 0.25
+  + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+  AS quality
+FROM c ORDER BY doc_id"""
+
+  private val q30 = """
+SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id,
+        md5(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+GROUP BY 1 ORDER BY keep_doc_id"""
+
+  private val q31 = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents)
+WHERE LENGTH(token) > 0
+GROUP BY 1 ORDER BY n DESC, token LIMIT 30"""
+
+  private val q32 = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1 ORDER BY lang, source"""
+
+  private val q33 = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i
+  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+cosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(na.n2) * sqrt(nb.n2) > 0
+         THEN dot / (sqrt(na.n2) * sqrt(nb.n2)) ELSE 0.0 END AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+  FROM cosv)
+SELECT query_id, neighbor_id, cos_sim, "rank" FROM r
+WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  private val q34 = """
+WITH e2 AS (
+  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1)
+SELECT label, COUNT(*) AS n_vectors,
+  CAST(MIN(len(embedding)) AS BIGINT) AS dim,
+  MIN(n2) AS min_norm2, MAX(n2) AS max_norm2
+FROM embeddings JOIN norms USING (vec_id)
+GROUP BY 1 ORDER BY 1"""
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_agg" -> q03,
+    "q04_join5_region_revenue" -> q04,
+    "q05_broadcast_join" -> q05,
+    "q06_semi_join" -> q06,
+    "q07_anti_join" -> q07,
+    "q08_left_join" -> q08,
+    "q09_window_latest_order" -> q09,
+    "q10_window_running" -> q10,
+    "q11_topk" -> q11,
+    "q12_distinct" -> q12,
+    "q13_set_ops" -> q13,
+    "q14_rollup" -> q14,
+    "q15_count_distinct" -> q15,
+    "q16_having" -> q16,
+    "q17_case_when" -> q17,
+    "q18_string_funcs" -> q18,
+    "q19_date_funcs" -> q19,
+    "q20_in_filter" -> q20,
+    "q21_latest_change_per_key" -> q21,
+    "q22_changefeed_since" -> q22,
+    "q23_typemap_sanity" -> q23,
+    "q24_fix_dob" -> q24,
+    "q25_identity" -> q25,
+    "q26_payload_envelope" -> q26,
+    "q27_text_stats" -> q27,
+    "q28_lang_profile" -> q28,
+    "q29_quality_score" -> q29,
+    "q30_fingerprint_dedup" -> q30,
+    "q31_token_topk" -> q31,
+    "q32_exact_dedup_rows" -> q32,
+    "q33_cosine_topk" -> q33,
+    "q34_embedding_stats" -> q34,
+  ).map { case (k, v) => k -> v.trim }
+}

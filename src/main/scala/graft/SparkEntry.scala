@@ -1,13 +1,506 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analyze.{Similarity, TextAnalysis => TA}
+import graft.dedup.Dedup
+import graft.transform.Sanity
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * with a DuckDB-equivalent oracle for every SQL-expressible query.
+  *
+  * Determinism policy (so Spark parquet output hash-matches the DuckDB
+  * oracle bitwise):
+  *  - sums/avgs over doubles go through exact DECIMAL arithmetic and are
+  *    cast to double only at the end (order-independent, engine-exact);
+  *  - avg = cast(sum_dec as double) / cast(count as double) — identical
+  *    IEEE division in both engines;
+  *  - every query ends in a total-order sort;
+  *  - count-like outputs are pinned to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** decimal(12,2) view of a money/quantity double (TPC-H-scale safe). */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  /** decimal(6,4) view of a rate double (discount/tax in [0,1]). */
+  private def dec4(c: Column): Column = c.cast("decimal(6,4)")
+  private def dbl(c: Column): Column = c.cast("double")
+  /** Exact sum of a double column via decimal(12,2), emitted as double. */
+  private def sumd(c: Column): Column = dbl(sum(dec2(c)))
+
+  /** Flagship query on sf0.001 (driver smoke-checks rows > 0): the
+    * completed E1 pipeline shape — latest change per key from the events
+    * changelog, sanity transforms, CleverTap payload envelope. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = t(spark, dir, "events")
+    val latest = Dedup.latestPerKey(ev, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+    latest.select(
+      col("user_id"),
+      Sanity.profileEnvelope(
+        Sanity.identity(Seq(col("user_id"))),
+        Seq("event_type" -> col("event_type"),
+            "value" -> col("value").cast("string"))).as("payload"))
+  }
+
+  // =====================================================================
+  // Relational corpus (SURVEY §2.1 + §2.4 relational completeness)
+  // =====================================================================
+
+  private def q01_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    // R: filter + groupBy + multi-agg (TPC-H Q1 shape). Filter pushed to scan.
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        // High-scale decimal sums are rounded (HALF_UP, matching DuckDB's
+        // round()) to scale 4 before the double cast: with the unscaled
+        // value under 2^53 the decimal→double conversion is exactly
+        // rounded in BOTH engines (DuckDB's wide-decimal→double cast is
+        // off by 1 ulp otherwise, and its decimal→decimal cast truncates).
+        round(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - dec4(col("l_discount")))), 4)
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - dec4(col("l_discount")))
+          * (lit(1).cast("decimal(6,4)") + dec4(col("l_tax")))), 4)
+          .cast("double").as("sum_charge"),
+        (dbl(sum(dec2(col("l_quantity")))) / count(lit(1)).cast("double")).as("avg_qty"),
+        (dbl(sum(dec2(col("l_extendedprice")))) / count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def q02_filter_project(s: SparkSession, dir: String): DataFrame =
+    // R3/R4/R10: predicate + IN-list filter + projection (pushdown/pruning).
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q03_join_agg(s: SparkSession, dir: String): DataFrame = {
+    // R11: inner equi-join + aggregation over the join result.
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total_revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def q04_join5_region_revenue(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q5 shape: 5-way join; small dims broadcast (region/nation).
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(6,4)") - dec4(col("l_discount")))), 4)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private def q05_broadcast_join(s: SparkSession, dir: String): DataFrame = {
+    // Explicit broadcast of the part dim against the lineitem fact.
+    val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(col("p_size") <= 10)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  private def q06_semi_join(s: SparkSession, dir: String): DataFrame = {
+    // LEFT SEMI (EXISTS): customers having at least one high-value order.
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private def q07_anti_join(s: SparkSession, dir: String): DataFrame = {
+    // LEFT ANTI (NOT EXISTS): customers with no orders at all.
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def q08_left_join(s: SparkSession, dir: String): DataFrame = {
+    // LEFT OUTER + aggregate: per-customer order count including zero.
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dbl(coalesce(sum(dec2(col("o_totalprice"))), lit(0).cast("decimal(12,2)"))).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  private def q09_window_latest_order(s: SparkSession, dir: String): DataFrame = {
+    // R9–R12: row_number window, rank=1 filter, deterministic tiebreak.
+    val o = t(s, dir, "orders")
+    Dedup.latestPerKey(o, Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  private def q10_window_running(s: SparkSession, dir: String): DataFrame = {
+    // Analytic window frame: exact running total per customer.
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dbl(sum(dec2(col("o_totalprice"))).over(w)).as("running_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private def q11_topk(s: SparkSession, dir: String): DataFrame =
+    // Global top-k with deterministic tiebreak (sort + limit).
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def q12_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private def q13_set_ops(s: SparkSession, dir: String): DataFrame = {
+    // UNION / INTERSECT / EXCEPT over nation keys.
+    val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val both = cn.intersect(sn).withColumn("side", lit("both"))
+    val custOnly = cn.except(sn).withColumn("side", lit("customer_only"))
+    both.unionByName(custOnly).select("side", "nationkey").orderBy("side", "nationkey")
+  }
+
+  private def q14_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def q15_count_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private def q16_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), dbl(max(dec2(col("p_retailprice")))).as("max_price"))
+      .filter(col("n_parts") > 5)
+      .orderBy("p_brand")
+
+  private def q17_case_when(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("price_band",
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("high"))
+      .groupBy(col("price_band"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+      .orderBy("price_band")
+
+  private def q18_string_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"))
+      .orderBy("p_partkey")
+
+  private def q19_date_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("revenue"))
+      .orderBy("ship_year", "ship_month")
+
+  private def q20_in_filter(s: SparkSession, dir: String): DataFrame =
+    // R10: IN-list on the events stream table.
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("total_value"))
+      .orderBy("event_type")
+
+  // =====================================================================
+  // Incremental / changelog pipeline (SURVEY §2.1 R6–R13)
+  // =====================================================================
+
+  private def q21_latest_change_per_key(s: SparkSession, dir: String): DataFrame =
+    // The reference's core dedup (latest change per customer) in window form.
+    Dedup.latestPerKey(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id", "event_type", "value", "ts")
+      .orderBy("user_id")
+
+  private def q22_changefeed_since(s: SparkSession, dir: String): DataFrame =
+    // R6: bookmarked incremental scan (timestamp-range filter, pushed down).
+    t(s, dir, "events")
+      .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("total_value"))
+      .orderBy("event_type")
+
+  // =====================================================================
+  // Sanity-transform library exercised end-to-end (SURVEY §2.2)
+  // =====================================================================
+
+  /** Messy synthetic mobile-number column derived deterministically from
+    * events (the testdata has no dirty columns; the oracle derives the
+    * identical mess). */
+  private def mobileRaw: Column =
+    when(col("event_id") % 17 === 0, lit("not-a-number"))
+      .when(col("event_id") % 13 === 0,
+        concat((lit(9100000000L) + col("event_id")).cast("string"), lit(".0")))
+      .when(col("event_id") % 11 === 0, (lit(91000L) + col("event_id")).cast("string"))
+      .otherwise((lit(9100000000L) + col("event_id")).cast("string"))
+
+  private def q23_typemap_sanity(s: SparkSession, dir: String): DataFrame =
+    // T5 mobile_sanity + T7 modify_reward + T8 unix_epoch.
+    t(s, dir, "events").select(
+        col("event_id"),
+        Sanity.mobileSanity(mobileRaw).as("mobile"),
+        Sanity.modifyReward(col("value")).as("reward_paise"),
+        Sanity.unixEpoch(date_format(col("ts"), "yyyy-MM-dd")).as("d_epoch"))
+      .orderBy("event_id")
+
+  /** Messy DOB column: pre-1900 years, " BC" suffix, datetime format,
+    * garbage — each reference quirk (B6) represented. */
+  private def dobRaw: Column = {
+    val d = make_date(lit(1850) + col("event_id") % 200,
+      lit(1) + col("event_id") % 12, lit(1) + col("event_id") % 28)
+    val base = date_format(d, "yyyy-MM-dd")
+    when(col("event_id") % 19 === 0, lit("garbage"))
+      .when(col("event_id") % 17 === 0, concat(base, lit(" BC")))
+      .when(col("event_id") % 23 === 0, concat(base, lit(" 10:30:00")))
+      .otherwise(base)
+  }
+
+  private def q24_fix_dob(s: SparkSession, dir: String): DataFrame =
+    // T6 fix_dob (1952 sentinel, B6) + T10 birth date.
+    t(s, dir, "events").select(
+        col("event_id"),
+        dobRaw.as("dob_raw"),
+        Sanity.fixDob(dobRaw).as("dob_fixed"),
+        Sanity.birthDate(dobRaw).as("birth_day"))
+      .orderBy("event_id")
+
+  private def q25_identity(s: SparkSession, dir: String): DataFrame = {
+    // T1 identity_field_check with the documented falsy contract.
+    val c1 = when(col("user_id") % 10 === 0, lit(""))
+      .when(col("user_id") % 7 === 0, lit("0"))
+      .when(col("user_id") % 5 === 0, lit(null).cast("string"))
+      .otherwise(col("user_id").cast("string"))
+    val c2 = when(col("event_id") % 3 === 0, col("event_id").cast("string"))
+      .otherwise(lit(null).cast("string"))
+    t(s, dir, "events").select(
+        col("event_id"),
+        Sanity.identity(Seq(c1, c2)).as("identity"))
+      .withColumn("is_valid", col("identity").isNotNull)
+      .orderBy("event_id")
+  }
+
+  private def q26_payload_envelope(s: SparkSession, dir: String): DataFrame =
+    // T11: CleverTap profile JSON envelope (all-string fields → identical
+    // JSON text across engines).
+    t(s, dir, "events").select(
+        col("event_id"),
+        Sanity.profileEnvelope(
+          Sanity.identity(Seq(col("user_id"), col("event_id"))),
+          Seq("event_type" -> col("event_type"),
+              "user" -> col("user_id").cast("string"))).as("payload"))
+      .orderBy("event_id")
+
+  // =====================================================================
+  // Text analysis (SURVEY §2.4)
+  // =====================================================================
+
+  private def q27_text_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TA.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+      .orderBy("doc_id")
+
+  private def q28_lang_profile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(length(col("text")).cast("long")).as("min_chars"),
+        max(length(col("text")).cast("long")).as("max_chars"),
+        (sum(length(col("text")).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  private def q29_quality_score(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.stopwordRatio(col("text")).as("stopword_ratio"),
+        TA.punctRatio(col("text")).as("punct_ratio"),
+        TA.meanWordLength(col("text")).as("mean_word_len"),
+        TA.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def q30_fingerprint_dedup(s: SparkSession, dir: String): DataFrame =
+    // Exact dedup via content fingerprint (md5 of normalized text).
+    t(s, dir, "documents")
+      .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  private def q31_token_topk(s: SparkSession, dir: String): DataFrame =
+    // Token frequency top-k: explode + groupBy + ordered limit.
+    t(s, dir, "documents")
+      .select(explode(TA.tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(30)
+
+  private def q32_exact_dedup_rows(s: SparkSession, dir: String): DataFrame =
+    // Exact dedup keeping deterministic representative (min doc_id).
+    Dedup.exactDedup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), col("doc_id"))
+      .orderBy("lang", "source")
+
+  // =====================================================================
+  // Similarity search (SURVEY §2.4)
+  // =====================================================================
+
+  private def q33_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    // Brute-force cosine top-5 for a fixed query set, exact-decimal math.
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", Similarity.cosineExact(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private def q34_embedding_stats(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("norm2", Similarity.dotExact(col("embedding"), col("embedding")))
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(size(col("embedding")).cast("long")).as("dim"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"))
+      .orderBy("label")
+  }
+
+  // =====================================================================
+  // Rows-only queries (not SQL-expressible in the DuckDB oracle: engine-
+  // specific hashing). Correctness covered by ScalaTest specs instead.
+  // =====================================================================
+
+  private def q40_minhash_neardups(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 32, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  private def q41_simhash_neardups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  private def q43_lsh_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, bits = 16, bands = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  private def q44_lang_id(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TA.langIdHeuristic(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private def q45_cosine_neardups(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.8, bits = 16, bands = 8)
+      .orderBy("id_a", "id_b")
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01_pricing_summary _),
+    "q02_filter_project" -> (q02_filter_project _),
+    "q03_join_agg" -> (q03_join_agg _),
+    "q04_join5_region_revenue" -> (q04_join5_region_revenue _),
+    "q05_broadcast_join" -> (q05_broadcast_join _),
+    "q06_semi_join" -> (q06_semi_join _),
+    "q07_anti_join" -> (q07_anti_join _),
+    "q08_left_join" -> (q08_left_join _),
+    "q09_window_latest_order" -> (q09_window_latest_order _),
+    "q10_window_running" -> (q10_window_running _),
+    "q11_topk" -> (q11_topk _),
+    "q12_distinct" -> (q12_distinct _),
+    "q13_set_ops" -> (q13_set_ops _),
+    "q14_rollup" -> (q14_rollup _),
+    "q15_count_distinct" -> (q15_count_distinct _),
+    "q16_having" -> (q16_having _),
+    "q17_case_when" -> (q17_case_when _),
+    "q18_string_funcs" -> (q18_string_funcs _),
+    "q19_date_funcs" -> (q19_date_funcs _),
+    "q20_in_filter" -> (q20_in_filter _),
+    "q21_latest_change_per_key" -> (q21_latest_change_per_key _),
+    "q22_changefeed_since" -> (q22_changefeed_since _),
+    "q23_typemap_sanity" -> (q23_typemap_sanity _),
+    "q24_fix_dob" -> (q24_fix_dob _),
+    "q25_identity" -> (q25_identity _),
+    "q26_payload_envelope" -> (q26_payload_envelope _),
+    "q27_text_stats" -> (q27_text_stats _),
+    "q28_lang_profile" -> (q28_lang_profile _),
+    "q29_quality_score" -> (q29_quality_score _),
+    "q30_fingerprint_dedup" -> (q30_fingerprint_dedup _),
+    "q31_token_topk" -> (q31_token_topk _),
+    "q32_exact_dedup_rows" -> (q32_exact_dedup_rows _),
+    "q33_cosine_topk" -> (q33_cosine_topk _),
+    "q34_embedding_stats" -> (q34_embedding_stats _),
+    "q40_minhash_neardups" -> (q40_minhash_neardups _),
+    "q41_simhash_neardups" -> (q41_simhash_neardups _),
+    "q42_ngram_jaccard" -> (q42_ngram_jaccard _),
+    "q43_lsh_topk" -> (q43_lsh_topk _),
+    "q44_lang_id" -> (q44_lang_id _),
+    "q45_cosine_neardups" -> (q45_cosine_neardups _),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

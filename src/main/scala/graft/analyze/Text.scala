@@ -1,0 +1,108 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.4): language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting. All narrow Column expressions —
+  * no shuffle, no UDFs, codegen-friendly, linear at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (literal single-space split of normalized text). */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  /** Token count (whitespace tokenizer); empty/null-safe. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(tokens(text)))
+
+  /** BPE-ish subword token estimate: runs of letters, runs of digits, and
+    * single non-alphanumeric marks each count as a token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val defaultStopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    when(n > 0,
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean word length (alpha runs). */
+  def meanWordLength(text: Column): Column = {
+    val words = regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))
+    when(size(words) > 0,
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(words).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality score in [0,1]: penalizes extreme length,
+    * high punctuation, zero stopwords (non-prose), and very short/long
+    * mean word length. Weights are deliberately simple and documented. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenOk = when(nTok >= 10 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.0, lit(1.0)).otherwise(lit(0.0))
+    val mwl = meanWordLength(text)
+    val wordOk = when(mwl >= 2.0 && mwl <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    (lenOk * 0.25) + (punctOk * 0.25) + (stopOk * 0.25) + (wordOk * 0.25)
+  }
+
+  /** Language-ID n-gram heuristic: score text against small per-language
+    * marker-word sets; returns the best-scoring language code or "und".
+    * A real system would use char-trigram profiles; the structure (narrow
+    * per-row scoring, no shuffle) is the point here. */
+  val languageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
+    * text — stable across engines (md5 is standard), used for exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling polynomial hash (base 31, mod 2^61-1 via Long arithmetic) of
+    * the token stream — an order-sensitive fingerprint, unlike md5-of-all;
+    * expressed as a left fold so it stays a narrow codegen'd expression. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Per-language corpus profile: doc counts + exact char stats. */
+  def languageProfile(docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        min(length(col(textCol))).as("min_chars"),
+        max(length(col(textCol))).as("max_chars"))
+}

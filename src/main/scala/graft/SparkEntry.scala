@@ -443,7 +443,7 @@ object SparkEntry {
   private def q43_lsh_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, bits = 16, bands = 8)
+        k = 5, bits = 32, bands = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -454,7 +454,7 @@ object SparkEntry {
 
   private def q45_cosine_neardups(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.8, bits = 16, bands = 8)
+        threshold = 0.8, bits = 32, bands = 4)
       .orderBy("id_a", "id_b")
 
   // =====================================================================

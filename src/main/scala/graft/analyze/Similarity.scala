@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * LSH-bucketed approximate search as the 100 TB scale path.
   *
   * Dot products use `zip_with` + `aggregate` higher-order functions — a
-  * narrow, codegen'd per-row fold; no UDF, no Python boundary.
+  * narrow, codegen'd per-row fold; no UDF, no Python boundary. Norms are
+  * always computed ONCE per vector (a narrow pre-pass) and carried as a
+  * column, never recomputed per candidate pair.
   */
 object Similarity {
 
@@ -22,16 +24,20 @@ object Similarity {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity; 0 for zero-norm vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = sqrt(normSq(a)) * sqrt(normSq(b))
+  /** Cosine similarity; 0 for zero-norm vectors. Prefer the
+    * (dot, precomputed-norm) form in joins — see cosineFromParts. */
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), normSq(a), normSq(b))
+
+  /** Cosine from a dot product and per-side squared norms. */
+  def cosineFromParts(d: Column, n2a: Column, n2b: Column): Column = {
+    val n = sqrt(n2a) * sqrt(n2b)
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
   /** Dot product with an exact-decimal accumulator: each elementwise
     * product is computed in double (deterministic), rounded to
-    * decimal(30,12), and summed exactly — so the result is independent of
+    * decimal(20,12), and summed exactly — so the result is independent of
     * addition order and bitwise-reproducible across engines (the DuckDB
     * oracle computes the identical formula). Still a narrow per-row fold. */
   def dotExact(a: Column, b: Column): Column =
@@ -51,16 +57,20 @@ object Similarity {
     *
     * `queries` is expected to be small (it is broadcast); the scan over
     * `corpus` is a single narrow pass per query — the right baseline on a
-    * cluster when queries fit in memory. Excludes self-matches by id.
+    * cluster when queries fit in memory. Norms are precomputed per side
+    * (once per vector, not once per pair). Excludes self-matches by id.
     * Deterministic: ties broken by corpus id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn2"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      normSq(col(vecCol)).as("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -70,7 +80,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim):
     * xxhash64 folded into [-1, 1). No RNG state — reproducible across
-    * runs and engines that share xxhash64. */
+    * runs. */
   private def hyperplane(bit: Int, dim: Column): Column =
     (pmod(xxhash64(lit(bit), dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
 
@@ -86,32 +96,42 @@ object Similarity {
     bitCols.reduce((a, c) => a.bitwiseOR(c))
   }
 
-  /** LSH-bucketed approximate top-k: bucket corpus and queries by
-    * multi-probe banded signatures, score only same-bucket pairs.
+  /** id, vec, norm², and exploded (band, key) bucket rows for LSH joins.
+    * Signature and norm are computed once per input row (narrow). */
+  private def bandedWithNorm(df: DataFrame, idCol: String, vecCol: String,
+                             idAs: String, vecAs: String, n2As: String,
+                             bits: Int, bands: Int): DataFrame = {
+    val width = bits / bands
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        normSq(col(vecCol)).as(n2As),
+        lshSignature(col(vecCol), bits).as("__sig"))
+      .select(col(idAs), col(vecAs), col(n2As),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("key"))
+        }: _*)).as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: bucket corpus and queries by banded
+    * signatures, score only same-bucket pairs.
     *
     * Scale path: the corpus is hashed once (narrow), the join is on bucket
     * keys (shuffle proportional to candidates, not n×q). Recall < 1 by
-    * construction; `bands` trades recall for cost.
+    * construction; more `bands` (of fixed width) raises recall, wider
+    * bands (bits/bands) cut candidates. Default 32 bits / 4 bands = 8-bit
+    * buckets — 256 buckets per band.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+              vecCol: String, k: Int, bits: Int = 32, bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
-    val width = bits / bands
-    def banded(df: DataFrame, id: String, v: String): DataFrame = {
-      val sig = lshSignature(col(vecCol), bits)
-      df.select(col(idCol).as(id), col(vecCol).as(v), sig.as("sig"))
-        .select(col(id), col(v), explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("key"))
-        }: _*)).as("bucket"))
-    }
-    val c = banded(corpus, "neighbor_id", "cv")
-    val q = banded(queries, "query_id", "qv")
+    val c = bandedWithNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn2", bits, bands)
+    val q = bandedWithNorm(queries, idCol, vecCol, "query_id", "qv", "qn2", bits, bands)
     val cand = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -122,24 +142,19 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * shared LSH buckets (linear-ish), verified exactly. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, bits: Int = 16,
+                     threshold: Double = 0.95, bits: Int = 32,
                      bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
-    val width = bits / bands
-    val sigd = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), bits).as("sig"))
-    val banded = sigd.select(col("id"), col("v"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))
-      }: _*)).as("bucket"))
-    val l = banded.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val banded = bandedWithNorm(df, idCol, vecCol, "id", "v", "n2", bits, bands)
+    val l = banded.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n2").as("n2_a"))
+    val r = banded.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n2").as("n2_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos",
+        cosineFromParts(dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

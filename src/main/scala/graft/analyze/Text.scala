@@ -91,12 +91,11 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Rolling polynomial hash (base 31, mod 2^61-1 via Long arithmetic) of
-    * the token stream — an order-sensitive fingerprint, unlike md5-of-all;
-    * expressed as a left fold so it stays a narrow codegen'd expression. */
+  /** Rolling (order-sensitive) fingerprint of the token stream, unlike
+    * md5-of-all: a left fold chaining xxhash64(acc, token) — overflow-free
+    * under ANSI mode and still a narrow codegen'd expression. */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Per-language corpus profile: doc counts + exact char stats. */
   def languageProfile(docs: DataFrame, langCol: String, textCol: String): DataFrame =

@@ -1,0 +1,181 @@
+package graft.sink
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.RetryPolicy
+
+/** Sink-side batching + HTTP egress (SURVEY.md §2.3).
+  *
+  * The reference runs a single-threaded driver loop pulling pandas chunks
+  * and POSTing them (`operators/clevertap_user_profile.py:61-91`). Here
+  * batching is a partition-local iterator op and the POST happens on
+  * executors via `mapPartitions`, returning a `Dataset[SinkResult]` so
+  * results are observable (not just logged). HTTP clients are constructed
+  * once per partition (≈ once per task), never per record; a cluster run
+  * with hundreds of partitions fans the egress out with no driver
+  * involvement.
+  */
+
+/** Per-batch sink outcome (auditable; replaces the reference's log-only
+  * counters TOTAL_RECORD_PROCESSED/SEND/INVALID). */
+case class SinkResult(batchIndex: Long, records: Long, status: Int,
+                      ok: Boolean, error: String)
+
+object BatchPacker {
+  /** R18: count-bound batches (CleverTap/Gamooga ≤1000 records/POST,
+    * `operators/clevertap_user_profile.py:29`, `hooks/gamooga.py:42`). */
+  def countBound[T](it: Iterator[T], maxRecords: Int): Iterator[Seq[T]] =
+    it.grouped(maxRecords).map(_.toSeq)
+
+  /** R19: byte-bound batches (Netcore ≤4.5 MB CSV, `hooks/netcore.py:107`).
+    * Greedy packing measuring encoded bytes incrementally — the reference
+    * re-serialized the whole frame per probe (O(n log n) temp files); this
+    * is one pass. A single record larger than the cap gets its own batch. */
+  def byteBound(it: Iterator[String], maxBytes: Long,
+                sepBytes: Int = 1): Iterator[Seq[String]] = new Iterator[Seq[String]] {
+    private val buf = it.buffered
+    def hasNext: Boolean = buf.hasNext
+    def next(): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var bytes = 0L
+      var n = 0
+      var full = false
+      while (buf.hasNext && !full) {
+        val sz = buf.head.getBytes(StandardCharsets.UTF_8).length +
+          (if (n == 0) 0 else sepBytes)
+        if (n > 0 && bytes + sz > maxBytes) full = true
+        else { out += buf.next(); bytes += sz; n += 1 }
+      }
+      out.result()
+    }
+  }
+}
+
+/** Minimal HTTP POST contract a destination needs; implemented over
+  * java.net.http (zero-dep) and easily stubbed in tests. */
+trait HttpPoster extends Serializable {
+  def post(url: String, body: String, headers: Map[String, String]): (Int, String)
+}
+
+/** Real poster: lazily builds one JDK HttpClient per JVM/executor. */
+class JdkHttpPoster(connectTimeoutMs: Long = 10000) extends HttpPoster {
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(connectTimeoutMs)).build()
+  def post(url: String, body: String, headers: Map[String, String]): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+}
+
+/** CleverTap destination (reference `hooks/clevertap.py:10-65`): JSON
+  * batches of ≤1000 profiles to `1/upload`; account creds as headers. */
+class ClevertapClient(baseUrl: String, accountId: String, passcode: String,
+                      poster: HttpPoster = new JdkHttpPoster(),
+                      retry: RetryPolicy = RetryPolicy()) extends Serializable {
+  private def headers = Map(
+    "X-CleverTap-Account-Id" -> accountId,
+    "X-CleverTap-Passcode" -> passcode,
+    "Content-Type" -> "application/json")
+
+  /** One batch: payloads are already-enveloped profile JSON strings (T11);
+    * wrapped as {"d":[...]} (`operators/clevertap_user_profile.py:78`). */
+  def uploadProfiles(batch: Seq[String]): (Int, String) = {
+    val body = batch.mkString("{\"d\":[", ",", "]}")
+    retry.run(poster.post(s"$baseUrl/1/upload", body, headers))
+  }
+}
+
+/** Gamooga destination (reference `hooks/gamooga.py:12-74`): profile bulk
+  * upload + JWT-signed (HS256) event batches. JWT is hand-rolled
+  * HMAC-SHA256 (zero-dep), verifiable by any standard library. */
+class GamoogaClient(baseUrl: String, companyId: String, secret: String,
+                    poster: HttpPoster = new JdkHttpPoster(),
+                    retry: RetryPolicy = RetryPolicy()) extends Serializable {
+  def uploadProfiles(propsJson: String, propTypesJson: String): (Int, String) = {
+    val body = s"""{"props":$propsJson,"c":"$companyId","prop_types":$propTypesJson}"""
+    retry.run(poster.post(s"$baseUrl/bulkvpr/",
+      body, Map("Content-Type" -> "application/json")))
+  }
+  def uploadEvents(payloadJson: String): (Int, String) = {
+    val jwt = GamoogaClient.jwtHs256(payloadJson, secret)
+    retry.run(poster.post(s"$baseUrl/bev/",
+      s"""{"jwt":"$jwt","c":"$companyId"}""",
+      Map("Content-Type" -> "application/json")))
+  }
+}
+object GamoogaClient {
+  private def b64url(bytes: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+  /** Compact JWS: base64url(header).base64url(payload).base64url(hmac). */
+  def jwtHs256(payloadJson: String, secret: String): String = {
+    val header = b64url("""{"alg":"HS256","typ":"JWT"}""".getBytes(StandardCharsets.UTF_8))
+    val payload = b64url(payloadJson.getBytes(StandardCharsets.UTF_8))
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(secret.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    val sig = b64url(mac.doFinal(s"$header.$payload".getBytes(StandardCharsets.UTF_8)))
+    s"$header.$payload.$sig"
+  }
+}
+
+/** Netcore destination (reference `hooks/netcore.py:18-119`): stage CSV
+  * chunks (≤4.5 MB) to a filesystem prefix (s3a:// in prod, file:// in
+  * tests — same Hadoop FileSystem API), then notify the bulk-upload API
+  * per staged file. */
+class NetcoreClient(baseUrl: String, apiKey: String, notifyEmail: String,
+                    poster: HttpPoster = new JdkHttpPoster(),
+                    retry: RetryPolicy = RetryPolicy()) extends Serializable {
+  val maxChunkBytes: Long = 4500000L
+
+  def notifyUpload(stagedUrl: String, listId: Option[String] = None): (Int, String) = {
+    val lid = listId.map(l => s"&listid=$l").getOrElse("")
+    val url = s"$baseUrl/apiv2?type=contact&activity=bulkupload&apikey=$apiKey" +
+      s"&notifyemail=$notifyEmail$lid&path=$stagedUrl"
+    retry.run(poster.post(url, "", Map.empty))
+  }
+}
+
+object HttpSink {
+  /** Distributed egress: payload rows → partition-local ≤`batchSize`
+    * batches → one POST per batch with retry → SinkResult rows.
+    *
+    * `send` runs on executors: it must be serializable and lazily
+    * construct any client state (JdkHttpPoster does). batchIndex is
+    * globally unique (partitionId << 20 | local index). */
+  def sendBatches(payloads: DataFrame, payloadCol: String, batchSize: Int,
+                  send: Seq[String] => (Int, String)): Dataset[SinkResult] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(payloadCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        BatchPacker.countBound(it, batchSize).zipWithIndex.map { case (batch, i) =>
+          try {
+            val (status, body) = send(batch)
+            SinkResult((pid << 20) | i.toLong, batch.size.toLong, status,
+              status >= 200 && status < 400,
+              if (status >= 200 && status < 400) "" else body.take(500))
+          } catch {
+            case t: Throwable =>
+              SinkResult((pid << 20) | i.toLong, batch.size.toLong, -1, ok = false,
+                String.valueOf(t.getMessage).take(500))
+          }
+        }
+      }
+  }
+
+  /** Invalid-record split (R21): rows with null identity are rejected;
+    * returns (valid, invalid) without double-scanning semantics changes. */
+  def splitInvalid(df: DataFrame, identityCol: String): (DataFrame, DataFrame) =
+    (df.filter(col(identityCol).isNotNull), df.filter(col(identityCol).isNull))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val changelog = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+    (1L, ts("2024-01-01 11:00:00"), 2L, "b"), // latest for key 1
+    (2L, ts("2024-01-01 09:00:00"), 3L, "c"),
+    (2L, ts("2024-01-01 09:00:00"), 4L, "d"), // tie on ts; version 4 wins
+    (3L, ts("2024-01-01 08:00:00"), 5L, "e")
+  ).toDF("customer_id", "_commit_timestamp", "_commit_version", "v")
+
+  test("latestPerKey window form: newest per key, version tiebreak") {
+    val got = Dedup.latestPerKey(changelog, Seq("customer_id"),
+        Seq(col("_commit_timestamp").desc, col("_commit_version").desc))
+      .select("customer_id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "b", 2L -> "d", 3L -> "e"))
+  }
+
+  test("join form matches window form off ties; ties multiply (R11 note)") {
+    val joinForm = Dedup.latestPerKeyJoinForm(changelog, "customer_id", "_commit_timestamp")
+    // key 2 has a timestamp tie: join form keeps BOTH rows (reference behavior)
+    assert(joinForm.filter($"customer_id" === 2L).count() == 2)
+    // off-tie keys agree with the window form
+    val w = Dedup.latestPerKey(changelog, Seq("customer_id"),
+      Seq(col("_commit_timestamp").desc, col("_commit_version").desc))
+    assert(joinForm.filter($"customer_id" =!= 2L).select("customer_id", "v").collect().toSet ==
+      w.filter($"customer_id" =!= 2L).select("customer_id", "v").collect().toSet)
+  }
+
+  test("exactDedup keeps deterministic representative") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val got = Dedup.exactDedup(df, Seq("k"), col("id")).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x"), (3L, "y")))
+  }
+
+  test("shingles: distinct hashed n-grams") {
+    val df = Seq("a b c d").toDF("t")
+    val n = df.select(size(Dedup.shingles(col("t"), 3)).as("n")).head.getInt(0)
+    assert(n == 2) // "a b c", "b c d"
+  }
+
+  test("minhash near-dups find planted duplicates, skip unrelated text") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today")
+    val other = "completely different content about spark dataframes and shuffle partitioning at scale"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text distance 0; near text small; different text large") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val near = "one two three four five six seven eight nine ten eleven thirteen"
+    val far = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "t")
+    val sig = df.select($"id", Dedup.simhash(split(col("t"), " ")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    val dNear = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val dFar = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(dNear < dFar)
+  }
+
+  test("ngram jaccard pairs: exact overlap ratio") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 2, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    val (a, b, j) = pairs.head
+    assert((a, b) == (1L, 2L))
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12) // shingles {ab,bc,cd} vs {ab,bc,ce}
+  }
+}

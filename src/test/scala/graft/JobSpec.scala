@@ -1,0 +1,108 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.CopyOnWriteArrayList
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.jobs.{SampleJob, UserProfileJob}
+import graft.source.{Bookmarks, ChangelogTableSource}
+
+/** End-to-end pipeline tests: the E1-completed UserProfileJob over a
+  * file:// changelog with a live HTTP stub, plus the E2 sample job and
+  * the bookmark/changefeed protocol. */
+class JobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("SampleJob: range → write → read-back count (E2 smoke)") {
+    val dir = Files.createTempDirectory("graft-sample").toString
+    assert(SampleJob.run(spark, SampleJob.Conf("parquet", s"$dir/out")) == 1000L)
+  }
+
+  test("Bookmarks: absent → None; upsert → roundtrip; per-job isolation") {
+    val path = Files.createTempDirectory("graft-bm").toString + "/bookmarks"
+    assert(Bookmarks.lookup(spark, path, "job1").isEmpty)
+    Bookmarks.upsert(spark, path, "job1", ts("2024-01-10 00:00:00"))
+    Bookmarks.upsert(spark, path, "job2", ts("2024-02-01 00:00:00"))
+    Bookmarks.upsert(spark, path, "job1", ts("2024-01-15 00:00:00"))
+    assert(Bookmarks.lookup(spark, path, "job1").contains(ts("2024-01-15 00:00:00")))
+    assert(Bookmarks.lookup(spark, path, "job2").contains(ts("2024-02-01 00:00:00")))
+  }
+
+  test("ChangelogTableSource.since filters strictly after bookmark") {
+    val dir = Files.createTempDirectory("graft-cl").toString + "/log"
+    Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "_commit_timestamp").write.parquet(dir)
+    val src = new ChangelogTableSource(spark, dir)
+    assert(src.since(None).count() == 2)
+    assert(src.since(Some(ts("2024-01-01 00:00:00"))).count() == 1)
+    assert(src.since(Some(ts("2024-01-02 00:00:00"))).count() == 0)
+  }
+
+  test("UserProfileJob end-to-end: dedup → transforms → egress → bookmark") {
+    val root = Files.createTempDirectory("graft-job").toString
+    // changelog: two changes for user 1 (latest wins), one for user 2,
+    // a delete (filtered), and an empty-identity row (invalid)
+    Seq(
+      ("1", "9876543210", "50.5", "1985-09-03", "insert", ts("2024-01-01 10:00:00"), 1L),
+      ("1", "919876543210", "99.0", "1890-01-05", "update_postimage", ts("2024-01-01 11:00:00"), 2L),
+      ("2", "12345", "x", "garbage", "insert", ts("2024-01-01 09:00:00"), 3L),
+      ("3", "9999999999", "1.0", "2000-02-29", "delete", ts("2024-01-01 12:00:00"), 4L),
+      ("", "8888888888", "2.0", "2001-01-01", "insert", ts("2024-01-01 13:00:00"), 5L)
+    ).toDF("customer_id", "mobile", "reward", "dob", "_change_type", "_commit_timestamp", "_commit_version")
+      .write.parquet(s"$root/changelog")
+    // mapping table: mobile+reward+dob routed to clevertap, dob not to netcore
+    Seq(("mobile", true, false), ("reward", true, true), ("dob", true, false),
+      ("unused_col", true, true))
+      .toDF("property_name", "clevertap", "netcore").write.parquet(s"$root/mapping")
+
+    val bodies = new CopyOnWriteArrayList[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        bodies.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("ok".getBytes); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new graft.sink.ClevertapClient(url, "a", "p")
+      val conf = UserProfileJob.Conf(
+        jobName = "up_test", changelogPath = s"$root/changelog",
+        bookmarkPath = s"$root/bookmarks", keyCol = "customer_id",
+        tsCol = "_commit_timestamp", tiebreakCol = "_commit_version",
+        platform = "clevertap", mappingPath = s"$root/mapping",
+        typeMap = Map("mobile" -> "mobile_sanity", "reward" -> "modify_reward",
+          "dob" -> "date"),
+        swapKeyMap = Map("customer_id" -> "identity_id"))
+      val res = UserProfileJob.run(spark, conf, b => client.uploadProfiles(b))
+
+      assert(res.validRows == 2)   // users 1 and 2 (delete filtered, "" invalid)
+      assert(res.invalidRows == 1)
+      assert(res.sink.forall(_.ok))
+      assert(res.newBookmark.contains(ts("2024-01-01 13:00:00")))
+      val body = bodies.toArray.map(_.toString).mkString
+      // user 1: the LATEST change (mobile 91..→ last10, reward 99→9900, dob 1890→1952)
+      assert(body.contains(""""identity":"1""""))
+      assert(body.contains(""""mobile":"9876543210""""))
+      assert(body.contains(""""reward":"9900""""))
+      assert(body.contains(""""dob":"1952-01-05""""))
+      // user 2: keep-original on failed casts (B7)
+      assert(body.contains(""""reward":"""") || body.contains(""""identity":"2""""))
+
+      // incremental re-run: nothing new after the bookmark
+      val res2 = UserProfileJob.run(spark, conf, b => client.uploadProfiles(b))
+      assert(res2.validRows == 0 && res2.newBookmark == res.newBookmark)
+    } finally server.stop(0)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analyze.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveCos(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na * nb > 0) d / (na * nb) else 0.0
+  }
+
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0L until 50L).map(i => i -> Array.fill(16)(rnd.nextFloat() * 2 - 1))
+  }
+
+  test("dot/cosine match a local computation") {
+    val df = vecs.take(2).toDF("id", "v")
+    val a = vecs(0)._2; val b = vecs(1)._2
+    val row = df.filter($"id" === 0L).crossJoin(
+        df.filter($"id" === 1L).select($"v".as("w")))
+      .select(Similarity.dot($"v", $"w").as("d"), Similarity.cosine($"v", $"w").as("c"))
+      .head
+    assert(math.abs(row.getDouble(0) - a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum) < 1e-9)
+    assert(math.abs(row.getDouble(1) - naiveCos(a, b)) < 1e-9)
+  }
+
+  test("bruteForceTopK returns the true top-k") {
+    val df = vecs.toDF("id", "v")
+    val got = Similarity.bruteForceTopK(df, df.filter($"id" < 2L), "id", "v", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val lookup = vecs.toMap
+    for (q <- Seq(0L, 1L)) {
+      val expected = vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, naiveCos(lookup(q), v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("lshTopK candidates are a subset with correct scores; self excluded") {
+    val df = vecs.toDF("id", "v")
+    val got = Similarity.lshTopK(df, df.filter($"id" < 2L), "id", "v",
+      k = 5, bits = 16, bands = 8).collect()
+    assert(got.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    val lookup = vecs.toMap
+    got.foreach { r =>
+      val c = naiveCos(lookup(r.getAs[Long]("query_id")), lookup(r.getAs[Long]("neighbor_id")))
+      assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9)
+    }
+  }
+
+  test("cosineNearDups finds planted near-identical vectors") {
+    val base = Array.fill(16)(0.5f)
+    val tweaked = base.clone(); tweaked(0) = 0.51f
+    val noise = new scala.util.Random(9)
+    val others = (10L until 30L).map(i => i -> Array.fill(16)(noise.nextFloat() * 2 - 1))
+    val df = (Seq(1L -> base, 2L -> tweaked) ++ others).toDF("id", "v")
+    val pairs = Similarity.cosineNearDups(df, "id", "v", threshold = 0.999,
+      bits = 16, bands = 8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

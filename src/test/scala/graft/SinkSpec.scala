@@ -1,0 +1,137 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.CopyOnWriteArrayList
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Connection, ConnectionRegistry, MapSecretProvider, RetryPolicy}
+import graft.sink._
+
+/** Sink contract tests against a real local HTTP stub (SURVEY §5.5):
+  * batch size ≤1000, byte-bound packing ≤4.5MB, retry×3 on connection
+  * errors, envelope shape, verifiable JWT. */
+class SinkSpec extends SparkSpec {
+
+  private def withServer(f: (String, CopyOnWriteArrayList[String]) => Unit): Unit = {
+    val bodies = new CopyOnWriteArrayList[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        bodies.add(ex.getRequestURI.toString + "\n" + body)
+        val resp = """{"status":"success"}""".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", bodies)
+    finally server.stop(0)
+  }
+
+  test("BatchPacker.countBound: ≤N per batch, nothing lost") {
+    val batches = BatchPacker.countBound((1 to 2500).iterator, 1000).toSeq
+    assert(batches.map(_.size) == Seq(1000, 1000, 500))
+    assert(batches.flatten == (1 to 2500))
+  }
+
+  test("BatchPacker.byteBound: each batch ≤ cap unless single oversized record") {
+    val recs = Seq("a" * 400, "b" * 400, "c" * 400, "d" * 2000, "e" * 10)
+    val batches = BatchPacker.byteBound(recs.iterator, maxBytes = 1000).toSeq
+    assert(batches.flatten == recs)
+    batches.foreach { b =>
+      val sz = b.map(_.length).sum + (b.size - 1)
+      assert(sz <= 1000 || b.size == 1)
+    }
+  }
+
+  test("HttpSink.sendBatches: distributed POST, {\"d\":[..]} envelope, ≤1000/batch") {
+    import spark.implicits._
+    withServer { (url, bodies) =>
+      val payloads = (1 to 2345)
+        .map(i => s"""{"type":"profile","identity":"$i","profileData":{}}""")
+        .toDF("payload").repartition(3)
+      val client = new ClevertapClient(url, "acct", "pass")
+      val res = HttpSink.sendBatches(payloads, "payload", 1000,
+        batch => client.uploadProfiles(batch)).collect()
+      assert(res.forall(_.ok))
+      assert(res.map(_.records).sum == 2345)
+      assert(res.forall(_.records <= 1000))
+      assert(bodies.size == res.length)
+      bodies.forEach { b =>
+        val body = b.split("\n", 2)(1)
+        assert(body.startsWith("""{"d":["""))
+        assert(body.endsWith("]}"))
+      }
+    }
+  }
+
+  test("RetryPolicy: retries connection errors, rethrows after maxAttempts") {
+    var calls = 0
+    val ex = intercept[java.net.ConnectException] {
+      RetryPolicy(maxAttempts = 3, baseDelayMs = 1).run {
+        calls += 1
+        throw new java.net.ConnectException("nope")
+      }
+    }
+    assert(calls == 3 && ex.getMessage == "nope")
+    // non-connection errors are not retried
+    calls = 0
+    intercept[IllegalArgumentException] {
+      RetryPolicy(maxAttempts = 3, baseDelayMs = 1).run {
+        calls += 1
+        throw new IllegalArgumentException("bad")
+      }
+    }
+    assert(calls == 1)
+  }
+
+  test("sendBatches records failures as SinkResult rows (no job crash)") {
+    import spark.implicits._
+    val payloads = Seq("""{"x":1}""").toDF("payload")
+    // closed port → ConnectException after retries → ok=false row
+    val client = new ClevertapClient("http://127.0.0.1:1",
+      "a", "p", retry = RetryPolicy(maxAttempts = 2, baseDelayMs = 1))
+    val res = HttpSink.sendBatches(payloads, "payload", 10,
+      b => client.uploadProfiles(b)).collect()
+    assert(res.length == 1 && !res.head.ok && res.head.status == -1)
+  }
+
+  test("Gamooga JWT HS256 is verifiable") {
+    val jwt = GamoogaClient.jwtHs256("""{"ev":"x"}""", "secret123")
+    val Array(h, p, s) = jwt.split("\\.")
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      "secret123".getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    val expect = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(mac.doFinal(s"$h.$p".getBytes(StandardCharsets.UTF_8)))
+    assert(s == expect)
+    assert(new String(java.util.Base64.getUrlDecoder.decode(p)) == """{"ev":"x"}""")
+  }
+
+  test("Netcore notify URL carries apikey/path; Gamooga events POST jwt") {
+    withServer { (url, bodies) =>
+      new NetcoreClient(url, "k1", "me@x.com").notifyUpload("https://b.s3/x.csv", Some("7"))
+      new GamoogaClient(url, "c9", "sec").uploadEvents("""{"e":1}""")
+      val all = bodies.toArray.map(_.toString)
+      assert(all.exists(b => b.contains("apikey=k1") && b.contains("listid=7")
+        && b.contains("path=https://b.s3/x.csv")))
+      assert(all.exists(b => b.contains("/bev/") && b.contains("\"c\":\"c9\"")))
+    }
+  }
+
+  test("ConnectionRegistry parses the reference secret layout") {
+    val secret = """{"clevertap_default":{"host":"api.example.com","login":"acct",
+      "password":"pass","schema":"https","port":443,
+      "extra":"{\"api_key\":\"k\",\"ip_whitelisted_bucket\":\"b\"}"}}"""
+    val reg = new ConnectionRegistry(new MapSecretProvider(Map("martech_dev" -> secret)), "martech_dev")
+    val c = reg.get("clevertap_default")
+    assert(c.baseUrl == "https://api.example.com:443")
+    assert(c.login == "acct" && c.extra("api_key") == "k")
+    intercept[NoSuchElementException](reg.get("missing"))
+  }
+}

@@ -437,7 +437,7 @@ object SparkEntry {
 
   private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 2, threshold = 0.2)
+        shingleN = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
   private def q43_lsh_topk(s: SparkSession, dir: String): DataFrame = {

@@ -52,24 +52,15 @@ object Dedup {
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Word n-gram shingles of normalized text as a deduped array of 64-bit
-    * hashes. `xxhash64` is Spark-native and codegen'd. */
-  def shingles(c: Column, n: Int): Column = {
-    val tokens = split(normalizeText(c), " ")
-    val grams = filter(
-      transform(tokens, (_, i) => slice(tokens, i + lit(1), lit(n))),
-      a => size(a) === n)
-    array_distinct(transform(grams, a => xxhash64(concat_ws(" ", a))))
-  }
+    * hashes — a native expression (graft.functions.ShingleHashExpr): one
+    * imperative pass per row, no per-gram string concatenation. */
+  def shingles(c: Column, n: Int): Column =
+    graft.functions.HashFunctions.shingleHashes(split(normalizeText(c), " "), n)
 
-  /** MinHash signature of a shingle-hash array: k independent permutations
-    * approximated by re-hashing each shingle with a per-row seed column,
-    * taking the min. Computed per-row (narrow, no shuffle). */
-  def minhashSignature(shingleHashes: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
-    }
-    array(sigs: _*)
-  }
+  /** MinHash signature of a shingle-hash array: k reseeded hash-mins,
+    * computed in one imperative pass per row (narrow, no shuffle). */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    graft.functions.HashFunctions.minhashSig(shingleHashes, k)
 
   /** LSH banding: signature array → `bands` band keys, each hashing `rowsPerBand`
     * consecutive signature entries. Rows sharing any band key are candidates. */
@@ -106,35 +97,32 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+    val banded = base
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
 
-    val banded = base.select(col("id"), col("sh"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-
-    val l = banded.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // Candidate ID pairs first (narrow shuffle payload: ids + band keys),
+    // THEN join the shingle arrays back by id for the exact verify — the
+    // wide arrays never ride through the band join.
+    val l = banded.select(col("bk"), col("id").as("id_a"))
+    val r = banded.select(col("bk"), col("id").as("id_b"))
     val cand = l.join(r, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash (64-bit) of a token array: per-bit majority vote of token
-    * hashes, expressed as a weighted popcount without UDFs. */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      // sum over tokens of (+1 if bit set else -1) > 0  → bit b set
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * hashes — a native expression (one imperative pass per row). */
+  def simhash(tokens: Column): Column =
+    graft.functions.HashFunctions.simhash64(tokens)
 
   /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -161,23 +149,40 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard pairs (no LSH — for small inputs / oracle use).
-    * O(pairs sharing a shingle): explodes shingles, self-joins on shingle,
-    * counts intersections, computes |A∪B| = |A|+|B|-|A∩B|. */
+  /** Exact n-gram Jaccard pairs with prefix filtering (PPJoin-style).
+    *
+    * A naive shingle self-join explodes on common shingles (every shared
+    * shingle emits a pair row). Prefix filtering keeps the result EXACT
+    * while joining only on each document's rarest shingles: order shingles
+    * by global document frequency; any pair with J(A,B) ≥ t must satisfy
+    * |A∩B| ≥ t·|A|, so the first |A| − ⌈t·|A|⌉ + 1 shingles of A (in that
+    * global order) must intersect B's prefix. Candidates come from a
+    * prefix-only self-join, then the full arrays verify exact Jaccard.
+    * Shuffle payload: (shingle, id) prefix rows — linear in corpus size
+    * for a fixed threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-    val l = ex.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val r = ex.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
-    l.join(r, Seq("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("df").asc, col("g").asc)
+    val prefix = ex.join(dfreq, Seq("g"))
+      .withColumn("rnk", row_number().over(wOrd))
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("g", "id")
+
+    val cand = prefix.select(col("g"), col("id").as("id_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

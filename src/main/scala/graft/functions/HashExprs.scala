@@ -1,0 +1,152 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Native Catalyst expressions for the text-dedup hot path (SURVEY §2.4).
+  *
+  * The same operators are expressible with higher-order functions
+  * (`transform`/`aggregate` folds — see git history), but HOF lambdas
+  * evaluate one Catalyst expression tree per element per hash and do not
+  * fuse into whole-stage codegen loops; at 64 hashes × ~200 shingles ×
+  * millions of docs that is the dominant cost. These expressions run the
+  * inner loops imperatively on the unsafe array data (seed-compatible
+  * with Spark's own xxhash64: XXH64, seed 42).
+  */
+
+/** Hash of one UTF8String token, identical to Spark's xxhash64(col). */
+private object TokenHash {
+  val Seed = 42L
+  def hash(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+}
+
+/** 64-bit SimHash of a token array: per-bit majority vote of token
+  * hashes. NULL tokens are skipped; empty array → 0L. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = TokenHash.hash(arr.getUTF8String(i), TokenHash.Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+}
+
+/** MinHash signature (k mins over reseeded hashes) of an array<long> of
+  * shingle hashes. Empty array → array of Long.MaxValue. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<long>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val hj = XXH64.hashLong(h, j.toLong)
+          if (hj < sig(j)) sig(j) = hj
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+/** Distinct hashes of word n-gram shingles of a token array: each gram's
+  * hash chains its tokens' hashes (order-sensitive), with no intermediate
+  * string concatenation. Fewer than n tokens → empty array. */
+case class ShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    // per-token hashes once, then rolling chain per window
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) = if (arr.isNullAt(i)) 0L
+        else TokenHash.hash(arr.getUTF8String(i), TokenHash.Seed)
+      i += 1
+    }
+    val seen = new mutable.HashSet[Long]
+    val out = new mutable.ArrayBuffer[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var acc = TokenHash.Seed
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      if (seen.add(acc)) out += acc
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashExpr =
+    copy(child = c)
+}
+
+/** Column-API wrappers (classic Column ⇄ Expression bridge). */
+object HashFunctions {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  private def wrap(e: Expression): Column = ColumnBridge.column(e)
+  private def exprOf(c: Column): Expression = ColumnBridge.expression(c)
+
+  def simhash64(tokens: Column): Column = wrap(SimHash64Expr(exprOf(tokens)))
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    wrap(MinHashSigExpr(exprOf(shingleHashes), k))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    wrap(ShingleHashExpr(exprOf(tokens), n))
+}

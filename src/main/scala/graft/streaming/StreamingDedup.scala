@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twin of the batch incremental pipeline (SURVEY §7
+  * M6): the reference hand-rolls incrementality with a bookmark table;
+  * Spark's native answer is `readStream` + watermark + stateful
+  * latest-per-key. Both forms share the same downstream transforms.
+  */
+object StreamingDedup {
+
+  case class KeyedChange(key: Long, ts: java.sql.Timestamp, payload: String)
+  case class LatestState(ts: java.sql.Timestamp, payload: String)
+
+  /** Streaming source over a changelog directory (file source replays
+    * existing files then tails new ones — the streaming analogue of the
+    * changelog-table convention). */
+  def changelogStream(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Exact-once dedup of change events within the watermark window:
+    * `dropDuplicates` on (key, ts) with event-time watermark bounds state. */
+  def dedupWithinWatermark(changes: DataFrame, keyCol: String, tsCol: String,
+                           watermark: String): DataFrame =
+    changes.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCol, tsCol)
+
+  /** Latest-change-per-key as continuously-updated state:
+    * mapGroupsWithState keeps one row per key (the newest by ts) and
+    * emits it on every update — the streaming twin of
+    * Dedup.latestPerKey. State size = #distinct keys, bounded by the
+    * key domain, not the stream length. */
+  def latestPerKeyStream(changes: Dataset[KeyedChange]): Dataset[(Long, LatestState)] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedChange], state: GroupState[LatestState]) =>
+          val newest = (rows.map(c => LatestState(c.ts, c.payload)) ++
+            state.getOption.iterator).maxBy(_.ts.getTime)
+          state.update(newest)
+          key -> newest
+      }
+  }
+
+  /** Windowed aggregation over the event stream: tumbling-window counts
+    * per event type with a watermark (the standard streaming agg shape). */
+  def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
+                     window: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(typeCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Run a streaming query on a memory sink until all available input is
+    * processed (local smoke harness). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

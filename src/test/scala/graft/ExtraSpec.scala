@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.core.AppConfig
+import graft.multimodal.MultiModal
+import graft.source.CatalogOps
+import graft.streaming.StreamingDedup
+import graft.transform.DateMacros
+
+/** Catalog ops, SQL-CTE parity, config/date macros, streaming twin, and
+  * multimodal plumbing. */
+class ExtraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T12 date macros substitute on the IST clock") {
+    val now = ZonedDateTime.of(2024, 3, 10, 1, 5, 0, 0, ZoneId.of("UTC"))
+    // 01:05 UTC = 06:35 IST same day
+    val got = DateMacros.substitute(
+      "from {yesterday} to {today} at {hour}:{min}", now)
+    assert(got == "from 2024-03-09 to 2024-03-10 at 06:35")
+  }
+
+  test("R16 config load: plain JVM file IO + JSON + macro substitution") {
+    val p = Files.createTempFile("graft-conf", ".json")
+    Files.writeString(p, """{"job_name":"up","platform":"clevertap","output_path":"/tmp/{today}/x","retries":3}""")
+    val conf = AppConfig.load(p.toString)
+    assert(conf("job_name") == "up" && conf("retries") == "3")
+    assert(!conf("output_path").contains("{today}"))
+  }
+
+  test("R1/R2 catalog: USE db + named table scan; bad identifiers rejected") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$dir/t1")
+    CatalogOps.useDatabase(spark, "martech_dev")
+    CatalogOps.registerParquet(spark, "profiles", s"$dir/t1")
+    assert(CatalogOps.table(spark, "profiles").count() == 2)
+    assert(spark.catalog.currentDatabase == "martech_dev")
+    intercept[IllegalArgumentException](CatalogOps.useDatabase(spark, "x; drop"))
+    spark.catalog.setCurrentDatabase("default")
+  }
+
+  test("R7/R8 reference CTE SQL ≡ window form (off ties)") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b"),
+      (2L, ts("2024-01-01 09:00:00"), "c")
+    ).toDF("customer_id", "_commit_timestamp", "v")
+    val sqlForm = CatalogOps.latestChangesSql(spark, changes, "customer_id", "_commit_timestamp")
+      .select("customer_id", "v").collect().toSet
+    val winForm = graft.dedup.Dedup.latestPerKey(changes, Seq("customer_id"),
+        Seq(col("_commit_timestamp").desc))
+      .select("customer_id", "v").collect().toSet
+    assert(sqlForm == winForm)
+  }
+
+  test("streaming: latest-per-key state emits newest per key") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      StreamingDedup.KeyedChange(1L, ts("2024-01-01 10:00:00"), "old"),
+      StreamingDedup.KeyedChange(1L, ts("2024-01-01 11:00:00"), "new"),
+      StreamingDedup.KeyedChange(2L, ts("2024-01-01 09:00:00"), "only")
+    ).toDS().write.parquet(s"$dir/in")
+    val schema = implicitly[org.apache.spark.sql.Encoder[StreamingDedup.KeyedChange]].schema
+    val stream = StreamingDedup.changelogStream(spark, s"$dir/in", schema)
+      .as[StreamingDedup.KeyedChange]
+    StreamingDedup.runToMemory(
+      StreamingDedup.latestPerKeyStream(stream).toDF("key", "latest"),
+      "latest_out", OutputMode.Update())
+    val got = spark.table("latest_out")
+      .select($"key", $"latest.payload").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    assert(got == Map(1L -> "new", 2L -> "only"))
+  }
+
+  test("streaming: windowed counts with watermark over the events fixture") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type").write.parquet(s"$dir/in")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val stream = StreamingDedup.changelogStream(spark, s"$dir/in", schema)
+    StreamingDedup.runToMemory(
+      StreamingDedup.windowedCounts(stream, "ts", "event_type", "1 hour", "10 minutes"),
+      "win_out", OutputMode.Append())
+    // append mode emits only watermark-closed windows; the fixture spans
+    // a month so nearly all windows close — counts must sum to ~all rows
+    val total = spark.table("win_out").agg(sum("n")).head.getLong(0)
+    assert(total > 900)
+  }
+
+  test("multimodal: synthesize → decode → features → resize plan → frames") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = MultiModal.synthesizeFromDocs(docs).repartition(4).cache()
+    assert(media.schema == MultiModal.mediaSchema)
+    val feats = MultiModal.extractImageFeatures(media)
+    assert(feats.count() == docs.count())
+    val f0 = feats.filter($"media_id" === 0L).head
+    assert(f0.getAs[Int]("width") >= 64 &&
+      f0.getSeq[Float](f0.fieldIndex("feature")).size == 8)
+    val plan = MultiModal.resizePlan(feats, maxSide = 128)
+    assert(plan.filter($"target_w" > 128 || $"target_h" > 128).count() == 0)
+    val frames = MultiModal.sampleFrames(media, frameBytes = 16, everyK = 2)
+    assert(frames.count() == media.count() * 2) // 64-byte payload → chunks 0,2
+    media.unpersist()
+  }
+}

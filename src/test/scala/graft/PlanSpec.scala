@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Plan assertions (SURVEY §4): the 100 TB posture is verified on the
+  * physical plan, not by vibes — predicate pushdown reaches the parquet
+  * scan, projections prune the read schema, small dims broadcast, and the
+  * hot aggregation path stays inside whole-stage codegen. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes and codegen stages appear
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q01: shipdate filter pushed to parquet scan; schema pruned") {
+    val s = planString(q("q01_pricing_summary"))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_suppkey"), readSchema)
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+  }
+
+  test("q02: IN-list and range predicates pushed; only 5 columns read") {
+    val s = planString(q("q02_filter_project"))
+    assert(s.contains("In(l_returnflag"), s)
+    assert(s.contains("GreaterThan(l_quantity"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q04: nation/region dims join via broadcast") {
+    val s = planString(q("q04_join5_region_revenue"))
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("q05: broadcast hint honored for the part dim") {
+    val s = planString(q("q05_broadcast_join"))
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("q01 hot path is whole-stage codegen (partial agg before shuffle)") {
+    val s = planString(q("q01_pricing_summary"))
+    // "*(n) HashAggregate" markers = the operator runs inside a
+    // whole-stage-codegen stage
+    assert(s.contains("*(1) HashAggregate") || s.contains("WholeStageCodegen"), s)
+    // map-side combine: a partial_ aggregate appears below the exchange
+    assert(s.contains("partial_"), s)
+  }
+
+  test("changefeed bookmark filter pushes into a parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-cl").toString + "/log"
+    val ts = (x: String) => java.sql.Timestamp.valueOf(x)
+    Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-02 00:00:00")))
+      .toDF("id", "_commit_timestamp").write.parquet(dir)
+    val df = new graft.source.ChangelogTableSource(spark, dir)
+      .since(Some(ts("2024-01-01 00:00:00")))
+    val s = planString(df)
+    assert(s.contains("PushedFilters: [IsNotNull(_commit_timestamp), GreaterThan(_commit_timestamp"), s)
+  }
+
+  test("dedup window form plans exactly one exchange (single shuffle)") {
+    val df = graft.dedup.Dedup.latestPerKey(
+      Tables.load(spark, sf, "orders"), Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+    val s = planString(df)
+    val exchanges = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REUSE"))
+    assert(exchanges == 1, s)
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti (no fallback to inner+distinct)") {
+    assert(planString(q("q06_semi_join")).contains("LeftSemi"))
+    assert(planString(q("q07_anti_join")).contains("LeftAnti"))
+  }
+}

@@ -352,6 +352,52 @@ SELECT label, COUNT(*) AS n_vectors,
 FROM embeddings JOIN norms USING (vec_id)
 GROUP BY 1 ORDER BY 1"""
 
+  private val q35 = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  private val q36 = """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  lead(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey"""
+
+  private val q37 = """
+SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey"""
+
+  private val q38 = """
+SELECT o_orderstatus, COUNT(*) AS n FROM (
+  SELECT o_orderstatus FROM orders WHERE o_totalprice < 100000
+  UNION ALL
+  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1"""
+
+  private val q39 = """
+WITH a AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price
+  FROM orders)
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders, a WHERE o_totalprice > avg_price
+GROUP BY 1 ORDER BY 1"""
+
+  private val q46 = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -387,5 +433,11 @@ GROUP BY 1 ORDER BY 1"""
     "q32_exact_dedup_rows" -> q32,
     "q33_cosine_topk" -> q33,
     "q34_embedding_stats" -> q34,
+    "q35_cube" -> q35,
+    "q36_lag_lead" -> q36,
+    "q37_first_last" -> q37,
+    "q38_union_all" -> q38,
+    "q39_scalar_subquery" -> q39,
+    "q46_json_signals" -> q46,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -242,6 +242,56 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sumd(col("value")).as("total_value"))
       .orderBy("event_type")
 
+  private def q35_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def q36_lag_lead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def q37_first_last(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def q38_union_all(s: SparkSession, dir: String): DataFrame = {
+    // UNION ALL preserves duplicates (vs q13's set semantics).
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") < 100000).select("o_orderstatus")
+      .unionAll(o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  private def q39_scalar_subquery(s: SparkSession, dir: String): DataFrame = {
+    // Orders above the (exact) average price; the scalar is computed with
+    // the same decimal-exact avg on both sides, so the cut is identical.
+    val o = t(s, dir, "orders")
+    val avgExact = o.agg((dbl(sum(dec2(col("o_totalprice")))) /
+      count(lit(1)).cast("double")).as("avg_price"))
+    o.crossJoin(broadcast(avgExact))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   // =====================================================================
   // Incremental / changelog pipeline (SURVEY §2.1 R6–R13)
   // =====================================================================
@@ -330,6 +380,17 @@ object SparkEntry {
           Seq("event_type" -> col("event_type"),
               "user" -> col("user_id").cast("string"))).as("payload"))
       .orderBy("event_id")
+
+  private def q46_json_signals(s: SparkSession, dir: String): DataFrame =
+    // T9-shaped JSON signal extraction from the events props column,
+    // aggregated per event type.
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
 
   // =====================================================================
   // Text analysis (SURVEY §2.4)
@@ -494,6 +555,12 @@ object SparkEntry {
     "q32_exact_dedup_rows" -> (q32_exact_dedup_rows _),
     "q33_cosine_topk" -> (q33_cosine_topk _),
     "q34_embedding_stats" -> (q34_embedding_stats _),
+    "q35_cube" -> (q35_cube _),
+    "q36_lag_lead" -> (q36_lag_lead _),
+    "q37_first_last" -> (q37_first_last _),
+    "q38_union_all" -> (q38_union_all _),
+    "q39_scalar_subquery" -> (q39_scalar_subquery _),
+    "q46_json_signals" -> (q46_json_signals _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

@@ -458,11 +458,17 @@ object SparkEntry {
     // Brute-force cosine top-5 for a fixed query set, exact-decimal math.
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Similarity.dotExact(col("embedding"), col("embedding")).as("qn2"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      Similarity.dotExact(col("embedding"), col("embedding")).as("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", Similarity.cosineExact(col("qv"), col("cv")))
+      // norms precomputed once per vector; only the dot is per-pair
+      .withColumn("cos_sim",
+        when(sqrt(col("qn2")) * sqrt(col("cn2")) > 0,
+          Similarity.dotExact(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))).otherwise(lit(0.0)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -510,7 +516,8 @@ object SparkEntry {
 
   private def q44_lang_id(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), TA.langIdHeuristic(col("text")).as("lang_pred"))
+      .withColumn("toks", TA.tokens(lower(col("text"))))
+      .select(col("doc_id"), col("lang"), TA.langIdFromTokens(col("toks")).as("lang_pred"))
       .orderBy("doc_id")
 
   private def q45_cosine_neardups(s: SparkSession, dir: String): DataFrame =

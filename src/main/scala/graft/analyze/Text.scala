@@ -76,15 +76,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "und", "das", "ist"))
 
-  def langIdHeuristic(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  /** Native single-pass scorer (LangIdExpr): column-level composition
+    * recomputes the tokenizer once per language because project collapsing
+    * re-inlines the alias — one expression avoids that. */
+  def langIdFromTokens(toks: Column): Column =
+    graft.functions.TextFunctions.langId(toks, languageMarkers)
+
+  def langIdHeuristic(text: Column): Column =
+    langIdFromTokens(tokens(lower(text)))
 
   /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
     * text — stable across engines (md5 is standard), used for exact dedup. */

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native language-ID scorer: one pass over the token array, counting
+  * marker-word hits per language against precomputed hash sets.
+  *
+  * Column-level composition recomputes the tokenizer once per language
+  * (project collapsing re-inlines the alias into every scorer), which
+  * made the HOF version the bench hotspot; a single expression holds the
+  * whole argmax. Ties break toward the alphabetically-later language. */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lang_id expects array<string>, got $t")
+  }
+
+  @transient private lazy val sorted = markers.sortBy(_._1)
+  @transient private lazy val names: Array[UTF8String] =
+    sorted.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    sorted.map { case (_, ws) =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  private val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var l = 0
+        while (l < sets.length) { if (sets(l).contains(t)) counts(l) += 1; l += 1 }
+      }
+      i += 1
+    }
+    var best = -1; var bestScore = 0
+    var l = 0
+    while (l < counts.length) { if (counts(l) >= bestScore && counts(l) > 0) { best = l; bestScore = counts(l) }; l += 1 }
+    if (best < 0) und else names(best)
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdExpr =
+    copy(child = c)
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  def langId(tokens: Column, markers: Map[String, Seq[String]]): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(tokens), markers.toSeq))
+}

@@ -178,4 +178,52 @@ object HttpSink {
     * returns (valid, invalid) without double-scanning semantics changes. */
   def splitInvalid(df: DataFrame, identityCol: String): (DataFrame, DataFrame) =
     (df.filter(col(identityCol).isNotNull), df.filter(col(identityCol).isNull))
+
+  /** R21 metrics as observable metrics (`df.observe`) instead of the
+    * reference's log-only counters — collected for free with the action,
+    * no extra pass (replaces count()-for-logging, SURVEY §4). */
+  def observeEgress(df: DataFrame, name: String, identityCol: String): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("records_processed"),
+      count(when(col(identityCol).isNull, 1)).as("records_invalid"))
+}
+
+/** Netcore egress (S5): byte-bounded CSV chunks staged to a filesystem
+  * prefix (file:// in tests, s3a:// in prod — same API), then the bulk
+  * upload API notified once per staged file. Staging happens on
+  * executors, one file per packed chunk, part-numbered like the
+  * reference's `…_part_<n>.csv` keys. */
+object NetcoreSink {
+  case class StagedFile(path: String, records: Long, bytes: Long,
+                        status: Int, ok: Boolean)
+
+  def stageAndNotify(rows: DataFrame, csvCol: String, header: String,
+                     stagingPrefix: String, client: NetcoreClient,
+                     maxBytes: Long = 4500000L,
+                     hadoopConf: Map[String, String] = Map.empty): Dataset[StagedFile] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val headerBytes = header.getBytes(StandardCharsets.UTF_8).length + 1
+    rows.select(col(csvCol).cast("string")).as[String].mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      BatchPacker.byteBound(it, maxBytes - headerBytes).zipWithIndex.map {
+        case (chunk, i) =>
+          val path = s"$stagingPrefix/user_profile_part_${pid}_$i.csv"
+          val content = (header +: chunk).mkString("\n")
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(path), conf)
+          val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+          try out.write(content.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val (status, _) =
+            try client.notifyUpload(path)
+            catch { case t: Throwable => (-1, String.valueOf(t.getMessage)) }
+          StagedFile(path, chunk.size.toLong,
+            content.getBytes(StandardCharsets.UTF_8).length.toLong,
+            status, status >= 200 && status < 400)
+      }
+    }
+  }
 }

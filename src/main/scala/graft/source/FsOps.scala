@@ -1,0 +1,69 @@
+package graft.source
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Filesystem control plane (SURVEY §2.3 S9 — the S3Hook subset the
+  * reference actually uses: exists/list/read/write/delete/copy).
+  *
+  * Data-plane IO goes through `spark.read`/`spark.write`; these are the
+  * driver-side control operations, on the Hadoop FileSystem API so the
+  * same code runs against file:// in tests and s3a://, hdfs://, etc. in
+  * production (S8: credentials become fs.s3a.* Hadoop conf, no bespoke
+  * client).
+  */
+class FsOps(conf: Configuration) {
+  def this(spark: SparkSession) = this(spark.sparkContext.hadoopConfiguration)
+
+  private def fs(path: String): FileSystem =
+    FileSystem.get(new URI(path), conf)
+
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  /** check_for_prefix analogue: any object under the prefix. */
+  def existsPrefix(prefix: String): Boolean = {
+    val f = fs(prefix); val p = new Path(prefix)
+    f.exists(p) && (f.getFileStatus(p).isDirectory || f.getFileStatus(p).getLen >= 0)
+  }
+
+  /** list_keys analogue: file paths under a prefix (non-recursive). */
+  def listKeys(prefix: String): Seq[String] = {
+    val f = fs(prefix); val p = new Path(prefix)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+  }
+
+  def readString(path: String): String = {
+    val in = fs(path).open(new Path(path))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  def writeString(path: String, content: String): Unit = {
+    val out = fs(path).create(new Path(path), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** delete_objects analogue (recursive for prefixes). */
+  def delete(path: String): Boolean = fs(path).delete(new Path(path), true)
+
+  /** copy_object analogue. */
+  def copy(src: String, dst: String): Boolean =
+    FileUtil.copy(fs(src), new Path(src), fs(dst), new Path(dst),
+      false, true, conf)
+}
+
+/** CSV ingress (S12): header + schema inference, matching the reference's
+  * pandas read_csv defaults (`operators/clevertap_user_profile.py:86-91`). */
+object CsvSource {
+  def read(spark: SparkSession, path: String,
+           inferSchema: Boolean = true): DataFrame =
+    spark.read.option("header", "true")
+      .option("inferSchema", inferSchema.toString).csv(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(path)
+}

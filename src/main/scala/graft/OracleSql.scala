@@ -439,5 +439,7 @@ FROM events GROUP BY 1 ORDER BY 1"""
     "q38_union_all" -> q38,
     "q39_scalar_subquery" -> q39,
     "q46_json_signals" -> q46,
+    // the aggregate form must produce exactly the window form's rows
+    "q47_latest_change_agg" -> q21,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -303,6 +303,15 @@ object SparkEntry {
       .select("user_id", "event_id", "event_type", "value", "ts")
       .orderBy("user_id")
 
+  private def q47_latest_change_agg(s: SparkSession, dir: String): DataFrame =
+    // Same semantics as q21 in the skew-resistant aggregate form:
+    // max(struct(ts, event_id, …)) per key gets map-side partial
+    // aggregation — one candidate per key per partition crosses the
+    // shuffle (the 100 TB-preferred form for hot keys).
+    Dedup.latestPerKeyAgg(t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id", "event_type", "value", "ts")
+      .orderBy("user_id")
+
   private def q22_changefeed_since(s: SparkSession, dir: String): DataFrame =
     // R6: bookmarked incremental scan (timestamp-range filter, pushed down).
     t(s, dir, "events")
@@ -568,6 +577,7 @@ object SparkEntry {
     "q38_union_all" -> (q38_union_all _),
     "q39_scalar_subquery" -> (q39_scalar_subquery _),
     "q46_json_signals" -> (q46_json_signals _),
+    "q47_latest_change_agg" -> (q47_latest_change_agg _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

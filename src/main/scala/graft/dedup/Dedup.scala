@@ -28,6 +28,26 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Latest-per-key as an aggregation: `max(struct(orderCols…, rest…))`
+    * per key. Semantically identical to the window form with all-ascending
+    * tiebreaks reversed (latest = max), but the physical plan does
+    * MAP-SIDE PARTIAL AGGREGATION: only one candidate row per key per
+    * input partition crosses the shuffle, so a hot key costs one row per
+    * upstream task instead of its entire change history — the form to
+    * prefer at 100 TB when keys are skewed. The struct puts the ordering
+    * columns first; remaining columns make the comparison total. */
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[String],
+                      orderColNames: Seq[String]): DataFrame = {
+    val rest = df.columns.toSeq.filterNot(c => keys.contains(c) || orderColNames.contains(c))
+    val packedCols = (orderColNames ++ rest).map(col)
+    val out = keys.map(col) ++ (orderColNames ++ rest).map(c => col(s"__m.$c").as(c))
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(packedCols: _*)).as("__m"))
+      .select(out: _*)
+      // restore the input column order
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Reference-shaped join form (`clevertap.py:30-53`): per-key max
     * timestamp, inner-join back. Kept for the equivalence spec; ties
     * multiply (documented reference behavior). */

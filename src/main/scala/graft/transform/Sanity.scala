@@ -93,7 +93,10 @@ object Sanity {
     * exactly 10 digits else NULL. */
   def mobileSanity(c: Column): Column = {
     // str(int(float(x))): parse as double, truncate toward zero.
-    val asNum  = c.cast(StringType).try_cast(DoubleType).cast(LongType).cast(StringType)
+    // try_cast also on the long step: ANSI mode would otherwise THROW on
+    // values beyond long range (found by the T5 property test).
+    val asNum = c.cast(StringType).try_cast(DoubleType)
+      .try_cast(LongType).cast(StringType)
     val last10 = substring(asNum, -10, 10)
     when(last10.rlike("^[0-9]{10}$"), last10)
   }
@@ -123,7 +126,7 @@ object Sanity {
     * `int(value*100)` — Python int() truncates toward zero, so cast (not
     * floor/round). NULL on unparseable. */
   def modifyReward(c: Column): Column =
-    (c.cast(StringType).try_cast(DoubleType) * lit(100)).cast(LongType)
+    (c.cast(StringType).try_cast(DoubleType) * lit(100)).try_cast(LongType)
 
   /** T8 `unix_epoch` (data_sanity_helpers.py:144-153): `yyyy-MM-dd` →
     * `"$D_<epochSeconds>"` (CleverTap $D_ encoding); NULL on failure (B5).

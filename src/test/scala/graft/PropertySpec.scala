@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sink.BatchPacker
+import graft.transform.Sanity
+
+/** Property tests (SURVEY §5.1): T3 rename bijection, T4 idempotence,
+  * T5 output domain, batch-packer invariants. ScalaCheck generators are
+  * sampled with fixed seeds (no scalatestplus bridge in the offline
+  * dependency set). */
+class PropertySpec extends SparkSpec {
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  import spark.implicits._
+
+  test("T5 property: output is null or exactly 10 digits") {
+    val inputs = Gen.listOfN(60, Gen.oneOf(
+      Gen.numStr, Gen.alphaNumStr,
+      Gen.chooseNum(0L, 999999999999L).map(_.toString),
+      Gen.chooseNum(0L, 999999999999L).map(n => s"$n.0"))).sample.get
+    val got = inputs.toDF("m")
+      .select(Sanity.mobileSanity(col("m")).as("v")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) || r.getString(0).matches("[0-9]{10}"), r)
+    }
+  }
+
+  test("T4 property: int/float/date transforms are idempotent on strings") {
+    val inputs = Gen.listOfN(40, Gen.oneOf(
+      Gen.numStr.suchThat(_.nonEmpty), Gen.alphaStr.suchThat(_.nonEmpty),
+      Gen.const("2021-03-04"), Gen.const("2021-03-04 05:06:07"),
+      Gen.const("x9"), Gen.const("-17"), Gen.const("4.75"))).sample.get
+    for (kind <- Seq("int", "float", "date")) {
+      val once = inputs.toDF("c")
+        .select(Sanity.typeTransform(col("c"), kind).as("c"))
+      val twice = once.select(Sanity.typeTransform(col("c"), kind).as("c"))
+      assert(once.collect().map(_.getString(0)).toSeq ==
+        twice.collect().map(_.getString(0)).toSeq, s"kind=$kind")
+    }
+  }
+
+  test("T3 property: disjoint swap maps rename bijectively") {
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    val swapped = Sanity.swapKeys(df, Map("a" -> "x", "b" -> "y"))
+    assert(swapped.columns.toSet == Set("x", "y", "c"))
+    val back = Sanity.swapKeys(swapped, Map("x" -> "a", "y" -> "b"))
+    assert(back.columns.toSet == df.columns.toSet)
+    assert(back.select("a", "b", "c").head == df.head)
+  }
+
+  test("BatchPacker properties: partition of input, order preserved, caps hold") {
+    val lists = samples(Gen.listOf(Gen.alphaNumStr), 30)
+    val ns = samples(Gen.chooseNum(1, 7), 30)
+    lists.zip(ns).foreach { case (xs, n) =>
+      val batches = BatchPacker.countBound(xs.iterator, n).toSeq
+      assert(batches.flatten == xs)
+      assert(batches.forall(_.size <= n))
+      assert(batches.dropRight(1).forall(_.size == n))
+    }
+    val caps = samples(Gen.chooseNum(5L, 50L), 30)
+    lists.zip(caps).foreach { case (xs0, cap) =>
+      val xs = xs0.map(_.take(20))
+      val batches = BatchPacker.byteBound(xs.iterator, cap).toSeq
+      assert(batches.flatten == xs)
+      batches.foreach { b =>
+        val bytes = b.map(_.getBytes("UTF-8").length).sum + (b.size - 1).max(0)
+        assert(bytes <= cap || b.size == 1)
+      }
+    }
+  }
+
+  test("dedup equivalence: window, aggregate, and SQL forms agree (no ties)") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val win = graft.dedup.Dedup.latestPerKey(ev, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id").collect().toSet
+    val agg = graft.dedup.Dedup.latestPerKeyAgg(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id").collect().toSet
+    assert(win == agg)
+  }
+
+  test("aggregate dedup form plans a partial aggregation (map-side combine)") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val df = graft.dedup.Dedup.latestPerKeyAgg(ev, Seq("user_id"), Seq("ts", "event_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial_"), plan)
+  }
+}

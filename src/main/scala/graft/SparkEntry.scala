@@ -534,6 +534,15 @@ object SparkEntry {
         threshold = 0.8, bits = 32, bands = 4)
       .orderBy("id_a", "id_b")
 
+  private def q48_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    // IVF scale path: k-means cells, nprobe-bounded search.
+    val emb = t(s, dir, "embeddings")
+    val index = graft.analyze.Ivf.build(emb, "vec_id", "embedding", nlist = 16)
+    graft.analyze.Ivf.search(index, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -578,6 +587,7 @@ object SparkEntry {
     "q39_scalar_subquery" -> (q39_scalar_subquery _),
     "q46_json_signals" -> (q46_json_signals _),
     "q47_latest_change_agg" -> (q47_latest_change_agg _),
+    "q48_ivf_topk" -> (q48_ivf_topk _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

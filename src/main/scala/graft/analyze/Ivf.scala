@@ -1,0 +1,70 @@
+package graft.analyze
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path beside LSH (SURVEY §2.4): k-means centroids partition the corpus
+  * into `nlist` cells; a query scores only the `nprobe` nearest cells.
+  *
+  * Build is one MLlib k-means fit + a narrow cell-assignment pass;
+  * search shuffles only the probed cells. Centroids are metadata-sized
+  * (nlist × dim floats) and ride to executors via a broadcast join of the
+  * query→cell probe table.
+  */
+object Ivf {
+
+  case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Fit centroids and assign every corpus vector to its cell.
+    * `assigned` columns: id, vec (array<float>), cell (int), n2. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, seed: Long = 42L): Index = {
+    val withVec = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("__v", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("id"), col("vec"), col("cell"),
+        Similarity.normSq(col("vec")).as("n2"))
+    Index(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** Approximate top-k cosine: each query probes its `nprobe` nearest
+    * cells (computed driver-side — centroids are tiny), then scores only
+    * vectors in those cells. */
+  def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = index.centroids
+    // (query vectors are expected to be a small set — same contract as
+    // bruteForceTopK's broadcast side)
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex.map { case (c, cell) =>
+        val d = c.zip(qv).map { case (x, y) => (x - y.toDouble) * (x - y.toDouble) }.sum
+        (qid, cell, d)
+      }.sortBy(_._3).take(nprobe).map { case (id, cell, _) => (id, cell) }
+    }.toDF("query_id", "cell")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Similarity.normSq(col(vecCol)).as("qn2"))
+
+    val cand = index.assigned.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dot(col("qv"), col("vec")), col("qn2"), col("n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew utilities (SURVEY §7 "100 TB posture"). AQE's skew-join handling
+  * covers sort-merge joins automatically; explicit salting remains the
+  * tool when one side has pathological hot keys and the other side is
+  * small enough to replicate `salts` times but too big to broadcast. */
+object Skew {
+
+  /** Salted inner equi-join: the skewed (big) side gets a random salt in
+    * [0, salts); the small side is replicated across every salt value, so
+    * each hot key spreads over `salts` reducers. Semantically identical
+    * to big.join(small, key). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      (rand(42) * salts).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Hot-key diagnosis: per-key counts above a threshold — run on a
+    * sample before choosing between AQE, salting, or broadcast. */
+  def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc)
+}

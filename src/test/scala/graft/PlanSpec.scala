@@ -83,4 +83,28 @@ class PlanSpec extends SparkSpec {
     assert(planString(q("q06_semi_join")).contains("LeftSemi"))
     assert(planString(q("q07_anti_join")).contains("LeftAnti"))
   }
+
+  test("bucketed tables co-locate the join: no exchange in the join plan") {
+    // The 100 TB pattern for repeated fact-fact joins: bucket both sides
+    // on the join key at write time; the sort-merge join then needs no
+    // shuffle at read time.
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+    joined.collect()
+    val s = planString(joined)
+    // the join itself must not introduce a shuffle on the join key
+    assert(!s.contains("Exchange hashpartitioning(o_custkey") &&
+      !s.contains("Exchange hashpartitioning(c_custkey"), s)
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin"), s)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
 }

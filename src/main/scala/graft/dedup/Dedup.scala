@@ -75,7 +75,9 @@ object Dedup {
     * hashes — a native expression (graft.functions.ShingleHashExpr): one
     * imperative pass per row, no per-gram string concatenation. */
   def shingles(c: Column, n: Int): Column =
-    graft.functions.HashFunctions.shingleHashes(split(normalizeText(c), " "), n)
+    // split(trim, \s+) ≡ split-on-space of collapse-whitespace, one regex
+    // pass instead of two over the document
+    graft.functions.HashFunctions.shingleHashes(split(trim(lower(c)), "\\s+"), n)
 
   /** MinHash signature of a shingle-hash array: k reseeded hash-mins,
     * computed in one imperative pass per row (narrow, no shuffle). */
@@ -91,10 +93,12 @@ object Dedup {
           .as("bucket"))
     }: _*)
 
-  /** Exact Jaccard similarity of two shingle-hash arrays. */
+  /** Exact Jaccard similarity of two SORTED shingle-hash arrays (as
+    * produced by shingles()): intersection via native merge scan —
+    * |A∪B| = |A|+|B|−|A∩B|, no per-row hash set. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val inter = graft.functions.HashFunctions.sortedIntersectSize(a, b).cast("double")
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
@@ -191,11 +195,14 @@ object Dedup {
     val prefix = ex.join(dfreq, Seq("g"))
       .withColumn("rnk", row_number().over(wOrd))
       .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("g", "id")
+      .select("g", "id", "sz")
 
-    val cand = prefix.select(col("g"), col("id").as("id_a"))
-      .join(prefix.select(col("g"), col("id").as("id_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
+    // length filter: J(A,B) ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
+    val cand = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 

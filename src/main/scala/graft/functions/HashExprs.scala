@@ -96,9 +96,10 @@ case class MinHashSigExpr(child: Expression, k: Int)
     copy(child = c)
 }
 
-/** Distinct hashes of word n-gram shingles of a token array: each gram's
-  * hash chains its tokens' hashes (order-sensitive), with no intermediate
-  * string concatenation. Fewer than n tokens → empty array. */
+/** Distinct, SORTED hashes of word n-gram shingles of a token array:
+  * each gram's hash chains its tokens' hashes (order-sensitive), with no
+  * intermediate string concatenation. Sorted output lets set ops run as
+  * merge scans (SortedIntersectSizeExpr). Fewer than n tokens → empty. */
 case class ShingleHashExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1)
@@ -132,10 +133,44 @@ case class ShingleHashExpr(child: Expression, n: Int)
       if (seen.add(acc)) out += acc
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    val res = out.toArray
+    java.util.Arrays.sort(res)
+    new GenericArrayData(res)
   }
   override protected def withNewChildInternal(c: Expression): ShingleHashExpr =
     copy(child = c)
+}
+
+/** Intersection size of two SORTED long arrays via a single merge scan —
+  * O(|a|+|b|) with no per-row hash set (Spark's array_intersect builds
+  * one per row, the dominant cost in near-dup verification). */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size expects (array<long>, array<long>), got $t")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Column-API wrappers (classic Column ⇄ Expression bridge). */
@@ -149,4 +184,6 @@ object HashFunctions {
     wrap(MinHashSigExpr(exprOf(shingleHashes), k))
   def shingleHashes(tokens: Column, n: Int): Column =
     wrap(ShingleHashExpr(exprOf(tokens), n))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    wrap(SortedIntersectSizeExpr(exprOf(a), exprOf(b)))
 }

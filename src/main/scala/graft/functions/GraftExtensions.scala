@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the native expressions (SparkSessionExtensions):
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   — or —
+  *   spark.conf: spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * Registers: simhash64(tokens), minhash_sig(hashes, k),
+  * shingle_hashes(tokens, n), sorted_intersect_size(a, b) — so SQL-only
+  * users get the same codepaths as the Scala API. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSigExpr(args.head, intArg(args(1), "minhash_sig"))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashExpr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHashExpr(args.head, intArg(args(1), "shingle_hashes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSizeExpr(args.head, args(1))))
+  }
+}

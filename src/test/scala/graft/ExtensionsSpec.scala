@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration of the native expressions via SparkSessionExtensions.
+  * Needs its own session (extensions are builder-time); stopped after. */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("custom expressions callable from spark.sql") {
+    val shared = TestSpark.spark // force-create shared session first
+    // getOrCreate returns an existing session (ignoring extensions), so
+    // clear active/default to get a fresh session on the same context
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder().master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = spark.sql("""
+        SELECT
+          simhash64(array('a','b','c')) AS sh,
+          minhash_sig(shingle_hashes(array('a','b','c','d'), 2), 8) AS sig,
+          sorted_intersect_size(array(1L,2L,5L), array(2L,3L,5L)) AS isz
+      """).head
+      assert(row.getAs[Long]("sh") != 0L)
+      assert(row.getSeq[Long](row.fieldIndex("sig")).size == 8)
+      assert(row.getAs[Long]("isz") == 2L)
+      // parity with the Column API
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val viaSql = spark.sql("SELECT simhash64(array('x','y')) AS v").head.getLong(0)
+      val viaCol = Seq(Seq("x", "y")).toDF("t")
+        .select(graft.functions.HashFunctions.simhash64(col("t"))).head.getLong(0)
+      assert(viaSql == viaCol)
+    } finally {
+      // restore the shared session for the rest of the suite run
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}

@@ -398,6 +398,28 @@ SELECT event_type, COUNT(*) AS n,
   MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
 FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** q42: exact word-3-gram Jaccard pairs. The Spark side hashes shingles
+    * (xxhash64) and prefix-filters; absent 64-bit collisions the pair set
+    * and ratios equal the string-gram computation below — so the oracle
+    * verifies both the prefix filter's exactness and the Jaccard math. */
+  private val q42 = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+    CAST(inter AS DOUBLE) / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+  FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -441,5 +463,6 @@ FROM events GROUP BY 1 ORDER BY 1"""
     "q46_json_signals" -> q46,
     // the aggregate form must produce exactly the window form's rows
     "q47_latest_change_agg" -> q21,
+    "q42_ngram_jaccard" -> q42,
   ).map { case (k, v) => k -> v.trim }
 }

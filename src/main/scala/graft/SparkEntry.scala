@@ -509,6 +509,7 @@ object SparkEntry {
 
   private def q41_simhash_neardups(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+    // maxHamming = 8 ⇒ 9 chunks (exact by pigeonhole; see Dedup scaladoc)
       .orderBy("id_a", "id_b")
 
   private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =

@@ -151,17 +151,32 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4 x 16-bit chunks (two simhashes within
-    * Hamming distance <= 3 of each other must agree on at least one chunk),
-    * then verify exact Hamming distance. Blocking keeps the join linear. */
+  /** SimHash near-dup pairs: block on `maxHamming + 1` bit-chunks of the
+    * 64-bit signature (pigeonhole: two signatures within Hamming distance
+    * `maxHamming` differ in at most `maxHamming` chunks, so they must agree
+    * exactly on at least one), then verify exact Hamming distance. The result
+    * is EXACT for any `maxHamming` in [0, 63].
+    *
+    * Scale note: blocking selectivity degrades as chunks shrink — at
+    * `maxHamming = 3` each chunk is 16 bits (65k buckets); at
+    * `maxHamming = 8` each is ~7 bits (~128 buckets), so candidate volume
+    * approaches n²/128 per chunk. Keep the radius small on large corpora
+    * (Manku et al., WWW'07 use 3–4 on 64-bit simhashes). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i =>
+      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val sigs = df.select(col(idCol).as("id"),
       simhash(split(normalizeText(col(textCol)), " ")).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { i =>
+      explode(array((0 until nChunks).map { i =>
         struct(lit(i).as("chunk"),
-          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("sig"), offsets(i)).bitwiseAND(mask(widths(i))).as("key"))
       }: _*)).as("ck"))
     val l = chunked.select(col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))

@@ -63,10 +63,16 @@ object UserProfileJob {
     // 1. bookmark lookup (metadata-sized; absent ⇒ full history)
     val bookmark = Bookmarks.lookup(spark, conf.bookmarkPath, conf.jobName)
 
-    // 2. incremental changelog read — timestamp filter pushed into the scan
+    // 2. incremental changelog read — timestamp filter pushed into the scan.
+    //    Persisted: a raw parquet directory is not snapshot-isolated, so
+    //    without pinning, the bookmark read (step 8) would re-scan and count
+    //    rows appended AFTER egress — which the next run would then skip.
+    //    The cache makes every downstream action see one fixed snapshot.
     val changes = new ChangelogTableSource(spark, conf.changelogPath, conf.tsCol)
       .since(bookmark)
       .filter(col("_change_type").isin("insert", "update_postimage"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // 3. latest change per key (single window, deterministic tiebreak)
     val latest = Dedup.latestPerKey(changes, Seq(conf.keyCol),
@@ -99,7 +105,9 @@ object UserProfileJob {
       .collect().toSeq
     val nValid = results.map(_.records).sum
 
-    // 8. bookmark upsert: max commit timestamp actually processed
+    // 8. bookmark upsert: max commit timestamp actually processed — read
+    //    from the pinned snapshot, so it covers exactly the rows egressed
+    //    in step 7, never rows appended concurrently.
     val maxTs = changes.agg(max(col(conf.tsCol))).collect().head
     val newBookmark =
       if (maxTs.isNullAt(0)) bookmark else Some(maxTs.getTimestamp(0))
@@ -107,5 +115,6 @@ object UserProfileJob {
       Bookmarks.upsert(spark, conf.bookmarkPath, conf.jobName, ts))
 
     Result(nValid, nInvalid, results, newBookmark)
+    } finally changes.unpersist(blocking = false)
   }
 }

@@ -25,9 +25,11 @@ import graft.core.RetryPolicy
   */
 
 /** Per-batch sink outcome (auditable; replaces the reference's log-only
-  * counters TOTAL_RECORD_PROCESSED/SEND/INVALID). */
+  * counters TOTAL_RECORD_PROCESSED/SEND/INVALID). `idempotencyKey` is a
+  * content hash of the batch — stable across task retries, so destinations
+  * that store it can drop duplicate deliveries. */
 case class SinkResult(batchIndex: Long, records: Long, status: Int,
-                      ok: Boolean, error: String)
+                      ok: Boolean, error: String, idempotencyKey: String = "")
 
 object BatchPacker {
   /** R18: count-bound batches (CleverTap/Gamooga ≤1000 records/POST,
@@ -138,9 +140,13 @@ class NetcoreClient(baseUrl: String, apiKey: String, notifyEmail: String,
   val maxChunkBytes: Long = 4500000L
 
   def notifyUpload(stagedUrl: String, listId: Option[String] = None): (Int, String) = {
-    val lid = listId.map(l => s"&listid=$l").getOrElse("")
-    val url = s"$baseUrl/apiv2?type=contact&activity=bulkupload&apikey=$apiKey" +
-      s"&notifyemail=$notifyEmail$lid&path=$stagedUrl"
+    // Every value is percent-encoded: staged URLs contain "://" and "/",
+    // emails may contain "+" — raw interpolation misparses at the server.
+    def enc(v: String): String =
+      java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+    val lid = listId.map(l => s"&listid=${enc(l)}").getOrElse("")
+    val url = s"$baseUrl/apiv2?type=contact&activity=bulkupload&apikey=${enc(apiKey)}" +
+      s"&notifyemail=${enc(notifyEmail)}$lid&path=${enc(stagedUrl)}"
     retry.run(poster.post(url, "", Map.empty))
   }
 }
@@ -149,26 +155,46 @@ object HttpSink {
   /** Distributed egress: payload rows → partition-local ≤`batchSize`
     * batches → one POST per batch with retry → SinkResult rows.
     *
+    * Delivery semantics: AT-LEAST-ONCE. Spark task retries and speculative
+    * execution re-run whole partitions, so a batch can POST more than once
+    * (the reference's single-threaded driver loop only duplicated on
+    * whole-job retry). Each batch therefore carries a deterministic
+    * content-derived idempotency key (md5 over the batch payloads) —
+    * identical across re-executions of the same data — which destinations
+    * can use to drop duplicates; it is surfaced in `SinkResult` and passed
+    * to `send` in the keyed overload. Disable `spark.speculation` for
+    * egress stages when the destination cannot dedupe.
+    *
     * `send` runs on executors: it must be serializable and lazily
     * construct any client state (JdkHttpPoster does). batchIndex is
     * globally unique (partitionId << 20 | local index). */
   def sendBatches(payloads: DataFrame, payloadCol: String, batchSize: Int,
-                  send: Seq[String] => (Int, String)): Dataset[SinkResult] = {
+                  send: Seq[String] => (Int, String)): Dataset[SinkResult] =
+    sendBatchesKeyed(payloads, payloadCol, batchSize, (_, batch) => send(batch))
+
+  /** As `sendBatches`, but `send` also receives the batch's idempotency
+    * key so the caller can attach it to the request (header or body). */
+  def sendBatchesKeyed(payloads: DataFrame, payloadCol: String, batchSize: Int,
+                       send: (String, Seq[String]) => (Int, String)): Dataset[SinkResult] = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.select(col(payloadCol).cast("string")).as[String]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val md = java.security.MessageDigest.getInstance("MD5")
         BatchPacker.countBound(it, batchSize).zipWithIndex.map { case (batch, i) =>
+          md.reset()
+          batch.foreach(p => md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val key = md.digest().map("%02x".format(_)).mkString
           try {
-            val (status, body) = send(batch)
+            val (status, body) = send(key, batch)
             SinkResult((pid << 20) | i.toLong, batch.size.toLong, status,
               status >= 200 && status < 400,
-              if (status >= 200 && status < 400) "" else body.take(500))
+              if (status >= 200 && status < 400) "" else body.take(500), key)
           } catch {
             case t: Throwable =>
               SinkResult((pid << 20) | i.toLong, batch.size.toLong, -1, ok = false,
-                String.valueOf(t.getMessage).take(500))
+                String.valueOf(t.getMessage).take(500), key)
           }
         }
       }
@@ -197,6 +223,12 @@ object NetcoreSink {
   case class StagedFile(path: String, records: Long, bytes: Long,
                         status: Int, ok: Boolean)
 
+  /** Delivery semantics: AT-LEAST-ONCE — a retried/speculated task
+    * re-stages and re-notifies its partition. Staged paths are
+    * deterministic (`…_part_<pid>_<i>.csv`, overwrite=true), so the file
+    * write is idempotent and the path doubles as the notification's
+    * idempotency key; the bulk-upload API may still be notified twice for
+    * the same path. Disable `spark.speculation` when that matters. */
   def stageAndNotify(rows: DataFrame, csvCol: String, header: String,
                      stagingPrefix: String, client: NetcoreClient,
                      maxBytes: Long = 4500000L,

@@ -24,10 +24,14 @@ class FsOps(conf: Configuration) {
 
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
-  /** check_for_prefix analogue: any object under the prefix. */
+  /** check_for_prefix analogue: true iff any key matches the prefix —
+    * the prefix itself (object or directory) or any path starting with it
+    * (S3-style prefixes need not be objects themselves; a glob probe
+    * matches `prefix*` the way ListObjectsV2 with Prefix= does). */
   def existsPrefix(prefix: String): Boolean = {
-    val f = fs(prefix); val p = new Path(prefix)
-    f.exists(p) && (f.getFileStatus(p).isDirectory || f.getFileStatus(p).getLen >= 0)
+    val f = fs(prefix)
+    f.exists(new Path(prefix)) ||
+      Option(f.globStatus(new Path(prefix + "*"))).exists(_.nonEmpty)
   }
 
   /** list_keys analogue: file paths under a prefix (non-recursive). */

@@ -71,6 +71,28 @@ class DedupSpec extends SparkSpec {
     assert(dNear < dFar)
   }
 
+  test("simhashNearDups is exact for any radius (pigeonhole chunks)") {
+    // Ten short docs with varying overlap; compare against brute force at
+    // several radii — including radii > 3, which the old fixed-4-chunk
+    // blocking silently under-reported.
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, (words.drop(i % 4) ++ words.take(3 + i % 5)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+        Dedup.simhash(split(graft.dedup.Dedup.normalizeText(col("text")), " ")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    for (h <- Seq(0, 3, 8, 12)) {
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= h
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"radius $h")
+    }
+  }
+
   test("ngram jaccard pairs: exact overlap ratio") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 2, threshold = 0.3)

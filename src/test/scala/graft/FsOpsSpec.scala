@@ -29,6 +29,16 @@ class FsOpsSpec extends SparkSpec {
     assert(!ops.exists(s"$dir/a.txt"))
   }
 
+  test("existsPrefix matches S3-style key prefixes, not just objects") {
+    val dir = "file://" + Files.createTempDirectory("graft-pfx").toString
+    val ops = new FsOps(spark)
+    ops.writeString(s"$dir/data_part_0.csv", "x")
+    assert(ops.existsPrefix(s"$dir/data_part_0.csv")) // exact object
+    assert(ops.existsPrefix(s"$dir/data_part"))       // pure prefix, no object
+    assert(ops.existsPrefix(dir))                     // directory
+    assert(!ops.existsPrefix(s"$dir/nope"))
+  }
+
   test("CsvSource: header + inferred schema roundtrip") {
     val dir = Files.createTempDirectory("graft-csv").toString
     CsvSource.write(

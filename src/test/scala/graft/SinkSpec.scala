@@ -113,13 +113,27 @@ class SinkSpec extends SparkSpec {
     assert(new String(java.util.Base64.getUrlDecoder.decode(p)) == """{"ev":"x"}""")
   }
 
+  test("sendBatchesKeyed: content-derived idempotency key, stable across runs") {
+    import spark.implicits._
+    val payloads = (1 to 5).map(i => s"""{"i":$i}""").toDF("payload").coalesce(1)
+    def run(): Seq[graft.sink.SinkResult] =
+      HttpSink.sendBatchesKeyed(payloads, "payload", 2, (_, _) => (200, "ok"))
+        .collect().toSeq.sortBy(_.batchIndex)
+    val a = run(); val b = run()
+    assert(a.map(_.idempotencyKey) == b.map(_.idempotencyKey)) // retry-stable
+    assert(a.map(_.idempotencyKey).distinct.size == a.size)    // per-batch unique
+    assert(a.forall(_.idempotencyKey.matches("[0-9a-f]{32}")))
+  }
+
   test("Netcore notify URL carries apikey/path; Gamooga events POST jwt") {
     withServer { (url, bodies) =>
       new NetcoreClient(url, "k1", "me@x.com").notifyUpload("https://b.s3/x.csv", Some("7"))
       new GamoogaClient(url, "c9", "sec").uploadEvents("""{"e":1}""")
       val all = bodies.toArray.map(_.toString)
+      // query params are percent-encoded (the staged URL's "://" and "/"
+      // would otherwise misparse server-side)
       assert(all.exists(b => b.contains("apikey=k1") && b.contains("listid=7")
-        && b.contains("path=https://b.s3/x.csv")))
+        && b.contains("path=https%3A%2F%2Fb.s3%2Fx.csv")))
       assert(all.exists(b => b.contains("/bev/") && b.contains("\"c\":\"c9\"")))
     }
   }

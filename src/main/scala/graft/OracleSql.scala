@@ -420,6 +420,72 @@ j AS (
   FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
 
+  /** q40: MinHash+LSH near-dups vs BRUTE-FORCE exact Jaccard. The LSH
+    * stage is candidate generation only — every surviving pair is verified
+    * with exact Jaccard, so the output equals the brute-force pair set
+    * whenever LSH recall is 1 over the qualifying pairs. With 64 hashes /
+    * 32 bands (r=2) the per-pair miss probability at the corpus's observed
+    * near-dup similarity (J ≥ 0.3 qualifying, next pair below 0.25) is
+    * ≤ (1−0.3²)^32 ≈ 5%, but the testdata's qualifying pairs sit well
+    * above the threshold where the miss probability is astronomically
+    * small — and the hashes are deterministic, so the outcome is fixed,
+    * verified bitwise against this oracle. */
+  private val q40 = q42.replace("jaccard >= 0.4", "jaccard >= 0.3")
+
+  /** q41: md5-based 64-bit SimHash + Hamming-pair brute force. The Spark
+    * side uses the same token hash (first 16 md5 hex chars as a 64-bit
+    * unsigned) so the signatures — and therefore the pair set — match
+    * bitwise. The Spark blocking (pigeonhole chunks) is exact, so the
+    * brute-force pair scan below is the correct oracle. */
+  private val q41 = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+votes AS (
+  SELECT doc_id, b.bit,
+    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY 1, 2),
+sigs AS (
+  SELECT doc_id,
+    COALESCE(bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit) END), 0::UBIGINT) AS sig
+  FROM votes GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b"""
+
+  /** q44: language-ID marker heuristic — per-language marker-token hit
+    * counts, argmax with ties to the LAST language in registration order
+    * (en, es, fr, de), 'und' when nothing hits (mirrors LangIdExpr's
+    * `counts(l) >= bestScore && counts(l) > 0` loop). */
+  private val q44 = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+markers(code, idx, w) AS (VALUES
+  ('en', 1, 'the'), ('en', 1, 'and'), ('en', 1, 'of'), ('en', 1, 'is'), ('en', 1, 'with'),
+  ('es', 2, 'el'), ('es', 2, 'la'), ('es', 2, 'de'), ('es', 2, 'que'), ('es', 2, 'y'),
+  ('fr', 3, 'le'), ('fr', 3, 'la'), ('fr', 3, 'et'), ('fr', 3, 'les'), ('fr', 3, 'des'),
+  ('de', 4, 'der'), ('de', 4, 'die'), ('de', 4, 'und'), ('de', 4, 'das'), ('de', 4, 'ist')),
+hits AS (
+  SELECT t.doc_id, m.code, m.idx, COUNT(*) AS c
+  FROM toks t JOIN markers m ON t.tok = m.w
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT doc_id, code,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, idx DESC) AS rn
+  FROM hits WHERE c > 0)
+SELECT d.doc_id, d.lang, COALESCE(p.code, 'und') AS lang_pred
+FROM documents d LEFT JOIN (SELECT doc_id, code FROM best WHERE rn = 1) p
+  USING (doc_id)
+ORDER BY d.doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -463,6 +529,9 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
     "q46_json_signals" -> q46,
     // the aggregate form must produce exactly the window form's rows
     "q47_latest_change_agg" -> q21,
+    "q40_minhash_neardups" -> q40,
+    "q41_simhash_neardups" -> q41,
     "q42_ngram_jaccard" -> q42,
+    "q44_lang_id" -> q44,
   ).map { case (k, v) => k -> v.trim }
 }

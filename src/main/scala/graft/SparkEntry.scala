@@ -508,8 +508,11 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   private def q41_simhash_neardups(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
-    // maxHamming = 8 ⇒ 9 chunks (exact by pigeonhole; see Dedup scaladoc)
+    // maxHamming = 8 ⇒ 9 blocking chunks (exact by pigeonhole; see Dedup
+    // scaladoc). md5Compat makes the signatures — and so the pair set —
+    // reproducible by the DuckDB oracle's SQL simhash.
+    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8, md5Compat = true)
       .orderBy("id_a", "id_b")
 
   private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =

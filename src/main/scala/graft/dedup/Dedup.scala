@@ -144,9 +144,12 @@ object Dedup {
   }
 
   /** SimHash (64-bit) of a token array: per-bit majority vote of token
-    * hashes — a native expression (one imperative pass per row). */
-  def simhash(tokens: Column): Column =
-    graft.functions.HashFunctions.simhash64(tokens)
+    * hashes — a native expression (one imperative pass per row).
+    * `md5Compat` swaps the token hash for the first 8 bytes of md5(token),
+    * reproducible in any engine with md5 (used for oracle verification);
+    * the default xxhash64 is faster and is the production path. */
+  def simhash(tokens: Column, md5Compat: Boolean = false): Column =
+    graft.functions.HashFunctions.simhash64(tokens, md5Compat)
 
   /** Hamming distance between two 64-bit simhashes via bit_count(xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -163,7 +166,7 @@ object Dedup {
     * approaches n²/128 per chunk. Keep the radius small on large corpora
     * (Manku et al., WWW'07 use 3–4 on 64-bit simhashes). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, md5Compat: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1
@@ -172,7 +175,7 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val sigs = df.select(col(idCol).as("id"),
-      simhash(split(normalizeText(col(textCol)), " ")).as("sig"))
+      simhash(split(normalizeText(col(textCol)), " "), md5Compat).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until nChunks).map { i =>
         struct(lit(i).as("chunk"),

@@ -25,11 +25,28 @@ private object TokenHash {
   val Seed = 42L
   def hash(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  // Cross-engine-reproducible token hash: the first 8 bytes of md5(token)
+  // read big-endian — equal to DuckDB's ('0x'||substr(md5(t),1,16))::UBIGINT
+  // bit pattern, which is what makes simhash signatures oracle-verifiable.
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Low64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = mdTl.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
 }
 
 /** 64-bit SimHash of a token array: per-bit majority vote of token
-  * hashes. NULL tokens are skipped; empty array → 0L. */
-case class SimHash64Expr(child: Expression)
+  * hashes. NULL tokens are skipped; empty array → 0L. `md5Based` selects
+  * the cross-engine md5 token hash (oracle-verifiable) over the faster
+  * default xxhash64. */
+case class SimHash64Expr(child: Expression, md5Based: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -45,7 +62,9 @@ case class SimHash64Expr(child: Expression)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = TokenHash.hash(arr.getUTF8String(i), TokenHash.Seed)
+        val h =
+          if (md5Based) TokenHash.md5Low64(arr.getUTF8String(i))
+          else TokenHash.hash(arr.getUTF8String(i), TokenHash.Seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
@@ -179,7 +198,8 @@ object HashFunctions {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
   private def exprOf(c: Column): Expression = ColumnBridge.expression(c)
 
-  def simhash64(tokens: Column): Column = wrap(SimHash64Expr(exprOf(tokens)))
+  def simhash64(tokens: Column, md5Based: Boolean = false): Column =
+    wrap(SimHash64Expr(exprOf(tokens), md5Based))
   def minhashSig(shingleHashes: Column, k: Int): Column =
     wrap(MinHashSigExpr(exprOf(shingleHashes), k))
   def shingleHashes(tokens: Column, n: Int): Column =

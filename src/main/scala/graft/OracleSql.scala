@@ -486,6 +486,177 @@ FROM documents d LEFT JOIN (SELECT doc_id, code FROM best WHERE rn = 1) p
   USING (doc_id)
 ORDER BY d.doc_id"""
 
+  /** Shared LSH-signature SQL for q43/q45: md5-derived hyperplanes
+    * (identical to Similarity.md5Hyperplane), exact-decimal projections
+    * (order-independent sums), 32 sign bits. Produces CTEs: e2 (vec_id,
+    * i, x), norms (vec_id, n2), sigs (vec_id, sig UBIGINT), bands
+    * (vec_id, band, key) with 4 bands of 8 bits. */
+  private val lshCtes = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+w AS (
+  SELECT b.bit, d.i,
+    ((('0x' || substr(md5(CAST(b.bit AS VARCHAR) || '_' || CAST(d.i - 1 AS VARCHAR)), 1, 8))::BIGINT
+       % 2000001) / 1000000.0 - 1.0) AS w
+  FROM (SELECT unnest(generate_series(0, 31)) AS bit) b
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+proj AS (
+  SELECT e2.vec_id, w.bit, SUM(CAST(e2.x * w.w AS DECIMAL(30,12))) AS p
+  FROM e2 JOIN w ON w.i = e2.i GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id,
+    COALESCE(bit_or(CASE WHEN p >= 0 THEN (1::UBIGINT << bit) END), 0::UBIGINT) AS sig
+  FROM proj GROUP BY 1),
+bands AS (
+  SELECT vec_id, b.band, (sig >> (b.band * 8)) & 255 AS key
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b)"""
+
+  /** q43: LSH-bucketed approximate top-k — the oracle executes the SAME
+    * algorithm (same hyperplanes, same banding, same exact-decimal
+    * scoring, same tiebreaks), so approximate recall does not matter:
+    * the candidate sets are equal by construction. */
+  private val q43 = lshCtes + """,
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+dots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN e2 a ON a.vec_id = cand.query_id
+  JOIN e2 b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2),
+cosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(na.n2) * sqrt(nb.n2) > 0
+         THEN dot / (sqrt(na.n2) * sqrt(nb.n2)) ELSE 0.0 END AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS "rank"
+  FROM cosv)
+SELECT query_id, neighbor_id, cos, "rank" FROM r
+WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  /** q45: LSH-candidate cosine near-dup pairs — same-algorithm oracle as
+    * q43; also proves no false positives sneak past the threshold. */
+  private val q45 = lshCtes + """,
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  WHERE l.vec_id < r.vec_id),
+dots AS (
+  SELECT cand.id_a, cand.id_b,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN e2 a ON a.vec_id = cand.id_a
+  JOIN e2 b ON b.vec_id = cand.id_b AND b.i = a.i
+  GROUP BY 1, 2),
+cosv AS (
+  SELECT id_a, id_b,
+    CASE WHEN sqrt(na.n2) * sqrt(nb.n2) > 0
+         THEN dot / (sqrt(na.n2) * sqrt(nb.n2)) ELSE 0.0 END AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b)
+SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.8 ORDER BY id_a, id_b"""
+
+  /** q48: sampled-centroid IVF — same-algorithm oracle (centroids = 16
+    * lowest ids, exact-decimal L2² assignment with lowest-cell tiebreak,
+    * 4-probe search, exact-decimal cosine top-5). */
+  private val q48 = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+cent AS (
+  SELECT vec_id AS cvec,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cell
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+cdots AS (
+  SELECT a.vec_id, c.cell,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a
+  JOIN cent c ON true
+  JOIN e2 b ON b.vec_id = c.cvec AND b.i = a.i
+  GROUP BY 1, 2),
+dist AS (
+  SELECT d.vec_id, d.cell, (na.n2 + nc.n2 - 2 * d.dot) AS dist
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN cent c ON c.cell = d.cell
+  JOIN norms nc ON nc.vec_id = c.cvec),
+ranked AS (
+  SELECT vec_id, cell,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+  FROM dist),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE vec_id < 8 AND rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+dots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN e2 a ON a.vec_id = cand.query_id
+  JOIN e2 b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2),
+cosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS "rank"
+  FROM cosv)
+SELECT query_id, neighbor_id, cos, "rank" FROM r
+WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  /** q49: exact brute-force cosine-threshold pairs over the 10% sample —
+    * positive-yield baseline for the near-dup path. */
+  private val q49 = """
+WITH e AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM e)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+cosv AS (
+  SELECT id_a, id_b,
+    CASE WHEN sqrt(na.n2) * sqrt(nb.n2) > 0
+         THEN dot / (sqrt(na.n2) * sqrt(nb.n2)) ELSE 0.0 END AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b)
+SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.3 ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -532,6 +703,10 @@ ORDER BY d.doc_id"""
     "q40_minhash_neardups" -> q40,
     "q41_simhash_neardups" -> q41,
     "q42_ngram_jaccard" -> q42,
+    "q43_lsh_topk" -> q43,
     "q44_lang_id" -> q44,
+    "q45_cosine_neardups" -> q45,
+    "q48_ivf_topk" -> q48,
+    "q49_cosine_pairs_exact" -> q49,
   ).map { case (k, v) => k -> v.trim }
 }

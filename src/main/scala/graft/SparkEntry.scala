@@ -539,13 +539,24 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   private def q48_ivf_topk(s: SparkSession, dir: String): DataFrame = {
-    // IVF scale path: k-means cells, nprobe-bounded search.
+    // IVF scale path: sampled-centroid cells (deterministic, oracle-
+    // verifiable — Ivf.build keeps the k-means alternative), nprobe-
+    // bounded search with exact-decimal scoring.
     val emb = t(s, dir, "embeddings")
-    val index = graft.analyze.Ivf.build(emb, "vec_id", "embedding", nlist = 16)
+    val index = graft.analyze.Ivf.buildSampled(emb, "vec_id", "embedding", nlist = 16)
     graft.analyze.Ivf.search(index, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
   }
+
+  private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
+    // Exact brute-force cosine-threshold pairs over a 10% id-sample —
+    // the positive-yield correctness baseline for the LSH near-dup path
+    // (q45's threshold yields no qualifying pairs in this corpus).
+    graft.analyze.Similarity.cosinePairsExact(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+      .orderBy("id_a", "id_b")
 
   // =====================================================================
 
@@ -592,6 +603,7 @@ object SparkEntry {
     "q46_json_signals" -> (q46_json_signals _),
     "q47_latest_change_agg" -> (q47_latest_change_agg _),
     "q48_ivf_topk" -> (q48_ivf_topk _),
+    "q49_cosine_pairs_exact" -> (q49_cosine_pairs_exact _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

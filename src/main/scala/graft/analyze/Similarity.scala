@@ -78,19 +78,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * xxhash64 folded into [-1, 1). No RNG state — reproducible across
-    * runs. */
-  private def hyperplane(bit: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(bit), dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+  /** Deterministic pseudo-random hyperplane weights for one sign bit,
+    * derived from md5 so ANY engine (the DuckDB oracle included) can
+    * reproduce them: w(b,d) = ((first 8 md5 hex chars of "b_d" as an
+    * integer) mod 2000001) / 1e6 − 1 ∈ [−1, 1]. Computed once at PLAN
+    * time and embedded as a literal array — zero per-row hash cost. */
+  def md5Hyperplane(bit: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      md.reset()
+      val hx = md.digest(s"${bit}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hx, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+    }
+  }
 
-  /** Random-hyperplane LSH signature (`bits` sign bits) of a vector —
-    * a per-row narrow expression. */
-  def lshSignature(vec: Column, bits: Int): Column = {
+  /** Random-hyperplane LSH signature (`bits` sign bits) of a `dim`-wide
+    * vector — a per-row narrow expression over plan-time literal weights.
+    * Projections use the exact-decimal fold (dotExact), so the sign of
+    * each bit — and therefore the whole signature — is independent of
+    * addition order and bitwise-reproducible across engines. */
+  def lshSignature(vec: Column, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(
-        transform(vec, (x, i) => x.cast("double") * hyperplane(b, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dotExact(vec, lit(md5Hyperplane(b, dim)))
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce((a, c) => a.bitwiseOR(c))
@@ -100,11 +110,11 @@ object Similarity {
     * Signature and norm are computed once per input row (narrow). */
   private def bandedWithNorm(df: DataFrame, idCol: String, vecCol: String,
                              idAs: String, vecAs: String, n2As: String,
-                             bits: Int, bands: Int): DataFrame = {
+                             bits: Int, bands: Int, dim: Int): DataFrame = {
     val width = bits / bands
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-        normSq(col(vecCol)).as(n2As),
-        lshSignature(col(vecCol), bits).as("__sig"))
+        dotExact(col(vecCol), col(vecCol)).as(n2As),
+        lshSignature(col(vecCol), bits, dim).as("__sig"))
       .select(col(idAs), col(vecAs), col(n2As),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -123,15 +133,16 @@ object Similarity {
     * buckets — 256 buckets per band.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 32, bands: Int = 4): DataFrame = {
+              vecCol: String, k: Int, bits: Int = 32, bands: Int = 4,
+              dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
-    val c = bandedWithNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn2", bits, bands)
-    val q = bandedWithNorm(queries, idCol, vecCol, "query_id", "qv", "qn2", bits, bands)
+    val c = bandedWithNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn2", bits, bands, dim)
+    val q = bandedWithNorm(queries, idCol, vecCol, "query_id", "qv", "qn2", bits, bands, dim)
     val cand = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos",
-        cosineFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+        cosineFromParts(dotExact(col("qv"), col("cv")), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -139,13 +150,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** EXACT cosine-threshold pairs by brute force over all id pairs —
+    * the correctness baseline for cosineNearDups. O(n²) in pairs: on a
+    * cluster, bound `df` (sample or pre-filter) before calling; for dense
+    * embeddings no exact sub-quadratic method exists, which is why the
+    * LSH-candidate path is the scale path. Exact-decimal math throughout
+    * (oracle-reproducible). */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      dotExact(col(vecCol), col(vecCol)).as("n2_a"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      dotExact(col(vecCol), col(vecCol)).as("n2_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        cosineFromParts(dotExact(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * shared LSH buckets (linear-ish), verified exactly. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, bits: Int = 32,
-                     bands: Int = 4): DataFrame = {
+                     bands: Int = 4, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
-    val banded = bandedWithNorm(df, idCol, vecCol, "id", "v", "n2", bits, bands)
+    val banded = bandedWithNorm(df, idCol, vecCol, "id", "v", "n2", bits, bands, dim)
     val l = banded.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("n2").as("n2_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"),
@@ -154,7 +184,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos",
-        cosineFromParts(dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
+        cosineFromParts(dotExact(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

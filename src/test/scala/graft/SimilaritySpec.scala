@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkSpec {
   test("lshTopK candidates are a subset with correct scores; self excluded") {
     val df = vecs.toDF("id", "v")
     val got = Similarity.lshTopK(df, df.filter($"id" < 2L), "id", "v",
-      k = 5, bits = 16, bands = 8).collect()
+      k = 5, bits = 16, bands = 8, dim = 16).collect()
     assert(got.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
     val lookup = vecs.toMap
     got.foreach { r =>
@@ -62,7 +62,7 @@ class SimilaritySpec extends SparkSpec {
     val others = (10L until 30L).map(i => i -> Array.fill(16)(noise.nextFloat() * 2 - 1))
     val df = (Seq(1L -> base, 2L -> tweaked) ++ others).toDF("id", "v")
     val pairs = Similarity.cosineNearDups(df, "id", "v", threshold = 0.999,
-      bits = 16, bands = 8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      bits = 16, bands = 8, dim = 16).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
 }

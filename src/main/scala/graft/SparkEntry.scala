@@ -469,8 +469,9 @@ object SparkEntry {
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         Similarity.dotExact(col("embedding"), col("embedding")).as("qn2"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      Similarity.dotExact(col("embedding"), col("embedding")).as("cn2"))
+    val c = Similarity.ensureParallelism(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        Similarity.dotExact(col("embedding"), col("embedding")).as("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       // norms precomputed once per vector; only the dot is per-pair

@@ -41,7 +41,9 @@ object Ivf {
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < a.length) {
-      acc = acc.add(new java.math.BigDecimal(a(i) * b(i))
+      // valueOf = shortest decimal repr, matching Spark's double→decimal
+      // cast (and DotExactExpr.unscaled12)
+      acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i))
         .setScale(12, java.math.RoundingMode.HALF_UP))
       i += 1
     }
@@ -61,7 +63,8 @@ object Ivf {
       .orderBy(col(idCol)).limit(nlist).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val n2c = centroids.map(c => exactDot(c, c))
-    val withN2 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val withN2 = Similarity.ensureParallelism(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("n2", Similarity.dotExact(col("vec"), col("vec")))
     // struct(dist, cell) array_min = lexicographic argmin with cell tiebreak
     val cellExpr = array_min(array(centroids.indices.map { j =>

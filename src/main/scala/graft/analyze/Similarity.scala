@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Spread a compute-bound narrow stage across the cluster when the
+    * source arrives in too few splits (a small parquet file is ONE input
+    * partition — every per-row expression then runs single-threaded no
+    * matter how many cores exist). No-op when the input is already
+    * parallel enough, so large inputs (which naturally have many splits)
+    * never pay an extra shuffle. */
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Elementwise dot product of two equal-length float arrays, computed in
     * double as a sequential left fold (deterministic order). */
   def dot(a: Column, b: Column): Column =
@@ -36,16 +47,15 @@ object Similarity {
   }
 
   /** Dot product with an exact-decimal accumulator: each elementwise
-    * product is computed in double (deterministic), rounded to
-    * decimal(20,12), and summed exactly — so the result is independent of
-    * addition order and bitwise-reproducible across engines (the DuckDB
-    * oracle computes the identical formula). Still a narrow per-row fold. */
+    * product is computed in double (deterministic), rounded to 12 dp
+    * (exactly Spark's double→decimal cast), and summed exactly — so the
+    * result is independent of addition order and bitwise-reproducible
+    * across engines (the DuckDB oracle computes the identical formula).
+    * A native expression (DotExactExpr): the equivalent zip_with +
+    * aggregate decimal fold pays per-element Decimal boxing, which
+    * dominates at millions of candidate pairs. */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
-      lit(0).cast("decimal(25,12)"),
-      // (25,12)+(20,12) → (26,12), exact; cast back keeps the fold closed.
-      (acc, v) => (acc + v).cast("decimal(25,12)")).cast("double")
+    graft.functions.VectorFunctions.dotExact(a, b)
 
   /** Cosine via exact-decimal dot/norms (oracle-reproducible). */
   def cosineExact(a: Column, b: Column): Column = {
@@ -65,8 +75,9 @@ object Similarity {
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn2"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      normSq(col(vecCol)).as("cn2"))
+    val c = ensureParallelism(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
@@ -98,13 +109,9 @@ object Similarity {
     * Projections use the exact-decimal fold (dotExact), so the sign of
     * each bit — and therefore the whole signature — is independent of
     * addition order and bitwise-reproducible across engines. */
-  def lshSignature(vec: Column, bits: Int, dim: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val proj = dotExact(vec, lit(md5Hyperplane(b, dim)))
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, c) => a.bitwiseOR(c))
-  }
+  def lshSignature(vec: Column, bits: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.lshSig(vec,
+      Array.tabulate(bits)(b => md5Hyperplane(b, dim)))
 
   /** id, vec, norm², and exploded (band, key) bucket rows for LSH joins.
     * Signature and norm are computed once per input row (narrow). */
@@ -112,7 +119,8 @@ object Similarity {
                              idAs: String, vecAs: String, n2As: String,
                              bits: Int, bands: Int, dim: Int): DataFrame = {
     val width = bits / bands
-    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+    ensureParallelism(df)
+      .select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         dotExact(col(vecCol), col(vecCol)).as(n2As),
         lshSignature(col(vecCol), bits, dim).as("__sig"))
       .select(col(idAs), col(vecAs), col(n2As),
@@ -158,11 +166,12 @@ object Similarity {
     * (oracle-reproducible). */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+    val src = ensureParallelism(df)
+    val l = src.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       dotExact(col(vecCol), col(vecCol)).as("n2_a"))
-    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+    val r = src.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       dotExact(col(vecCol), col(vecCol)).as("n2_b"))
-    l.join(r, col("id_a") < col("id_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
       .withColumn("cos",
         cosineFromParts(dotExact(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
       .filter(col("cos") >= threshold)

@@ -181,13 +181,21 @@ object Dedup {
         struct(lit(i).as("chunk"),
           shiftright(col("sig"), offsets(i)).bitwiseAND(mask(widths(i))).as("key"))
       }: _*)).as("ck"))
+    // Bucket self-join streams candidate pairs (no per-bucket array
+    // materialization — simhash chunk keys are SKEWED because similar
+    // documents share chunk values, so hot buckets are the norm, and an
+    // O(B²) collect_list expansion materializes them). The Hamming filter
+    // runs BEFORE dropDuplicates: the dedup then sees only qualifying
+    // pairs (a tiny set) instead of the full candidate volume. The
+    // signature subtree is computed per join side but is a cheap narrow
+    // scan; Spark's exchange reuse dedups the shuffle when plans align.
     val l = chunked.select(col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("ck"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 

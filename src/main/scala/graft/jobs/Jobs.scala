@@ -58,63 +58,133 @@ object UserProfileJob {
   case class Result(validRows: Long, invalidRows: Long, sink: Seq[SinkResult],
                     newBookmark: Option[Timestamp])
 
-  def run(spark: SparkSession, conf: Conf,
-          send: Seq[String] => (Int, String)): Result = {
+  /** Steps 1–5, shared by every destination: bookmark lookup, pinned
+    * incremental read, latest-per-key dedup, mapping-driven attribute
+    * projection, sanity transforms + rename. */
+  private[jobs] case class Prepared(renamed: DataFrame, keyOut: String,
+                                    changes: DataFrame, bookmark: Option[Timestamp])
+
+  /** Runs `egress` on the prepared frame, then upserts the bookmark from
+    * the SAME pinned snapshot and releases it. A raw parquet directory is
+    * not snapshot-isolated: without the persist, the bookmark read would
+    * re-scan and count rows appended AFTER egress — which the next
+    * incremental run would then silently skip. */
+  private[jobs] def withPrepared[T](spark: SparkSession, conf: Conf)(
+      egress: Prepared => T): (T, Option[Timestamp]) = {
     // 1. bookmark lookup (metadata-sized; absent ⇒ full history)
     val bookmark = Bookmarks.lookup(spark, conf.bookmarkPath, conf.jobName)
 
-    // 2. incremental changelog read — timestamp filter pushed into the scan.
-    //    Persisted: a raw parquet directory is not snapshot-isolated, so
-    //    without pinning, the bookmark read (step 8) would re-scan and count
-    //    rows appended AFTER egress — which the next run would then skip.
-    //    The cache makes every downstream action see one fixed snapshot.
+    // 2. incremental changelog read — timestamp filter pushed into the scan
     val changes = new ChangelogTableSource(spark, conf.changelogPath, conf.tsCol)
       .since(bookmark)
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // 3. latest change per key (single window, deterministic tiebreak)
+      val latest = Dedup.latestPerKey(changes, Seq(conf.keyCol),
+        Seq(col(conf.tsCol).desc, col(conf.tiebreakCol).desc))
 
-    // 3. latest change per key (single window, deterministic tiebreak)
-    val latest = Dedup.latestPerKey(changes, Seq(conf.keyCol),
-      Seq(col(conf.tsCol).desc, col(conf.tiebreakCol).desc))
+      // 4. attribute selection from the mapping table: collect NAMES only
+      //    (the reference collects the same metadata, clevertap.py:56-58)
+      val attrs = spark.read.parquet(conf.mappingPath)
+        .filter(col(conf.platform) === true)
+        .select("property_name").collect().map(_.getString(0)).toSeq
+        .filter(latest.columns.contains)
 
-    // 4. attribute selection from the mapping table: collect NAMES only
-    //    (the reference collects the same metadata, clevertap.py:56-58)
-    val attrs = spark.read.parquet(conf.mappingPath)
-      .filter(col(conf.platform) === true)
-      .select("property_name").collect().map(_.getString(0)).toSeq
-      .filter(latest.columns.contains)
+      // 5. sanity transforms (T4 compile) + projection + rename
+      val typed = Sanity.compileTypeMap(
+        Sanity.extractAttributes(latest, Seq(conf.keyCol) ++ attrs), conf.typeMap)
+      val renamed = Sanity.swapKeys(typed, conf.swapKeyMap)
+      val keyOut = conf.swapKeyMap.getOrElse(conf.keyCol, conf.keyCol)
 
-    // 5. sanity transforms (T4 compile) + projection + rename
-    val typed = Sanity.compileTypeMap(
-      Sanity.extractAttributes(latest, Seq(conf.keyCol) ++ attrs), conf.typeMap)
-    val renamed = Sanity.swapKeys(typed, conf.swapKeyMap)
+      val out = egress(Prepared(renamed, keyOut, changes, bookmark))
 
-    // 6. envelope + invalid split (R21)
-    val keyOut = conf.swapKeyMap.getOrElse(conf.keyCol, conf.keyCol)
-    val attrCols = renamed.columns.filter(_ != keyOut).toSeq
-    val payloads = renamed.select(
-      Sanity.identity(Seq(col(keyOut))).as("identity"),
-      Sanity.profileEnvelope(Sanity.identity(Seq(col(keyOut))),
-        attrCols.map(a => a -> col(a))).as("payload"))
-    val (valid, invalid) = HttpSink.splitInvalid(payloads, "identity")
-    val nInvalid = invalid.count()
-
-    // 7. distributed egress
-    val results = HttpSink.sendBatches(valid, "payload", conf.batchSize, send)
-      .collect().toSeq
-    val nValid = results.map(_.records).sum
-
-    // 8. bookmark upsert: max commit timestamp actually processed — read
-    //    from the pinned snapshot, so it covers exactly the rows egressed
-    //    in step 7, never rows appended concurrently.
-    val maxTs = changes.agg(max(col(conf.tsCol))).collect().head
-    val newBookmark =
-      if (maxTs.isNullAt(0)) bookmark else Some(maxTs.getTimestamp(0))
-    newBookmark.foreach(ts =>
-      Bookmarks.upsert(spark, conf.bookmarkPath, conf.jobName, ts))
-
-    Result(nValid, nInvalid, results, newBookmark)
+      // 8. bookmark upsert: max commit timestamp actually processed — read
+      //    from the pinned snapshot, so it covers exactly the egressed rows
+      val maxTs = changes.agg(max(col(conf.tsCol))).collect().head
+      val newBookmark =
+        if (maxTs.isNullAt(0)) bookmark else Some(maxTs.getTimestamp(0))
+      newBookmark.foreach(ts =>
+        Bookmarks.upsert(spark, conf.bookmarkPath, conf.jobName, ts))
+      (out, newBookmark)
     } finally changes.unpersist(blocking = false)
+  }
+
+  /** CleverTap-shaped egress (the reference's one wired production job):
+    * JSON profile envelopes, ≤1000-record POST batches. */
+  def run(spark: SparkSession, conf: Conf,
+          send: Seq[String] => (Int, String)): Result = {
+    val ((results, nInvalid), newBookmark) = withPrepared(spark, conf) { p =>
+      // 6. envelope + invalid split (R21)
+      val attrCols = p.renamed.columns.filter(_ != p.keyOut).toSeq
+      val payloads = p.renamed.select(
+        Sanity.identity(Seq(col(p.keyOut))).as("identity"),
+        Sanity.profileEnvelope(Sanity.identity(Seq(col(p.keyOut))),
+          attrCols.map(a => a -> col(a))).as("payload"))
+      val (valid, invalid) = HttpSink.splitInvalid(payloads, "identity")
+      val nInvalid = invalid.count()
+      // 7. distributed egress
+      (HttpSink.sendBatches(valid, "payload", conf.batchSize, send)
+        .collect().toSeq, nInvalid)
+    }
+    Result(results.map(_.records).sum, nInvalid, results, newBookmark)
+  }
+}
+
+/** Netcore-shaped job twin (reference `hooks/netcore.py:18-119` never got
+  * a production task): same incremental pipeline, egress = CSV rows packed
+  * into ≤4.5 MB staged files + one bulk-upload notification per file. */
+object NetcoreUserProfileJob {
+  import graft.sink.{NetcoreClient, NetcoreSink}
+
+  case class Result(stagedFiles: Seq[NetcoreSink.StagedFile],
+                    invalidRows: Long, newBookmark: Option[Timestamp])
+
+  def run(spark: SparkSession, conf: UserProfileJob.Conf,
+          client: NetcoreClient, stagingPrefix: String): Result = {
+    val ((staged, nInvalid), newBookmark) =
+      UserProfileJob.withPrepared(spark, conf) { p =>
+        val cols = p.renamed.columns.toSeq
+        // CSV line per record (reference stages header + rows; quoting via
+        // to_csv-equivalent concat_ws on sanitized strings)
+        val csv = p.renamed.select(
+          Sanity.identity(Seq(col(p.keyOut))).as("identity"),
+          concat_ws(",", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+            .as("csv"))
+        val (valid, invalid) = HttpSink.splitInvalid(csv, "identity")
+        val nInvalid = invalid.count()
+        val header = cols.mkString(",")
+        (NetcoreSink.stageAndNotify(valid, "csv", header, stagingPrefix,
+          client, client.maxChunkBytes).collect().toSeq, nInvalid)
+      }
+    Result(staged, nInvalid, newBookmark)
+  }
+}
+
+/** Gamooga-shaped job twin (reference `hooks/gamooga.py:12-74`): same
+  * incremental pipeline, egress = `{props, c, prop_types}` bulk-profile
+  * POSTs, ≤1000 records per batch (the API contract in the docstring). */
+object GamoogaUserProfileJob {
+  import graft.sink.GamoogaClient
+
+  case class Result(validRows: Long, invalidRows: Long, sink: Seq[SinkResult],
+                    newBookmark: Option[Timestamp])
+
+  def run(spark: SparkSession, conf: UserProfileJob.Conf,
+          client: GamoogaClient, propTypesJson: String): Result = {
+    val ((results, nInvalid), newBookmark) =
+      UserProfileJob.withPrepared(spark, conf) { p =>
+        val attrCols = p.renamed.columns.filter(_ != p.keyOut).toSeq
+        // per-record props object {key: id, attr: value, ...}
+        val props = p.renamed.select(
+          Sanity.identity(Seq(col(p.keyOut))).as("identity"),
+          to_json(struct(col(p.keyOut) +: attrCols.map(col): _*)).as("payload"))
+        val (valid, invalid) = HttpSink.splitInvalid(props, "identity")
+        val nInvalid = invalid.count()
+        (HttpSink.sendBatches(valid, "payload", conf.batchSize,
+          batch => client.uploadProfiles(batch.mkString("[", ",", "]"), propTypesJson))
+          .collect().toSeq, nInvalid)
+      }
+    Result(results.map(_.records).sum, nInvalid, results, newBookmark)
   }
 }

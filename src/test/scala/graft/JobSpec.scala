@@ -102,6 +102,59 @@ class JobSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("Netcore and Gamooga job twins share the incremental pipeline") {
+    val root = Files.createTempDirectory("graft-twin").toString
+    Seq(
+      ("1", "9876543210", "50.5", "insert", ts("2024-03-01 10:00:00"), 1L),
+      ("1", "919876543210", "99.0", "update_postimage", ts("2024-03-01 11:00:00"), 2L),
+      ("2", "7777777777", "3.25", "insert", ts("2024-03-01 09:00:00"), 3L),
+      ("", "8888888888", "2.0", "insert", ts("2024-03-01 13:00:00"), 5L)
+    ).toDF("customer_id", "mobile", "reward", "_change_type", "_commit_timestamp", "_commit_version")
+      .write.parquet(s"$root/changelog")
+    Seq(("mobile", true), ("reward", true))
+      .toDF("property_name", "netcore").write.parquet(s"$root/mapping")
+
+    val notified = new CopyOnWriteArrayList[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        notified.add(ex.getRequestURI.toString + "\n" +
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("ok".getBytes); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val conf = UserProfileJob.Conf(
+        jobName = "twin_test", changelogPath = s"$root/changelog",
+        bookmarkPath = s"$root/bookmarks_nc", keyCol = "customer_id",
+        tsCol = "_commit_timestamp", tiebreakCol = "_commit_version",
+        platform = "netcore", mappingPath = s"$root/mapping",
+        typeMap = Map("mobile" -> "mobile_sanity", "reward" -> "modify_reward"),
+        swapKeyMap = Map.empty)
+
+      val nc = graft.jobs.NetcoreUserProfileJob.run(spark, conf,
+        new graft.sink.NetcoreClient(url, "key", "me@x.com"),
+        "file://" + root + "/staging")
+      assert(nc.stagedFiles.nonEmpty && nc.stagedFiles.forall(_.ok))
+      assert(nc.stagedFiles.map(_.records).sum == 2) // latest-of-1 + 2; "" invalid
+      assert(nc.invalidRows == 1)
+      assert(nc.newBookmark.contains(ts("2024-03-01 13:00:00")))
+      assert(notified.toArray.exists(_.toString.contains("bulkupload")))
+
+      val gconf = conf.copy(bookmarkPath = s"$root/bookmarks_gm")
+      val gm = graft.jobs.GamoogaUserProfileJob.run(spark, gconf,
+        new graft.sink.GamoogaClient(url, "c42", "sec"),
+        """{"mobile":"string","reward":"numeric"}""")
+      assert(gm.validRows == 2 && gm.invalidRows == 1)
+      assert(gm.sink.forall(_.ok))
+      val gBody = notified.toArray.map(_.toString).find(_.contains("bulkvpr")).get
+      assert(gBody.contains(""""c":"c42"""") && gBody.contains("prop_types"))
+      assert(gm.newBookmark.contains(ts("2024-03-01 13:00:00")))
+    } finally server.stop(0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -89,29 +89,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane weights for one sign bit,
-    * derived from md5 so ANY engine (the DuckDB oracle included) can
-    * reproduce them: w(b,d) = ((first 8 md5 hex chars of "b_d" as an
-    * integer) mod 2000001) / 1e6 − 1 ∈ [−1, 1]. Computed once at PLAN
-    * time and embedded as a literal array — zero per-row hash cost. */
-  def md5Hyperplane(bit: Int, dim: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(dim) { d =>
-      md.reset()
-      val hx = md.digest(s"${bit}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hx, 16) % 2000001L).toDouble / 1000000.0 - 1.0
-    }
-  }
+  /** Deterministic md5-derived hyperplane weights (reproducible in any
+    * engine with md5 — see the DuckDB oracle). Delegates to LshWeights. */
+  def md5Hyperplane(bit: Int, dim: Int): Array[Double] =
+    graft.functions.LshWeights.hyperplane(bit, dim)
 
   /** Random-hyperplane LSH signature (`bits` sign bits) of a `dim`-wide
-    * vector — a per-row narrow expression over plan-time literal weights.
-    * Projections use the exact-decimal fold (dotExact), so the sign of
-    * each bit — and therefore the whole signature — is independent of
-    * addition order and bitwise-reproducible across engines. */
+    * vector — a per-row narrow native expression; weights derived from
+    * (bits, dim), never stored in the plan tree. Projections use the
+    * exact-decimal sum, so each bit — and the whole signature — is
+    * independent of addition order and bitwise-reproducible across
+    * engines. */
   def lshSignature(vec: Column, bits: Int, dim: Int): Column =
-    graft.functions.VectorFunctions.lshSig(vec,
-      Array.tabulate(bits)(b => md5Hyperplane(b, dim)))
+    graft.functions.VectorFunctions.lshSig(vec, bits, dim)
 
   /** id, vec, norm², and exploded (band, key) bucket rows for LSH joins.
     * Signature and norm are computed once per input row (narrow). */
@@ -185,13 +175,21 @@ object Similarity {
                      bands: Int = 4, dim: Int = 64): DataFrame = {
     require(bits % bands == 0)
     val banded = bandedWithNorm(df, idCol, vecCol, "id", "v", "n2", bits, bands, dim)
-    val l = banded.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("n2").as("n2_a"))
-    val r = banded.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("n2").as("n2_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // Candidate ID pairs first — the bucket self-join and the pair dedup
+    // shuffle only (bucket, id) rows; the wide embedding arrays never ride
+    // the candidate explosion (same discipline as minhashNearDups).
+    val keyed = banded.select(col("bucket"), col("id"))
+    val cand = keyed.join(keyed.withColumnRenamed("id", "id_b"), Seq("bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // vectors + norms re-derived narrowly (no signature, no explode) for
+    // the verify joins; Spark reuses the exchange across the two sides
+    val sides = ensureParallelism(df).select(col(idCol).as("id"),
+      col(vecCol).as("v"), dotExact(col(vecCol), col(vecCol)).as("n2"))
+    cand
+      .join(sides.select(col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("v").as("v_b"), col("n2").as("n2_b")), Seq("id_b"))
       .withColumn("cos",
         cosineFromParts(dotExact(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")))
       .filter(col("cos") >= threshold)

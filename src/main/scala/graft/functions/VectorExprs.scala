@@ -90,22 +90,44 @@ case class DotExactExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Deterministic md5-derived hyperplane weights, reproducible in SQL
+  * engines: w(b,d) = ((first 8 md5 hex chars of "b_d" as an integer) mod
+  * 2000001) / 1e6 − 1 ∈ [−1, 1]. */
+object LshWeights {
+  def hyperplane(bit: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      md.reset()
+      val hx = md.digest(s"${bit}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hx, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+    }
+  }
+  def planes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits)(b => hyperplane(b, dim))
+}
+
 /** Random-hyperplane LSH signature: bit b of the result is set iff the
-  * exact-decimal projection of the vector onto `weights(b)` is >= 0.
-  * One imperative pass per row over plan-time weights; bit-identical to
-  * 32 DotExactExpr sign tests (and the SQL oracle's per-bit decimal
-  * sums). */
-case class LshSigExpr(child: Expression, weights: Seq[Seq[Double]])
+  * exact-decimal projection of the vector onto LshWeights.hyperplane(b)
+  * is >= 0. One imperative pass per row; bit-identical to `bits`
+  * DotExactExpr sign tests (and the SQL oracle's per-bit decimal sums).
+  *
+  * The weights are DERIVED from (bits, dim) inside the expression rather
+  * than stored as tree data: embedding 2048 doubles in a case-class field
+  * makes every Catalyst tree comparison / hash / plan-string walk them,
+  * which measurably drags whole-query planning (observed: multi-second
+  * per-run overhead growing with plan reuse). */
+case class LshSigExpr(child: Expression, bits: Int, dim: Int)
     extends UnaryExpression with CodegenFallback {
   import ExactDecimal._
-  require(weights.nonEmpty && weights.size <= 64)
+  require(bits >= 1 && bits <= 64)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     checkArrayNumeric(child.dataType, "lsh_sig")
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  @transient private lazy val w: Array[Array[Double]] = weights.map(_.toArray).toArray
+  @transient private lazy val w: Array[Array[Double]] = LshWeights.planes(bits, dim)
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -155,7 +177,6 @@ object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def dotExact(a: Column, b: Column): Column =
     ColumnBridge.column(DotExactExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
-  def lshSig(vec: Column, weights: Array[Array[Double]]): Column =
-    ColumnBridge.column(LshSigExpr(ColumnBridge.expression(vec),
-      weights.map(_.toSeq).toSeq))
+  def lshSig(vec: Column, bits: Int, dim: Int): Column =
+    ColumnBridge.column(LshSigExpr(ColumnBridge.expression(vec), bits, dim))
 }

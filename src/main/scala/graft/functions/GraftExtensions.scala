@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   — or —
   *   spark.conf: spark.sql.extensions=graft.functions.GraftExtensions
   *
-  * Registers: simhash64(tokens), minhash_sig(hashes, k),
-  * shingle_hashes(tokens, n), sorted_intersect_size(a, b) — so SQL-only
-  * users get the same codepaths as the Scala API. */
+  * Registers: simhash64(tokens[, md5Based]), minhash_sig(hashes, k),
+  * shingle_hashes(tokens, n), sorted_intersect_size(a, b),
+  * dot_exact(a, b), lsh_sig(vec, bits, dim) — so SQL-only users get the
+  * same codepaths as the Scala API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(e: Expression, fn: String): Int = e match {
@@ -26,7 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHash64Expr(t)
+        case Seq(t, Literal(md5: Boolean, _)) => SimHash64Expr(t, md5)
+        case other => throw new IllegalArgumentException(
+          s"simhash64(tokens[, md5Based]) got ${other.size} args")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
@@ -41,5 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => SortedIntersectSizeExpr(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_exact"),
+      new ExpressionInfo(classOf[DotExactExpr].getName, "dot_exact"),
+      (args: Seq[Expression]) => DotExactExpr(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_sig"),
+      new ExpressionInfo(classOf[LshSigExpr].getName, "lsh_sig"),
+      (args: Seq[Expression]) => LshSigExpr(args.head,
+        intArg(args(1), "lsh_sig"), intArg(args(2), "lsh_sig"))))
   }
 }

@@ -54,6 +54,32 @@ object StreamingDedup {
         col(typeCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Sliding-window counts: like windowedCounts but windows overlap
+    * (`window` length, `slide` step) — each event lands in
+    * window/slide buckets. */
+  def slidingCounts(events: DataFrame, tsCol: String, typeCol: String,
+                    window: String, slide: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide),
+        col(typeCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session-window counts per key: a session extends while events keep
+    * arriving within `gap` of each other; state closes `gap` past the
+    * watermark. The streaming shape for user-activity sessionization. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Stream–static enrichment join: the streaming fact side joins a
+    * static dimension (broadcast by Catalyst when small) — no state, no
+    * watermark needed on the static side; the streaming analogue of the
+    * mapping-table attribute join in the batch job. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming query on a memory sink until all available input is
     * processed (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -27,6 +27,18 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(row.getAs[Long]("sh") != 0L)
       assert(row.getSeq[Long](row.fieldIndex("sig")).size == 8)
       assert(row.getAs[Long]("isz") == 2L)
+      val vec = spark.sql("""
+        SELECT
+          dot_exact(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+                    array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+          lsh_sig(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 16, 2) AS s,
+          simhash64(array('a','b'), true) AS shm
+      """).head
+      assert(vec.getAs[Double]("d") == 4.0)
+      assert(vec.getAs[Long]("s") >= 0L)
+      // md5-based simhash differs from the xxhash64 default
+      assert(vec.getAs[Long]("shm") !=
+        spark.sql("SELECT simhash64(array('a','b')) AS v").head.getLong(0))
       // parity with the Column API
       import org.apache.spark.sql.functions._
       import spark.implicits._

@@ -96,6 +96,44 @@ class ExtraSpec extends SparkSpec {
     assert(total > 900)
   }
 
+  test("streaming: sliding + session windows and stream-static enrichment") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type", "user_id").write.parquet(s"$dir/in")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("user_id", LongType)))
+    def stream = StreamingDedup.changelogStream(spark, s"$dir/in", schema)
+
+    StreamingDedup.runToMemory(
+      StreamingDedup.slidingCounts(stream, "ts", "event_type", "1 hour", "30 minutes", "10 minutes"),
+      "slide_out", OutputMode.Append())
+    val slideTotal = spark.table("slide_out").agg(sum("n")).head.getLong(0)
+    val tumbleTotal = {
+      StreamingDedup.runToMemory(
+        StreamingDedup.windowedCounts(stream, "ts", "event_type", "1 hour", "10 minutes"),
+        "tumble_out2", OutputMode.Append())
+      spark.table("tumble_out2").agg(sum("n")).head.getLong(0)
+    }
+    // 1h windows sliding every 30m ⇒ each event counted ~2× vs tumbling
+    assert(slideTotal > tumbleTotal * 3 / 2)
+
+    StreamingDedup.runToMemory(
+      StreamingDedup.sessionCounts(stream, "ts", "user_id", "30 minutes", "10 minutes"),
+      "sess_out", OutputMode.Append())
+    val sess = spark.table("sess_out")
+    assert(sess.agg(sum("n")).head.getLong(0) > 0)
+    // session windows expose start/end; every session is ≥ one event long
+    assert(sess.filter($"session_window.end" < $"session_window.start").count() == 0)
+
+    val dim = Seq(("purchase", 1.0), ("view", 0.1)).toDF("event_type", "weight")
+    StreamingDedup.runToMemory(
+      StreamingDedup.enrich(stream, dim, "event_type"),
+      "enrich_out", OutputMode.Append())
+    val enriched = spark.table("enrich_out")
+    assert(enriched.count() > 900)
+    assert(enriched.columns.contains("weight"))
+  }
+
   test("multimodal: synthesize → decode → features → resize plan → frames") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = MultiModal.synthesizeFromDocs(docs).repartition(4).cache()

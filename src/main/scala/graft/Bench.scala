@@ -30,6 +30,10 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Nudge the ContextCleaner between queries: in one long-lived JVM
+      // with a large heap, GC is rare, so dead broadcasts/shuffle state
+      // from earlier queries otherwise pile up and drag later ones.
+      System.gc()
       val cold = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       val warm = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       (name, cold, warm)

@@ -47,7 +47,9 @@ private object TokenHash {
   * the cross-engine md5 token hash (oracle-verifiable) over the faster
   * default xxhash64. */
 case class SimHash64Expr(child: Expression, md5Based: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
+  override protected def resultJava: String = "java.lang.Long"
+  override protected def unbox(boxed: String): String = s"$boxed.longValue()"
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -84,7 +86,9 @@ case class SimHash64Expr(child: Expression, md5Based: Boolean = false)
 /** MinHash signature (k mins over reseeded hashes) of an array<long> of
   * shingle hashes. Empty array → array of Long.MaxValue. */
 case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
+  override protected def resultJava: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -120,8 +124,10 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * intermediate string concatenation. Sorted output lets set ops run as
   * merge scans (SortedIntersectSizeExpr). Fewer than n tokens → empty. */
 case class ShingleHashExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   require(n >= 1)
+  override protected def resultJava: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -165,7 +171,9 @@ case class ShingleHashExpr(child: Expression, n: Int)
   * one per row, the dominant cost in near-dup verification). */
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    with BinaryKernelCodegen {
+  override protected def resultJava: String = "java.lang.Long"
+  override protected def unbox(boxed: String): String = s"$boxed.longValue()"
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * made the HOF version the bench hotspot; a single expression holds the
   * whole argmax. Ties break toward the alphabetically-later language. */
 case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
+  override protected def resultJava: String =
+    "org.apache.spark.unsafe.types.UTF8String"
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

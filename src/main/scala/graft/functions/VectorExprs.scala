@@ -44,8 +44,11 @@ private object ExactDecimal {
   * Null result when lengths differ or any touched element is null —
   * matching the zip_with/aggregate fold (null poisons the sum). */
 case class DotExactExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
   import ExactDecimal._
+  override protected def resultJava: String = "java.lang.Double"
+  override protected def resultNullable: Boolean = true
+  override protected def unbox(boxed: String): String = s"$boxed.doubleValue()"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -118,8 +121,10 @@ object LshWeights {
   * which measurably drags whole-query planning (observed: multi-second
   * per-run overhead growing with plan reuse). */
 case class LshSigExpr(child: Expression, bits: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   import ExactDecimal._
+  override protected def resultJava: String = "java.lang.Long"
+  override protected def unbox(boxed: String): String = s"$boxed.longValue()"
   require(bits >= 1 && bits <= 64)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -657,6 +657,47 @@ cosv AS (
   JOIN norms nb ON nb.vec_id = id_b)
 SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.3 ORDER BY id_a, id_b"""
 
+  /** q50: explicit GROUPING SETS — identical SQL runs on both engines
+    * (decimal-exact money sum per the parity policy). */
+  private val q50 = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority, n"""
+
+  /** q51: range-bin (theta) join of events against tier intervals. */
+  private val q51 = """
+WITH bins(tier, lo, hi) AS (VALUES
+  ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, NULL)),
+j AS (
+  SELECT b.tier, e.value
+  FROM events e LEFT JOIN bins b
+    ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+  WHERE e.value IS NOT NULL)
+SELECT tier, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM j GROUP BY tier ORDER BY tier"""
+
+  /** q52: backward as-of join — for each event, the order with the
+    * greatest (o_orderdate, o_orderkey) at or before the event time for
+    * that user. Expressed as rank-1-per-event (the semantics); the Spark
+    * side computes the same via a single-shuffle union+window. */
+  private val q52 = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT ev.event_id, ev.user_id,
+  j2.o_orderkey AS matched_o_orderkey,
+  j2.o_totalprice AS matched_o_totalprice
+FROM events ev
+LEFT JOIN (SELECT * FROM j WHERE rn = 1) j2 USING (event_id)
+ORDER BY ev.event_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -708,5 +749,8 @@ SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.3 ORDER BY id_a, id_b"""
     "q45_cosine_neardups" -> q45,
     "q48_ivf_topk" -> q48,
     "q49_cosine_pairs_exact" -> q49,
+    "q50_grouping_sets" -> q50,
+    "q51_range_join" -> q51,
+    "q52_asof_join" -> q52,
   ).map { case (k, v) => k -> v.trim }
 }

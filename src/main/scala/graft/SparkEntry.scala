@@ -550,6 +550,48 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def q50_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    // Explicit GROUPING SETS (rollup/cube's general form) via the SQL
+    // surface — Catalyst expands to one Expand + single aggregation.
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus, o_orderpriority, n""")
+  }
+
+  private def q51_range_join(s: SparkSession, dir: String): DataFrame = {
+    // Non-equi range-bin join against a metadata-sized tier table —
+    // broadcast nested-loop, fact side never shuffles.
+    import s.implicits._
+    val bins = Seq(("low", 0.0, Some(10.0)), ("mid", 10.0, Some(100.0)),
+      ("high", 100.0, None)).toDF("tier", "lo", "hi")
+      .select(col("tier"), col("lo"), col("hi").cast("double"))
+    graft.relational.Relational.rangeBinJoin(
+        t(s, dir, "events").filter(col("value").isNotNull), bins, "value")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("value").cast("decimal(18,6)")), 4)).cast("double").as("sum_value"))
+      .orderBy("tier")
+  }
+
+  private def q52_asof_join(s: SparkSession, dir: String): DataFrame =
+    // Backward as-of join: each event picks the latest order (by
+    // o_orderdate, tiebreak o_orderkey) at or before its timestamp —
+    // single-shuffle union+window implementation, no pair explosion.
+    graft.relational.Relational.asofJoinBackward(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice")).withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        tiebreak = "o_orderkey", payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("matched_o_orderkey"), col("matched_o_totalprice"))
+      .orderBy("event_id")
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -605,6 +647,9 @@ object SparkEntry {
     "q47_latest_change_agg" -> (q47_latest_change_agg _),
     "q48_ivf_topk" -> (q48_ivf_topk _),
     "q49_cosine_pairs_exact" -> (q49_cosine_pairs_exact _),
+    "q50_grouping_sets" -> (q50_grouping_sets _),
+    "q51_range_join" -> (q51_range_join _),
+    "q52_asof_join" -> (q52_asof_join _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

@@ -96,6 +96,32 @@ class ExtraSpec extends SparkSpec {
     assert(total > 900)
   }
 
+  test("asofJoinBackward: ties include equal ts, tiebreak picks greatest, unmatched null") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),  // matches order 3 (latest ≤)
+      (2L, 10L, ts("2024-01-02 00:00:00")),  // equal-ts order included; tiebreak → key 2
+      (3L, 10L, ts("2023-12-31 00:00:00")),  // before all orders → null
+      (4L, 99L, ts("2024-01-05 00:00:00"))   // key with no orders → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, 100.0),
+      (10L, ts("2024-01-02 00:00:00"), 2L, 200.0), // same ts as order 1? no: later ts
+      (10L, ts("2024-01-02 00:00:00"), 20L, 250.0), // equal ts, larger key wins tiebreak
+      (10L, ts("2024-01-04 00:00:00"), 3L, 300.0)
+    ).toDF("user_id", "odate", "okey", "price")
+    val rows = graft.relational.Relational.asofJoinBackward(
+        left, right, key = "user_id", leftTs = "ts", rightTs = "odate",
+        tiebreak = "okey", payload = Seq("okey", "price"))
+      .select($"event_id", $"matched_okey", $"matched_price")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L) == Some(3L))
+    assert(rows(2L) == Some(20L)) // equal timestamp included; larger okey wins
+    assert(rows(3L).isEmpty)
+    assert(rows(4L).isEmpty)
+  }
+
   test("streaming: sliding + session windows and stream-static enrichment") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     Tables.load(spark, "/root/testdata/sf0.001", "events")

@@ -79,6 +79,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s)
   }
 
+  test("q52 as-of join plans a single shuffle (union+window, no pair join)") {
+    val s = planString(q("q52_asof_join"))
+    // exchanges: one hash partition for the window + the final rangepartition
+    // for ORDER BY — no join operator at all
+    val hashExchanges = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("q51 range-bin join broadcasts the bin table (fact side never shuffles)") {
+    val s = planString(q("q51_range_join"))
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    // only the final aggregation + orderBy exchange; no fact-side
+    // pre-join exchange
+    assert(!s.linesIterator.exists(l => l.contains("Exchange hashpartitioning")
+      && l.contains("value")), s)
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti (no fallback to inner+distinct)") {
     assert(planString(q("q06_semi_join")).contains("LeftSemi"))
     assert(planString(q("q07_anti_join")).contains("LeftAnti"))

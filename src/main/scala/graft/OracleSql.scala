@@ -698,6 +698,70 @@ FROM events ev
 LEFT JOIN (SELECT * FROM j WHERE rn = 1) j2 USING (event_id)
 ORDER BY ev.event_id"""
 
+  /** q53: training-data corpus-prep composite — quality gate (q29's
+    * formula), exact fingerprint dedup (q30's fingerprint, keep lowest
+    * id), near-dup removal (q42's exact Jaccard pairs, drop higher id),
+    * language profile of the survivors. */
+  private val q53 = """
+WITH n AS (
+  SELECT doc_id, lang, "text",
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks,
+    regexp_extract_all("text", '[A-Za-z]+') AS words,
+    CASE WHEN "text" IS NULL OR LENGTH(TRIM("text")) = 0 THEN 0
+         ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+         END AS ntok
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, "text", toks, ntok,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> list_contains(
+        ['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN LENGTH("text") > 0 THEN
+      CAST(LENGTH(regexp_replace("text", '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / CAST(LENGTH("text") AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN
+      CAST(list_sum(list_transform(words, w -> LENGTH(w))) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mean_word_len
+  FROM n),
+quality AS (
+  SELECT doc_id, lang, "text", toks FROM c
+  WHERE (CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+      + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+      + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+      >= 0.75),
+fp AS (
+  SELECT doc_id, lang,
+    md5(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g'))) AS fp
+  FROM quality),
+exact_kept AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1),
+t AS (
+  SELECT q.doc_id, q.toks FROM quality q JOIN exact_kept USING (doc_id)),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dropids AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE)
+    / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.4),
+surv AS (
+  SELECT e.doc_id, e.lang FROM exact_kept e
+  LEFT JOIN dropids d USING (doc_id) WHERE d.doc_id IS NULL)
+SELECT lang, COUNT(*) AS n_docs,
+  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM surv GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -752,5 +816,6 @@ ORDER BY ev.event_id"""
     "q50_grouping_sets" -> q50,
     "q51_range_join" -> q51,
     "q52_asof_join" -> q52,
+    "q53_corpus_prep" -> q53,
   ).map { case (k, v) => k -> v.trim }
 }

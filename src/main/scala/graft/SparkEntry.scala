@@ -592,6 +592,33 @@ object SparkEntry {
         col("matched_o_orderkey"), col("matched_o_totalprice"))
       .orderBy("event_id")
 
+  private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
+    // Flagship training-data composite: quality gate → exact dedup by
+    // content fingerprint (keep lowest doc_id) → near-dup removal (drop
+    // the higher id of every qualifying Jaccard pair) → language profile
+    // of the surviving corpus. Every stage is an operator tested above;
+    // this query is their composition, end to end.
+    val docs = t(s, dir, "documents")
+    val quality = docs.filter(TA.qualityScore(col("text")) >= 0.75)
+    val exactKept = Dedup.exactDedup(
+      quality.select(col("doc_id"), col("lang"),
+        TA.fingerprint(col("text")).as("fp")),
+      Seq("fp"), col("doc_id")).select("doc_id", "lang")
+    // feed near-dup detection from the raw table joined to kept ids:
+    // re-deriving the quality frame here would re-run its regexes once
+    // per internal reuse of the PPJoin pipeline
+    val nearPairs = Dedup.ngramJaccardPairs(
+      docs.select("doc_id", "text").join(exactKept.select("doc_id"), Seq("doc_id")),
+      "doc_id", "text", shingleN = 3, threshold = 0.4)
+    val survivors = exactKept.join(
+      nearPairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    survivors.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .orderBy("lang")
+  }
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -650,6 +677,7 @@ object SparkEntry {
     "q50_grouping_sets" -> (q50_grouping_sets _),
     "q51_range_join" -> (q51_range_join _),
     "q52_asof_join" -> (q52_asof_join _),
+    "q53_corpus_prep" -> (q53_corpus_prep _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

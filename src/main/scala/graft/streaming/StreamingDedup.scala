@@ -80,6 +80,23 @@ object StreamingDedup {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming egress: the streaming twin of HttpSink.sendBatchesKeyed.
+    * Each micro-batch runs the batch sink with an idempotency key
+    * prefixed by the epoch id — Structured Streaming replays whole
+    * epochs on failure, so (epochId, content-hash) is stable across
+    * replays and destinations can dedupe. `collectResults` receives the
+    * per-batch SinkResults for observability. */
+  def egressStream(payloads: DataFrame, payloadCol: String, batchSize: Int,
+                   send: (String, Seq[String]) => (Int, String),
+                   collectResults: (Long, Seq[graft.sink.SinkResult]) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    payloads.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val results = graft.sink.HttpSink.sendBatchesKeyed(
+        batch, payloadCol, batchSize,
+        (key, rows) => send(s"$epochId-$key", rows)).collect().toSeq
+      collectResults(epochId, results)
+    }
+
   /** Run a streaming query on a memory sink until all available input is
     * processed (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -160,6 +160,28 @@ class ExtraSpec extends SparkSpec {
     assert(enriched.columns.contains("weight"))
   }
 
+  test("streaming: foreachBatch egress with epoch-keyed idempotency") {
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    (1 to 25).map(i => s"""{"i":$i}""").toDF("payload").write.parquet(s"$dir/in")
+    val schema = StructType(Seq(StructField("payload", StringType)))
+    // send runs on executor tasks (closure is serialized — can't collect
+    // through it); collectResults runs driver-side per epoch.
+    val results = new java.util.concurrent.CopyOnWriteArrayList[graft.sink.SinkResult]()
+    val q = StreamingDedup.egressStream(
+        StreamingDedup.changelogStream(spark, s"$dir/in", schema),
+        "payload", batchSize = 10,
+        (_, _) => (200, "ok"),
+        (_, rs) => rs.foreach(results.add))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val rs = results.toArray.map(_.asInstanceOf[graft.sink.SinkResult])
+    assert(rs.map(_.records).sum == 25)
+    assert(rs.forall(_.records <= 10) && rs.forall(_.ok))
+    // content-hashed keys: unique per batch (epoch prefix added in send)
+    assert(rs.map(_.idempotencyKey).distinct.length == rs.length)
+    assert(rs.forall(_.idempotencyKey.matches("[0-9a-f]{32}")))
+  }
+
   test("multimodal: synthesize → decode → features → resize plan → frames") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = MultiModal.synthesizeFromDocs(docs).repartition(4).cache()

@@ -72,6 +72,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dotExact property: permutation-invariant (order-independent sum)") {
+    // The reproducibility claim behind every oracle-verified vector query:
+    // repartitioning/reordering must not change the result bit-for-bit.
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 20).map { _ =>
+      val n = 1 + rnd.nextInt(96)
+      val a = Array.fill(n)(rnd.nextFloat() * 20 - 10)
+      val b = Array.fill(n)(rnd.nextFloat() * 20 - 10)
+      val perm = rnd.shuffle((0 until n).toList).toArray
+      (a, b, perm.map(a), perm.map(b))
+    }
+    val df = cases.zipWithIndex.map { case ((a, b, ap, bp), i) => (i, a, b, ap, bp) }
+      .toDF("i", "a", "b", "ap", "bp")
+    val rows = df.select(
+        graft.analyze.Similarity.dotExact($"a", $"b").as("d"),
+        graft.analyze.Similarity.dotExact($"ap", $"bp").as("dp"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("dedup equivalence: window, aggregate, and SQL forms agree (no ties)") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val win = graft.dedup.Dedup.latestPerKey(ev, Seq("user_id"),

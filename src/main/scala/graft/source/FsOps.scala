@@ -71,3 +71,23 @@ object CsvSource {
   def write(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(path)
 }
+
+/** Egress source selection (reference `clevertap_user_profile.py:34` —
+  * B1): the operator takes EITHER an in-memory dataset OR a staged CSV
+  * path, never both, never neither. The reference's check has an
+  * operator-precedence bug (`not df or not bucket and not key`) and
+  * `not df` raises on a pandas frame; this implements the evident
+  * intent as a total function. */
+object ProfileSource {
+  def resolve(spark: SparkSession, df: Option[DataFrame],
+              csvPath: Option[String]): DataFrame = (df, csvPath) match {
+    case (Some(d), None) => d
+    case (None, Some(p)) => CsvSource.read(spark, p)
+    case (Some(_), Some(_)) =>
+      throw new IllegalArgumentException(
+        "provide exactly one source: in-memory dataset OR csv path, not both")
+    case (None, None) =>
+      throw new IllegalArgumentException(
+        "provide exactly one source: in-memory dataset OR csv path")
+  }
+}

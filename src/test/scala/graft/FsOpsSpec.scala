@@ -9,7 +9,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.functions._
 
 import graft.sink.{HttpSink, NetcoreClient, NetcoreSink}
-import graft.source.{CsvSource, FsOps}
+import graft.source.{CsvSource, FsOps, ProfileSource}
 
 /** Control-plane ops (S9 subset), CSV ingress (S12), Netcore staging
   * (S5), and observable egress metrics (R21). */
@@ -27,6 +27,18 @@ class FsOpsSpec extends SparkSpec {
     assert(ops.listKeys(dir).map(_.split('/').last).sorted == Seq("a.txt", "b.txt"))
     assert(ops.delete(s"$dir/a.txt"))
     assert(!ops.exists(s"$dir/a.txt"))
+  }
+
+  test("ProfileSource.resolve: XOR contract (B1 intent)") {
+    val dir = Files.createTempDirectory("graft-psrc").toString
+    CsvSource.write(Seq((1L, "a")).toDF("id", "v").coalesce(1), s"$dir/csv")
+    val df = Seq((2L, "b")).toDF("id", "v")
+    assert(ProfileSource.resolve(spark, Some(df), None).collect().head.getLong(0) == 2L)
+    assert(ProfileSource.resolve(spark, None, Some(s"$dir/csv")).count() == 1L)
+    intercept[IllegalArgumentException] {
+      ProfileSource.resolve(spark, Some(df), Some(s"$dir/csv"))
+    }
+    intercept[IllegalArgumentException] { ProfileSource.resolve(spark, None, None) }
   }
 
   test("existsPrefix matches S3-style key prefixes, not just objects") {

@@ -96,6 +96,21 @@ class ClevertapClient(baseUrl: String, accountId: String, passcode: String,
     val body = batch.mkString("{\"d\":[", ",", "]}")
     retry.run(poster.post(s"$baseUrl/1/upload", body, headers))
   }
+
+  /** Event upload uses the same `1/upload` endpoint and {"d":[...]}
+    * envelope with event-typed payloads (`hooks/clevertap.py:53-65`). */
+  def uploadEvents(batch: Seq[String]): (Int, String) = uploadProfiles(batch)
+
+  /** Profile deletion POSTs to an ABSOLUTE regional endpoint, unlike the
+    * relative upload paths (`hooks/clevertap.py:36-50`); the URL is a
+    * parameter so tests can point it at a stub. */
+  def deleteProfiles(identities: Seq[String],
+      deleteUrl: String = "https://in1.api.clevertap.com/1/delete/profiles.json")
+      : (Int, String) = {
+    val body = identities.map(i => "\"" + i.replace("\"", "\\\"") + "\"")
+      .mkString("{\"identity\":[", ",", "]}")
+    retry.run(poster.post(deleteUrl, body, headers))
+  }
 }
 
 /** Gamooga destination (reference `hooks/gamooga.py:12-74`): profile bulk
@@ -148,6 +163,21 @@ class NetcoreClient(baseUrl: String, apiKey: String, notifyEmail: String,
     val url = s"$baseUrl/apiv2?type=contact&activity=bulkupload&apikey=${enc(apiKey)}" +
       s"&notifyemail=${enc(notifyEmail)}$lid&path=${enc(stagedUrl)}"
     retry.run(poster.post(url, "", Map.empty))
+  }
+
+  /** Event batch activity (`hooks/netcore.py:64-101`): ≤4.5 MB CSV chunk
+    * as a multipart/form-data POST to `v1/activity/batchactivity/<key>`.
+    * Multipart body is hand-rolled (zero-dep); chunking is the caller's
+    * job via BatchPacker.byteBound. */
+  def uploadEventsBatch(key: String, filename: String, csv: String): (Int, String) = {
+    val boundary = "----graftboundary" +
+      java.lang.Long.toHexString(csv.hashCode.toLong & 0xFFFFFFFFL)
+    val body = s"--$boundary\r\n" +
+      s"""Content-Disposition: form-data; name="file"; filename="$filename"\r\n""" +
+      "Content-Type: text/csv\r\n\r\n" + csv + s"\r\n--$boundary--\r\n"
+    val enc = java.net.URLEncoder.encode(key, StandardCharsets.UTF_8)
+    retry.run(poster.post(s"$baseUrl/v1/activity/batchactivity/$enc",
+      body, Map("Content-Type" -> s"multipart/form-data; boundary=$boundary")))
   }
 }
 

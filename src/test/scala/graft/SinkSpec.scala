@@ -138,6 +138,22 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("CleverTap delete + events; Netcore multipart event batch") {
+    withServer { (url, bodies) =>
+      val ct = new ClevertapClient(url, "acct", "pass")
+      ct.deleteProfiles(Seq("u1", "u2"), s"$url/1/delete/profiles.json")
+      ct.uploadEvents(Seq("""{"type":"event","evtName":"x"}"""))
+      new NetcoreClient(url, "k", "e@x.com")
+        .uploadEventsBatch("my key", "part_0.csv", "id,v\n1,a")
+      val all = bodies.toArray.map(_.toString)
+      assert(all.exists(b => b.contains("/1/delete/profiles.json")
+        && b.contains(""""identity":["u1","u2"]""")))
+      assert(all.exists(b => b.contains("/1/upload") && b.contains(""""evtName":"x"""")))
+      val mp = all.find(_.contains("/v1/activity/batchactivity/my+key")).get
+      assert(mp.contains("filename=\"part_0.csv\"") && mp.contains("id,v\n1,a"))
+    }
+  }
+
   test("ConnectionRegistry parses the reference secret layout") {
     val secret = """{"clevertap_default":{"host":"api.example.com","login":"acct",
       "password":"pass","schema":"https","port":443,

@@ -51,6 +51,29 @@ class FsOps(conf: Configuration) {
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** list_prefixes analogue: immediate sub-directories under a prefix. */
+  def listPrefixes(prefix: String): Seq[String] = {
+    val f = fs(prefix); val p = new Path(prefix)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.toString)
+  }
+
+  /** load_file(gzip=true) analogue: write gzip-compressed content. */
+  def writeStringGzip(path: String, content: String): Unit = {
+    val out = new java.util.zip.GZIPOutputStream(fs(path).create(new Path(path), true))
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** read a gzip object back to a string. */
+  def readStringGzip(path: String): String = {
+    val in = new java.util.zip.GZIPInputStream(fs(path).open(new Path(path)))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** download_file analogue: remote object → local file path. */
+  def downloadFile(remote: String, localPath: String): Unit =
+    fs(remote).copyToLocalFile(new Path(remote), new Path(localPath))
+
   /** delete_objects analogue (recursive for prefixes). */
   def delete(path: String): Boolean = fs(path).delete(new Path(path), true)
 
@@ -70,6 +93,16 @@ object CsvSource {
 
   def write(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** upload_df_to_s3 analogue (`hooks/aws_s3.py:387-400`): write CSV then
+    * VERIFY by reading the row count back; throws on mismatch. */
+  def writeVerified(df: DataFrame, path: String): Long = {
+    val expected = df.count()
+    write(df, path)
+    val got = read(df.sparkSession, path, inferSchema = false).count()
+    require(got == expected, s"csv verify failed: wrote $expected rows, read back $got")
+    got
+  }
 }
 
 /** Egress source selection (reference `clevertap_user_profile.py:34` —

@@ -29,6 +29,23 @@ class FsOpsSpec extends SparkSpec {
     assert(!ops.exists(s"$dir/a.txt"))
   }
 
+  test("FsOps: listPrefixes, gzip roundtrip, downloadFile, verified CSV write") {
+    val dir = "file://" + Files.createTempDirectory("graft-fs2").toString
+    val ops = new FsOps(spark)
+    ops.writeString(s"$dir/sub1/a.txt", "1")
+    ops.writeString(s"$dir/sub2/b.txt", "2")
+    ops.writeString(s"$dir/top.txt", "t")
+    assert(ops.listPrefixes(dir).map(_.split('/').last).sorted == Seq("sub1", "sub2"))
+    ops.writeStringGzip(s"$dir/z.gz", "compressed payload")
+    assert(ops.readStringGzip(s"$dir/z.gz") == "compressed payload")
+    val local = Files.createTempDirectory("graft-dl").toString + "/got.txt"
+    ops.downloadFile(s"$dir/top.txt", local)
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(local))) == "t")
+    val n = CsvSource.writeVerified(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), s"$dir/csvv")
+    assert(n == 2L)
+  }
+
   test("ProfileSource.resolve: XOR contract (B1 intent)") {
     val dir = Files.createTempDirectory("graft-psrc").toString
     CsvSource.write(Seq((1L, "a")).toDF("id", "v").coalesce(1), s"$dir/csv")

@@ -131,6 +131,57 @@ object UserProfileJob {
   }
 }
 
+/** spark-submit entrypoint with the reference's `--conf-file` contract
+  * (`tasks/base.py:64-80`, `conf/deployment.json:5-20`): parse the JSON
+  * conf (date macros substituted), build the destination client from the
+  * connection registry, run the job, print the result summary.
+  *
+  *   spark-submit --class graft.jobs.UserProfileMain app.jar \
+  *     --conf-file conf/user_profile/clevertap.json
+  *
+  * Conf keys (flat JSON strings; *_json keys hold nested JSON):
+  * job_name, changelog_path, bookmark_path, key_col, ts_col,
+  * tiebreak_col, platform, mapping_path, type_map_json, swap_key_json,
+  * base_url, account_id, passcode, batch_size (optional, default 1000).
+  */
+object UserProfileMain {
+  def parseConf(m: Map[String, String]): UserProfileJob.Conf = {
+    def json2map(s: String): Map[String, String] = {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      import scala.jdk.CollectionConverters._
+      root.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    UserProfileJob.Conf(
+      jobName = m("job_name"),
+      changelogPath = m("changelog_path"),
+      bookmarkPath = m("bookmark_path"),
+      keyCol = m("key_col"),
+      tsCol = m("ts_col"),
+      tiebreakCol = m("tiebreak_col"),
+      platform = m("platform"),
+      mappingPath = m("mapping_path"),
+      typeMap = m.get("type_map_json").map(json2map).getOrElse(Map.empty),
+      swapKeyMap = m.get("swap_key_json").map(json2map).getOrElse(Map.empty),
+      batchSize = m.get("batch_size").map(_.toInt).getOrElse(1000))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val confPath = args.sliding(2).collectFirst {
+      case Array("--conf-file", p) => p
+    }.getOrElse(sys.error("usage: --conf-file <path>"))
+    val m = graft.core.AppConfig.load(confPath)
+    val conf = parseConf(m)
+    val spark = SparkSession.builder().appName(conf.jobName).getOrCreate()
+    val client = new graft.sink.ClevertapClient(
+      m("base_url"), m("account_id"), m("passcode"))
+    val res = UserProfileJob.run(spark, conf, b => client.uploadProfiles(b))
+    // counters the reference logs (TOTAL_RECORD_PROCESSED/SEND/INVALID)
+    println(s"""{"valid":${res.validRows},"invalid":${res.invalidRows},""" +
+      s""""batches":${res.sink.size},"ok":${res.sink.count(_.ok)}}""")
+    spark.stop()
+  }
+}
+
 /** Netcore-shaped job twin (reference `hooks/netcore.py:18-119` never got
   * a production task): same incremental pipeline, egress = CSV rows packed
   * into ≤4.5 MB staged files + one bulk-upload notification per file. */

@@ -155,6 +155,27 @@ class JobSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("UserProfileMain.parseConf: conf-file contract roundtrip with macros") {
+    val conf = java.nio.file.Files.createTempFile("graft-conf", ".json")
+    java.nio.file.Files.writeString(conf, """{
+      "job_name": "up_{today}",
+      "changelog_path": "/data/changelog",
+      "bookmark_path": "/data/bookmarks",
+      "key_col": "customer_id", "ts_col": "_commit_timestamp",
+      "tiebreak_col": "_commit_version", "platform": "clevertap",
+      "mapping_path": "/data/mapping",
+      "type_map_json": "{\"mobile\":\"mobile_sanity\",\"reward\":\"modify_reward\"}",
+      "swap_key_json": "{\"customer_id\":\"identity\"}",
+      "base_url": "https://api.example.com", "account_id": "a",
+      "passcode": "p", "batch_size": "500"}""")
+    val m = graft.core.AppConfig.load(conf.toString)
+    val parsed = graft.jobs.UserProfileMain.parseConf(m)
+    assert(parsed.jobName.startsWith("up_20")) // {today} macro substituted
+    assert(parsed.typeMap == Map("mobile" -> "mobile_sanity", "reward" -> "modify_reward"))
+    assert(parsed.swapKeyMap == Map("customer_id" -> "identity"))
+    assert(parsed.batchSize == 500)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

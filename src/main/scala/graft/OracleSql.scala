@@ -762,6 +762,33 @@ SELECT lang, COUNT(*) AS n_docs,
   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM surv GROUP BY 1 ORDER BY 1"""
 
+  /** q54: winnowing fingerprints (n=3 grams, w=4 windows, unsigned min,
+    * distinct) — same md5 gram hash as the Spark expression, so the
+    * fingerprint sets and pair-overlap counts match exactly. */
+  private val q54 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, i,
+    ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 16))::UBIGINT AS gh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3)),
+gl AS (SELECT doc_id, list(gh ORDER BY i) AS ghs FROM g GROUP BY 1),
+wins AS (
+  SELECT doc_id, list_min(list_slice(ghs, s, s + 3)) AS fp
+  FROM (SELECT doc_id, ghs,
+          unnest(generate_series(1, greatest(1, len(ghs) - 3))) AS s
+        FROM gl)),
+fd AS (SELECT DISTINCT doc_id, fp FROM wins),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fd a JOIN fd b USING (fp) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
+ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -817,5 +844,6 @@ FROM surv GROUP BY 1 ORDER BY 1"""
     "q51_range_join" -> q51,
     "q52_asof_join" -> q52,
     "q53_corpus_prep" -> q53,
+    "q54_winnow_pairs" -> q54,
   ).map { case (k, v) => k -> v.trim }
 }

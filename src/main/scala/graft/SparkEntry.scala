@@ -619,6 +619,14 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  private def q54_winnow_pairs(s: SparkSession, dir: String): DataFrame =
+    // Winnowing (MOSS) fingerprint overlap: pairs sharing >= 3 window-min
+    // gram hashes. md5-based hashes make the whole sketch reproducible by
+    // the SQL oracle.
+    Dedup.winnowedPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, w = 4, minShared = 3)
+      .orderBy("id_a", "id_b")
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -678,6 +686,7 @@ object SparkEntry {
     "q51_range_join" -> (q51_range_join _),
     "q52_asof_join" -> (q52_asof_join _),
     "q53_corpus_prep" -> (q53_corpus_prep _),
+    "q54_winnow_pairs" -> (q54_winnow_pairs _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

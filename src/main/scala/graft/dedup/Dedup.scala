@@ -199,6 +199,33 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) of normalized
+    * text: md5-hashed word n-grams, per-window unsigned minima, distinct.
+    * The standard robust document sketch: any shared run of n+w-1 tokens
+    * yields a shared fingerprint, and sketch size is ~2/(w+1) of the gram
+    * count — a tunable, bounded summary per document. */
+  def winnowFingerprints(textCol: Column, n: Int = 3, w: Int = 4): Column =
+    graft.functions.HashFunctions.winnowFingerprints(
+      split(normalizeText(textCol), " "), n, w)
+
+  /** Document pairs sharing at least `minShared` winnowed fingerprints.
+    * Candidates come from an (fp, id) explode + self-join — the shuffle
+    * carries 16-byte rows, never text; pair counting is one aggregation.
+    * Fingerprints are rare by construction (window minima), so fp buckets
+    * stay small and the join volume is near-linear in corpus size. */
+  def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, w: Int = 4, minShared: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+        explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+    val l = fps.select(col("fp"), col("id").as("id_a"))
+    val r = fps.select(col("fp"), col("id").as("id_b"))
+    l.join(r, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard pairs with prefix filtering (PPJoin-style).
     *
     * A naive shingle self-join explodes on common shingles (every shared

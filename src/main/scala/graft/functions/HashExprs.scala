@@ -166,6 +166,71 @@ case class ShingleHashExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) of a
+  * token array: hash every word n-gram (md5-low64 — cross-engine
+  * reproducible), slide a window of `w` consecutive gram hashes, keep the
+  * minimum of each window (UNSIGNED comparison, matching engines whose
+  * 64-bit min is unsigned), return the DISTINCT selected values sorted.
+  * Guarantees: any shared token run of length >= n + w - 1 contributes at
+  * least one shared fingerprint — the local-algorithm property that makes
+  * winnowed sets comparable across documents. Fewer than n tokens → empty.
+  */
+case class WinnowExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+  require(n >= 1 && w >= 1)
+  override protected def resultJava: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects array<string>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val nGrams = m - n + 1
+    val gh = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      gh(i) = TokenHash.md5Low64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val seen = new mutable.HashSet[Long]
+    val out = new mutable.ArrayBuffer[Long]()
+    val nWin = math.max(1, nGrams - w + 1)
+    var s = 0
+    while (s < nWin) {
+      var best = gh(s)
+      var k = s + 1
+      val end = math.min(s + w, nGrams)
+      while (k < end) {
+        if (java.lang.Long.compareUnsigned(gh(k), best) < 0) best = gh(k)
+        k += 1
+      }
+      if (seen.add(best)) out += best
+      s += 1
+    }
+    val res = out.toArray
+    java.util.Arrays.sort(res)
+    new GenericArrayData(res)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+}
+
 /** Intersection size of two SORTED long arrays via a single merge scan —
   * O(|a|+|b|) with no per-row hash set (Spark's array_intersect builds
   * one per row, the dominant cost in near-dup verification). */
@@ -212,6 +277,8 @@ object HashFunctions {
     wrap(MinHashSigExpr(exprOf(shingleHashes), k))
   def shingleHashes(tokens: Column, n: Int): Column =
     wrap(ShingleHashExpr(exprOf(tokens), n))
+  def winnowFingerprints(tokens: Column, n: Int, w: Int): Column =
+    wrap(WinnowExpr(exprOf(tokens), n, w))
   def sortedIntersectSize(a: Column, b: Column): Column =
     wrap(SortedIntersectSizeExpr(exprOf(a), exprOf(b)))
 }

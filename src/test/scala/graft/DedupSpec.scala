@@ -93,6 +93,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared n+w-1 token run guarantees a shared fingerprint") {
+    // n=3, w=4 ⇒ any shared run of 6 tokens must yield >= 1 shared fp
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d1 = s"one two $shared three four five six seven eight nine"
+    val d2 = s"uno dos tres $shared cuatro cinco seis siete ocho nueve"
+    val d3 = "completely different words with no overlap at all whatsoever here"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+        Dedup.winnowFingerprints($"text", n = 3, w = 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // sketch is bounded: fewer fingerprints than grams
+    assert(fps(1L).size <= d1.split(" ").length - 2)
+    // pairs operator finds the planted overlap only
+    val pairs = Dedup.winnowedPairs(df, "doc_id", "text", 3, 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("ngram jaccard pairs: exact overlap ratio") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 2, threshold = 0.3)

@@ -789,6 +789,31 @@ pairs AS (
 SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
 ORDER BY id_a, id_b"""
 
+  /** q55: KMV distinct sketch — same md5 hash, same k-th-min selection
+    * (unsigned), same exact-integer estimate ((k−1)·2⁶⁴ / kth via
+    * UHUGEINT), next to the exact distinct count. k = 64. */
+  private val q55 = """
+WITH toks AS (
+  SELECT lang,
+    unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+h AS (
+  SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks WHERE LENGTH(tok) > 0),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS nd
+  FROM h),
+est AS (
+  SELECT lang, MAX(nd) AS nd,
+    MAX(CASE WHEN rn = 64 THEN h END) AS kth
+  FROM ranked GROUP BY 1)
+SELECT lang, CAST(nd AS BIGINT) AS exact_distinct,
+  CAST(CASE WHEN nd < 64 THEN nd::UHUGEINT
+       ELSE 63::UHUGEINT * 18446744073709551616::UHUGEINT / kth::UHUGEINT
+       END AS BIGINT) AS kmv_estimate
+FROM est ORDER BY lang"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -845,5 +870,6 @@ ORDER BY id_a, id_b"""
     "q52_asof_join" -> q52,
     "q53_corpus_prep" -> q53,
     "q54_winnow_pairs" -> q54,
+    "q55_kmv_distinct" -> q55,
   ).map { case (k, v) => k -> v.trim }
 }

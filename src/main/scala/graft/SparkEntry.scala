@@ -627,6 +627,21 @@ object SparkEntry {
         n = 3, w = 4, minShared = 3)
       .orderBy("id_a", "id_b")
 
+  private def q55_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+    // KMV distinct sketch (custom typed Aggregator, bounded O(k) state,
+    // map-side mergeable) next to the exact count it approximates —
+    // exact-integer estimate math, verified bit-for-bit by the oracle.
+    import graft.analyze.KmvDistinct
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), explode(TA.tokens(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.select(col("lang"), KmvDistinct.md5Low64(col("tok")).as("h"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("exact_distinct"),
+        KmvDistinct.udafFor(64)(col("h")).as("kmv_estimate"))
+      .orderBy("lang")
+  }
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -687,6 +702,7 @@ object SparkEntry {
     "q52_asof_join" -> (q52_asof_join _),
     "q53_corpus_prep" -> (q53_corpus_prep _),
     "q54_winnow_pairs" -> (q54_winnow_pairs _),
+    "q55_kmv_distinct" -> (q55_kmv_distinct _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

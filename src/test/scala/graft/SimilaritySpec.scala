@@ -55,6 +55,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("KmvDistinct: exact below k, ~accurate above, merge-order invariant") {
+    val agg = new graft.analyze.KmvDistinct(16)
+    // spark-side estimate over 1000 distinct values, k=16
+    val df = (1 to 1000).map(i => s"v$i").toDF("v")
+      .select(graft.analyze.KmvDistinct.md5Low64($"v").as("h"))
+    val est = df.agg(graft.analyze.KmvDistinct.udafFor(16)($"h")).head.getLong(0)
+    assert(est > 400 && est < 2500, s"estimate $est for 1000 distinct")
+    // exact when below k
+    val estSmall = (1 to 9).map(i => s"v$i").toDF("v")
+      .select(graft.analyze.KmvDistinct.md5Low64($"v").as("h"))
+      .agg(graft.analyze.KmvDistinct.udafFor(16)($"h")).head.getLong(0)
+    assert(estSmall == 9L)
+    // merge is order-invariant (associative/commutative trim-union)
+    val rnd = new scala.util.Random(3)
+    val raw = Array.fill(200)(rnd.nextLong())
+    val a = raw.take(100).foldLeft(agg.zero)(agg.reduce)
+    val b = raw.drop(100).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(a, b)) == agg.finish(agg.merge(b, a)))
+    assert(agg.finish(agg.merge(a, b)) ==
+      agg.finish(raw.foldLeft(agg.zero)(agg.reduce)))
+  }
+
   test("cosineNearDups finds planted near-identical vectors") {
     val base = Array.fill(16)(0.5f)
     val tweaked = base.clone(); tweaked(0) = 0.51f

@@ -814,6 +814,16 @@ SELECT lang, CAST(nd AS BIGINT) AS exact_distinct,
        END AS BIGINT) AS kmv_estimate
 FROM est ORDER BY lang"""
 
+  /** q56: exact interpolated percentiles — quantile_cont matches Spark's
+    * percentile() bitwise (same interpolation formula on sorted doubles). */
+  private val q56 = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -871,5 +881,6 @@ FROM est ORDER BY lang"""
     "q53_corpus_prep" -> q53,
     "q54_winnow_pairs" -> q54,
     "q55_kmv_distinct" -> q55,
+    "q56_percentiles" -> q56,
   ).map { case (k, v) => k -> v.trim }
 }

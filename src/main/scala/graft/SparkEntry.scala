@@ -642,6 +642,19 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  private def q56_percentiles(s: SparkSession, dir: String): DataFrame =
+    // Exact interpolated percentiles: Spark's percentile() and DuckDB's
+    // quantile_cont use the same (1-g)*a + g*b interpolation — verified
+    // bitwise. (percentile_approx is the sketch alternative; it is NOT
+    // cross-engine comparable, which is why the exact form is the gate.)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -703,6 +716,7 @@ object SparkEntry {
     "q53_corpus_prep" -> (q53_corpus_prep _),
     "q54_winnow_pairs" -> (q54_winnow_pairs _),
     "q55_kmv_distinct" -> (q55_kmv_distinct _),
+    "q56_percentiles" -> (q56_percentiles _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

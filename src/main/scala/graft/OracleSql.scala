@@ -824,6 +824,37 @@ SELECT o_orderstatus,
   COUNT(*) AS n
 FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** q57: batch sessionization — gaps-and-islands twin of Spark's
+    * session_window (new session when the gap is >= 30 min, i.e. the
+    * event lands at or past the previous session's end; session end =
+    * last event + gap). */
+  private val q57 = """
+WITH e AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+  /** q58: pivot ≡ conditional aggregation. */
+  private val q58 = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -882,5 +913,7 @@ FROM orders GROUP BY 1 ORDER BY 1"""
     "q54_winnow_pairs" -> q54,
     "q55_kmv_distinct" -> q55,
     "q56_percentiles" -> q56,
+    "q57_session_agg" -> q57,
+    "q58_pivot" -> q58,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -655,6 +655,29 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  private def q57_session_agg(s: SparkSession, dir: String): DataFrame =
+    // Batch sessionization with the SAME session_window operator the
+    // streaming path uses: sessions extend while events arrive within the
+    // gap; session end = last event + gap. Oracle = gaps-and-islands SQL.
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private def q58_pivot(s: SparkSession, dir: String): DataFrame =
+    // Pivot: per-user event-type counts as columns (Spark relational
+    // pivot ≡ conditional aggregation — which is exactly the oracle SQL).
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -717,6 +740,8 @@ object SparkEntry {
     "q54_winnow_pairs" -> (q54_winnow_pairs _),
     "q55_kmv_distinct" -> (q55_kmv_distinct _),
     "q56_percentiles" -> (q56_percentiles _),
+    "q57_session_agg" -> (q57_session_agg _),
+    "q58_pivot" -> (q58_pivot _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

@@ -855,6 +855,24 @@ SELECT user_id,
   COUNT(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** q59: the multimodal roundtrip — synthesized header dims are pure
+    * arithmetic on text length, so the decode/feature/resize pipeline is
+    * verifiable end-to-end without a codec. */
+  private val q59 = """
+WITH m AS (
+  SELECT doc_id AS media_id, CAST(LENGTH("text") AS BIGINT) AS n FROM documents),
+d AS (
+  SELECT media_id,
+    CAST(64 + n % 512 AS INTEGER) AS width,
+    CAST(64 + (n * 7) % 512 AS INTEGER) AS height,
+    3 AS channels
+  FROM m)
+SELECT media_id, width, height, channels,
+  CAST(width AS DOUBLE) / CAST(height AS DOUBLE) AS aspect,
+  CAST(ceil(width * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS target_w,
+  CAST(ceil(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS target_h
+FROM d ORDER BY media_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -915,5 +933,6 @@ FROM events GROUP BY 1 ORDER BY 1"""
     "q56_percentiles" -> q56,
     "q57_session_agg" -> q57,
     "q58_pivot" -> q58,
+    "q59_media_roundtrip" -> q59,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -678,6 +678,22 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy("user_id")
 
+  private def q59_media_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    // Multimodal plumbing under the oracle gate: synthesize deterministic
+    // binary media from doc lengths → decode (stub header parse) →
+    // feature/resize plan. The oracle recomputes the dims arithmetically,
+    // so a hash match proves the binary encode→decode roundtrip and the
+    // partition-local decode pipeline preserve the metadata exactly.
+    import graft.multimodal.MultiModal
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val media = MultiModal.synthesizeFromDocs(docs)
+    MultiModal.resizePlan(MultiModal.extractImageFeatures(media), maxSide = 256)
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        col("aspect"), col("target_w"), col("target_h"))
+      .orderBy("media_id")
+  }
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -742,6 +758,7 @@ object SparkEntry {
     "q56_percentiles" -> (q56_percentiles _),
     "q57_session_agg" -> (q57_session_agg _),
     "q58_pivot" -> (q58_pivot _),
+    "q59_media_roundtrip" -> (q59_media_roundtrip _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

@@ -873,6 +873,18 @@ SELECT media_id, width, height, channels,
   CAST(ceil(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS target_h
 FROM d ORDER BY media_id"""
 
+  /** q60: trailing-hour RANGE frame over epoch seconds; null values sum
+    * to NULL in both engines unless absent — decimal-exact rounding per
+    * the parity policy. */
+  private val q60 = """
+SELECT event_id, user_id, ts,
+  COUNT(*) OVER w AS n_last_hour,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -934,5 +946,6 @@ FROM d ORDER BY media_id"""
     "q57_session_agg" -> q57,
     "q58_pivot" -> q58,
     "q59_media_roundtrip" -> q59,
+    "q60_range_frame" -> q60,
   ).map { case (k, v) => k -> v.trim }
 }

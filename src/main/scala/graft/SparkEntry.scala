@@ -694,6 +694,21 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  private def q60_range_frame(s: SparkSession, dir: String): DataFrame = {
+    // RANGE frame: per user, events and value-sum within the trailing
+    // hour (inclusive) — ordered by epoch seconds so both engines frame
+    // identically; value summed decimal-exact per the parity policy.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum(col("value").cast("decimal(18,6)")).over(w), 4)
+          .cast("double").as("value_last_hour"))
+      .orderBy("event_id")
+  }
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -759,6 +774,7 @@ object SparkEntry {
     "q57_session_agg" -> (q57_session_agg _),
     "q58_pivot" -> (q58_pivot _),
     "q59_media_roundtrip" -> (q59_media_roundtrip _),
+    "q60_range_frame" -> (q60_range_frame _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => SortedIntersectSizeExpr(args.head, args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => WinnowExpr(args.head,
+        intArg(args(1), "winnow_fingerprints"), intArg(args(2), "winnow_fingerprints"))))
+    ext.injectFunction((
       new FunctionIdentifier("dot_exact"),
       new ExpressionInfo(classOf[DotExactExpr].getName, "dot_exact"),
       (args: Seq[Expression]) => DotExactExpr(args.head, args(1))))

@@ -39,6 +39,10 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       // md5-based simhash differs from the xxhash64 default
       assert(vec.getAs[Long]("shm") !=
         spark.sql("SELECT simhash64(array('a','b')) AS v").head.getLong(0))
+      val wf = spark.sql(
+        "SELECT winnow_fingerprints(array('a','b','c','d','e','f'), 3, 2) AS w")
+        .head.getSeq[Long](0)
+      assert(wf.nonEmpty && wf.size <= 4)
       // parity with the Column API
       import org.apache.spark.sql.functions._
       import spark.implicits._

@@ -885,6 +885,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+  /** q61: column profile — one UNION ALL branch per column. */
+  private val q61 = """
+SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+  COUNT(*) FILTER (o_custkey IS NULL) AS n_nulls,
+  COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) FILTER (o_orderdate IS NULL),
+  COUNT(DISTINCT o_orderdate) FROM orders
+UNION ALL
+SELECT 'o_orderkey', COUNT(*), COUNT(*) FILTER (o_orderkey IS NULL),
+  COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) FILTER (o_orderpriority IS NULL),
+  COUNT(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) FILTER (o_orderstatus IS NULL),
+  COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) FILTER (o_totalprice IS NULL),
+  COUNT(DISTINCT o_totalprice) FROM orders
+ORDER BY col_name"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -947,5 +969,6 @@ ORDER BY event_id"""
     "q58_pivot" -> q58,
     "q59_media_roundtrip" -> q59,
     "q60_range_frame" -> q60,
+    "q61_column_profile" -> q61,
   ).map { case (k, v) => k -> v.trim }
 }

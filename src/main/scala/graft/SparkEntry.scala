@@ -709,6 +709,14 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  private def q61_column_profile(s: SparkSession, dir: String): DataFrame =
+    // Ingest-QA column profile: rows/nulls/distincts per column in ONE
+    // aggregation pass + unpivot.
+    TA.columnProfile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+      .orderBy("col_name")
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -775,6 +783,7 @@ object SparkEntry {
     "q58_pivot" -> (q58_pivot _),
     "q59_media_roundtrip" -> (q59_media_roundtrip _),
     "q60_range_frame" -> (q60_range_frame _),
+    "q61_column_profile" -> (q61_column_profile _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

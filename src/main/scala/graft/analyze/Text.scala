@@ -103,4 +103,22 @@ object TextAnalysis {
         sum(length(col(textCol)).cast("long")).as("total_chars"),
         min(length(col(textCol))).as("min_chars"),
         max(length(col(textCol))).as("max_chars"))
+
+  /** Data-quality column profile: one row per column with row/null/
+    * distinct counts — the standard ingest QA pass before a corpus joins
+    * a training pipeline. All counts computed in a single aggregation
+    * (Catalyst expands the multi-distinct into its Expand plan), then
+    * unpivoted; no per-column scans of the table. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+        col(s"__n_$c").as("n_nulls"), col(s"__d_$c").as("n_distinct"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
 }

@@ -907,6 +907,49 @@ SELECT 'o_totalprice', COUNT(*), COUNT(*) FILTER (o_totalprice IS NULL),
   COUNT(DISTINCT o_totalprice) FROM orders
 ORDER BY col_name"""
 
+  /** q62: top-k cosine over 8-bit quantize→dequantize embeddings — same
+    * quantization arithmetic (fixed op order, half-away-from-zero round),
+    * exact-decimal cosine, same tiebreaks. */
+  private val q62 = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+mm AS (
+  SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,
+    CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM e),
+e2 AS (
+  SELECT x.vec_id, x.i,
+    CASE WHEN (mm.mx - mm.mn) > 0
+      THEN mm.mn + (round(((CAST(x.x AS DOUBLE) - mm.mn) / (mm.mx - mm.mn)) * 255.0) * (mm.mx - mm.mn)) / 255.0
+      ELSE CAST(x.x AS DOUBLE) END AS x
+  FROM (SELECT vec_id, embedding[i] AS x, i
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS i
+              FROM e)) x
+  JOIN mm ON mm.vec_id = x.vec_id),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i
+  WHERE a.vec_id < 80 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+cosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(na.n2) * sqrt(nb.n2) > 0
+         THEN dot / (sqrt(na.n2) * sqrt(nb.n2)) ELSE 0.0 END AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS "rank"
+  FROM cosv)
+SELECT query_id, neighbor_id, cos, "rank" FROM r
+WHERE "rank" <= 3 ORDER BY query_id, "rank""""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -970,5 +1013,6 @@ ORDER BY col_name"""
     "q59_media_roundtrip" -> q59,
     "q60_range_frame" -> q60,
     "q61_column_profile" -> q61,
+    "q62_quantized_topk" -> q62,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -717,6 +717,32 @@ object SparkEntry {
           "o_orderdate", "o_orderpriority"))
       .orderBy("col_name")
 
+  private def q62_quantized_topk(s: SparkSession, dir: String): DataFrame = {
+    // ANN over 8-bit quantized embeddings (the 4x-storage scale path):
+    // exact-decimal cosine on the dequantized vectors, top-3 per query.
+    // Deterministic quantization arithmetic → fully oracle-verified, so
+    // the recall cost of quantization is measurable, not guessed.
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        Similarity.quantizeDequantize(col("embedding")).as("dq"))
+    val q = emb.filter(col("vec_id") < 80)
+      .select(col("vec_id").as("query_id"), col("dq").as("qv"),
+        Similarity.dotExact(col("dq"), col("dq")).as("qn2"))
+    val c = Similarity.ensureParallelism(emb)
+      .select(col("vec_id").as("neighbor_id"), col("dq").as("cv"),
+        Similarity.dotExact(col("dq"), col("dq")).as("cn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("qv"), col("cv")), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -784,6 +810,7 @@ object SparkEntry {
     "q59_media_roundtrip" -> (q59_media_roundtrip _),
     "q60_range_frame" -> (q60_range_frame _),
     "q61_column_profile" -> (q61_column_profile _),
+    "q62_quantized_topk" -> (q62_quantized_topk _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

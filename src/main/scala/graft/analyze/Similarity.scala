@@ -148,6 +148,23 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Per-vector uniform 8-bit quantize→dequantize: 255 levels across
+    * [min, max] of the vector — the storage scale path (4x smaller
+    * embeddings) whose recall cost this library can MEASURE because the
+    * arithmetic is deterministic and engine-reproducible:
+    * q = round((x−mn)/span·255), dq = mn + q·span/255 (exact IEEE ops in
+    * a fixed order; round is half-away-from-zero in both engines).
+    * Degenerate span keeps the original value. */
+  def quantizeDequantize(vec: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val mx = array_max(vec).cast("double")
+    val span = mx - mn
+    transform(vec, x =>
+      when(span > 0,
+        mn + (round(((x.cast("double") - mn) / span) * 255.0, 0) * span) / 255.0)
+        .otherwise(x.cast("double")))
+  }
+
   /** EXACT cosine-threshold pairs by brute force over all id pairs —
     * the correctness baseline for cosineNearDups. O(n²) in pairs: on a
     * cluster, bound `df` (sample or pre-filter) before calling; for dense

@@ -196,8 +196,10 @@ object NetcoreUserProfileJob {
     val ((staged, nInvalid), newBookmark) =
       UserProfileJob.withPrepared(spark, conf) { p =>
         val cols = p.renamed.columns.toSeq
-        // CSV line per record (reference stages header + rows; quoting via
-        // to_csv-equivalent concat_ws on sanitized strings)
+        // CSV line per record. NOTE: values are sanity-normalized strings
+        // (digits, dates, plain identifiers); fields containing commas or
+        // quotes would need RFC-4180 quoting before this join — match the
+        // type map to the destination schema accordingly.
         val csv = p.renamed.select(
           Sanity.identity(Seq(col(p.keyOut))).as("identity"),
           concat_ws(",", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)

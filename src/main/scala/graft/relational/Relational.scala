@@ -38,9 +38,12 @@ object Relational {
     val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
       lit(1).as("__side"), lit(Long.MaxValue).as("__tb"),
       lit(null).cast(rPayloadType).as("__p"), lStruct.as("__l"))
-    val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
-      lit(0).as("__side"), col(tiebreak).cast("long").as("__tb"),
-      pStruct.as("__p"), lit(null).cast(lStructType).as("__l"))
+    // null right timestamps can never satisfy rightTs <= leftTs — drop
+    // them here, or they'd sort before everything and match spuriously
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+        lit(0).as("__side"), col(tiebreak).cast("long").as("__tb"),
+        pStruct.as("__p"), lit(null).cast(lStructType).as("__l"))
     val unioned = r.unionByName(l)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc_nulls_first, col("__side").asc, col("__tb").asc)

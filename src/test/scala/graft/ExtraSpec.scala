@@ -110,8 +110,11 @@ class ExtraSpec extends SparkSpec {
       (10L, ts("2024-01-02 00:00:00"), 20L, 250.0), // equal ts, larger key wins tiebreak
       (10L, ts("2024-01-04 00:00:00"), 3L, 300.0)
     ).toDF("user_id", "odate", "okey", "price")
+    val rightWithNull = right.union(
+      Seq((10L, null.asInstanceOf[java.sql.Timestamp], 99L, 999.0))
+        .toDF("user_id", "odate", "okey", "price"))
     val rows = graft.relational.Relational.asofJoinBackward(
-        left, right, key = "user_id", leftTs = "ts", rightTs = "odate",
+        left, rightWithNull, key = "user_id", leftTs = "ts", rightTs = "odate",
         tiebreak = "okey", payload = Seq("okey", "price"))
       .select($"event_id", $"matched_okey", $"matched_price")
       .collect().map(r => r.getLong(0) ->

@@ -103,6 +103,22 @@ class PlanSpec extends SparkSpec {
     assert(planString(q("q07_anti_join")).contains("LeftAnti"))
   }
 
+  test("partitioned layout prunes directories: filter lands in PartitionFilters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.source.Layout.writePartitioned(
+      Tables.load(spark, sf, "events").select("event_id", "ts", "event_type", "value"),
+      s"$dir/events_p", Seq("event_type"))
+    val df = graft.source.Layout.readPartitioned(spark, s"$dir/events_p")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "value")
+    val s1 = planString(df)
+    assert(s1.contains("PartitionFilters") &&
+      s1.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("event_type")), s1)
+    // the data filter must NOT appear as a row-level pushed filter — it
+    // was satisfied entirely by directory pruning
+    assert(!s1.contains("PushedFilters: [IsNotNull(event_type)"), s1)
+  }
+
   test("bucketed tables co-locate the join: no exchange in the join plan") {
     // The 100 TB pattern for repeated fact-fact joins: bucket both sides
     // on the join key at write time; the sort-merge join then needs no

@@ -51,21 +51,34 @@ object Bookmarks {
   }
 
   /** Upsert the bookmark after a successful run (read-merge-write; the
-    * table is metadata-sized). */
+    * table is metadata-sized). The new table is staged to a sibling path
+    * and swapped in with delete+rename, so a crash mid-upsert leaves the
+    * OLD bookmark intact (re-running the job re-sends, never skips) —
+    * a plain overwrite deletes first and a crash then loses every
+    * bookmark. Rename is atomic on HDFS/file; on object stores prefer a
+    * transactional table for this metadata. */
   def upsert(spark: SparkSession, bookmarkPath: String, jobName: String,
              ts: Timestamp): Unit = {
     import spark.implicits._
     val updated = lookupAll(spark, bookmarkPath)
       .filter(_._1 != jobName) :+ (jobName, ts)
+    val tmp = bookmarkPath.stripSuffix("/") + "__staging"
     updated.toDF("query_name", "last_job_run")
-      .coalesce(1).write.mode("overwrite").parquet(bookmarkPath)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(bookmarkPath), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(bookmarkPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
   private def lookupAll(spark: SparkSession, path: String): Seq[(String, Timestamp)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) Seq.empty
-    else spark.read.parquet(path).collect()
+    else spark.read.parquet(path)
+      .select("query_name", "last_job_run") // by name, not position
+      .collect()
       .map(r => (r.getString(0), r.getTimestamp(1))).toSeq
   }
 }

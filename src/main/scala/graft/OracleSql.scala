@@ -950,6 +950,35 @@ r AS (
 SELECT query_id, neighbor_id, cos, "rank" FROM r
 WHERE "rank" <= 3 ORDER BY query_id, "rank""""
 
+  /** q63: connected components over the q42 pair graph — recursive-CTE
+    * transitive closure; cluster label = min reachable id. */
+  private val q63 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE)
+    / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1014,5 +1043,6 @@ WHERE "rank" <= 3 ORDER BY query_id, "rank""""
     "q60_range_frame" -> q60,
     "q61_column_profile" -> q61,
     "q62_quantized_topk" -> q62,
+    "q63_neardup_clusters" -> q63,
   ).map { case (k, v) => k -> v.trim }
 }

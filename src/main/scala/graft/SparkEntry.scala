@@ -743,6 +743,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def q63_neardup_clusters(s: SparkSession, dir: String): DataFrame = {
+    // Near-dup survivorship: exact Jaccard pairs → connected components
+    // (min-label clusters) → per-cluster membership. Deterministic labels
+    // (min reachable id) make survivorship reproducible and oracle-able
+    // (recursive-CTE transitive closure on the DuckDB side).
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.4)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -811,6 +823,7 @@ object SparkEntry {
     "q60_range_frame" -> (q60_range_frame _),
     "q61_column_profile" -> (q61_column_profile _),
     "q62_quantized_topk" -> (q62_quantized_topk _),
+    "q63_neardup_clusters" -> (q63_neardup_clusters _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

@@ -226,6 +226,53 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Connected components over a pair graph (near-dup clusters): each
+    * node's label converges to the MINIMUM id reachable from it —
+    * deterministic, so survivorship ("keep the lowest id per cluster")
+    * is reproducible. Iterative min-label propagation: per round, every
+    * node takes min(own label, neighbors' labels); rounds ≤ graph
+    * diameter (capped by `maxIter`).
+    *
+    * Scale posture: each round is one join + one aggregation on
+    * (id, label) pairs — narrow 16-byte rows; the frontier is
+    * MATERIALIZED per round (persist + count) so lineage stays O(1)
+    * instead of exponential, and the previous round unpersists. This is
+    * the standard large-graph CC shape (label propagation) — for
+    * power-law graphs at extreme scale swap in large-star/small-star
+    * (Kiveris et al., CIKM'14); dedup pair graphs are near-forests, so
+    * plain propagation converges in a handful of rounds. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var i = 0
+      var converged = false
+      while (!converged && i < maxIter) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+        val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = updated.as("u").join(labels.as("l"), Seq("id"))
+          .filter(col("u.label") =!= col("l.label")).count()
+        labels.unpersist(blocking = false)
+        labels = updated
+        converged = changed == 0
+        i += 1
+      }
+      // the result STAYS persisted (it was materialized by the
+      // convergence counts); never collected — clusters can be huge.
+      // The cache frees on the ContextCleaner once unreferenced.
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Exact n-gram Jaccard pairs with prefix filtering (PPJoin-style).
     *
     * A naive shingle self-join explodes on common shingles (every shared

@@ -93,6 +93,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains merge, disjoint stay apart, labels are min") {
+    // chain 1-2-3-4 (diameter 3), pair (10,11), singleton edge (20,21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("winnowing: shared n+w-1 token run guarantees a shared fingerprint") {
     // n=3, w=4 ⇒ any shared run of 6 tokens must yield >= 1 shared fp
     val shared = "alpha beta gamma delta epsilon zeta"

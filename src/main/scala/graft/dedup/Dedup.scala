@@ -255,12 +255,20 @@ object Dedup {
       while (!converged && i < maxIter) {
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
-        val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-          .select(labels("id"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        val newLabel =
+          least(labels("label"), coalesce(col("nlabel"), labels("label")))
+        // the change count rides the SAME action that materializes the
+        // round (Observation listener) — one Spark job per round, not two
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
+        val updated = labels
+          .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(labels("id"), newLabel.as("label"),
+            (newLabel =!= labels("label")).as("__chg"))
+          .observe(obs, sum(col("__chg").cast("long")).as("n_changed"))
+          .drop("__chg")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = updated.as("u").join(labels.as("l"), Seq("id"))
-          .filter(col("u.label") =!= col("l.label")).count()
+        updated.count()
+        val changed = obs.get("n_changed").asInstanceOf[Long]
         labels.unpersist(blocking = false)
         labels = updated
         converged = changed == 0

@@ -73,6 +73,11 @@ object KmvDistinct {
   def udafFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KmvDistinct(k))
 
+  /** SQL-surface registration (UDAFs register per session, not via
+    * SparkSessionExtensions): `SELECT kmv_distinct_64(h) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession, k: Int): Unit =
+    spark.udf.register(s"kmv_distinct_$k", udafFor(k))
+
   /** Engine-portable 64-bit hash of a string column: first 16 md5 hex
     * chars as a big-endian long — all codegen'd built-ins; equal to
     * DuckDB's ('0x'||substr(md5(c),1,16))::UBIGINT bit pattern. */

@@ -75,6 +75,11 @@ class SimilaritySpec extends SparkSpec {
     assert(agg.finish(agg.merge(a, b)) == agg.finish(agg.merge(b, a)))
     assert(agg.finish(agg.merge(a, b)) ==
       agg.finish(raw.foldLeft(agg.zero)(agg.reduce)))
+    // SQL-surface registration
+    graft.analyze.KmvDistinct.register(spark, 16)
+    df.createOrReplaceTempView("kmv_in")
+    assert(spark.sql("SELECT kmv_distinct_16(h) AS e FROM kmv_in")
+      .head.getLong(0) == est)
   }
 
   test("cosineNearDups finds planted near-identical vectors") {

@@ -979,6 +979,17 @@ reach AS (
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 ORDER BY doc_id"""
 
+  /** q64: corpus bigram top-20 (deterministic tiebreak on the bigram). */
+  private val q64 = """
+WITH t AS (
+  SELECT string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t))
+SELECT bigram, COUNT(*) AS n FROM b
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1044,5 +1055,6 @@ ORDER BY doc_id"""
     "q61_column_profile" -> q61,
     "q62_quantized_topk" -> q62,
     "q63_neardup_clusters" -> q63,
+    "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -755,6 +755,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q64_bigram_topk(s: SparkSession, dir: String): DataFrame =
+    // n-gram LM statistics: corpus bigram counts (the unigram pass is
+    // q31). Bigrams formed by zipping the token array with its own tail —
+    // narrow, no per-row regex beyond tokenization.
+    t(s, dir, "documents")
+      .select(TA.tokens(lower(col("text"))).as("toks"))
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
   private def q49_cosine_pairs_exact(s: SparkSession, dir: String): DataFrame =
     // Exact brute-force cosine-threshold pairs over a 10% id-sample —
     // the positive-yield correctness baseline for the LSH near-dup path
@@ -824,6 +839,7 @@ object SparkEntry {
     "q61_column_profile" -> (q61_column_profile _),
     "q62_quantized_topk" -> (q62_quantized_topk _),
     "q63_neardup_clusters" -> (q63_neardup_clusters _),
+    "q64_bigram_topk" -> (q64_bigram_topk _),
     "q40_minhash_neardups" -> (q40_minhash_neardups _),
     "q41_simhash_neardups" -> (q41_simhash_neardups _),
     "q42_ngram_jaccard" -> (q42_ngram_jaccard _),

@@ -82,6 +82,24 @@ class SimilaritySpec extends SparkSpec {
       .head.getLong(0) == est)
   }
 
+  test("native expression edge semantics: nulls, length mismatch, bad types") {
+    // length mismatch and null arrays → null (the fold's poison semantics)
+    val df = Seq(
+      (1L, Some(Array(1f, 2f)), Some(Array(1f, 2f, 3f))),  // length mismatch
+      (2L, None, Some(Array(1f, 2f))),                     // null side
+      (3L, Some(Array(1f, 2f)), Some(Array(3f, 4f)))       // fine
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", Similarity.dotExact($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+    assert(got(3L).contains(11.0))
+    // wrong input type fails analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b")
+        .select(Similarity.dotExact($"a", $"b")).collect()
+    }
+  }
+
   test("cosineNearDups finds planted near-identical vectors") {
     val base = Array.fill(16)(0.5f)
     val tweaked = base.clone(); tweaked(0) = 0.51f

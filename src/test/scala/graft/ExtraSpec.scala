@@ -125,6 +125,19 @@ class ExtraSpec extends SparkSpec {
     assert(rows(4L).isEmpty)
   }
 
+  test("rangeBinJoin: interval membership, open upper bin, out-of-range null") {
+    val facts = Seq((1L, 5.0), (2L, 10.0), (3L, 250.0), (4L, -1.0))
+      .toDF("id", "value")
+    val bins = Seq(("low", 0.0, Some(10.0)), ("mid", 10.0, Some(100.0)),
+      ("high", 100.0, None)).toDF("tier", "lo", "hi")
+      .select($"tier", $"lo", $"hi".cast("double"))
+    val got = graft.relational.Relational.rangeBinJoin(facts, bins, "value")
+      .select($"id", $"tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("low"), 2L -> Some("mid"), // boundary joins upper bin
+      3L -> Some("high"), 4L -> None))                      // below all bins → null
+  }
+
   test("streaming: sliding + session windows and stream-static enrichment") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     Tables.load(spark, "/root/testdata/sf0.001", "events")

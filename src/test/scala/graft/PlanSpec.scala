@@ -127,8 +127,8 @@ class PlanSpec extends SparkSpec {
     val c = Tables.load(spark, sf, "customer")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
-    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
-    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    graft.source.Layout.writeBucketed(o, "orders_b", "o_custkey", 8)
+    graft.source.Layout.writeBucketed(c, "customer_b", "c_custkey", 8)
     val joined = spark.table("orders_b")
       .join(spark.table("customer_b"),
         col("o_custkey") === col("c_custkey"))

@@ -80,6 +80,24 @@ object StreamingDedup {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream–stream interval join: left events match right
+    * events of the same key with rightTs in [leftTs − bound, leftTs].
+    * Both sides carry watermarks, and the time-range predicate bounds the
+    * join state — Spark evicts buffered rows once the watermark passes
+    * the interval, so state is O(events within the bound), not the
+    * stream history. The canonical attribution shape (view → purchase). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   bound: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $bound") &&
+        r(rightTs) <= l(leftTs))
+      .drop(r(key)) // single unambiguous key column in the output
+  }
+
   /** Streaming egress: the streaming twin of HttpSink.sendBatchesKeyed.
     * Each micro-batch runs the batch sink with an idempotency key
     * prefixed by the epoch id — Structured Streaming replays whole

@@ -176,6 +176,35 @@ class ExtraSpec extends SparkSpec {
     assert(enriched.columns.contains("weight"))
   }
 
+  test("streaming: watermarked stream-stream interval join (attribution shape)") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), "purchase"),
+        (1L, ts("2024-01-01 12:00:00"), "purchase"),
+        (2L, ts("2024-01-01 10:30:00"), "purchase"))
+      .toDF("user_id", "p_ts", "p_type").write.parquet(s"$dir/purchases")
+    Seq((1L, ts("2024-01-01 09:40:00"), "view"),  // within 1h of 10:00 purchase
+        (1L, ts("2024-01-01 08:00:00"), "view"),  // too early for both
+        (2L, ts("2024-01-01 10:00:00"), "view"))  // within 1h of 10:30
+      .toDF("user_id", "v_ts", "v_type").write.parquet(s"$dir/views")
+    val pSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("p_ts", TimestampType), StructField("p_type", StringType)))
+    val vSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("v_ts", TimestampType), StructField("v_type", StringType)))
+    val joined = StreamingDedup.intervalJoin(
+      StreamingDedup.changelogStream(spark, s"$dir/purchases", pSchema),
+      StreamingDedup.changelogStream(spark, s"$dir/views", vSchema),
+      key = "user_id", leftTs = "p_ts", rightTs = "v_ts",
+      bound = "1 HOUR", watermark = "10 minutes")
+    StreamingDedup.runToMemory(joined, "ssj_out", OutputMode.Append())
+    val got = spark.table("ssj_out")
+      .select($"user_id", $"p_ts", $"v_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 09:40:00.0"),
+      (2L, "2024-01-01 10:30:00.0", "2024-01-01 10:00:00.0")))
+  }
+
   test("streaming: foreachBatch egress with epoch-keyed idempotency") {
     val dir = Files.createTempDirectory("graft-stream4").toString
     (1 to 25).map(i => s"""{"i":$i}""").toDF("payload").write.parquet(s"$dir/in")

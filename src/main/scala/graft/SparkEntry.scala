@@ -9,7 +9,7 @@ import graft.dedup.Dedup
 import graft.transform.Sanity
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2),
-  * with a DuckDB-equivalent oracle for every SQL-expressible query.
+  * with a DuckDB-equivalent oracle for EVERY query (64/64 hash-match).
   *
   * Determinism policy (so Spark parquet output hash-matches the DuckDB
   * oracle bitwise):
@@ -18,7 +18,16 @@ import graft.transform.Sanity
   *  - avg = cast(sum_dec as double) / cast(count as double) — identical
   *    IEEE division in both engines;
   *  - every query ends in a total-order sort;
-  *  - count-like outputs are pinned to BIGINT on both sides.
+  *  - count-like outputs are pinned to BIGINT on both sides;
+  *  - HASH-BASED operators (simhash, winnowing, KMV, LSH, IVF) use
+  *    engine-portable hashes — the first 16 md5 hex chars as a 64-bit
+  *    value, reproducible in SQL as ('0x'||substr(md5(x),1,16))::UBIGINT
+  *    — and APPROXIMATE operators are made deterministic (md5-derived
+  *    hyperplanes, sampled centroids), so their oracles implement the
+  *    SAME algorithm in SQL and candidate sets match by construction;
+  *  - vector math uses the exact-decimal fold (DotExactExpr): each
+  *    product rounded to 12 dp exactly like the double→decimal cast,
+  *    summed exactly — repartitioning can never change a result.
   */
 object SparkEntry {
 

@@ -1,23 +1,49 @@
 package graft.analyze
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
   * path beside LSH (SURVEY §2.4): k-means centroids partition the corpus
   * into `nlist` cells; a query scores only the `nprobe` nearest cells.
   *
-  * Build is one MLlib k-means fit + a narrow cell-assignment pass;
-  * search shuffles only the probed cells. Centroids are metadata-sized
-  * (nlist × dim floats) and ride to executors via a broadcast join of the
-  * query→cell probe table.
+  * Scale design (the 100 TB posture):
+  *   - Centroids never enter the Catalyst tree. They live in a single-row
+  *     relation (`array<array<double>>`) that rides ONE broadcast to the
+  *     executors; plan size, tree hashing, and codegen are O(1) in
+  *     `nlist` (plan-literal centroids were the round-2 anti-pattern —
+  *     O(nlist·dim) literals walked by every plan compare).
+  *   - Assignment and probe selection are per-row native kernels
+  *     (IvfAssignExpr / IvfProbesExpr) — narrow passes, no shuffle, no
+  *     driver participation, so they distribute over any corpus or query
+  *     table size.
+  *   - Search shuffles only probed candidates. The probe table is
+  *     (query_id, cell) ids-only and is broadcast: the cell key has just
+  *     `nlist` distinct values, so a hash-partitioned join on it would be
+  *     inherently skewed; broadcasting the id-pairs sidesteps that and
+  *     stays tiny (~12 bytes/query/probe) even at 10⁸ queries. Query
+  *     vectors join back by high-cardinality query_id with no forced
+  *     strategy — AQE broadcasts them while they are small and falls back
+  *     to a shuffle join for huge query tables.
   */
 object Ivf {
 
   case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  private val MatCol = "__graft_cmat"
+
+  /** The 1-row centroid-matrix relation; `broadcast()` + crossJoin plans
+    * one BroadcastNestedLoopJoin with a single-row build side. */
+  private def centroidRelation(spark: SparkSession,
+                               centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(centroids.map(_.toSeq).toSeq)).toDF(MatCol)
+  }
 
   /** Fit centroids and assign every corpus vector to its cell.
     * `assigned` columns: id, vec (array<float>), cell (int), n2. */
@@ -34,78 +60,49 @@ object Ivf {
     Index(model.clusterCenters.map(_.toArray), assigned)
   }
 
-  // ---- exact-decimal helpers (bitwise-reproducible across engines) ----
-  // Mirrors Similarity.dotExact: each product rounded to 12 dp HALF_UP
-  // (Spark's double→decimal cast), summed exactly, cast back to double.
-  private def exactDot(a: Array[Double], b: Array[Double]): Double = {
-    var acc = java.math.BigDecimal.ZERO
-    var i = 0
-    while (i < a.length) {
-      // valueOf = shortest decimal repr, matching Spark's double→decimal
-      // cast (and DotExactExpr.unscaled12)
-      acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i))
-        .setScale(12, java.math.RoundingMode.HALF_UP))
-      i += 1
-    }
-    acc.doubleValue
-  }
-
   /** Deterministic "sampled centroids" build: the `nlist` lowest-id
     * vectors ARE the centroids — the standard cheap bootstrap when a
     * k-means fit isn't warranted, and fully reproducible (no RNG, no
     * iteration), so the whole index is verifiable against a SQL oracle.
     * Assignment = argmin of exact-decimal L2² (n2x + n2c − 2·dot), ties
-    * to the lowest cell id, evaluated as one narrow array_min expression.
-    */
+    * to the lowest cell id, evaluated by a native kernel against the
+    * broadcast centroid matrix (see object scaladoc). The centroid
+    * collect is metadata-sized (nlist vectors) by construction. */
   def buildSampled(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int): Index = {
     val centroids = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val n2c = centroids.map(c => exactDot(c, c))
     val withN2 = Similarity.ensureParallelism(
         corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("n2", Similarity.dotExact(col("vec"), col("vec")))
-    // struct(dist, cell) array_min = lexicographic argmin with cell tiebreak
-    val cellExpr = array_min(array(centroids.indices.map { j =>
-      struct(
-        ((col("n2") + lit(n2c(j))) -
-          lit(2.0) * Similarity.dotExact(col("vec"), lit(centroids(j)))).as("d"),
-        lit(j).as("cell"))
-    }: _*)).getField("cell")
-    Index(centroids, withN2.withColumn("cell", cellExpr)
-      .select(col("id"), col("vec"), col("cell"), col("n2")))
+    val assigned = withN2
+      .crossJoin(broadcast(centroidRelation(corpus.sparkSession, centroids)))
+      .withColumn("cell", VectorFunctions.ivfAssign(col("vec"), col(MatCol)))
+      .select(col("id"), col("vec"), col("cell"), col("n2"))
+    Index(centroids, assigned)
   }
 
   /** Approximate top-k cosine: each query probes its `nprobe` nearest
-    * cells (computed driver-side — centroids are tiny), then scores only
-    * vectors in those cells. Probe selection and scoring use the same
+    * cells, then scores only vectors in those cells. Probe selection runs
+    * distributed (a narrow kernel over the query table against the
+    * broadcast centroid matrix — no driver collect), with the same
     * exact-decimal math as buildSampled, so a sampled-centroid index
-    * searches bitwise-reproducibly. */
+    * searches bitwise-reproducibly at any query-table size. */
   def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    import spark.implicits._
-    val centroids = index.centroids
-    // (query vectors are expected to be a small set — same contract as
-    // bruteForceTopK's broadcast side)
-    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
-      val qd = qv.map(_.toDouble)
-      val n2q = exactDot(qd, qd)
-      centroids.zipWithIndex.map { case (c, cell) =>
-        val d = (n2q + exactDot(c, c)) - 2.0 * exactDot(qd, c)
-        (qid, cell, d)
-      }.sortBy { case (_, cell, d) => (d, cell) }
-        .take(nprobe).map { case (id, cell, _) => (id, cell) }
-    }.toDF("query_id", "cell")
+    val cm = broadcast(centroidRelation(spark, index.centroids))
+    // (query_id, cell) probe pairs — ids only, one row per probe
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cm)
+      .select(col("query_id"),
+        explode(VectorFunctions.ivfProbes(col("qv"), col(MatCol), nprobe)).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Similarity.dotExact(col(vecCol), col(vecCol)).as("qn2"))
 
     val cand = index.assigned.join(broadcast(probes), Seq("cell"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(q, Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qv"), col("vec")), col("qn2"), col("n2")))

@@ -37,6 +37,85 @@ private object ExactDecimal {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$what expects array<float|double>, got $other")
   }
+
+  def checkMatrix(t: DataType, what: String): TypeCheckResult = t match {
+    case ArrayType(ArrayType(DoubleType, _), _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$what expects array<array<double>>, got $other")
+  }
+
+  /** Copy an ArrayData vector to double[]; null if any element is null. */
+  def toDoubles(x: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      out(i) = elem(x, isFloat, i)
+      i += 1
+    }
+    out
+  }
+
+  /** Exact-decimal dot of two double[] — identical semantics to
+    * DotExactExpr (12-dp HALF_UP per product, exact sum, → double). */
+  def dotConst(a: Array[Double], b: Array[Double]): Double = {
+    var sum = 0L
+    var i = 0
+    try {
+      while (i < a.length) {
+        sum = Math.addExact(sum, unscaled12(a(i) * b(i)))
+        i += 1
+      }
+      java.math.BigDecimal.valueOf(sum, 12).doubleValue()
+    } catch {
+      case _: ArithmeticException =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < a.length) {
+          acc = acc.add(java.math.BigDecimal.valueOf(a(j) * b(j))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          j += 1
+        }
+        acc.doubleValue()
+    }
+  }
+}
+
+/** Shared kernel state for the IVF expressions: the centroid matrix
+  * arrives as a COLUMN (array<array<double>>) from Ivf's single-row
+  * broadcast relation, so the Catalyst tree holds no centroid data at all
+  * (round-2 lesson: O(nlist·dim) plan literals drag every tree
+  * compare/hash/plan-string). The matrix is decoded and its exact-decimal
+  * self-dots computed ONCE per expression instance and reused.
+  *
+  * CONTRACT: the matrix child must be row-constant — it rides a 1-row
+  * broadcast join (see Ivf.centroidRelation). These expressions are
+  * deliberately NOT registered on the SQL surface, where that contract
+  * could not be enforced.
+  */
+trait CentroidMatrixKernel {
+  import ExactDecimal._
+  @transient @volatile
+  private var cache: (Array[Array[Double]], Array[Double]) = _
+
+  /** Decoded centroids + exact-decimal squared norms, cached after the
+    * first row (thread-safe: idempotent compute, volatile publish). */
+  protected def centroidsOf(mat: ArrayData): (Array[Array[Double]], Array[Double]) = {
+    var c = cache
+    if (c == null) {
+      val m = Array.tabulate(mat.numElements())(j => mat.getArray(j).toDoubleArray())
+      val n2 = m.map(cj => dotConst(cj, cj))
+      c = (m, n2)
+      cache = c
+    }
+    c
+  }
+
+  /** L2² distance in the exact arithmetic the oracle mirrors:
+    * (n2x + n2c) − 2·dotExact(x, c), evaluated in double in that order. */
+  protected def l2sq(x: Array[Double], n2x: Double, c: Array[Double], n2c: Double): Double =
+    (n2x + n2c) - 2.0 * dotConst(x, c)
 }
 
 /** Exact-decimal dot product of two numeric arrays → double.
@@ -177,10 +256,105 @@ case class LshSigExpr(child: Expression, bits: Int, dim: Int)
     copy(child = c)
 }
 
+/** IVF cell assignment: argmin over centroids of the exact-decimal L2²
+  * distance, ties to the lowest cell — bit-identical to the former
+  * array_min-over-structs formulation and to the SQL oracle's
+  * `row_number() OVER (ORDER BY dist, cell)`. One imperative pass per row;
+  * centroids ride the broadcast side (see CentroidMatrixKernel). Null on
+  * a null/absent vector element; centroids of mismatched dimension are
+  * skipped (null when none match). */
+case class IvfAssignExpr(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryKernelCodegen with CentroidMatrixKernel {
+  import ExactDecimal._
+  override protected def resultJava: String = "java.lang.Integer"
+  override protected def resultNullable: Boolean = true
+  override protected def unbox(boxed: String): String = s"$boxed.intValue()"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkArrayNumeric(left.dataType, "ivf_assign")
+    if (l.isFailure) l else checkMatrix(right.dataType, "ivf_assign")
+  }
+  @transient private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, m: Any): Any = {
+    val x = toDoubles(v.asInstanceOf[ArrayData], isFloat)
+    if (x == null) return null
+    val (cents, cn2) = centroidsOf(m.asInstanceOf[ArrayData])
+    val n2x = dotConst(x, x)
+    var bestCell = -1
+    var bestD = 0.0
+    var j = 0
+    while (j < cents.length) {
+      if (cents(j).length == x.length) {
+        val d = l2sq(x, n2x, cents(j), cn2(j))
+        if (bestCell < 0 || d < bestD) { bestD = d; bestCell = j }
+      }
+      j += 1
+    }
+    if (bestCell < 0) null else java.lang.Integer.valueOf(bestCell)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfAssignExpr =
+    copy(left = l, right = r)
+}
+
+/** IVF probe selection: the `nprobe` nearest cells to the query vector,
+  * by (exact-decimal L2², cell) ascending — the distributed replacement
+  * for driver-side probe computation. Returns array<int> in probe-rank
+  * order (callers explode it; order is informational). */
+case class IvfProbesExpr(left: Expression, right: Expression, nprobe: Int)
+    extends BinaryExpression with BinaryKernelCodegen with CentroidMatrixKernel {
+  import ExactDecimal._
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  override protected def resultJava: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def resultNullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkArrayNumeric(left.dataType, "ivf_probes")
+    if (l.isFailure) l else checkMatrix(right.dataType, "ivf_probes")
+  }
+  @transient private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, m: Any): Any = {
+    val x = toDoubles(v.asInstanceOf[ArrayData], isFloat)
+    if (x == null) return null
+    val (cents, cn2) = centroidsOf(m.asInstanceOf[ArrayData])
+    val n2x = dotConst(x, x)
+    val order = new java.util.ArrayList[(Double, Int)](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      if (cents(j).length == x.length)
+        order.add((l2sq(x, n2x, cents(j), cn2(j)), j))
+      j += 1
+    }
+    // (dist, cell) ascending — Double.compare == SQL ORDER BY here (no
+    // NaN; a−b of equal doubles is +0.0, so no ±0.0 ambiguity either)
+    order.sort { (a: (Double, Int), b: (Double, Int)) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Integer.compare(a._2, b._2)
+    }
+    val take = math.min(nprobe, order.size())
+    val cells = new Array[Int](take)
+    var r = 0
+    while (r < take) { cells(r) = order.get(r)._2; r += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfProbesExpr =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def dotExact(a: Column, b: Column): Column =
     ColumnBridge.column(DotExactExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def lshSig(vec: Column, bits: Int, dim: Int): Column =
     ColumnBridge.column(LshSigExpr(ColumnBridge.expression(vec), bits, dim))
+  def ivfAssign(vec: Column, cmat: Column): Column =
+    ColumnBridge.column(IvfAssignExpr(ColumnBridge.expression(vec), ColumnBridge.expression(cmat)))
+  def ivfProbes(vec: Column, cmat: Column, nprobe: Int): Column =
+    ColumnBridge.column(IvfProbesExpr(ColumnBridge.expression(vec), ColumnBridge.expression(cmat), nprobe))
 }

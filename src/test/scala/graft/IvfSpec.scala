@@ -32,6 +32,56 @@ class IvfSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("IVF search distributes over a query TABLE (1200 queries, no driver probes)") {
+    // Exhaustive probing (nprobe = nlist) must equal exact top-k computed
+    // independently — same exact-decimal cosine, so ranks are bit-stable.
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 1200L).map(i => i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val df = data.toDF("id", "v")
+    val nlist = 16
+    val index = Ivf.buildSampled(df, "id", "v", nlist)
+    val got = Ivf.search(index, df, "id", "v", k = 3, nprobe = nlist)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got.size == 1200 * 3)
+
+    import org.apache.spark.sql.expressions.Window
+    val sides = df.select(col("id"), col("v"),
+      Similarity.dotExact(col("v"), col("v")).as("n2"))
+    val exact = sides.toDF("query_id", "qv", "qn2")
+      .crossJoin(sides.toDF("neighbor_id", "cv", "cn2"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact($"qv", $"cv"), $"qn2", $"cn2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)))
+      .filter($"rank" <= 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("IVF assignment plans ONE broadcast; plan size independent of nlist") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 300L).map(i => i -> Array.fill(8)(rnd.nextFloat())).toDF("id", "v")
+    def plan(nlist: Int): String = {
+      val a = Ivf.buildSampled(df, "id", "v", nlist).assigned
+      a.collect()
+      a.queryExecution.executedPlan match {
+        case ad: AdaptiveSparkPlanExec => ad.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    val p16 = plan(16)
+    assert(p16.contains("BroadcastNestedLoopJoin"), p16)
+    assert(p16.linesIterator.count(l =>
+      l.contains("BroadcastExchange") && !l.contains("Reused")) == 1, p16)
+    val p128 = plan(128)
+    // centroids ride the broadcast, not the plan: 8x the centroids must
+    // not grow the plan string (allow trivial jitter from plan ids)
+    assert(math.abs(p128.length - p16.length) < 200,
+      s"plan grew with nlist: ${p16.length} -> ${p128.length}")
+  }
+
   test("salted join equals plain join; hot keys diagnosed") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
     val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")

@@ -53,9 +53,20 @@ object UserProfileJob {
       mappingPath: String,           // parquet: property_name + per-platform bool cols
       typeMap: Map[String, String],  // T4 per-key tags
       swapKeyMap: Map[String, String],
-      batchSize: Int = 1000)
+      batchSize: Int = 1000,
+      sinkResultsPath: Option[String] = None) {
+    /** Where per-batch sink results land (parquet). A sibling of the
+      * bookmark store by default — NOT nested inside it, which would
+      * corrupt the bookmark parquet directory. */
+    def resultsPath: String =
+      sinkResultsPath.getOrElse(s"${bookmarkPath}_sink_results/$jobName")
+  }
 
-  case class Result(validRows: Long, invalidRows: Long, sink: Seq[SinkResult],
+  /** Driver-sized job outcome: counters + the path holding the per-batch
+    * audit detail. Per-batch rows scale with the data (~10⁸ at 100 TB) and
+    * deliberately never reach the driver — query `resultsPath` for them. */
+  case class Result(validRows: Long, invalidRows: Long, batches: Long,
+                    okBatches: Long, firstError: String, resultsPath: String,
                     newBookmark: Option[Timestamp])
 
   /** Steps 1–5, shared by every destination: bookmark lookup, pinned
@@ -111,23 +122,31 @@ object UserProfileJob {
   }
 
   /** CleverTap-shaped egress (the reference's one wired production job):
-    * JSON profile envelopes, ≤1000-record POST batches. */
+    * JSON profile envelopes, ≤1000-record POST batches.
+    *
+    * Single-action egress: the valid/invalid counters ride the results
+    * write as observed metrics (no separate `count()` pass re-executing
+    * the dedup + transforms), and the per-batch results go to parquet —
+    * the driver receives only the EgressStats summary. */
   def run(spark: SparkSession, conf: Conf,
           send: Seq[String] => (Int, String)): Result = {
-    val ((results, nInvalid), newBookmark) = withPrepared(spark, conf) { p =>
-      // 6. envelope + invalid split (R21)
+    val ((stats, nInvalid), newBookmark) = withPrepared(spark, conf) { p =>
+      // 6. envelope + invalid split (R21) — counted via observe, not count()
       val attrCols = p.renamed.columns.filter(_ != p.keyOut).toSeq
-      val payloads = p.renamed.select(
+      val obs = org.apache.spark.sql.Observation()
+      val payloads = HttpSink.observeEgress(p.renamed.select(
         Sanity.identity(Seq(col(p.keyOut))).as("identity"),
         Sanity.profileEnvelope(Sanity.identity(Seq(col(p.keyOut))),
-          attrCols.map(a => a -> col(a))).as("payload"))
-      val (valid, invalid) = HttpSink.splitInvalid(payloads, "identity")
-      val nInvalid = invalid.count()
-      // 7. distributed egress
-      (HttpSink.sendBatches(valid, "payload", conf.batchSize, send)
-        .collect().toSeq, nInvalid)
+          attrCols.map(a => a -> col(a))).as("payload")), obs, "identity")
+      val (valid, _) = HttpSink.splitInvalid(payloads, "identity")
+      // 7. distributed egress, materialized once by the results write
+      val stats = HttpSink.writeResults(
+        HttpSink.sendBatches(valid, "payload", conf.batchSize, send),
+        conf.resultsPath)
+      (stats, obs.get("records_invalid").asInstanceOf[Long])
     }
-    Result(results.map(_.records).sum, nInvalid, results, newBookmark)
+    Result(stats.records, nInvalid, stats.batches, stats.okBatches,
+      stats.firstError, conf.resultsPath, newBookmark)
   }
 }
 
@@ -177,7 +196,7 @@ object UserProfileMain {
     val res = UserProfileJob.run(spark, conf, b => client.uploadProfiles(b))
     // counters the reference logs (TOTAL_RECORD_PROCESSED/SEND/INVALID)
     println(s"""{"valid":${res.validRows},"invalid":${res.invalidRows},""" +
-      s""""batches":${res.sink.size},"ok":${res.sink.count(_.ok)}}""")
+      s""""batches":${res.batches},"ok":${res.okBatches}}""")
     spark.stop()
   }
 }
@@ -188,29 +207,34 @@ object UserProfileMain {
 object NetcoreUserProfileJob {
   import graft.sink.{NetcoreClient, NetcoreSink}
 
-  case class Result(stagedFiles: Seq[NetcoreSink.StagedFile],
-                    invalidRows: Long, newBookmark: Option[Timestamp])
+  /** Driver-sized outcome; per-file detail lives at `resultsPath`. */
+  case class Result(files: Long, okFiles: Long, records: Long, bytes: Long,
+                    invalidRows: Long, resultsPath: String,
+                    newBookmark: Option[Timestamp])
 
   def run(spark: SparkSession, conf: UserProfileJob.Conf,
           client: NetcoreClient, stagingPrefix: String): Result = {
-    val ((staged, nInvalid), newBookmark) =
+    val ((stats, nInvalid), newBookmark) =
       UserProfileJob.withPrepared(spark, conf) { p =>
         val cols = p.renamed.columns.toSeq
-        // CSV line per record. NOTE: values are sanity-normalized strings
-        // (digits, dates, plain identifiers); fields containing commas or
-        // quotes would need RFC-4180 quoting before this join — match the
-        // type map to the destination schema accordingly.
-        val csv = p.renamed.select(
+        // RFC-4180 CSV line per record: fields with commas, quotes, or
+        // newlines are quoted/escaped exactly like the reference's pandas
+        // to_csv (hooks/netcore.py:83-90) — free-text attributes survive.
+        val obs = org.apache.spark.sql.Observation()
+        val csv = HttpSink.observeEgress(p.renamed.select(
           Sanity.identity(Seq(col(p.keyOut))).as("identity"),
-          concat_ws(",", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-            .as("csv"))
-        val (valid, invalid) = HttpSink.splitInvalid(csv, "identity")
-        val nInvalid = invalid.count()
-        val header = cols.mkString(",")
-        (NetcoreSink.stageAndNotify(valid, "csv", header, stagingPrefix,
-          client, client.maxChunkBytes).collect().toSeq, nInvalid)
+          Sanity.csvLine(cols.map(c => col(c).cast("string"))).as("csv")),
+          obs, "identity")
+        val (valid, _) = HttpSink.splitInvalid(csv, "identity")
+        val header = cols.map(Sanity.csvQuoteString).mkString(",")
+        val stats = NetcoreSink.writeResults(
+          NetcoreSink.stageAndNotify(valid, "csv", header, stagingPrefix,
+            client, client.maxChunkBytes),
+          conf.resultsPath)
+        (stats, obs.get("records_invalid").asInstanceOf[Long])
       }
-    Result(staged, nInvalid, newBookmark)
+    Result(stats.files, stats.okFiles, stats.records, stats.bytes,
+      nInvalid, conf.resultsPath, newBookmark)
   }
 }
 
@@ -220,24 +244,25 @@ object NetcoreUserProfileJob {
 object GamoogaUserProfileJob {
   import graft.sink.GamoogaClient
 
-  case class Result(validRows: Long, invalidRows: Long, sink: Seq[SinkResult],
-                    newBookmark: Option[Timestamp])
-
   def run(spark: SparkSession, conf: UserProfileJob.Conf,
-          client: GamoogaClient, propTypesJson: String): Result = {
-    val ((results, nInvalid), newBookmark) =
+          client: GamoogaClient, propTypesJson: String): UserProfileJob.Result = {
+    val ((stats, nInvalid), newBookmark) =
       UserProfileJob.withPrepared(spark, conf) { p =>
         val attrCols = p.renamed.columns.filter(_ != p.keyOut).toSeq
         // per-record props object {key: id, attr: value, ...}
-        val props = p.renamed.select(
+        val obs = org.apache.spark.sql.Observation()
+        val props = HttpSink.observeEgress(p.renamed.select(
           Sanity.identity(Seq(col(p.keyOut))).as("identity"),
-          to_json(struct(col(p.keyOut) +: attrCols.map(col): _*)).as("payload"))
-        val (valid, invalid) = HttpSink.splitInvalid(props, "identity")
-        val nInvalid = invalid.count()
-        (HttpSink.sendBatches(valid, "payload", conf.batchSize,
-          batch => client.uploadProfiles(batch.mkString("[", ",", "]"), propTypesJson))
-          .collect().toSeq, nInvalid)
+          to_json(struct(col(p.keyOut) +: attrCols.map(col): _*)).as("payload")),
+          obs, "identity")
+        val (valid, _) = HttpSink.splitInvalid(props, "identity")
+        val stats = HttpSink.writeResults(
+          HttpSink.sendBatches(valid, "payload", conf.batchSize,
+            batch => client.uploadProfiles(batch.mkString("[", ",", "]"), propTypesJson)),
+          conf.resultsPath)
+        (stats, obs.get("records_invalid").asInstanceOf[Long])
       }
-    Result(results.map(_.records).sum, nInvalid, results, newBookmark)
+    UserProfileJob.Result(stats.records, nInvalid, stats.batches,
+      stats.okBatches, stats.firstError, conf.resultsPath, newBookmark)
   }
 }

@@ -242,7 +242,43 @@ object HttpSink {
     df.observe(name,
       count(lit(1)).as("records_processed"),
       count(when(col(identityCol).isNull, 1)).as("records_invalid"))
+
+  /** As above but with an [[org.apache.spark.sql.Observation]] handle, so
+    * the caller reads the metrics directly after the action with no
+    * listener plumbing — the jobs' replacement for a separate
+    * `invalid.count()` pass (which re-executed the whole upstream
+    * pipeline as a second action). */
+  def observeEgress(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                    identityCol: String): DataFrame =
+    df.observe(obs,
+      count(lit(1)).as("records_processed"),
+      count(when(col(identityCol).isNull, 1)).as("records_invalid"))
+
+  /** Materialize egress results EXACTLY ONCE by writing the
+    * `Dataset[SinkResult]` to `resultsPath` (parquet, overwrite — the one
+    * side-effecting action), then aggregate the WRITTEN files into a
+    * driver-sized summary. One result row per ~1000-record batch means
+    * ~10⁸ rows at 100 TB — collecting them to the driver (the previous
+    * shape) is exactly the bottleneck this avoids; the audit detail stays
+    * on storage, queryable, and only five numbers reach the driver. */
+  def writeResults(results: Dataset[SinkResult], resultsPath: String): EgressStats = {
+    results.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(resultsPath)
+    val row = results.sparkSession.read.parquet(resultsPath).agg(
+      count(lit(1)).as("batches"),
+      count(when(col("ok"), 1)).as("ok_batches"),
+      coalesce(sum(col("records")), lit(0L)).as("records"),
+      coalesce(first(when(!col("ok"), col("error")), ignoreNulls = true), lit(""))
+        .as("first_error")
+    ).collect().head
+    EgressStats(row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3))
+  }
 }
+
+/** Driver-sized egress summary, aggregated distributively from the
+  * written results dataset (see HttpSink.writeResults). `firstError` is a
+  * sample for logs; the full per-batch detail lives at the results path. */
+case class EgressStats(batches: Long, okBatches: Long, records: Long,
+                       firstError: String)
 
 /** Netcore egress (S5): byte-bounded CSV chunks staged to a filesystem
   * prefix (file:// in tests, s3a:// in prod — same API), then the bulk
@@ -252,6 +288,23 @@ object HttpSink {
 object NetcoreSink {
   case class StagedFile(path: String, records: Long, bytes: Long,
                         status: Int, ok: Boolean)
+
+  /** Driver-sized staging summary (see HttpSink.writeResults — same
+    * rationale: staged-file rows scale with the data; only the totals
+    * belong on the driver). */
+  case class StageStats(files: Long, okFiles: Long, records: Long, bytes: Long)
+
+  /** Write the staged-file results to `resultsPath` (the single
+    * materializing action) and aggregate the written files into totals. */
+  def writeResults(staged: Dataset[StagedFile], resultsPath: String): StageStats = {
+    staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(resultsPath)
+    val row = staged.sparkSession.read.parquet(resultsPath).agg(
+      count(lit(1)), count(when(col("ok"), 1)),
+      coalesce(sum(col("records")), lit(0L)),
+      coalesce(sum(col("bytes")), lit(0L))
+    ).collect().head
+    StageStats(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
 
   /** Delivery semantics: AT-LEAST-ONCE — a retried/speculated task
     * re-stages and re-notifies its partition. Staged paths are

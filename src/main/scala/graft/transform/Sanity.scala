@@ -160,6 +160,32 @@ object Sanity {
   val rowTransformRegistry: Map[String, DataFrame => DataFrame] = Map(
     "get_gender_implicit_data" -> (df => genderImplicit(df)))
 
+  /** RFC-4180 CSV field encoding, matching pandas `to_csv`'s default
+    * QUOTE_MINIMAL (reference `hooks/netcore.py:83-90`): null → empty;
+    * a field containing the separator, a double quote, or a line break is
+    * wrapped in quotes with embedded quotes doubled; all other fields are
+    * emitted verbatim. Codegen'd column expression — no UDF. */
+  def csvField(c: Column): Column = {
+    val s = coalesce(c.cast(StringType), lit(""))
+    val needsQuote =
+      s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r")
+    when(needsQuote,
+      concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+      .otherwise(s)
+  }
+
+  /** One RFC-4180 CSV record from the given columns. Encoding happens
+    * BEFORE byte-bound packing (BatchPacker.byteBound measures this
+    * encoded line), so the ≤4.5 MB staging cap is exact. */
+  def csvLine(cols: Seq[Column]): Column = concat_ws(",", cols.map(csvField): _*)
+
+  /** Driver-side twin of csvField for literal strings (header rows). */
+  def csvQuoteString(s: String): String =
+    if (s == null) ""
+    else if (s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
   /** T11 payload envelope (operators/clevertap_user_profile.py:99-110):
     * `{"type":"profile","identity":…,"profileData":{attrs}}` as one JSON
     * string column. */

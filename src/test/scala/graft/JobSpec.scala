@@ -11,6 +11,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import graft.jobs.{SampleJob, UserProfileJob}
 import graft.source.{Bookmarks, ChangelogTableSource}
 
+/** JVM-wide send counter for the single-action spec (see comment at the
+  * use site: captured counters get copied into serialized task closures). */
+object JobSpecSendCounter {
+  val n = new java.util.concurrent.atomic.AtomicInteger()
+}
+
 /** End-to-end pipeline tests: the E1-completed UserProfileJob over a
   * file:// changelog with a live HTTP stub, plus the E2 sample job and
   * the bookmark/changefeed protocol. */
@@ -85,7 +91,11 @@ class JobSpec extends SparkSpec {
 
       assert(res.validRows == 2)   // users 1 and 2 (delete filtered, "" invalid)
       assert(res.invalidRows == 1)
-      assert(res.sink.forall(_.ok))
+      assert(res.batches > 0 && res.okBatches == res.batches)
+      // per-batch audit detail is ON STORAGE, not the driver
+      val audit = spark.read.parquet(res.resultsPath)
+      assert(audit.count() == res.batches)
+      assert(audit.columns.contains("idempotencyKey"))
       assert(res.newBookmark.contains(ts("2024-01-01 13:00:00")))
       val body = bodies.toArray.map(_.toString).mkString
       // user 1: the LATEST change (mobile 91..→ last10, reward 99→9900, dob 1890→1952)
@@ -137,8 +147,9 @@ class JobSpec extends SparkSpec {
       val nc = graft.jobs.NetcoreUserProfileJob.run(spark, conf,
         new graft.sink.NetcoreClient(url, "key", "me@x.com"),
         "file://" + root + "/staging")
-      assert(nc.stagedFiles.nonEmpty && nc.stagedFiles.forall(_.ok))
-      assert(nc.stagedFiles.map(_.records).sum == 2) // latest-of-1 + 2; "" invalid
+      assert(nc.files > 0 && nc.okFiles == nc.files)
+      assert(nc.records == 2) // latest-of-1 + 2; "" invalid
+      assert(spark.read.parquet(nc.resultsPath).count() == nc.files)
       assert(nc.invalidRows == 1)
       assert(nc.newBookmark.contains(ts("2024-03-01 13:00:00")))
       assert(notified.toArray.exists(_.toString.contains("bulkupload")))
@@ -148,11 +159,60 @@ class JobSpec extends SparkSpec {
         new graft.sink.GamoogaClient(url, "c42", "sec"),
         """{"mobile":"string","reward":"numeric"}""")
       assert(gm.validRows == 2 && gm.invalidRows == 1)
-      assert(gm.sink.forall(_.ok))
+      assert(gm.okBatches == gm.batches && gm.batches > 0)
       val gBody = notified.toArray.map(_.toString).find(_.contains("bulkvpr")).get
       assert(gBody.contains(""""c":"c42"""") && gBody.contains("prop_types"))
       assert(gm.newBookmark.contains(ts("2024-03-01 13:00:00")))
     } finally server.stop(0)
+  }
+
+  test("job egress is single-action: no count() pass; one send per batch") {
+    val root = Files.createTempDirectory("graft-1act").toString
+    // 2500 valid rows + 1 invalid → 3 batches at batchSize 1000
+    val rows = (1 to 2500).map(i =>
+      (i.toString, s"98765432${"%02d".format(i % 100)}", "insert",
+        ts("2024-05-01 10:00:00"), i.toLong)) :+
+      (("", "8888888888", "insert", ts("2024-05-01 11:00:00"), 9999L))
+    rows.toDF("customer_id", "mobile", "_change_type", "_commit_timestamp", "_commit_version")
+      .write.parquet(s"$root/changelog")
+    Seq(("mobile", true)).toDF("property_name", "clevertap")
+      .write.parquet(s"$root/mapping")
+
+    val funcNames = new CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        funcNames.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // static counter: task closures are serialized even in local mode, so
+    // a captured AtomicInteger would increment a per-task COPY
+    JobSpecSendCounter.n.set(0)
+    try {
+      val conf = UserProfileJob.Conf(
+        jobName = "one_action", changelogPath = s"$root/changelog",
+        bookmarkPath = s"$root/bookmarks", keyCol = "customer_id",
+        tsCol = "_commit_timestamp", tiebreakCol = "_commit_version",
+        platform = "clevertap", mappingPath = s"$root/mapping",
+        typeMap = Map.empty, swapKeyMap = Map.empty)
+      val res = UserProfileJob.run(spark, conf,
+        b => { JobSpecSendCounter.n.incrementAndGet(); (200, "ok") })
+      assert(res.validRows == 2500 && res.invalidRows == 1)
+      // batching is partition-local: ≥3 batches (2500 rows, ≤1000 each)
+      assert(res.batches >= 3 && res.okBatches == res.batches)
+      // each batch POSTed exactly once — egress materialized by the one
+      // results-write action, never re-run by a counting pass
+      assert(JobSpecSendCounter.n.get == res.batches)
+      assert(spark.read.parquet(res.resultsPath).count() == res.batches)
+      // the invalid counter rode the write as an observed metric; the old
+      // shape ran a dedicated Dataset.count() action (listener-visible)
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline && funcNames.isEmpty) Thread.sleep(50)
+      assert(!funcNames.contains("count"),
+        s"egress ran a count() action: ${funcNames.toArray.mkString(",")}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("UserProfileMain.parseConf: conf-file contract roundtrip with macros") {

@@ -49,6 +49,54 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("Netcore staging: RFC-4180 encoding round-trips adversarial fields") {
+    import spark.implicits._
+    withServer { (url, _) =>
+      val rows = Seq(
+        ("1", "plain", "simple"),
+        ("2", "a,b", "comma"),
+        ("3", "say \"hi\"", "quote"),
+        ("4", "line1\nline2", "newline"),
+        ("5", "cr\r\nlf", "crlf"),
+        ("6", null, "null-field"),
+        ("7", " lead,and \"both\"\n", "mix"))
+      val csv = rows.toDF("id", "payload", "tag")
+        .select(graft.transform.Sanity.csvLine(Seq($"id", $"payload", $"tag")).as("csv"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-rfc").toString
+      val header = Seq("id", "payload", "tag")
+        .map(graft.transform.Sanity.csvQuoteString).mkString(",")
+      val staged = NetcoreSink.stageAndNotify(csv.coalesce(1), "csv", header,
+        "file://" + dir, new NetcoreClient(url, "k", "e@x.com")).collect()
+      assert(staged.forall(_.ok))
+      // decode with Spark's own CSV parser as an independent codec —
+      // escape must be set to the quote char for RFC-4180 "" doubling
+      val back = spark.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv("file://" + dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      // null encodes as empty, which the reader hands back as null
+      assert(back == rows.toSet)
+    }
+  }
+
+  test("Netcore byte cap measures the ENCODED line (quotes doubled)") {
+    import spark.implicits._
+    withServer { (url, _) =>
+      // raw 40 chars but encoded ~84 bytes each ("" doubling + wrapping)
+      val rows = (1 to 20).map(i => "\"" * 40)
+      val csv = rows.toDF("f").select(graft.transform.Sanity.csvLine(Seq($"f")).as("csv"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+      val staged = NetcoreSink.stageAndNotify(csv.coalesce(1), "csv", "f",
+        "file://" + dir, new NetcoreClient(url, "k", "e@x.com"),
+        maxBytes = 300L).collect()
+      // cap respected against encoded bytes (header included); no record lost
+      assert(staged.forall(f => f.bytes <= 300L || f.records == 1))
+      assert(staged.map(_.records).sum == 20)
+      val back = spark.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv("file://" + dir).collect().map(_.getString(0))
+      assert(back.length == 20 && back.forall(_ == "\"" * 40))
+    }
+  }
+
   test("HttpSink.sendBatches: distributed POST, {\"d\":[..]} envelope, ≤1000/batch") {
     import spark.implicits._
     withServer { (url, bodies) =>

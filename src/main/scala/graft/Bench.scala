@@ -39,7 +39,11 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration aid (driver never sets it): bench a subset
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Nudge the ContextCleaner between queries: in one long-lived JVM
       // with a large heap, GC is rare, so dead broadcasts/shuffle state
       // from earlier queries otherwise pile up and drag later ones.

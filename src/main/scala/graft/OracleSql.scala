@@ -205,6 +205,42 @@ SELECT event_id, dob_raw, strftime(f, '%Y-%m-%d') AS dob_fixed,
   strftime(f, '%b-%d') AS birth_day
 FROM fixed ORDER BY event_id"""
 
+  /** q65: T8 unix_epoch dedicated gate — "$D_" || epoch seconds (UTC on
+    * both sides); unparseable → NULL via try_strptime. */
+  private val q65 = """
+WITH raw AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
+         ELSE strftime(CAST(ts AS DATE) + CAST(event_id % 365 AS INTEGER),
+                       '%Y-%m-%d') END AS d_raw
+  FROM events)
+SELECT event_id, d_raw,
+  '$D_' || CAST(CAST(epoch(try_strptime(d_raw, '%Y-%m-%d')) AS BIGINT) AS VARCHAR)
+    AS d_epoch
+FROM raw ORDER BY event_id"""
+
+  /** q66: T10 birth_date on the all-Feb-29 corpus — sentinel year 1952 is
+    * a leap year so the day survives; 1900-02-29 parses NULL. */
+  private val q66 = """
+WITH raw AS (
+  SELECT event_id,
+    CAST(1804 + (event_id % 50) * 4 AS VARCHAR) || '-02-29' AS dob_raw
+  FROM events),
+parsed AS (
+  SELECT event_id, dob_raw,
+    CAST(COALESCE(try_strptime(dob_raw, '%Y-%m-%d %H:%M:%S'),
+                  try_strptime(dob_raw, '%Y-%m-%d'),
+                  try_strptime(dob_raw, '%Y-%m-%d %H:%M:%S.%f')) AS DATE) AS d
+  FROM raw),
+fixed AS (
+  SELECT event_id, dob_raw,
+    CASE WHEN year(d) < 1900
+         THEN make_date(1952, CAST(month(d) AS INTEGER), CAST(day(d) AS INTEGER))
+         ELSE d END AS f
+  FROM parsed)
+SELECT event_id, dob_raw, strftime(f, '%b-%d') AS birth_day
+FROM fixed ORDER BY event_id"""
+
   private val q25 = """
 WITH base AS (
   SELECT event_id,
@@ -1015,6 +1051,8 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
     "q22_changefeed_since" -> q22,
     "q23_typemap_sanity" -> q23,
     "q24_fix_dob" -> q24,
+    "q65_unix_epoch" -> q65,
+    "q66_birth_date" -> q66,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -410,6 +410,32 @@ object SparkEntry {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  private def q65_unix_epoch(s: SparkSession, dir: String): DataFrame = {
+    // T8 dedicated gate: "$D_<epochSeconds>" CleverTap encoding over a
+    // derived date string; unparseable input → NULL (B5). The session
+    // time zone is pinned UTC (Verify/Bench/tests), matching DuckDB's
+    // naive-timestamp epoch().
+    val raw = when(col("event_id") % 7 === 0, lit("not-a-date"))
+      .otherwise(date_format(
+        date_add(col("ts"), (col("event_id") % 365).cast("int")), "yyyy-MM-dd"))
+    t(s, dir, "events").select(
+        col("event_id"), raw.as("d_raw"), Sanity.unixEpoch(raw).as("d_epoch"))
+      .orderBy("event_id")
+  }
+
+  private def q66_birth_date(s: SparkSession, dir: String): DataFrame = {
+    // T10 dedicated gate on the leap-day edge q24 never hits: every raw
+    // DOB is a Feb-29. Pre-1900 leap years take the sentinel year — 1952
+    // is itself a leap year precisely so Feb-29 survives (B6) — and the
+    // non-existent 1900-02-29 parses to NULL in both engines.
+    val dob = concat((lit(1804) + (col("event_id") % 50) * 4).cast("string"),
+      lit("-02-29"))
+    t(s, dir, "events").select(
+        col("event_id"), dob.as("dob_raw"),
+        Sanity.birthDate(dob).as("birth_day"))
+      .orderBy("event_id")
+  }
+
   // =====================================================================
   // Text analysis (SURVEY §2.4)
   // =====================================================================
@@ -855,6 +881,8 @@ object SparkEntry {
     "q43_lsh_topk" -> (q43_lsh_topk _),
     "q44_lang_id" -> (q44_lang_id _),
     "q45_cosine_neardups" -> (q45_cosine_neardups _),
+    "q65_unix_epoch" -> (q65_unix_epoch _),
+    "q66_birth_date" -> (q66_birth_date _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

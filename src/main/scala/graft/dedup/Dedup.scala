@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * deterministic tiebreak instead and keep the join form for equivalence
   * tests.
   */
-object Dedup {
+object Dedup extends graft.core.Logging {
 
   /** R9–R12 window form: latest row per key with a deterministic tiebreak.
     * One hash-partition shuffle on `keys`; scales linearly — at 100 TB the
@@ -169,7 +169,36 @@ object Dedup {
                       maxHamming: Int = 3, md5Compat: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val nChunks = maxHamming + 1
+    if (maxHamming > 4)
+      logger.warn(
+        s"simhashNearDups maxHamming=$maxHamming blocks on ${maxHamming + 1} " +
+          s"chunks of ~${64 / (maxHamming + 1)} bits — candidate volume grows " +
+          s"toward n^2/2^(64/${maxHamming + 1}) on large corpora. Keep the " +
+          "radius <= 4 at scale (Manku et al., WWW'07) or use " +
+          "simhashNearDupsBanded for explicit recall/cost control.")
+    simhashChunkJoin(df, idCol, textCol, maxHamming, maxHamming + 1, md5Compat)
+  }
+
+  /** Banded (APPROXIMATE) simhash blocking for high radii: block on
+    * `nChunks` < maxHamming+1 wider chunks. Wider chunks mean far more
+    * selective buckets (2^(64/nChunks) keys), at the cost of recall: a
+    * true pair is found only if at least one chunk is error-free, which
+    * for distance d is 1 − C(missing)/C(total) hypergeometrically — e.g.
+    * d=8 over 4×16-bit chunks finds ≈ 77% of pairs, d=4 ≈ 95%. The exact
+    * variant (simhashNearDups) is the default; this is the documented
+    * scale escape hatch when a wide radius is genuinely required. */
+  def simhashNearDupsBanded(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int, nChunks: Int,
+                            md5Compat: Boolean = false): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 64, s"nChunks must be in [1, 64], got $nChunks")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    simhashChunkJoin(df, idCol, textCol, maxHamming, nChunks, md5Compat)
+  }
+
+  private def simhashChunkJoin(df: DataFrame, idCol: String, textCol: String,
+                               maxHamming: Int, nChunks: Int,
+                               md5Compat: Boolean): DataFrame = {
     val widths = Array.tabulate(nChunks)(i =>
       64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
@@ -235,17 +264,50 @@ object Dedup {
     *
     * Scale posture: each round is one join + one aggregation on
     * (id, label) pairs — narrow 16-byte rows; the frontier is
-    * MATERIALIZED per round (persist + count) so lineage stays O(1)
-    * instead of exponential, and the previous round unpersists. This is
-    * the standard large-graph CC shape (label propagation) — for
-    * power-law graphs at extreme scale swap in large-star/small-star
-    * (Kiveris et al., CIKM'14); dedup pair graphs are near-forests, so
-    * plain propagation converges in a handful of rounds. */
+    * MATERIALIZED per round (persist + count, change-count riding the
+    * same action via observe) so lineage stays O(1) instead of
+    * exponential, and the previous round unpersists.
+    *
+    * Round-structure experiments, MEASURED at sf0.1 (47-cluster near-dup
+    * graph, 5 rounds, local[32]) and kept single-hop on the evidence:
+    * two hops per materialized round re-computes the mid-hop (diamond
+    * DAG: its output feeds both the label table and the neighbor-min
+    * build of hop 2) — 3.7s → 7.0s; persisting the mid-hop to break the
+    * diamond trades recompute for per-round cache bookkeeping — 11.8s.
+    * Per-round fixed cost is real but the single join+agg round is the
+    * cheapest shape that keeps lineage O(1).
+    *
+    * Edge/label co-partitioning: `copartitionEdges = Some(n)` pins the
+    * cached edge side to hashpartitioning(dst, n) so label joins read it
+    * exchange-free — the right call when labels are too big for AQE to
+    * broadcast (true cluster scale). It is OFF by default because it was
+    * MEASURED to regress at bench scale: with a broadcastable label side
+    * AQE never shuffles edges at all, so the upfront repartition is pure
+    * added cost (sf0.1: 3.7s → 5.6s). For power-law graphs at extreme
+    * scale swap in large-star/small-star (Kiveris et al., CIKM'14);
+    * dedup pair graphs are near-forests and converge in a few rounds. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+                          maxIter: Int = 20,
+                          copartitionEdges: Option[Int] = None): DataFrame = {
+    val rawEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = copartitionEdges.fold(rawEdges)(n => rawEdges.repartition(n, col("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    /** One propagation hop: label := min(label, min over in-neighbors).
+      * Name-based joins only (fresh aliases per call), so two hops chain
+      * in a single plan without ambiguous self-join references; extra
+      * columns (label0) pass through untouched. */
+    def hop(lbl: DataFrame): DataFrame = {
+      val nm = edges
+        .join(lbl.select(col("id").as("__nid"), col("label").as("__nlbl")),
+          col("dst") === col("__nid"))
+        .groupBy(col("src")).agg(min(col("__nlbl")).as("__nmin"))
+      lbl.join(nm, col("id") === col("src"), "left")
+        .withColumn("label", least(col("label"), coalesce(col("__nmin"), col("label"))))
+        .drop("src", "__nmin")
+    }
+
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -253,19 +315,13 @@ object Dedup {
       var i = 0
       var converged = false
       while (!converged && i < maxIter) {
-        val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
-        val newLabel =
-          least(labels("label"), coalesce(col("nlabel"), labels("label")))
         // the change count rides the SAME action that materializes the
         // round (Observation listener) — one Spark job per round, not two
         val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
-        val updated = labels
-          .join(neighborMin, labels("id") === neighborMin("nid"), "left")
-          .select(labels("id"), newLabel.as("label"),
-            (newLabel =!= labels("label")).as("__chg"))
-          .observe(obs, sum(col("__chg").cast("long")).as("n_changed"))
-          .drop("__chg")
+        val updated = hop(labels.withColumn("label0", col("label")))
+          .observe(obs, sum((col("label") =!= col("label0")).cast("long"))
+            .as("n_changed"))
+          .select(col("id"), col("label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         updated.count()
         val changed = obs.get("n_changed").asInstanceOf[Long]

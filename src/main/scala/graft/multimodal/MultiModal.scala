@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed batch-wise on executors.
   *
   * The Spark-side plumbing is real — schema, partition-local batch
-  * processing, deterministic outputs, linear scaling — while the media
-  * decoding itself is STUBBED (this environment ships no image/audio
-  * codecs): `decodeImageStub` parses a tiny deterministic fake header
-  * instead of real JPEG bytes. Swapping in a real codec changes ONE
-  * function body and nothing about the distributed shape.
+  * processing, deterministic outputs, linear scaling — and so is image
+  * decoding: `decodeImage` reads real JPEG/PNG/GIF/BMP bytes via
+  * `javax.imageio` (ships in the base JDK — zero extra deps). The tiny
+  * deterministic fake-header format is kept as a fast path for synthetic
+  * fixtures and oracle-gated tests; the header tag (int 1) collides with
+  * no real format magic (PNG \x89PNG, JPEG \xFFD8, GIF "GIF8", BMP "BM").
+  * Audio/video stay stubbed (no JDK codec); their plumbing (frame
+  * sampling, binary chunking) is format-agnostic and real.
   */
 object MultiModal {
 
@@ -38,13 +41,39 @@ object MultiModal {
 
   case class ImageInfo(width: Int, height: Int, channels: Int)
 
-  /** STUB decoder — ??? replaced by a deterministic fake-header parse; a
-    * real build plugs a codec (e.g. TwelveMonkeys/ImageIO) in here. */
-  def decodeImageStub(bytes: Array[Byte]): ImageInfo = {
-    require(bytes.length >= 16, "not a fake image")
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    require(bb.getInt() == 1, "unknown media tag")
-    ImageInfo(bb.getInt(), bb.getInt(), bb.getInt())
+  private def isFakeHeader(bytes: Array[Byte]): Boolean =
+    bytes.length >= 16 && java.nio.ByteBuffer.wrap(bytes).getInt() == 1
+
+  /** Real zero-dep decoder: fake-header fast path for synthetic fixtures,
+    * `javax.imageio` (JDK built-in: JPEG/PNG/GIF/BMP/WBMP) for real
+    * bytes. Runs partition-local inside mapPartitions — ImageIO is
+    * thread-safe for reads and allocates nothing global. */
+  def decodeImage(bytes: Array[Byte]): ImageInfo = {
+    if (isFakeHeader(bytes)) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.getInt() // tag
+      ImageInfo(bb.getInt(), bb.getInt(), bb.getInt())
+    } else {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes (no registered reader)")
+      ImageInfo(img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+  }
+
+  /** PNG-encode a deterministic solid-color image — real bytes for specs
+    * and fixtures without any external asset (ImageIO write path). */
+  def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Decode + feature-extract, batch-wise per partition. Output schema is
@@ -63,7 +92,7 @@ object MultiModal {
     val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val info = decodeImageStub(r.getAs[Array[Byte]](1))
+        val info = decodeImage(r.getAs[Array[Byte]](1))
         // stub feature: deterministic 8-dim projection of the header
         val feat = Array.tabulate(8)(i =>
           ((info.width * (i + 1) + info.height * (i + 3) + info.channels) % 97).toFloat / 97f)
@@ -93,7 +122,8 @@ object MultiModal {
     val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1).drop(16) // skip fake header
+        val raw = r.getAs[Array[Byte]](1)
+        val bytes = if (isFakeHeader(raw)) raw.drop(16) else raw
         bytes.grouped(frameBytes).zipWithIndex
           .filter { case (_, i) => i % everyK == 0 }
           .map { case (chunk, i) => Row(id, i, chunk) }

@@ -93,6 +93,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("banded simhash: subset of the exact result, only qualifying pairs") {
+    // Same fixture as the exactness test; banding with fewer chunks than
+    // radius+1 may MISS pairs (documented recall < 1) but must never
+    // invent one or return a pair beyond the radius.
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, (words.drop(i % 4) ++ words.take(3 + i % 5)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val banded = Dedup.simhashNearDupsBanded(docs, "doc_id", "text",
+      maxHamming = 12, nChunks = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(banded.keySet.subsetOf(exact.keySet))
+    assert(banded.values.forall(_ <= 12))
+    banded.foreach { case (k, h) => assert(exact(k) == h) }
+  }
+
+  test("connectedComponents: copartitioned edges give identical clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val plain = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val copart = Dedup.connectedComponents(pairs, "a", "b",
+      copartitionEdges = Some(4)).as[(Long, Long)].collect().toSet
+    assert(copart == plain)
+  }
+
   test("connectedComponents: chains merge, disjoint stay apart, labels are min") {
     // chain 1-2-3-4 (diameter 3), pair (10,11), singleton edge (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))

@@ -242,4 +242,28 @@ class ExtraSpec extends SparkSpec {
     assert(frames.count() == media.count() * 2) // 64-byte payload → chunks 0,2
     media.unpersist()
   }
+
+  test("multimodal: REAL PNG bytes decode through the distributed path") {
+    import org.apache.spark.sql.Row
+    // real ImageIO-encoded PNGs (zero external assets), mixed with a fake
+    // -header blob — decodeImage dispatches per record
+    val blobs = Seq(
+      (1L, MultiModal.encodePng(37, 21, 0xFF8800)),
+      (2L, MultiModal.encodePng(128, 64, 0x0A0B0C)),
+      (3L, MultiModal.fakeImageBytes(99, 33, 3, 8)))
+    val rows = blobs.map { case (id, b) =>
+      Row(id, "image", b, Row("image/png", s"mem://$id", b.length.toLong))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.mediaSchema)
+    val feats = MultiModal.extractImageFeatures(media)
+      .select("media_id", "width", "height", "channels")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(feats(1L) == ((37, 21, 3)))
+    assert(feats(2L) == ((128, 64, 3)))
+    assert(feats(3L) == ((99, 33, 3)))
+    // PNG magic must not be mistaken for the fake header
+    assert(MultiModal.decodeImage(blobs.head._2) ==
+      MultiModal.ImageInfo(37, 21, 3))
+  }
 }

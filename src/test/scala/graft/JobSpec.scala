@@ -199,6 +199,18 @@ class JobSpec extends SparkSpec {
         typeMap = Map.empty, swapKeyMap = Map.empty)
       val res = UserProfileJob.run(spark, conf,
         b => { JobSpecSendCounter.n.incrementAndGet(); (200, "ok") })
+      // drain the async listener bus (stable size for 400ms), THEN
+      // snapshot and unregister — the audit read-back below runs its own
+      // count() and must not pollute the job's event window
+      val deadline = System.currentTimeMillis() + 8000
+      var last = -1
+      while (System.currentTimeMillis() < deadline &&
+        (funcNames.size != last || last == 0)) {
+        last = funcNames.size; Thread.sleep(400)
+      }
+      val jobEvents = funcNames.toArray.map(_.toString).toSeq
+      spark.listenerManager.unregister(listener)
+
       assert(res.validRows == 2500 && res.invalidRows == 1)
       // batching is partition-local: ≥3 batches (2500 rows, ≤1000 each)
       assert(res.batches >= 3 && res.okBatches == res.batches)
@@ -208,10 +220,8 @@ class JobSpec extends SparkSpec {
       assert(spark.read.parquet(res.resultsPath).count() == res.batches)
       // the invalid counter rode the write as an observed metric; the old
       // shape ran a dedicated Dataset.count() action (listener-visible)
-      val deadline = System.currentTimeMillis() + 5000
-      while (System.currentTimeMillis() < deadline && funcNames.isEmpty) Thread.sleep(50)
-      assert(!funcNames.contains("count"),
-        s"egress ran a count() action: ${funcNames.toArray.mkString(",")}")
+      assert(!jobEvents.contains("count"),
+        s"egress ran a count() action: ${jobEvents.mkString(",")}")
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -54,7 +54,15 @@ object UserProfileJob {
       typeMap: Map[String, String],  // T4 per-key tags
       swapKeyMap: Map[String, String],
       batchSize: Int = 1000,
-      sinkResultsPath: Option[String] = None) {
+      sinkResultsPath: Option[String] = None,
+      /** Latest-per-key strategy: "window" (row_number over one hash
+        * shuffle — the default) or "agg" (max(struct(...)) with map-side
+        * partial aggregation — one candidate per key per upstream task
+        * crosses the shuffle; prefer it when profile keys are skewed,
+        * e.g. bot accounts with millions of changes). Both forms are
+        * semantically identical under the (tsCol, tiebreakCol) order —
+        * JobSpec proves it on a skewed fixture. */
+      dedupForm: String = "window") {
     /** Where per-batch sink results land (parquet). A sibling of the
       * bookmark store by default — NOT nested inside it, which would
       * corrupt the bookmark parquet directory. */
@@ -91,9 +99,15 @@ object UserProfileJob {
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // 3. latest change per key (single window, deterministic tiebreak)
-      val latest = Dedup.latestPerKey(changes, Seq(conf.keyCol),
-        Seq(col(conf.tsCol).desc, col(conf.tiebreakCol).desc))
+      // 3. latest change per key (strategy per Conf.dedupForm)
+      val latest = conf.dedupForm match {
+        case "window" => Dedup.latestPerKey(changes, Seq(conf.keyCol),
+          Seq(col(conf.tsCol).desc, col(conf.tiebreakCol).desc))
+        case "agg" => Dedup.latestPerKeyAgg(changes, Seq(conf.keyCol),
+          Seq(conf.tsCol, conf.tiebreakCol))
+        case other => throw new IllegalArgumentException(
+          s"dedupForm must be 'window' or 'agg', got '$other'")
+      }
 
       // 4. attribute selection from the mapping table: collect NAMES only
       //    (the reference collects the same metadata, clevertap.py:56-58)
@@ -181,7 +195,9 @@ object UserProfileMain {
       mappingPath = m("mapping_path"),
       typeMap = m.get("type_map_json").map(json2map).getOrElse(Map.empty),
       swapKeyMap = m.get("swap_key_json").map(json2map).getOrElse(Map.empty),
-      batchSize = m.get("batch_size").map(_.toInt).getOrElse(1000))
+      batchSize = m.get("batch_size").map(_.toInt).getOrElse(1000),
+      sinkResultsPath = m.get("sink_results_path"),
+      dedupForm = m.getOrElse("dedup_form", "window"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -80,6 +80,47 @@ class ExtraSpec extends SparkSpec {
     assert(got == Map(1L -> "new", 2L -> "only"))
   }
 
+  test("streaming state is BOUNDED: key-domain for latest-per-key, watermark-evicted for dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+
+    // latestPerKeyStream over a LONG stream: 20 micro-batches x 500
+    // events but only 10 distinct keys — state must track the key domain
+    // (10 rows), not the stream length (10,000)
+    val mem = MemoryStream[StreamingDedup.KeyedChange]
+    val q = StreamingDedup.latestPerKeyStream(mem.toDS()).toDF("key", "latest")
+      .writeStream.format("memory").queryName("lpk_bound")
+      .outputMode("update").start()
+    try {
+      for (b <- 0 until 20) {
+        mem.addData((0 until 500).map(i => StreamingDedup.KeyedChange(
+          (i % 10).toLong, new java.sql.Timestamp(b * 100000L + i), s"p$b")): _*)
+        q.processAllAvailable()
+      }
+      assert(lastStateRows(q) == 10L, s"state rows = ${lastStateRows(q)}")
+    } finally q.stop()
+
+    // dedupWithinWatermark: rows older than the 10s watermark window are
+    // EVICTED as event time advances — state is O(window), not O(history)
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp)]
+    val dd = StreamingDedup.dedupWithinWatermark(
+      mem2.toDF().toDF("key", "ts"), "key", "ts", "10 seconds")
+    val q2 = dd.writeStream.format("memory").queryName("dd_bound")
+      .outputMode("append").start()
+    try {
+      def batch(baseSec: Long, n: Int) = (0 until n).map(i =>
+        (baseSec + i, new java.sql.Timestamp((baseSec + i) * 1000L)))
+      mem2.addData(batch(0L, 100): _*); q2.processAllAvailable()
+      mem2.addData(batch(10000000L, 10): _*); q2.processAllAvailable()
+      mem2.addData(batch(20000000L, 10): _*); q2.processAllAvailable()
+      val rows = lastStateRows(q2)
+      assert(rows >= 0 && rows < 50, s"state not watermark-evicted: $rows of 120")
+    } finally q2.stop()
+  }
+
   test("streaming: windowed counts with watermark over the events fixture") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     Tables.load(spark, "/root/testdata/sf0.001", "events")

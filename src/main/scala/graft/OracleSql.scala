@@ -241,6 +241,60 @@ fixed AS (
 SELECT event_id, dob_raw, strftime(f, '%b-%d') AS birth_day
 FROM fixed ORDER BY event_id"""
 
+  /** q67: TF-IDF top terms, ratio damping — tf·N/df with double-first
+    * arithmetic (two IEEE ops, engine-identical); same tokenizer as the
+    * Spark side (lower → collapse whitespace → single-space split). */
+  private val q67 = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM t2 GROUP BY 1),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM t2) GROUP BY 1),
+scored AS (
+  SELECT term, tf, df,
+    (CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, term) AS INTEGER) AS "rank",
+             term, tf, df, score FROM scored)
+SELECT "rank", term, tf, df, score FROM r WHERE "rank" <= 25 ORDER BY "rank""""
+
+  /** q68: per-shard sequence packing — exclusive running token count into
+    * 2048-token bins; the tokenizer mirrors TextAnalysis.tokenCount
+    * (null/blank → 0, no lowercasing). */
+  private val q68 = """
+WITH d AS (
+  SELECT doc_id, lang AS shard,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+    END AS n_tok
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_tok,
+    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+b AS (
+  SELECT shard,
+    CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048.0) AS BIGINT) AS bin, n_tok
+  FROM c)
+SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q69: deterministic md5-keyed sample — 32-bit key from the first 8
+    * md5 hex chars (UINTEGER ≡ Spark's conv(...,16,10) long), keep 3 of
+    * 20 residues. */
+  private val q69 = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, lang, h FROM keyed WHERE h % 20 < 3 ORDER BY doc_id"""
+
   private val q25 = """
 WITH base AS (
   SELECT event_id,
@@ -1053,6 +1107,9 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
     "q24_fix_dob" -> q24,
     "q65_unix_epoch" -> q65,
     "q66_birth_date" -> q66,
+    "q67_tfidf_topk" -> q67,
+    "q68_sequence_packing" -> q68,
+    "q69_hash_sample" -> q69,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -440,6 +440,28 @@ object SparkEntry {
   // Text analysis (SURVEY §2.4)
   // =====================================================================
 
+  private def q67_tfidf_topk(s: SparkSession, dir: String): DataFrame =
+    // TF-IDF top terms, ratio damping (exact integer inputs + one IEEE
+    // division — engine-reproducible; the ln-damped variant is spec-gated
+    // because libm transcendentals differ across engines).
+    TA.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 25)
+      .orderBy("rank")
+
+  private def q68_sequence_packing(s: SparkSession, dir: String): DataFrame =
+    // Context-window packing: per-shard (lang) exclusive running token
+    // count → 2048-token bins; per-bin doc/token totals.
+    TA.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        tokenBudget = 2048, shardCol = col("lang"))
+      .orderBy("shard", "bin")
+
+  private def q69_hash_sample(s: SparkSession, dir: String): DataFrame =
+    // Deterministic md5-keyed 15% sample (3 of 20 residues) — the
+    // reproducible subset primitive for ablations/eval splits.
+    TA.hashSample(t(s, dir, "documents"), "doc_id", modulus = 20, keep = 3)
+      .select(col("doc_id"), col("lang"),
+        TA.hashSampleKey(col("doc_id")).as("h"))
+      .orderBy("doc_id")
+
   private def q27_text_stats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
         col("doc_id"),
@@ -883,6 +905,9 @@ object SparkEntry {
     "q45_cosine_neardups" -> (q45_cosine_neardups _),
     "q65_unix_epoch" -> (q65_unix_epoch _),
     "q66_birth_date" -> (q66_birth_date _),
+    "q67_tfidf_topk" -> (q67_tfidf_topk _),
+    "q68_sequence_packing" -> (q68_sequence_packing _),
+    "q69_hash_sample" -> (q69_hash_sample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

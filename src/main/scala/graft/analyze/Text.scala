@@ -104,6 +104,84 @@ object TextAnalysis {
         min(length(col(textCol))).as("min_chars"),
         max(length(col(textCol))).as("max_chars"))
 
+  /** TF-IDF top terms over a corpus. Term frequency from the full token
+    * stream, document frequency from per-document DISTINCT tokens; both
+    * are one explode + one aggregation (classic partial-agg shapes —
+    * map-side combine keeps the shuffle proportional to distinct terms,
+    * not token volume). `damping = "ratio"` scores tf·N/df with exact
+    * integer inputs and one IEEE division — bitwise-reproducible across
+    * engines (the oracle-gated form); `"log"` applies the textbook
+    * ln-damped idf (transcendental — libm results differ across engines,
+    * so it is spec-gated, not oracle-gated). Deterministic top-k by
+    * (score desc, term asc). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, damping: String = "ratio"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    // corpus size as a broadcast 1-row scalar — part of the one query
+    // plan, not a separate driver action
+    val nDocs = broadcast(docs.select(countDistinct(col(idCol)).as("n_docs")))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "term").crossJoin(nDocs)
+      .withColumn("score", damping match {
+        // double-first arithmetic: tf·N can overflow long at corpus scale
+        case "ratio" =>
+          (col("tf").cast("double") * col("n_docs").cast("double")) /
+            col("df").cast("double")
+        case "log" =>
+          col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double"))
+        case other => throw new IllegalArgumentException(
+          s"damping must be 'ratio' or 'log', got '$other'")
+      })
+    import org.apache.spark.sql.expressions.Window
+    // distributed top-k (TakeOrderedAndProject), THEN rank the k rows —
+    // never a global row_number over the whole vocabulary
+    scored.orderBy(col("score").desc, col("term").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("term").asc)))
+      .select("rank", "term", "tf", "df", "score")
+  }
+
+  /** Sequence packing for training pipelines: assign documents to fixed
+    * token-budget bins by exclusive running token count, packed WITHIN a
+    * shard (partitioned window — the global-order variant would funnel
+    * the corpus through one partition; per-shard packing is what real
+    * pipelines do, and shards pack in parallel at any scale).
+    * Deterministic: shard + doc order fix every bin. Returns per-bin
+    * stats (docs, tokens) — the bin table that a downstream writer
+    * would co-partition batches by. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    tokenBudget: Int, shardCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("id"), shardCol.as("shard"),
+        tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")).cast("double") / lit(tokenBudget.toDouble)))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+  }
+
+  /** Deterministic, engine-portable hash sampling: keep rows whose
+    * md5-derived 32-bit key falls in [0, pctTimes100) of the modulus —
+    * the reproducible corpus-subset primitive (ablations, eval splits,
+    * oracle-friendly down-sampling). Narrow, no shuffle; the same
+    * expression is reproducible in any engine with md5
+    * (('0x'||substr(md5(x),1,8))::UINTEGER in DuckDB). */
+  def hashSampleKey(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long")
+
+  def hashSample(df: DataFrame, idCol: String, modulus: Int, keep: Int): DataFrame = {
+    require(modulus > 0 && keep >= 0 && keep <= modulus)
+    df.filter(hashSampleKey(col(idCol)) % modulus < keep)
+  }
+
   /** Data-quality column profile: one row per column with row/null/
     * distinct counts — the standard ingest QA pass before a corpus joins
     * a training pipeline. All counts computed in a single aggregation

@@ -49,6 +49,28 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("AWS secrets probe: absent SDK → None; mocked probe uses injected fetch; chain falls through") {
+    import graft.core.{AwsSecretsProvider, ChainedSecretProvider}
+    // no AWS jar in this environment — the real probe must be false and
+    // the provider must yield None (never throw)
+    assert(!AwsSecretsProvider.available)
+    val real = new AwsSecretsProvider()
+    assert(real.secret("martech").isEmpty)
+    // probe mocked true: the injected fetch is consulted
+    val mocked = new AwsSecretsProvider(
+      probe = () => true,
+      fetch = n => if (n == "martech") Some("""{"ct":{"host":"x"}}""") else None)
+    assert(mocked.secret("martech").contains("""{"ct":{"host":"x"}}"""))
+    assert(mocked.secret("other").isEmpty)
+    // chain: env-style override wins, cloud fallback fills the rest
+    val chain = new ChainedSecretProvider(Seq(
+      new MapSecretProvider(Map("a" -> "override")),
+      mocked))
+    assert(chain.secret("a").contains("override"))
+    assert(chain.secret("martech").contains("""{"ct":{"host":"x"}}"""))
+    assert(chain.secret("missing").isEmpty)
+  }
+
   test("Netcore staging: RFC-4180 encoding round-trips adversarial fields") {
     import spark.implicits._
     withServer { (url, _) =>

@@ -44,4 +44,55 @@ class TextSpec extends SparkSpec {
     val r2 = one(TextAnalysis.rollingHash(col("t")), "c b a")
     assert(r1 != r2)
   }
+
+  test("tfidf: corpus-wide rare-but-frequent term wins; log damping agrees on the leader") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zebra zebra zebra zebra zebra zebra"),
+      (2L, "the cat and the dog and the bird"),
+      (3L, "the cat and the dog and the fish")).toDF("doc_id", "text")
+    val ratio = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+      .select("rank", "term").as[(Int, String)].collect().toMap
+    assert(ratio(1) == "zebra") // tf=6, df=1, N=3 → 18; "the" tf=6 df=2 → 9
+    val logv = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3, damping = "log")
+      .select("rank", "term").as[(Int, String)].collect().toMap
+    assert(logv(1) == "zebra") // ln damping: 6·ln3 ≈ 6.6 beats 6·ln1.5 ≈ 2.4
+    intercept[IllegalArgumentException](
+      TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3, damping = "bogus").collect())
+  }
+
+  test("packSequences: bins respect the budget, all docs accounted, deterministic") {
+    import spark.implicits._
+    // 10 docs of 5 tokens each per shard → budget 12 ⇒ bins of exactly
+    // ceil? exclusive-prefix rule: docs at cum-exclusive 0,5,10 → bin 0;
+    // 15,20 → bin 1 ... (a doc may straddle; bin totals may exceed budget
+    // by at most one doc's tokens — the standard packing contract)
+    val docs = (0 until 20).map(i =>
+      (i.toLong, ("w " * 5).trim, if (i < 10) "a" else "b")).toDF("doc_id", "text", "shard")
+    val bins = TextAnalysis.packSequences(docs, "doc_id", "text", 12, col("shard"))
+      .as[(String, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(bins.map(_._4).sum == 100) // every token lands in exactly one bin
+    assert(bins.map(_._3).sum == 20)  // every doc in exactly one bin
+    // exclusive-prefix binning: starts at 0,5,10 → bin 0; 15,20 → bin 1; ...
+    assert(bins.count(_._1 == "a") == bins.count(_._1 == "b"))
+    bins.foreach { case (_, _, nDocs, tok) => assert(tok <= 12 + 5 && nDocs <= 3) }
+    val again = TextAnalysis.packSequences(docs, "doc_id", "text", 12, col("shard"))
+      .as[(String, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(bins.toSeq == again.toSeq)
+  }
+
+  test("hashSample: deterministic subset, disjoint residue classes cover the corpus") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = TextAnalysis.hashSample(docs, "doc_id", 4, 1)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = TextAnalysis.hashSample(docs, "doc_id", 4, 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 400)
+    // keep = modulus ⇒ everything; keep = 0 ⇒ nothing
+    assert(TextAnalysis.hashSample(docs, "doc_id", 4, 4).count() == 400)
+    assert(TextAnalysis.hashSample(docs, "doc_id", 4, 0).count() == 0)
+    // roughly proportional (md5 uniformity): 1/4 of 400 within wide bounds
+    assert(s1.size > 50 && s1.size < 150)
+  }
 }

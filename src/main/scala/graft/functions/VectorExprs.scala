@@ -20,11 +20,40 @@ import org.apache.spark.sql.types._
   *   → double. The sum is order-independent, so plans may reorder rows
   *   freely.
   */
-private object ExactDecimal {
+private[graft] object ExactDecimal {
   /** Unscaled 12-dp value of `d`, identical to CAST(d AS DECIMAL(_,12)).
     * Spark's cast goes through BigDecimal.decimal(d) = valueOf(d)
-    * (shortest decimal representation), then HALF_UP at scale 12. */
-  def unscaled12(d: Double): Long =
+    * (shortest decimal representation), then HALF_UP at scale 12.
+    *
+    * Fast path: the BigDecimal route (Double.toString + string parse per
+    * element) dominates the vector-kernel hot loops, but its OUTPUT is a
+    * pure rounding decision on d·1e12. Let y = fl(d·1e12) and D = the
+    * shortest-repr decimal of d. |y − D·1e12| ≲ ulp(y) (half-ulp from
+    * the multiply + half-ulp(d)·1e12 ≈ half-ulp(y) from the shortest
+    * repr), so whenever y's fractional part sits further than 4·ulp(y)
+    * from every rounding boundary {0, ½, 1}, floor/half-up decisions on
+    * y and on D·1e12 provably coincide — pure double arithmetic, no
+    * allocation. Near a boundary (or beyond 2^53) it falls back to the
+    * exact BigDecimal route. HALF_UP's away-from-zero behavior for
+    * negatives is preserved by the floor/frac formulation (frac > ½ ⇒
+    * +1 applies to negative y exactly as HALF_UP does). PropertySpec
+    * fuzzes equivalence against the BigDecimal reference. */
+  def unscaled12(d: Double): Long = {
+    if (d == 0.0) return 0L // covers ±0.0; zero products are common
+    val y = d * 1e12
+    if (java.lang.Math.abs(y) < 9.007199254740992e15) { // long-exact range
+      val f = java.lang.Math.floor(y)
+      val frac = y - f
+      val tol = java.lang.Math.ulp(y) * 4.0
+      if (frac > tol && frac < 1.0 - tol && java.lang.Math.abs(frac - 0.5) > tol)
+        return f.toLong + (if (frac > 0.5) 1L else 0L)
+    }
+    unscaled12Reference(d)
+  }
+
+  /** The authoritative (slow) route — kept as the fallback and the
+    * fuzz-test reference. */
+  private[graft] def unscaled12Reference(d: Double): Long =
     java.math.BigDecimal.valueOf(d)
       .setScale(12, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()

@@ -103,7 +103,9 @@ object StreamingDedup {
     * prefixed by the epoch id — Structured Streaming replays whole
     * epochs on failure, so (epochId, content-hash) is stable across
     * replays and destinations can dedupe. `collectResults` receives the
-    * per-batch SinkResults for observability. */
+    * per-batch SinkResults for observability — TEST/SMALL-TOPOLOGY USE:
+    * it collects each epoch's results to the driver. For production
+    * scale prefer `egressStreamToPath`, which keeps results distributed. */
   def egressStream(payloads: DataFrame, payloadCol: String, batchSize: Int,
                    send: (String, Seq[String]) => (Int, String),
                    collectResults: (Long, Seq[graft.sink.SinkResult]) => Unit):
@@ -113,6 +115,25 @@ object StreamingDedup {
         batch, payloadCol, batchSize,
         (key, rows) => send(s"$epochId-$key", rows)).collect().toSeq
       collectResults(epochId, results)
+    }
+
+  /** Driver-light streaming egress (the at-scale form, mirroring the
+    * batch jobs): per-epoch results are WRITTEN to
+    * `resultsPath/epoch=<id>` and summarized distributively — only the
+    * EgressStats totals reach the driver via `onEpoch`. Epoch-keyed
+    * paths make replays overwrite their own epoch (idempotent results,
+    * matching the epoch-keyed send idempotency). */
+  def egressStreamToPath(payloads: DataFrame, payloadCol: String, batchSize: Int,
+                         send: (String, Seq[String]) => (Int, String),
+                         resultsPath: String,
+                         onEpoch: (Long, graft.sink.EgressStats) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    payloads.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val stats = graft.sink.HttpSink.writeResults(
+        graft.sink.HttpSink.sendBatchesKeyed(batch, payloadCol, batchSize,
+          (key, rows) => send(s"$epochId-$key", rows)),
+        s"$resultsPath/epoch=$epochId")
+      onEpoch(epochId, stats)
     }
 
   /** Run a streaming query on a memory sink until all available input is

@@ -268,6 +268,28 @@ class ExtraSpec extends SparkSpec {
     assert(rs.forall(_.idempotencyKey.matches("[0-9a-f]{32}")))
   }
 
+  test("streaming: driver-light egress writes per-epoch results, driver sees only totals") {
+    val dir = Files.createTempDirectory("graft-stream5").toString
+    (1 to 25).map(i => s"""{"i":$i}""").toDF("payload").write.parquet(s"$dir/in")
+    val schema = StructType(Seq(StructField("payload", StringType)))
+    val epochs = new java.util.concurrent.CopyOnWriteArrayList[(Long, graft.sink.EgressStats)]()
+    val q = StreamingDedup.egressStreamToPath(
+        StreamingDedup.changelogStream(spark, s"$dir/in", schema),
+        "payload", batchSize = 10,
+        (_, _) => (200, "ok"),
+        s"$dir/results",
+        (e, st) => epochs.add((e, st)))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val stats = epochs.toArray.map(_.asInstanceOf[(Long, graft.sink.EgressStats)])
+    assert(stats.map(_._2.records).sum == 25)
+    assert(stats.forall { case (_, st) => st.okBatches == st.batches })
+    // per-batch audit detail lives under epoch-keyed paths on storage
+    val onDisk = spark.read.parquet(s"$dir/results")
+    assert(onDisk.agg(sum("records")).head.getLong(0) == 25)
+    assert(onDisk.columns.contains("idempotencyKey"))
+  }
+
   test("multimodal: synthesize → decode → features → resize plan → frames") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = MultiModal.synthesizeFromDocs(docs).repartition(4).cache()

@@ -105,6 +105,39 @@ class PropertySpec extends SparkSpec {
     assert(win == agg)
   }
 
+  test("unscaled12 fast path ≡ BigDecimal reference (fuzz + adversarial boundaries)") {
+    import graft.functions.ExactDecimal
+    val rnd = new scala.util.Random(99)
+    // random magnitudes across the float-product range seen by the kernels
+    val fuzz = (0 until 200000).map { _ =>
+      val mag = math.pow(10.0, rnd.nextInt(24) - 12)
+      (rnd.nextDouble() * 2 - 1) * mag
+    }
+    // adversarial: values AT and NEAR the 12-dp rounding boundaries, where
+    // the fast path must detect the boundary and fall back
+    val adv = (0 until 5000).flatMap { i =>
+      val base = (i - 2500).toLong
+      Seq(base * 1e-12, base * 1e-12 + 5e-13, base * 1e-12 + 5e-13 + 1e-25,
+        base * 1e-12 - 5e-13, (base.toDouble + 0.5) / 1e12,
+        java.lang.Math.nextUp((base.toDouble + 0.5) / 1e12),
+        java.lang.Math.nextDown((base.toDouble + 0.5) / 1e12))
+    } ++ Seq(0.0, -0.0, 1e-13, -1e-13, 4.999999999999e-13, 5.000000000001e-13)
+    (fuzz ++ adv).foreach { d =>
+      // overflow (beyond long-exact unscaled range) must THROW in both —
+      // the kernels' addExact fallback contract depends on it
+      val ref = scala.util.Try(ExactDecimal.unscaled12Reference(d))
+      val fast = scala.util.Try(ExactDecimal.unscaled12(d))
+      assert(fast.toOption == ref.toOption &&
+        fast.isFailure == ref.isFailure,
+        s"mismatch at d=$d (bits=${java.lang.Double.doubleToLongBits(d)}): fast=$fast ref=$ref")
+    }
+    // float products specifically (the kernels multiply float-derived doubles)
+    (0 until 100000).foreach { _ =>
+      val d = (rnd.nextFloat() * 2 - 1).toDouble * (rnd.nextFloat() * 2 - 1).toDouble
+      assert(ExactDecimal.unscaled12(d) == ExactDecimal.unscaled12Reference(d), s"d=$d")
+    }
+  }
+
   test("aggregate dedup form plans a partial aggregation (map-side combine)") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val df = graft.dedup.Dedup.latestPerKeyAgg(ev, Seq("user_id"), Seq("ts", "event_id"))

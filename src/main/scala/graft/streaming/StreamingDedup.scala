@@ -28,6 +28,18 @@ object StreamingDedup {
     changes.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCol, tsCol)
 
+  /** Dedup with GUARANTEED eviction semantics:
+    * `dropDuplicatesWithinWatermark` keys state on the dedup columns
+    * alone (no event-time column in the key) and expires each entry one
+    * watermark-delay after its FIRST sighting — the right primitive when
+    * duplicates carry slightly different timestamps (retried producers,
+    * clock skew), which `dropDuplicates(key, ts)` would pass through as
+    * distinct rows. */
+  def dedupKeysWithinWatermark(changes: DataFrame, keyCols: Seq[String],
+                               tsCol: String, watermark: String): DataFrame =
+    changes.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Latest-change-per-key as continuously-updated state:
     * mapGroupsWithState keeps one row per key (the newest by ts) and
     * emits it on every update — the streaming twin of

@@ -268,6 +268,25 @@ class ExtraSpec extends SparkSpec {
     assert(rs.forall(_.idempotencyKey.matches("[0-9a-f]{32}")))
   }
 
+  test("streaming: dropDuplicatesWithinWatermark collapses skewed-timestamp duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val dd = StreamingDedup.dedupKeysWithinWatermark(
+      mem.toDF().toDF("key", "ts"), Seq("key"), "ts", "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      // same key arrives 3x with skewed timestamps inside the watermark
+      // delay — dropDuplicates(key, ts) would emit all three
+      mem.addData((1L, t(100)), (1L, t(130)), (1L, t(160)), (2L, t(100)))
+      q.processAllAvailable()
+      val got = spark.table("ddw_out").select($"key").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming: driver-light egress writes per-epoch results, driver sees only totals") {
     val dir = Files.createTempDirectory("graft-stream5").toString
     (1 to 25).map(i => s"""{"i":$i}""").toDF("payload").write.parquet(s"$dir/in")

@@ -119,6 +119,32 @@ class PlanSpec extends SparkSpec {
     assert(!s1.contains("PushedFilters: [IsNotNull(event_type)"), s1)
   }
 
+  test("q67 top-k is distributed (TakeOrderedAndProject), never a global row_number") {
+    val s = planString(q("q67_tfidf_topk"))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // the rank window exists but runs AFTER the k-row cut — the plan has
+    // partial aggregations below every term exchange
+    assert(s.contains("partial_count"), s)
+  }
+
+  test("q68 packing plans ONE shard exchange for the window") {
+    val s = planString(q("q68_sequence_packing"))
+    // one hash exchange (window on shard); the groupBy(shard, bin) reuses
+    // that partitioning and needs no second hash exchange
+    val hashExchanges = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s)
+  }
+
+  test("q69 hash-sample filter evaluates at the scan with pruned schema") {
+    val s = planString(q("q69_hash_sample"))
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"), readSchema) // only id+lang read
+    // the md5 residue filter is compute-side but sits in DataFilters
+    // directly over the scan — no shuffle before it
+    assert(s.contains("md5"), s)
+  }
+
   test("bucketed tables co-locate the join: no exchange in the join plan") {
     // The 100 TB pattern for repeated fact-fact joins: bucket both sides
     // on the join key at write time; the sort-merge join then needs no

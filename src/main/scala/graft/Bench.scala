@@ -48,12 +48,18 @@ object Bench {
       // with a large heap, GC is rare, so dead broadcasts/shuffle state
       // from earlier queries otherwise pile up and drag later ones.
       System.gc()
-      val cold = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
+      // a failing query must be VISIBLE (stderr), never silently timed
+      // as near-zero — the JSON line on stdout stays parseable either way
+      def run(): Unit = try fn(spark, sfDir).count() catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name failed: ${t.getMessage}")
+      }
+      val cold = time(run())
       // steady-state = best of two warm runs: single warm samples still
       // carry JIT-compile and cleaner-timing noise (observed 3x swings on
       // the candidate-join queries)
-      val warm1 = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
-      val warm2 = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
+      val warm1 = time(run())
+      val warm2 = time(run())
       (name, cold, math.min(warm1, warm2))
     }
     val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }

@@ -72,7 +72,12 @@ object AwsSecretsProvider {
       "software.amazon.awssdk.services.secretsmanager.SecretsManagerClient")
     val reqCls = Class.forName(
       "software.amazon.awssdk.services.secretsmanager.model.GetSecretValueRequest")
-    val client = clientCls.getMethod("create").invoke(null)
+    val client =
+      try clientCls.getMethod("create").invoke(null)
+      catch { // surface the SDK's own error (no credentials, no region)
+        case e: java.lang.reflect.InvocationTargetException if e.getCause != null =>
+          throw e.getCause
+      }
     try {
       val b0 = reqCls.getMethod("builder").invoke(null)
       val b1 = b0.getClass.getMethod("secretId", classOf[String]).invoke(b0, name)

@@ -206,6 +206,10 @@ object UserProfileMain {
     }.getOrElse(sys.error("usage: --conf-file <path>"))
     val m = graft.core.AppConfig.load(confPath)
     val conf = parseConf(m)
+    // only stop a session this main itself created — under spark-submit
+    // there is none yet; embedded callers (tests, notebooks) keep theirs
+    val ownsSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder().appName(conf.jobName).getOrCreate()
     val client = new graft.sink.ClevertapClient(
       m("base_url"), m("account_id"), m("passcode"))
@@ -213,7 +217,7 @@ object UserProfileMain {
     // counters the reference logs (TOTAL_RECORD_PROCESSED/SEND/INVALID)
     println(s"""{"valid":${res.validRows},"invalid":${res.invalidRows},""" +
       s""""batches":${res.batches},"ok":${res.okBatches}}""")
-    spark.stop()
+    if (ownsSession) spark.stop()
   }
 }
 

@@ -316,6 +316,42 @@ class JobSpec extends SparkSpec {
     assert(parsed.batchSize == 500)
   }
 
+  test("UserProfileMain e2e: --conf-file → job → JSON counters on stdout") {
+    val root = Files.createTempDirectory("graft-main").toString
+    Seq(("1", "9876543210", "insert", ts("2024-07-01 10:00:00"), 1L),
+        ("2", "9876543211", "insert", ts("2024-07-01 11:00:00"), 2L))
+      .toDF("customer_id", "mobile", "_change_type", "_commit_timestamp", "_commit_version")
+      .write.parquet(s"$root/changelog")
+    Seq(("mobile", true)).toDF("property_name", "clevertap")
+      .write.parquet(s"$root/mapping")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("ok".getBytes); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val conf = java.nio.file.Files.createTempFile("graft-mainconf", ".json")
+      java.nio.file.Files.writeString(conf, s"""{
+        "job_name": "main_e2e", "changelog_path": "$root/changelog",
+        "bookmark_path": "$root/bookmarks", "key_col": "customer_id",
+        "ts_col": "_commit_timestamp", "tiebreak_col": "_commit_version",
+        "platform": "clevertap", "mapping_path": "$root/mapping",
+        "base_url": "http://127.0.0.1:${server.getAddress.getPort}",
+        "account_id": "a", "passcode": "p"}""")
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.jobs.UserProfileMain.main(Array("--conf-file", conf.toString))
+      }
+      val line = out.toString.linesIterator.find(_.startsWith("{")).get
+      assert(line.contains(""""valid":2""") && line.contains(""""invalid":0"""), line)
+      // the shared test session must have survived (main doesn't own it)
+      assert(!spark.sparkContext.isStopped)
+    } finally server.stop(0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -1069,6 +1069,41 @@ reach AS (
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 ORDER BY doc_id"""
 
+  /** q70: transitive near-dup survivorship — q63's pair + transitive
+    * closure CTEs, then anti-join losers (non-minimum cluster members)
+    * and profile the surviving corpus per language. */
+  private val q70 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE)
+    / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+losers AS (SELECT id AS doc_id FROM clusters WHERE id <> cluster_id)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+GROUP BY 1 ORDER BY 1"""
+
   /** q64: corpus bigram top-20 (deterministic tiebreak on the bigram). */
   private val q64 = """
 WITH t AS (
@@ -1110,6 +1145,7 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
     "q67_tfidf_topk" -> q67,
     "q68_sequence_packing" -> q68,
     "q69_hash_sample" -> q69,
+    "q70_cluster_survivors" -> q70,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

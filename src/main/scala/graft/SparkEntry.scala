@@ -812,6 +812,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q70_cluster_survivors(s: SparkSession, dir: String): DataFrame = {
+    // Transitive near-dup survivorship: one survivor (min id) per
+    // connected component of the Jaccard pair graph — the policy real
+    // corpus dedup uses (q53's pairwise form keeps transitive dups).
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.4)
+    Dedup.survivorsByCluster(docs, pairs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .orderBy("lang")
+  }
+
   private def q64_bigram_topk(s: SparkSession, dir: String): DataFrame =
     // n-gram LM statistics: corpus bigram counts (the unigram pass is
     // q31). Bigrams formed by zipping the token array with its own tail —
@@ -908,6 +922,7 @@ object SparkEntry {
     "q67_tfidf_topk" -> (q67_tfidf_topk _),
     "q68_sequence_packing" -> (q68_sequence_packing _),
     "q69_hash_sample" -> (q69_hash_sample _),
+    "q70_cluster_survivors" -> (q70_cluster_survivors _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -324,7 +324,11 @@ object Dedup extends graft.core.Logging {
           .select(col("id"), col("label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         updated.count()
-        val changed = obs.get("n_changed").asInstanceOf[Long]
+        // sum over an empty frontier (empty pair graph) observes NULL
+        val changed = obs.get("n_changed") match {
+          case null => 0L
+          case v    => v.asInstanceOf[Long]
+        }
         labels.unpersist(blocking = false)
         labels = updated
         converged = changed == 0
@@ -335,6 +339,22 @@ object Dedup extends graft.core.Logging {
       // The cache frees on the ContextCleaner once unreferenced.
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Near-dup SURVIVORSHIP by cluster: connected components over the
+    * pair graph, keep exactly the minimum id of each cluster (plus every
+    * document in no pair). This is the standard corpus-dedup policy —
+    * transitive: with pairs (1,3) and (2,3), document 2 falls as a
+    * transitive duplicate of 1 even though (1,2) was never a pair,
+    * whereas the pairwise drop-the-higher-id form (q53) would keep it.
+    * Deterministic (labels are min reachable ids); the losers table is
+    * ids-only and anti-joins back against the full corpus. */
+  def survivorsByCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+                         aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard pairs with prefix filtering (PPJoin-style).

@@ -113,6 +113,21 @@ class DedupSpec extends SparkSpec {
     banded.foreach { case (k, h) => assert(exact(k) == h) }
   }
 
+  test("survivorsByCluster: transitive survivorship, unpaired docs untouched") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (10L, "y")).toDF("id", "payload")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val surv = Dedup.survivorsByCluster(df, pairs, "id")
+      .select("id").as[Long].collect().toSet
+    // 2 falls as a TRANSITIVE duplicate of 1 (via 3) even though (1,2)
+    // was never a pair — the pairwise drop-id_b policy would keep it
+    assert(surv == Set(1L, 10L))
+    // empty pair graph ⇒ everything survives
+    val none = Dedup.survivorsByCluster(df,
+      spark.emptyDataFrame.select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0),
+      "id").count()
+    assert(none == 4)
+  }
+
   test("connectedComponents: copartitioned edges give identical clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
       (4L, 5L), (5L, 6L)).toDF("a", "b")

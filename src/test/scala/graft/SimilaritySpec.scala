@@ -100,6 +100,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF kernel edge semantics: null elements, dim-mismatched centroids, bad types") {
+    import graft.functions.VectorFunctions
+    // centroid matrix column: one 2-dim centroid, one 3-dim (skipped for
+    // 2-dim vectors), exercised through the same crossJoin shape Ivf uses
+    val cm = Seq(Tuple1(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0, 0.5)))).toDF("cmat")
+    val vecs = Seq(
+      (1L, Some(Array(0.9f, 0.1f))),   // → cell 0 (the only dim-matched centroid)
+      (2L, None)                       // null vec → null cell, null probes
+    ).toDF("id", "v")
+    val out = vecs.crossJoin(cm)
+      .select($"id", VectorFunctions.ivfAssign($"v", $"cmat").as("cell"),
+        VectorFunctions.ivfProbes($"v", $"cmat", 4).as("probes"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getInt(1))),
+         (if (r.isNullAt(2)) None else Some(r.getSeq[Int](2).toList)))).toMap
+    assert(out(1L) == ((Some(0), Some(List(0))))) // mismatched centroid absent
+    assert(out(2L) == ((None, None)))
+    // a null ELEMENT inside the vector poisons the row like dotExact
+    val nullElem = spark.sql("SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v")
+      .crossJoin(cm).select(VectorFunctions.ivfAssign($"v", $"cmat").as("cell"))
+      .collect().head
+    assert(nullElem.isNullAt(0))
+    // wrong matrix type fails analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      vecs.withColumn("cmat", lit("nope"))
+        .select(VectorFunctions.ivfAssign($"v", $"cmat")).collect()
+    }
+  }
+
   test("cosineNearDups finds planted near-identical vectors") {
     val base = Array.fill(16)(0.5f)
     val tweaked = base.clone(); tweaked(0) = 0.51f

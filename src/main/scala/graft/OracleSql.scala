@@ -788,6 +788,22 @@ FROM events ev
 LEFT JOIN (SELECT * FROM j WHERE rn = 1) j2 USING (event_id)
 ORDER BY ev.event_id"""
 
+  /** q71: forward as-of join — q52's time mirror (earliest order at or
+    * after each event; ties to the smallest orderkey). */
+  private val q71 = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+SELECT ev.event_id, ev.user_id,
+  j2.o_orderkey AS matched_o_orderkey,
+  j2.o_totalprice AS matched_o_totalprice
+FROM events ev
+LEFT JOIN (SELECT * FROM j WHERE rn = 1) j2 USING (event_id)
+ORDER BY ev.event_id"""
+
   /** q53: training-data corpus-prep composite — quality gate (q29's
     * formula), exact fingerprint dedup (q30's fingerprint, keep lowest
     * id), near-dup removal (q42's exact Jaccard pairs, drop higher id),
@@ -1146,6 +1162,7 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
     "q68_sequence_packing" -> q68,
     "q69_hash_sample" -> q69,
     "q70_cluster_survivors" -> q70,
+    "q71_asof_forward" -> q71,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -649,6 +649,19 @@ object SparkEntry {
         col("matched_o_orderkey"), col("matched_o_totalprice"))
       .orderBy("event_id")
 
+  private def q71_asof_forward(s: SparkSession, dir: String): DataFrame =
+    // Forward as-of join (time mirror of q52): each event picks the
+    // EARLIEST order at or after its timestamp — next-event attribution.
+    graft.relational.Relational.asofJoinForward(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice")).withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        tiebreak = "o_orderkey", payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("matched_o_orderkey"), col("matched_o_totalprice"))
+      .orderBy("event_id")
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -923,6 +936,7 @@ object SparkEntry {
     "q68_sequence_packing" -> (q68_sequence_packing _),
     "q69_hash_sample" -> (q69_hash_sample _),
     "q70_cluster_survivors" -> (q70_cluster_survivors _),
+    "q71_asof_forward" -> (q71_asof_forward _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -30,23 +30,51 @@ object Relational {
     * the shuffle — project `payload` down before calling. */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String, tiebreak: String,
-                       payload: Seq[String]): DataFrame = {
+                       payload: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, tiebreak, payload,
+      forward = false)
+
+  /** Forward as-of join — the time mirror of asofJoinBackward: for every
+    * left row, the single right row with the SMALLEST `(rightTs,
+    * tiebreak)` such that `rightTs >= leftTs` (the "next event at or
+    * after" shape: next purchase after a view, next reading after a
+    * fault). Same single-shuffle union+window plan, scanning the key's
+    * timeline in descending time; equal-timestamp right rows resolve to
+    * the smallest `tiebreak`. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, tiebreak: String,
+                      payload: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, tiebreak, payload,
+      forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String, tiebreak: String,
+                           payload: Seq[String], forward: Boolean): DataFrame = {
     val pStruct = struct(payload.map(col): _*)
     val rPayloadType = right.select(pStruct.as("__p")).schema("__p").dataType
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val lStructType = left.select(lStruct.as("__l")).schema("__l").dataType
     val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
-      lit(1).as("__side"), lit(Long.MaxValue).as("__tb"),
+      lit(1).as("__side"), lit(0L).as("__tb"),
       lit(null).cast(rPayloadType).as("__p"), lStruct.as("__l"))
-    // null right timestamps can never satisfy rightTs <= leftTs — drop
-    // them here, or they'd sort before everything and match spuriously
+    // null right timestamps can never satisfy the inequality — drop them
+    // here, or they'd sort first in scan order and match spuriously
     val r = right.filter(col(rightTs).isNotNull)
       .select(col(key).as("__k"), col(rightTs).as("__ts"),
         lit(0).as("__side"), col(tiebreak).cast("long").as("__tb"),
         pStruct.as("__p"), lit(null).cast(lStructType).as("__l"))
     val unioned = r.unionByName(l)
+    // scan order: time ascending (backward) or descending (forward), with
+    // right rows before left at EQUAL timestamps (ties are matches in
+    // both directions), null left timestamps first (they can match
+    // nothing). Within equal-ts right rows, the tiebreak winner must be
+    // scanned LAST so `last()` selects it: greatest for backward,
+    // smallest for forward.
+    val order =
+      if (forward) Seq(col("__ts").desc_nulls_first, col("__side").asc, col("__tb").desc)
+      else Seq(col("__ts").asc_nulls_first, col("__side").asc, col("__tb").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc_nulls_first, col("__side").asc, col("__tb").asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

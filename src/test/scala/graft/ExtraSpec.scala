@@ -166,6 +166,33 @@ class ExtraSpec extends SparkSpec {
     assert(rows(4L).isEmpty)
   }
 
+  test("asofJoinForward: next-at-or-after, tiebreak picks smallest, unmatched null") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-03 00:00:00")),  // next order at 2024-01-04 → key 3
+      (2L, 10L, ts("2024-01-02 00:00:00")),  // equal-ts orders included; SMALLEST key 2 wins
+      (3L, 10L, ts("2024-01-05 00:00:00")),  // after all orders → null
+      (4L, 99L, ts("2024-01-01 00:00:00"))   // key with no orders → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, 100.0),
+      (10L, ts("2024-01-02 00:00:00"), 2L, 200.0),
+      (10L, ts("2024-01-02 00:00:00"), 20L, 250.0),
+      (10L, ts("2024-01-04 00:00:00"), 3L, 300.0),
+      (10L, null.asInstanceOf[java.sql.Timestamp], 99L, 999.0)
+    ).toDF("user_id", "odate", "okey", "price")
+    val rows = graft.relational.Relational.asofJoinForward(
+        left, right, key = "user_id", leftTs = "ts", rightTs = "odate",
+        tiebreak = "okey", payload = Seq("okey", "price"))
+      .select($"event_id", $"matched_okey")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L) == Some(3L))
+    assert(rows(2L) == Some(2L)) // equal ts included; smallest okey wins
+    assert(rows(3L).isEmpty)
+    assert(rows(4L).isEmpty)
+  }
+
   test("rangeBinJoin: interval membership, open upper bin, out-of-range null") {
     val facts = Seq((1L, 5.0), (2L, 10.0), (3L, 250.0), (4L, -1.0))
       .toDF("id", "value")

@@ -804,6 +804,40 @@ FROM events ev
 LEFT JOIN (SELECT * FROM j WHERE rn = 1) j2 USING (event_id)
 ORDER BY ev.event_id"""
 
+  /** q72: L2 normalization, long form — exact-decimal norm (unscaled
+    * values stay far below 2^53, so the decimal→double cast is exact in
+    * both engines) and per-element IEEE division. */
+  private val q72 = """
+WITH e AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+n AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+  FROM e GROUP BY 1)
+SELECT e.vec_id, CAST(e.i - 1 AS INTEGER) AS i,
+  CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS x
+FROM e JOIN n USING (vec_id)
+ORDER BY vec_id, i"""
+
+  /** q73: per-dimension mean pooling over vec_id%10 groups —
+    * decimal-exact sums, mean as one IEEE division. Elements are
+    * round(x,12)-ed before the decimal cast: raw floats can TIE exactly
+    * at 12 dp (13 fractional bits), where Spark rounds HALF_UP and
+    * DuckDB HALF_EVEN; round() is half-away-from-zero in both. */
+  private val q73 = """
+WITH e AS (
+  SELECT vec_id % 10 AS grp, i - 1 AS i0, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings))
+SELECT grp, CAST(i0 AS INTEGER) AS i,
+  CAST(SUM(CAST(round(x, 12) AS DECIMAL(30,12))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean
+FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** q53: training-data corpus-prep composite — quality gate (q29's
     * formula), exact fingerprint dedup (q30's fingerprint, keep lowest
     * id), near-dup removal (q42's exact Jaccard pairs, drop higher id),
@@ -1163,6 +1197,8 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
     "q69_hash_sample" -> q69,
     "q70_cluster_survivors" -> q70,
     "q71_asof_forward" -> q71,
+    "q72_l2_normalize" -> q72,
+    "q73_mean_pool" -> q73,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

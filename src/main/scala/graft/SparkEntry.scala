@@ -662,6 +662,21 @@ object SparkEntry {
         col("matched_o_orderkey"), col("matched_o_totalprice"))
       .orderBy("event_id")
 
+  private def q72_l2_normalize(s: SparkSession, dir: String): DataFrame =
+    // L2 normalization, emitted long-form (vec_id, dim, value) so the
+    // compare is over scalars; exact-decimal norm + IEEE division.
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.normalizeL2(col("embedding")).as("nv"))
+      .select(col("vec_id"), posexplode(col("nv")).as(Seq("i", "x")))
+      .orderBy("vec_id", "i")
+
+  private def q73_mean_pool(s: SparkSession, dir: String): DataFrame =
+    // Per-dimension mean pooling over residue groups — one
+    // partial-aggregating shuffle on (group, dim), exact-decimal sums.
+    Similarity.meanPool(t(s, dir, "embeddings"),
+        col("vec_id") % 10, col("embedding"))
+      .orderBy("grp", "i")
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -937,6 +952,8 @@ object SparkEntry {
     "q69_hash_sample" -> (q69_hash_sample _),
     "q70_cluster_survivors" -> (q70_cluster_survivors _),
     "q71_asof_forward" -> (q71_asof_forward _),
+    "q72_l2_normalize" -> (q72_l2_normalize _),
+    "q73_mean_pool" -> (q73_mean_pool _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -148,6 +148,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** L2-normalize (native kernel — exact-decimal norm, elementwise IEEE
+    * division, zero vectors unchanged). Normalized corpora make cosine a
+    * plain dot product downstream. */
+  def normalizeL2(vec: Column): Column =
+    graft.functions.VectorFunctions.l2Normalize(vec)
+
+  /** Per-dimension mean pooling over groups (centroids of a clustering,
+    * class prototypes, …) in LONG form — (group, dim, mean) rows, one
+    * partial-aggregating shuffle on (group, dim), never a per-group
+    * array materialization on a single node. Exact-decimal sums
+    * (engine-reproducible); mean = exact-sum / count in IEEE double.
+    * Elements are round(x, 12)-ed BEFORE the decimal cast: a raw float
+    * with exactly 13 fractional bits is an exact 12-dp TIE, which Spark's
+    * decimal cast breaks HALF_UP and DuckDB's HALF_EVEN — round() is
+    * half-away-from-zero in both engines and its result can no longer
+    * tie (found by the q73 oracle on a real corpus value,
+    * 0.1983642578125). */
+  def meanPool(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame =
+    df.select(groupCol.as("grp"), posexplode(vecCol).as(Seq("i", "x")))
+      .groupBy(col("grp"), col("i"))
+      .agg((sum(round(col("x").cast("double"), 12).cast("decimal(30,12)"))
+        .cast("double") / count(lit(1)).cast("double")).as("mean"))
+
   /** Per-vector uniform 8-bit quantize→dequantize: 255 levels across
     * [min, max] of the vector — the storage scale path (4x smaller
     * embeddings) whose recall cost this library can MEASURE because the

@@ -376,6 +376,40 @@ case class IvfProbesExpr(left: Expression, right: Expression, nprobe: Int)
     copy(left = l, right = r)
 }
 
+/** L2-normalize a vector: each element divided by the exact-decimal
+  * norm (sqrt of the 12-dp-exact self-dot — the same norm every other
+  * kernel computes, so normalize→cosine is consistent). Zero-norm
+  * vectors pass through as doubles unchanged. A native kernel rather
+  * than a transform() lambda: the lambda body would re-inline the whole
+  * norm subtree per element (the round-1 project-collapse trap), turning
+  * O(dim) into O(dim²) decimal work. Null element → null result. */
+case class L2NormalizeExpr(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  import ExactDecimal._
+  override protected def resultJava: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def resultNullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArrayNumeric(child.dataType, "l2_normalize")
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = toDoubles(v.asInstanceOf[ArrayData], isFloat)
+    if (x == null) return null
+    val n = java.lang.Math.sqrt(dotConst(x, x))
+    if (n > 0) {
+      var i = 0
+      while (i < x.length) { x(i) = x(i) / n; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(x)
+  }
+  override protected def withNewChildInternal(c: Expression): L2NormalizeExpr =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def dotExact(a: Column, b: Column): Column =
@@ -386,4 +420,6 @@ object VectorFunctions {
     ColumnBridge.column(IvfAssignExpr(ColumnBridge.expression(vec), ColumnBridge.expression(cmat)))
   def ivfProbes(vec: Column, cmat: Column, nprobe: Int): Column =
     ColumnBridge.column(IvfProbesExpr(ColumnBridge.expression(vec), ColumnBridge.expression(cmat), nprobe))
+  def l2Normalize(vec: Column): Column =
+    ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
 }

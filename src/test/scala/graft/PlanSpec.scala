@@ -79,14 +79,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s)
   }
 
-  test("q52 as-of join plans a single shuffle (union+window, no pair join)") {
-    val s = planString(q("q52_asof_join"))
-    // exchanges: one hash partition for the window + the final rangepartition
-    // for ORDER BY — no join operator at all
-    val hashExchanges = s.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$s")
-    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"), s)
+  test("q52/q71 as-of joins plan a single shuffle (union+window, no pair join)") {
+    for (name <- Seq("q52_asof_join", "q71_asof_forward")) {
+      val s = planString(q(name))
+      // exchanges: one hash partition for the window + the final
+      // rangepartition for ORDER BY — no join operator at all
+      val hashExchanges = s.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges == 1, s"$name: expected 1 hash exchange, plan:\n$s")
+      assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"), s)
+    }
   }
 
   test("q51 range-bin join broadcasts the bin table (fact side never shuffles)") {

@@ -129,6 +129,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("normalizeL2: unit norm after, zero vector unchanged, null poisons") {
+    val df = Seq(
+      (1L, Some(Array(3f, 4f))),      // norm 5 → (0.6, 0.8)
+      (2L, Some(Array(0f, 0f))),      // zero norm → unchanged (as double)
+      (3L, None)                      // null vector → null
+    ).toDF("id", "v")
+    val got = df.select($"id", Similarity.normalizeL2($"v").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1).toList))).toMap
+    assert(got(1L).get.zip(List(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(got(2L).contains(List(0.0, 0.0)))
+    assert(got(3L).isEmpty)
+    // post-normalization dot ≈ cosine of the originals
+    val n = got(1L).get
+    assert(math.abs(n.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
+  test("meanPool matches a local per-dimension mean") {
+    val data = Seq(
+      (0L, Array(1f, 2f)), (0L, Array(3f, 4f)),   // grp 0 → (2.0, 3.0)
+      (1L, Array(10f, 0f)))                       // grp 1 → (10.0, 0.0)
+    val got = Similarity.meanPool(data.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0L, 0) -> 2.0, (0L, 1) -> 3.0, (1L, 0) -> 10.0, (1L, 1) -> 0.0))
+  }
+
   test("cosineNearDups finds planted near-identical vectors") {
     val base = Array.fill(16)(0.5f)
     val tweaked = base.clone(); tweaked(0) = 0.51f

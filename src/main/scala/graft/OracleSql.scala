@@ -838,6 +838,22 @@ SELECT grp, CAST(i0 AS INTEGER) AS i,
     / CAST(COUNT(*) AS DOUBLE) AS mean
 FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q74: benchmark decontamination — distinct shared 3-grams between
+    * the odd-id probe set and the even-id training corpus (string grams
+    * on the SQL side; q42-style hash-collision-free at this scale). */
+  private val q74 = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+cg AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 2 = 0),
+pg AS (SELECT doc_id, gram FROM gd WHERE doc_id % 2 = 1)
+SELECT pg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+FROM pg JOIN cg USING (gram)
+GROUP BY 1 ORDER BY 1"""
+
   /** q53: training-data corpus-prep composite — quality gate (q29's
     * formula), exact fingerprint dedup (q30's fingerprint, keep lowest
     * id), near-dup removal (q42's exact Jaccard pairs, drop higher id),
@@ -1199,6 +1215,7 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
     "q71_asof_forward" -> q71,
     "q72_l2_normalize" -> q72,
     "q73_mean_pool" -> q73,
+    "q74_contamination" -> q74,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

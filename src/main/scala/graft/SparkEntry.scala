@@ -677,6 +677,17 @@ object SparkEntry {
         col("vec_id") % 10, col("embedding"))
       .orderBy("grp", "i")
 
+  private def q74_contamination(s: SparkSession, dir: String): DataFrame = {
+    // Benchmark decontamination: even doc_ids play the training corpus,
+    // odd ones the eval set; report eval docs sharing any 3-gram.
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3, minShared = 1)
+      .orderBy("doc_id")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -954,6 +965,7 @@ object SparkEntry {
     "q71_asof_forward" -> (q71_asof_forward _),
     "q72_l2_normalize" -> (q72_l2_normalize _),
     "q73_mean_pool" -> (q73_mean_pool _),
+    "q74_contamination" -> (q74_contamination _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

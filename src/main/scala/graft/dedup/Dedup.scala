@@ -341,6 +341,25 @@ object Dedup extends graft.core.Logging {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Benchmark decontamination: which probe (eval/test) documents share
+    * at least `minShared` distinct word n-grams with the training
+    * corpus — the standard pre-training overlap check. The corpus side
+    * reduces to DISTINCT gram hashes (8-byte rows; map-side combine
+    * collapses repeats before the shuffle) and the join carries
+    * (gram-hash, probe-id) only — text never shuffles, and the output is
+    * probe-sized. Returns (probe id, n_hit_grams). */
+  def contamination(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minShared: Int = 1): DataFrame = {
+    val cg = corpus.select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    // shingles() already dedups within a document, so rows are distinct
+    // (probe, gram) pairs and the count below is distinct shared grams
+    val pg = probes.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+    pg.join(cg, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .filter(col("n_hit_grams") >= minShared)
+  }
+
   /** Near-dup SURVIVORSHIP by cluster: connected components over the
     * pair graph, keep exactly the minimum id of each cluster (plus every
     * document in no pair). This is the standard corpus-dedup policy —

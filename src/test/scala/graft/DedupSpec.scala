@@ -113,6 +113,21 @@ class DedupSpec extends SparkSpec {
     banded.foreach { case (k, h) => assert(exact(k) == h) }
   }
 
+  test("contamination: planted n-gram overlap detected, clean probes absent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material here")).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "someone said the quick brown fox runs"), // shares "the quick brown"/"quick brown fox"
+      (11L, "nothing in common with anything at all"),
+      (12L, "xy")                                      // < n tokens → no grams
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, probes, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(10L))
+    assert(hits(10L) == 2L) // "the quick brown" + "quick brown fox"
+  }
+
   test("survivorsByCluster: transitive survivorship, unpaired docs untouched") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (10L, "y")).toDF("id", "payload")
     val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")

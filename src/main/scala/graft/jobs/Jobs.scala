@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.sink.{HttpSink, SinkResult}
+import graft.sink.HttpSink
 import graft.source.{Bookmarks, ChangelogTableSource}
 import graft.transform.Sanity
 

@@ -410,6 +410,41 @@ case class L2NormalizeExpr(child: Expression)
     copy(child = c)
 }
 
+/** might_contain over a COLUMN-carried Bloom sketch. Spark's builtin
+  * BloomFilterMightContain only accepts a foldable/scalar-subquery bloom
+  * argument; this kernel instead reads the serialized sketch from a
+  * 1-row broadcast relation (same contract as CentroidMatrixKernel: the
+  * binary child must be row-constant) and deserializes it ONCE per
+  * expression instance. Output: true iff the long hash might be in the
+  * set — no false negatives by Bloom construction. */
+case class BloomMightContainExpr(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryKernelCodegen {
+  override protected def resultJava: String = "java.lang.Boolean"
+  override protected def unbox(boxed: String): String = s"$boxed.booleanValue()"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (binary, long), got $t")
+    }
+  @transient @volatile
+  private var bf: org.apache.spark.util.sketch.BloomFilter = _
+
+  override def nullSafeEval(b: Any, h: Any): Any = {
+    var f = bf
+    if (f == null) {
+      f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b.asInstanceOf[Array[Byte]]))
+      bf = f
+    }
+    java.lang.Boolean.valueOf(f.mightContainLong(h.asInstanceOf[Long]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContainExpr =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def dotExact(a: Column, b: Column): Column =
@@ -422,4 +457,16 @@ object VectorFunctions {
     ColumnBridge.column(IvfProbesExpr(ColumnBridge.expression(vec), ColumnBridge.expression(cmat), nprobe))
   def l2Normalize(vec: Column): Column =
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
+  /** Bloom sketch build over a long-hash column (Catalyst
+    * BloomFilterAggregate — not in the public function registry). */
+  def bloomAgg(hash: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(hash),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+  def bloomMightContain(bloom: Column, hash: Column): Column =
+    ColumnBridge.column(BloomMightContainExpr(
+      ColumnBridge.expression(bloom), ColumnBridge.expression(hash)))
 }

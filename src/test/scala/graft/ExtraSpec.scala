@@ -193,6 +193,23 @@ class ExtraSpec extends SparkSpec {
     assert(rows(4L).isEmpty)
   }
 
+  test("bloomSemiJoin: exact result, prefilter passes every true match and prunes") {
+    import graft.relational.Relational
+    val big = (0L until 20000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val keys = (0L until 20000L by 100L).map(i => Tuple1(i)).toDF("kk") // 200 keys
+    val exact = big.join(keys, $"k" === $"kk", "left_semi")
+      .select("k").as[Long].collect().toSet
+    val pre = Relational.bloomPrefilter(big, keys, "k", "kk",
+      expectedItems = 1000L, fpp = 0.01)
+    val preKeys = pre.select("k").as[Long].collect().toSet
+    assert(exact.subsetOf(preKeys), "bloom prefilter dropped a true match")
+    assert(preKeys.size < 20000, "prefilter pruned nothing")
+    val viaBloom = Relational.bloomSemiJoin(big, keys, "k", "kk",
+      expectedItems = 1000L, fpp = 0.01)
+      .select("k").as[Long].collect().toSet
+    assert(viaBloom == exact)
+  }
+
   test("rangeBinJoin: interval membership, open upper bin, out-of-range null") {
     val facts = Seq((1L, 5.0), (2L, 10.0), (3L, 250.0), (4L, -1.0))
       .toDF("id", "value")

@@ -12,8 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   * Registers: simhash64(tokens[, md5Based]), minhash_sig(hashes, k),
   * shingle_hashes(tokens, n), sorted_intersect_size(a, b),
-  * dot_exact(a, b), lsh_sig(vec, bits, dim) — so SQL-only users get the
-  * same codepaths as the Scala API. */
+  * dot_exact(a, b), lsh_sig(vec, bits, dim), l2_normalize(vec) — so
+  * SQL-only users get the same codepaths as the Scala API. The IVF and
+  * Bloom kernels are deliberately NOT registered: their second child
+  * must be row-constant (a broadcast relation column), a contract SQL
+  * cannot enforce. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(e: Expression, fn: String): Int = e match {
@@ -61,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshSigExpr].getName, "lsh_sig"),
       (args: Seq[Expression]) => LshSigExpr(args.head,
         intArg(args(1), "lsh_sig"), intArg(args(2), "lsh_sig"))))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(classOf[L2NormalizeExpr].getName, "l2_normalize"),
+      (args: Seq[Expression]) => L2NormalizeExpr(args.head)))
   }
 }

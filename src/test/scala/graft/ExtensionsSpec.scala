@@ -43,6 +43,10 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         "SELECT winnow_fingerprints(array('a','b','c','d','e','f'), 3, 2) AS w")
         .head.getSeq[Long](0)
       assert(wf.nonEmpty && wf.size <= 4)
+      val nrm = spark.sql(
+        "SELECT l2_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+        .head.getSeq[Double](0)
+      assert(math.abs(nrm(0) - 0.6) < 1e-12 && math.abs(nrm(1) - 0.8) < 1e-12)
       // parity with the Column API
       import org.apache.spark.sql.functions._
       import spark.implicits._

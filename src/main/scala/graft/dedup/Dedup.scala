@@ -264,9 +264,23 @@ object Dedup extends graft.core.Logging {
     *
     * Scale posture: each round is one join + one aggregation on
     * (id, label) pairs — narrow 16-byte rows; the frontier is
-    * MATERIALIZED per round (persist + count, change-count riding the
-    * same action via observe) so lineage stays O(1) instead of
-    * exponential, and the previous round unpersists.
+    * MATERIALIZED per round via an eager `localCheckpoint` (the
+    * change-count rides the SAME materializing action through an
+    * Observation) so lineage stays O(1) instead of exponential.
+    *
+    * Checkpoint, NOT persist: a persisted round registers a
+    * CacheManager entry carrying the round's full logical plan (the
+    * whole pair-graph build plus every previous hop), and CacheManager
+    * entries are only freed by an explicit unpersist — the
+    * ContextCleaner never collects them. The final round's entry
+    * outlives the call, and every later `persist()`/plan-cache lookup
+    * in the session walks those giant trees (MEASURED: q70 10.4s when
+    * run after three leaked q63 rounds vs 3.7s isolated, sf0.1).
+    * `localCheckpoint` truncates to a LogicalRDD with no cache-manager
+    * footprint, and the blocks free via the ContextCleaner as soon as
+    * the round's RDD is unreferenced. Set `reliable = true` (with
+    * `sc.setCheckpointDir`) on a real cluster where executor loss must
+    * not kill the lineage-truncated rounds.
     *
     * Round-structure experiments, MEASURED at sf0.1 (47-cluster near-dup
     * graph, 5 rounds, local[32]) and kept single-hop on the evidence:
@@ -288,7 +302,10 @@ object Dedup extends graft.core.Logging {
     * dedup pair graphs are near-forests and converge in a few rounds. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          copartitionEdges: Option[Int] = None): DataFrame = {
+                          copartitionEdges: Option[Int] = None,
+                          reliable: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     val rawEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val edges = copartitionEdges.fold(rawEdges)(n => rawEdges.repartition(n, col("dst")))
@@ -308,35 +325,33 @@ object Dedup extends graft.core.Logging {
         .drop("src", "__nmin")
     }
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     try {
       var i = 0
       var converged = false
       while (!converged && i < maxIter) {
         // the change count rides the SAME action that materializes the
-        // round (Observation listener) — one Spark job per round, not two
+        // round: Dataset.checkpoint executes under withAction, so the
+        // Observation listener fires on the checkpoint job — one Spark
+        // job per round, not two
         val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
-        val updated = hop(labels.withColumn("label0", col("label")))
+        val updated = materialize(hop(labels.withColumn("label0", col("label")))
           .observe(obs, sum((col("label") =!= col("label0")).cast("long"))
             .as("n_changed"))
-          .select(col("id"), col("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        updated.count()
+          .select(col("id"), col("label")))
         // sum over an empty frontier (empty pair graph) observes NULL
         val changed = obs.get("n_changed") match {
           case null => 0L
           case v    => v.asInstanceOf[Long]
         }
-        labels.unpersist(blocking = false)
         labels = updated
         converged = changed == 0
         i += 1
       }
-      // the result STAYS persisted (it was materialized by the
-      // convergence counts); never collected — clusters can be huge.
-      // The cache frees on the ContextCleaner once unreferenced.
+      // the result is already materialized (checkpointed, O(1)-plan);
+      // never collected — clusters can be huge. Checkpoint blocks free
+      // via the ContextCleaner once each round's RDD is unreferenced.
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist(blocking = false)
   }

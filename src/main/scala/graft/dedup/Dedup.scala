@@ -306,8 +306,13 @@ object Dedup extends graft.core.Logging {
                           reliable: Boolean = false): DataFrame = {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
-    val rawEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // The union below references `pairs` twice; for an expensive pair
+    // pipeline (PPJoin candidate generation) only the shuffle exchanges
+    // are reused across the two branches — the joins above them would
+    // execute twice. Materialize the (tiny, two-id-column) pair set once.
+    val pairRows = materialize(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val rawEdges = pairRows.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairRows.select(col("b").as("src"), col("a").as("dst")))
     val edges = copartitionEdges.fold(rawEdges)(n => rawEdges.repartition(n, col("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

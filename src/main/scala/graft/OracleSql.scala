@@ -1181,6 +1181,41 @@ b AS (
 SELECT bigram, COUNT(*) AS n FROM b
 GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** q75: Gopher-style repetition/diversity profile. Integer counts and
+    * cross-multiplied flag sidestep float thresholds; the three ratio
+    * columns follow the round-then-double policy (BIGINT/BIGINT division
+    * is IEEE-identical in both engines; round() is half-away in both). */
+  private val q75 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_distinct_tokens, MAX(c) AS top_token_n
+  FROM tc GROUP BY 1),
+b AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+bstat AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_n
+  FROM bc GROUP BY 1)
+SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens, s.top_token_n,
+  COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+  COALESCE(bs.top_bigram_n, 0) AS top_bigram_n,
+  ROUND(s.n_distinct_tokens / s.n_tokens, 4) AS distinct_ratio,
+  ROUND(s.top_token_n / s.n_tokens, 4) AS top_token_frac,
+  CASE WHEN COALESCE(bs.n_bigrams, 0) = 0 THEN 0.0
+       ELSE ROUND(bs.top_bigram_n / bs.n_bigrams, 4) END AS top_bigram_frac,
+  CAST(COALESCE(bs.top_bigram_n, 0) * 100 > COALESCE(bs.n_bigrams, 0) * 18
+    OR s.top_token_n * 5 > s.n_tokens
+    OR s.n_distinct_tokens * 10 < s.n_tokens * 3 AS INTEGER) AS low_quality
+FROM tstat s LEFT JOIN bstat bs USING (doc_id)
+ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1216,6 +1251,7 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
     "q72_l2_normalize" -> q72,
     "q73_mean_pool" -> q73,
     "q74_contamination" -> q74,
+    "q75_repetition_profile" -> q75,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

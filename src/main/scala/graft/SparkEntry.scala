@@ -688,6 +688,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q75_repetition_profile(s: SparkSession, dir: String): DataFrame =
+    // Gopher-style repetition/diversity quality metrics, computed
+    // per-row with no shuffle (sorted-run fold over the doc's own token
+    // array — never an explode of the corpus token stream).
+    TA.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -966,6 +973,7 @@ object SparkEntry {
     "q72_l2_normalize" -> (q72_l2_normalize _),
     "q73_mean_pool" -> (q73_mean_pool _),
     "q74_contamination" -> (q74_contamination _),
+    "q75_repetition_profile" -> (q75_repetition_profile _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

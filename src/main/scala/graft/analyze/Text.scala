@@ -96,6 +96,61 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Count of the most frequent element of a string array, computed
+    * per-row with NO shuffle: sort the array so equal elements are
+    * adjacent, then fold once tracking the longest run. Empty → 0. */
+  private def topElementCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Gopher-style repetition / lexical-diversity profile (Rae et al.
+    * 2021 §A1.1 quality heuristics, adapted to token-level metrics for
+    * line-less corpora): per document, token and bigram counts, the
+    * share of the most frequent token and bigram, type-token ratio, and
+    * an integer-arithmetic low-quality flag (top-bigram share > 18%, or
+    * top-token share > 20%, or type-token ratio < 30%).
+    *
+    * Scale design: every metric is computed per-row over the document's
+    * own token array (sorted-run fold, see [[topElementCount]]) — a pure
+    * map, no explode, no shuffle. The groupBy-token alternative would
+    * shuffle the corpus's entire token stream to compute what is a
+    * per-document quantity. The flag uses integer cross-multiplication,
+    * so the fraction columns are presentation-only. */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val tail = greatest(size(col("toks")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), tail), slice(col("toks"), lit(2), tail),
+      (a, b) => concat_ws(" ", a, b))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .withColumn("bigrams", bigrams)
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        topElementCount(col("toks")).as("top_token_n"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        topElementCount(col("bigrams")).as("top_bigram_n"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct_tokens") / col("n_tokens"), 4))
+      .withColumn("top_token_frac", round(col("top_token_n") / col("n_tokens"), 4))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(round(col("top_bigram_n") / col("n_bigrams"), 4)))
+      .withColumn("low_quality",
+        (col("top_bigram_n") * 100 > col("n_bigrams") * 18 ||
+          col("top_token_n") * 5 > col("n_tokens") ||
+          col("n_distinct_tokens") * 10 < col("n_tokens") * 3).cast("int"))
+  }
+
   /** Per-language corpus profile: doc counts + exact char stats. */
   def languageProfile(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol))

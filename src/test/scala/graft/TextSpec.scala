@@ -95,4 +95,27 @@ class TextSpec extends SparkSpec {
     // roughly proportional (md5 uniformity): 1/4 of 400 within wide bounds
     assert(s1.size > 50 && s1.size < 150)
   }
+
+  test("repetitionProfile: hand-computed counts, fracs, and flag") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"),                  // top token a×4, bigrams: "a a"×3, "a b"
+      (2L, "one two three four five"),    // fully diverse
+      (3L, "x")                           // single token, zero bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "top_token_n",
+        "n_bigrams", "top_bigram_n", "top_bigram_frac", "low_quality")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Int)].collect()
+    assert(r(0) == ((1L, 5L, 2L, 4L, 4L, 3L, 0.75, 1)))  // 4/5 top token → flagged
+    assert(r(1) == ((2L, 5L, 5L, 1L, 4L, 1L, 0.25, 1)))  // top bigram 25% > 18%
+    assert(r(2) == ((3L, 1L, 1L, 1L, 0L, 0L, 0.0, 1)))   // top token 100%
+    // a genuinely diverse long doc is NOT flagged
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val ok = TextAnalysis.repetitionProfile(
+        Seq((9L, long)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("low_quality").as[Int].head()
+    assert(ok == 0)
+  }
 }

@@ -1216,6 +1216,31 @@ SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens, s.top_token_n,
 FROM tstat s LEFT JOIN bstat bs USING (doc_id)
 ORDER BY doc_id"""
 
+  /** q76: PII audit + redaction over deterministically planted PII.
+    * Patterns live in the Java∩RE2-identical regex subset (classes,
+    * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
+    * DuckDB regexp_replace needs the explicit 'g' flag. */
+  private val q76 = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN "text"
+         ELSE "text" || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example ip 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST(doc_id % 100 AS VARCHAR)
+           || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+FROM planted ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1252,6 +1277,7 @@ ORDER BY doc_id"""
     "q73_mean_pool" -> q73,
     "q74_contamination" -> q74,
     "q75_repetition_profile" -> q75,
+    "q76_pii_scrub" -> q76,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

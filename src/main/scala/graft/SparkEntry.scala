@@ -695,6 +695,24 @@ object SparkEntry {
     TA.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  private def q76_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    // PII audit + redaction. The corpus is synthetic word soup, so the
+    // query plants deterministic PII derived from doc_id (two docs in
+    // three get an email + IP + phone appended; the third stays clean)
+    // and then audits/scrubs it — both engines build the identical
+    // input, so counts and scrubbed text hash-match.
+    val id = col("doc_id")
+    val planted = concat(col("text"),
+      lit(" contact user"), id.cast("string"),
+      lit("@mail.example ip 10.2."), (id % 256).cast("string"),
+      lit("."), (id % 100).cast("string"),
+      lit(" call 555-867-"), lpad((id % 10000).cast("string"), 4, "0"))
+    t(s, dir, "documents")
+      .withColumn("text", when(id % 3 === 0, col("text")).otherwise(planted))
+      .transform(TA.piiProfile(_, "doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -974,6 +992,7 @@ object SparkEntry {
     "q73_mean_pool" -> (q73_mean_pool _),
     "q74_contamination" -> (q74_contamination _),
     "q75_repetition_profile" -> (q75_repetition_profile _),
+    "q76_pii_scrub" -> (q76_pii_scrub _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

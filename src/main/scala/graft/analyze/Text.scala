@@ -151,6 +151,39 @@ object TextAnalysis {
           col("n_distinct_tokens") * 10 < col("n_tokens") * 3).cast("int"))
   }
 
+  /** PII patterns, restricted to the regex subset with identical
+    * semantics in Java (Spark, codegen'd regexp_replace) and RE2
+    * (DuckDB oracle, and Go/Rust scrubbers a pipeline may interop
+    * with): character classes, bounded repetition, and \b word
+    * boundaries only — no lookaround, no backreferences. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and NANP-style phone numbers with
+    * typed placeholders. Email first (its local part may contain digit
+    * runs that the narrower patterns could nibble at). Pure map — three
+    * codegen'd regexp_replace passes, no UDF, no shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-document PII audit: match counts per category (on the original
+    * text) plus the scrubbed text. Counts are what a compliance report
+    * aggregates; the scrubbed column is what ships to training. */
+  def piiProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(ipv4Pattern), lit(0)))
+        .as("n_ipv4"),
+      size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0)))
+        .as("n_phones"),
+      scrubPii(col(textCol)).as("scrubbed"))
+
   /** Per-language corpus profile: doc counts + exact char stats. */
   def languageProfile(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol))

@@ -118,4 +118,26 @@ class TextSpec extends SparkSpec {
       .select("low_quality").as[Int].head()
     assert(ok == 0)
   }
+
+  test("piiProfile: scrubs emails/IPs/phones with typed placeholders, counts each") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c%d@sub.example.org now"),
+      (2L, "host 10.0.255.7 and 192.168.1.1 up"),
+      (3L, "call 555-123-4567 twice 555-123-4567"),
+      (4L, "no pii here at all"),
+      (5L, "mix x@y.io 1.2.3.4 555-000-1111")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiProfile(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(r(0) == ((1L, 1, 0, 0, "mail <EMAIL> now")))
+    assert(r(1) == ((2L, 0, 2, 0, "host <IP> and <IP> up")))
+    assert(r(2) == ((3L, 0, 0, 2, "call <PHONE> twice <PHONE>")))
+    assert(r(3) == ((4L, 0, 0, 0, "no pii here at all")))
+    assert(r(4) == ((5L, 1, 1, 1, "mix <EMAIL> <IP> <PHONE>")))
+    // version numbers / short digit runs are NOT redacted
+    val keep = Seq((6L, "v1.2 beta build 123-45")).toDF("doc_id", "text")
+    assert(TextAnalysis.piiProfile(keep, "doc_id", "text")
+      .select("scrubbed").as[String].head() == "v1.2 beta build 123-45")
+  }
 }

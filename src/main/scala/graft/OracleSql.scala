@@ -663,7 +663,11 @@ SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.8 ORDER BY id_a, id_b"""
   /** q48: sampled-centroid IVF — same-algorithm oracle (centroids = 16
     * lowest ids, exact-decimal L2² assignment with lowest-cell tiebreak,
     * 4-probe search, exact-decimal cosine top-5). */
-  private val q48 = """
+  /** Shared IVF CTE chain (q48/q77): element table, exact-decimal norms,
+    * sampled centroids = 16 lowest ids, exact-decimal L2² assignment
+    * with lowest-cell tiebreak. Exposes `e2`, `norms`, `ranked`,
+    * `assign`. */
+  private val ivfAssignCtes = """
 WITH e2 AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding,
@@ -693,7 +697,9 @@ ranked AS (
   SELECT vec_id, cell,
     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
   FROM dist),
-assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)"""
+
+  private val q48 = ivfAssignCtes + """,
 probes AS (SELECT vec_id AS query_id, cell FROM ranked
            WHERE vec_id < 8 AND rn <= 4),
 cand AS (
@@ -1216,6 +1222,33 @@ SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens, s.top_token_n,
 FROM tstat s LEFT JOIN bstat bs USING (doc_id)
 ORDER BY doc_id"""
 
+  /** q77: SemDeDup — same-algorithm oracle: q48's sampled-centroid
+    * assignment, all within-cell pairs, exact-decimal cosine, drop every
+    * vector with a lower-id neighbor at cos ≥ 0.3. */
+  private val q77 = ivfAssignCtes + """,
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+pdots AS (
+  SELECT p.id_a, p.id_b,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN e2 a ON a.vec_id = p.id_a
+  JOIN e2 b ON b.vec_id = p.id_b AND b.i = a.i
+  GROUP BY 1, 2),
+pcos AS (
+  SELECT id_a, id_b,
+    CASE WHEN sqrt(na.n2) * sqrt(nb.n2) > 0
+         THEN dot / (sqrt(na.n2) * sqrt(nb.n2)) ELSE 0.0 END AS cos
+  FROM pdots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b),
+dropped AS (SELECT DISTINCT id_b FROM pcos WHERE cos >= 0.3)
+SELECT a.vec_id, a.cell
+FROM assign a
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = a.vec_id)
+ORDER BY a.vec_id"""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -1278,6 +1311,7 @@ FROM planted ORDER BY doc_id"""
     "q74_contamination" -> q74,
     "q75_repetition_profile" -> q75,
     "q76_pii_scrub" -> q76,
+    "q77_semdedup" -> q77,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

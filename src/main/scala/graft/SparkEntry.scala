@@ -713,6 +713,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q77_semdedup(s: SparkSession, dir: String): DataFrame = {
+    // SemDeDup: IVF cells as the blocking unit, within-cell exact-decimal
+    // cosine, drop any vector with a lower-id near-neighbor. Survivor
+    // set (vec_id, cell), deterministic end to end.
+    val emb = t(s, dir, "embeddings")
+    val index = graft.analyze.Ivf.buildSampled(emb, "vec_id", "embedding", nlist = 16)
+    graft.analyze.Ivf.semDedup(index, threshold = 0.3)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -993,6 +1004,7 @@ object SparkEntry {
     "q74_contamination" -> (q74_contamination _),
     "q75_repetition_profile" -> (q75_repetition_profile _),
     "q76_pii_scrub" -> (q76_pii_scrub _),
+    "q77_semdedup" -> (q77_semdedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

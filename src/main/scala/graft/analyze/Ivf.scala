@@ -83,6 +83,36 @@ object Ivf {
     Index(centroids, assigned)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedded corpus — cluster, then drop all but
+    * one representative of every near-duplicate group WITHIN each
+    * cluster. The clustering is the blocking unit that bounds the
+    * quadratic pair work: pairs form only inside a cell, never across
+    * the corpus. Keep policy is greedy-by-id (a vector falls if ANY
+    * lower-id cell-mate sits at cos ≥ threshold) — deterministic and
+    * single-pass, the paper's "keep one per ε-ball" made reproducible.
+    *
+    * Scale notes: the self-join shuffles on `cell`, whose cardinality is
+    * `nlist` — size nlist ~ √N (the IVF norm) so cells stay bounded as
+    * the corpus grows and the join keys don't skew; per-cell pair work
+    * is then O(N) total. The dropped set is ids-only; survivors come
+    * from an anti-join, so vectors themselves never ride the pair
+    * explosion twice. */
+  def semDedup(index: Index, threshold: Double): DataFrame = {
+    val a = index.assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("va"), col("n2").as("na"))
+    val b = index.assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vb"), col("n2").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosineFromParts(
+        Similarity.dotExact(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    index.assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"))
+  }
+
   /** Approximate top-k cosine: each query probes its `nprobe` nearest
     * cells, then scores only vectors in those cells. Probe selection runs
     * distributed (a narrow kernel over the query table against the

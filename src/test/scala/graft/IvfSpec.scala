@@ -82,6 +82,22 @@ class IvfSpec extends SparkSpec {
       s"plan grew with nlist: ${p16.length} -> ${p128.length}")
   }
 
+  test("semDedup: near-duplicates fall to the lowest cell-mate; distant vectors survive") {
+    // 4 well-separated clusters of 20 jittered copies each (cos within a
+    // cluster ~1, across ~0): with nlist=4 sampled centroids each cluster
+    // is a cell, so semDedup must keep exactly the minimum id per cluster.
+    val df = vecs.toDF("id", "v")
+    val index = Ivf.build(df, "id", "v", nlist = 4)
+    val kept = Ivf.semDedup(index, threshold = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(0L, 20L, 40L, 60L))
+    // at an impossible threshold nothing falls
+    assert(Ivf.semDedup(index, threshold = 1.1).count() == 80)
+    // survivors ∪ dropped partition the corpus (no vector lost or doubled)
+    val kept2 = Ivf.semDedup(index, threshold = 0.9)
+    assert(kept2.join(df, Seq("id")).count() == kept2.count())
+  }
+
   test("salted join equals plain join; hot keys diagnosed") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
     val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")

@@ -1249,6 +1249,22 @@ FROM assign a
 WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = a.vec_id)
 ORDER BY a.vec_id"""
 
+  /** q78: stratified md5-residue sample — q69's key with per-language
+    * keep rates (en 25 / de 50 / zh 10 / default 20 of 100). */
+  private val q78 = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS h
+  FROM documents),
+rates AS (
+  SELECT 'en' AS lang, 25 AS kp
+  UNION ALL SELECT 'de', 50
+  UNION ALL SELECT 'zh', 10)
+SELECT doc_id, k.lang, h
+FROM keyed k LEFT JOIN rates r ON r.lang = k.lang
+WHERE h % 100 < COALESCE(r.kp, 20)
+ORDER BY doc_id"""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -1312,6 +1328,7 @@ FROM planted ORDER BY doc_id"""
     "q75_repetition_profile" -> q75,
     "q76_pii_scrub" -> q76,
     "q77_semdedup" -> q77,
+    "q78_stratified_sample" -> q78,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -724,6 +724,19 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  private def q78_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    // Language-rebalancing sample: en down to 25%, de up-weighted to
+    // 50%, zh to 10%, everything else 20% — per-row membership is
+    // deterministic (md5 residue), so the oracle checks row identity,
+    // not just counts.
+    TA.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
+        modulus = 100,
+        keepByStratum = Map("en" -> 25, "de" -> 50, "zh" -> 10),
+        defaultKeep = 20)
+      .select(col("doc_id"), col("lang"),
+        TA.hashSampleKey(col("doc_id")).as("h"))
+      .orderBy("doc_id")
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -1005,6 +1018,7 @@ object SparkEntry {
     "q75_repetition_profile" -> (q75_repetition_profile _),
     "q76_pii_scrub" -> (q76_pii_scrub _),
     "q77_semdedup" -> (q77_semdedup _),
+    "q78_stratified_sample" -> (q78_stratified_sample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -265,6 +265,28 @@ object TextAnalysis {
   def hashSampleKey(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic STRATIFIED sampling: per-stratum keep rates (out of a
+    * common modulus) over the same md5 residue key — the
+    * language/domain-rebalancing primitive of corpus curation (e.g.
+    * down-weight an over-represented language, keep all of a rare one).
+    * The rate table joins in as a broadcast dimension — never a
+    * driver-side when-chain — so it scales to thousands of strata, and
+    * the fact side stays a narrow filter. Unlisted strata fall back to
+    * `defaultKeep`. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           modulus: Int, keepByStratum: Map[String, Int],
+                           defaultKeep: Int): DataFrame = {
+    require(modulus > 0 && defaultKeep >= 0 && defaultKeep <= modulus)
+    require(keepByStratum.values.forall(k => k >= 0 && k <= modulus),
+      s"every keep rate must lie in [0, $modulus]")
+    import df.sparkSession.implicits._
+    val rates = keepByStratum.toSeq.toDF(strataCol, "__keep")
+    df.join(broadcast(rates), Seq(strataCol), "left")
+      .withColumn("__keep", coalesce(col("__keep"), lit(defaultKeep)))
+      .filter(hashSampleKey(col(idCol)) % modulus < col("__keep"))
+      .drop("__keep")
+  }
+
   def hashSample(df: DataFrame, idCol: String, modulus: Int, keep: Int): DataFrame = {
     require(modulus > 0 && keep >= 0 && keep <= modulus)
     df.filter(hashSampleKey(col(idCol)) % modulus < keep)

@@ -140,4 +140,23 @@ class TextSpec extends SparkSpec {
     assert(TextAnalysis.piiProfile(keep, "doc_id", "text")
       .select("scrubbed").as[String].head() == "v1.2 beta build 123-45")
   }
+
+  test("stratifiedHashSample: per-stratum rates honored, deterministic, subset of plain sample") {
+    import spark.implicits._
+    val docs = (0L until 900L).map(i =>
+      (i, Seq("en", "de", "zh")(((i % 3).toInt)))).toDF("doc_id", "lang")
+    val s1 = TextAnalysis.stratifiedHashSample(docs, "doc_id", "lang",
+      100, Map("en" -> 100, "de" -> 0), defaultKeep = 50)
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") == 300L)            // keep-all stratum is exhaustive
+    assert(!byLang.contains("de"))          // keep-none stratum vanishes
+    val zh = byLang("zh")
+    assert(zh > 100 && zh < 200, s"zh=$zh") // ~50% of 300, md5-uniform
+    // deterministic + consistent with the flat sampler (same key space):
+    // a stratum at rate k/100 is EXACTLY the flat k/100 sample of it
+    val flat = TextAnalysis.hashSample(docs.filter($"lang" === "zh"),
+      "doc_id", 100, 50).select("doc_id").as[Long].collect().toSet
+    val strat = s1.filter($"lang" === "zh").select("doc_id").as[Long].collect().toSet
+    assert(strat == flat)
+  }
 }

@@ -1265,6 +1265,36 @@ FROM keyed k LEFT JOIN rates r ON r.lang = k.lang
 WHERE h % 100 < COALESCE(r.kp, 20)
 ORDER BY doc_id"""
 
+  /** q79: repeated 5-token span coverage — duplicated spans (>=2 docs),
+    * per-doc covered positions via interval union, 20% flag. List slice
+    * toks[i : i+4] is 1-based inclusive ≡ Spark slice(toks, i, 5). */
+  private val q79 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+dup AS (
+  SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (gram)),
+nds AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM occ GROUP BY 1),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_covered FROM (
+    SELECT DISTINCT doc_id, p FROM (
+      SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM occ))
+  GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+  COALESCE(nds.n_dup_spans, 0) AS n_dup_spans,
+  COALESCE(cov.n_covered, 0) AS n_covered,
+  ROUND(COALESCE(cov.n_covered, 0) / b.n_tokens, 4) AS covered_frac,
+  CAST(COALESCE(cov.n_covered, 0) * 5 >= b.n_tokens AS INTEGER) AS flagged
+FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) b
+LEFT JOIN nds ON nds.doc_id = b.doc_id
+LEFT JOIN cov ON cov.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -1329,6 +1359,7 @@ FROM planted ORDER BY doc_id"""
     "q76_pii_scrub" -> q76,
     "q77_semdedup" -> q77,
     "q78_stratified_sample" -> q78,
+    "q79_span_dedup" -> q79,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -737,6 +737,14 @@ object SparkEntry {
         TA.hashSampleKey(col("doc_id")).as("h"))
       .orderBy("doc_id")
 
+  private def q79_span_dedup(s: SparkSession, dir: String): DataFrame =
+    // Repeated 5-token spans shared across >= 2 docs: per-doc duplicated
+    // coverage + 20% flag — boilerplate-passage detection, the
+    // suffix-array dedup approximation.
+    Dedup.duplicatedSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .orderBy("doc_id")
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -1019,6 +1027,7 @@ object SparkEntry {
     "q76_pii_scrub" -> (q76_pii_scrub _),
     "q77_semdedup" -> (q77_semdedup _),
     "q78_stratified_sample" -> (q78_stratified_sample _),
+    "q79_span_dedup" -> (q79_span_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

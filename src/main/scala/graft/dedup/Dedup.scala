@@ -380,6 +380,55 @@ object Dedup extends graft.core.Logging {
       .filter(col("n_hit_grams") >= minShared)
   }
 
+  /** Repeated-span duplication coverage (the distributed approximation
+    * of suffix-array exact-substring dedup, Lee et al. 2022,
+    * arXiv:2107.06499): a k-token span occurring in ≥ `minDocs` distinct
+    * documents is "duplicated"; per document, report how many token
+    * positions lie under at least one duplicated span and flag documents
+    * whose coverage reaches 20%. Unlike whole-doc near-dup (Jaccard /
+    * MinHash), this catches boilerplate PASSAGES embedded in otherwise
+    * unique documents — the case suffix arrays exist for.
+    *
+    * Scale shape: the span table is (gram, doc, pos) — one row per token
+    * position, linear in corpus tokens; duplicate detection is a
+    * partial-aggregating groupBy on the gram key; coverage is an
+    * ids-only join back plus an interval explode bounded by k·dups.
+    * Gram keys here are the literal k-token strings (bitwise
+    * oracle-portable); at corpus scale swap the key for the md5-low64
+    * gram hash ([[shingles]]) — same plan shape, 8-byte shuffle keys. */
+  def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
+    val toks = docs
+      .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val spans = toks.select(col(idCol), posexplode(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+          .otherwise(array()))
+        .as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("gram"))
+    val dupGrams = spans.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val occ = spans.join(dupGrams, Seq("gram"))
+    val nds = occ.groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
+    val covered = occ
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(nds, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("covered_frac", round(col("n_covered") / col("n_tokens"), 4))
+      .withColumn("flagged",
+        (col("n_covered") * 5 >= col("n_tokens")).cast("int"))
+  }
+
   /** Near-dup SURVIVORSHIP by cluster: connected components over the
     * pair graph, keep exactly the minimum id of each cluster (plus every
     * document in no pair). This is the standard corpus-dedup policy —

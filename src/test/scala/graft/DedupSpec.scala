@@ -192,4 +192,31 @@ class DedupSpec extends SparkSpec {
     assert((a, b) == (1L, 2L))
     assert(math.abs(j - 2.0 / 4.0) < 1e-12) // shingles {ab,bc,cd} vs {ab,bc,ce}
   }
+
+  test("duplicatedSpanCoverage: shared passage counted positionally, unique docs clean") {
+    import spark.implicits._
+    // docs 1 and 2 share the 6-token passage "p q r s t u" (two 5-token
+    // spans); doc 3 is unique; doc 4 is too short for any span
+    val docs = Seq(
+      (1L, "a b c p q r s t u d"),
+      (2L, "p q r s t u x y z w"),
+      (3L, "one two three four five six seven"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_dup_spans", "n_covered", "flagged")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    // spans "p q r s t" and "q r s t u" each appear in both docs →
+    // 2 dup spans per doc, covering 6 positions (interval union, not 10)
+    assert(r(0) == ((1L, 10L, 2L, 6L, 1)))
+    assert(r(1) == ((2L, 10L, 2L, 6L, 1)))
+    assert(r(2) == ((3L, 7L, 0L, 0L, 0)))
+    assert(r(3) == ((4L, 2L, 0L, 0L, 0)))
+    // within-doc repetition alone is NOT cross-doc duplication
+    val self = Seq((9L, "m n o p q m n o p q")).toDF("doc_id", "text")
+    val sr = Dedup.duplicatedSpanCoverage(self, "doc_id", "text", k = 5, minDocs = 2)
+      .select("n_dup_spans").as[Long].head()
+    assert(sr == 0L)
+  }
 }

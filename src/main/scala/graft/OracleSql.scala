@@ -1295,6 +1295,29 @@ LEFT JOIN nds ON nds.doc_id = b.doc_id
 LEFT JOIN cov ON cov.doc_id = b.doc_id
 ORDER BY b.doc_id"""
 
+  /** q80: cross-corpus near-dup contamination vs brute-force exact cross
+    * Jaccard (eval = odd ids, train = even ids) — same recall argument
+    * as q40: LSH is candidate generation only, every pair verified. */
+  private val q80 = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS eval_id, b.doc_id AS train_id, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram)
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2),
+j AS (
+  SELECT eval_id, train_id,
+    CAST(inter AS DOUBLE) / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+  FROM pairs JOIN sz sa ON sa.doc_id = eval_id JOIN sz sb ON sb.doc_id = train_id)
+SELECT eval_id, train_id, jaccard FROM j WHERE jaccard >= 0.3
+ORDER BY eval_id, train_id"""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -1360,6 +1383,7 @@ FROM planted ORDER BY doc_id"""
     "q77_semdedup" -> q77,
     "q78_stratified_sample" -> q78,
     "q79_span_dedup" -> q79,
+    "q80_crossdup_contamination" -> q80,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -745,6 +745,21 @@ object SparkEntry {
         k = 5, minDocs = 2)
       .orderBy("doc_id")
 
+  private def q80_crossdup_contamination(s: SparkSession, dir: String): DataFrame = {
+    // Near-dup decontamination: eval docs (odd ids) with a MinHash/LSH
+    // near-duplicate in the train split (even ids) — q74's exact-overlap
+    // check misses paraphrased leakage; this catches it at J >= 0.3.
+    val docs = t(s, dir, "documents")
+    Dedup.crossNearDups(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 32,
+        threshold = 0.3)
+      .select(col("id_a").as("eval_id"), col("id_b").as("train_id"),
+        col("jaccard"))
+      .orderBy("eval_id", "train_id")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -1028,6 +1043,7 @@ object SparkEntry {
     "q77_semdedup" -> (q77_semdedup _),
     "q78_stratified_sample" -> (q78_stratified_sample _),
     "q79_span_dedup" -> (q79_span_dedup _),
+    "q80_crossdup_contamination" -> (q80_crossdup_contamination _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -143,6 +143,38 @@ object Dedup extends graft.core.Logging {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-duplicate join (MinHash+LSH between two tables):
+    * which left-side documents have a near-duplicate on the right —
+    * the NEAR-DUP form of benchmark decontamination ([[contamination]]
+    * is the exact-n-gram form; paraphrased/lightly-edited leakage needs
+    * this one). Both sides band independently (narrow signature passes);
+    * candidates come from an ids-only equi-join on band keys ACROSS the
+    * corpora (never within one), and every candidate is verified with
+    * exact Jaccard — output is exact whenever LSH recall holds, same
+    * contract and parameters as [[minhashNearDups]]. */
+  def crossNearDups(left: DataFrame, right: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"id_$side"), shingles(col(textCol), shingleN).as(s"sh_$side"))
+        .filter(size(col(s"sh_$side")) > 0)
+    def banded(base: DataFrame, side: String) = base
+      .withColumn("sig", minhashSignature(col(s"sh_$side"), numHashes))
+      .select(col(s"id_$side"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val lb = prep(left, "a"); val rb = prep(right, "b")
+    val cand = banded(lb, "a").join(banded(rb, "b"), Seq("bk"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(lb, Seq("id_a"))
+      .join(rb, Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash (64-bit) of a token array: per-bit majority vote of token
     * hashes — a native expression (one imperative pass per row).
     * `md5Compat` swaps the token hash for the first 8 bytes of md5(token),

@@ -219,4 +219,26 @@ class DedupSpec extends SparkSpec {
       .select("n_dup_spans").as[Long].head()
     assert(sr == 0L)
   }
+
+  test("crossNearDups: finds cross-corpus near-dups only, never within-side pairs") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words nothing shared here at all"),
+      // 1 and 5 are near-dups of each other WITHIN the eval side
+      (5L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "unrelated training content goes in this row too")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossNearDups(evalDocs, trainDocs, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 32, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))          // leaked eval doc found
+    assert(!got.exists(p => p._1 == 3L))    // clean doc untouched
+    assert(!got.contains((1L, 5L)) && !got.contains((5L, 1L))) // within-side ignored
+    // the jittered near-dup also crosses at this threshold
+    assert(got.contains((5L, 2L)))
+  }
 }

@@ -1318,6 +1318,66 @@ j AS (
 SELECT eval_id, train_id, jaccard FROM j WHERE jaccard >= 0.3
 ORDER BY eval_id, train_id"""
 
+  /** q81: product quantization — same-algorithm oracle. Codebook s =
+    * 16-dim subvectors of the 16 lowest-id vectors; encode = double-
+    * ordered argmin (ties to lowest code, = IvfAssign kernel); ADC sums
+    * per-subspace exact-decimal distances in DECIMAL (n2q + n2c − dot −
+    * dot, never ×2 — Spark's 38-digit cap would truncate scale). */
+  private val q81 = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+sub AS (SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS s, i, x FROM e2),
+n2sub AS (
+  SELECT vec_id, s, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM sub GROUP BY 1, 2),
+cent AS (
+  SELECT vec_id AS cvec,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+cb AS (
+  SELECT c.code, sb.s, sb.i, sb.x FROM cent c JOIN sub sb ON sb.vec_id = c.cvec),
+cn2 AS (
+  SELECT s, code, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM cb GROUP BY 1, 2),
+edots AS (
+  SELECT a.vec_id, b.s, b.code,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM sub a JOIN cb b ON b.s = a.s AND b.i = a.i
+  GROUP BY 1, 2, 3),
+edist AS (
+  SELECT d.vec_id, d.s, d.code, (na.n2 + nc.n2 - 2 * d.dot) AS dist
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN cn2 nc ON nc.s = d.s AND nc.code = d.code),
+eranked AS (
+  SELECT vec_id, s, code,
+    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+  FROM edist),
+codes AS (SELECT vec_id, s, code FROM eranked WHERE rn = 1),
+lut AS (
+  SELECT d.vec_id, d.s, d.code,
+    CAST(na.n2 AS DECIMAL(30,12)) + CAST(nc.n2 AS DECIMAL(30,12))
+      - CAST(d.dot AS DECIMAL(30,12)) - CAST(d.dot AS DECIMAL(30,12)) AS dd
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN cn2 nc ON nc.s = d.s AND nc.code = d.code
+  WHERE d.vec_id < 8),
+adc AS (
+  SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(l.dd) AS dist_dec
+  FROM lut l JOIN codes c ON c.s = l.s AND c.code = l.code
+  WHERE c.vec_id <> l.vec_id
+  GROUP BY 1, 2),
+r AS (
+  SELECT query_id, neighbor_id, CAST(dist_dec AS DOUBLE) AS dist,
+    CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY dist_dec, neighbor_id) AS INTEGER) AS "rank"
+  FROM adc)
+SELECT query_id, neighbor_id, dist, "rank" FROM r
+WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -1384,6 +1444,7 @@ FROM planted ORDER BY doc_id"""
     "q78_stratified_sample" -> q78,
     "q79_span_dedup" -> q79,
     "q80_crossdup_contamination" -> q80,
+    "q81_pq_topk" -> q81,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

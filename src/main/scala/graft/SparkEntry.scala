@@ -760,6 +760,18 @@ object SparkEntry {
       .orderBy("eval_id", "train_id")
   }
 
+  private def q81_pq_topk(s: SparkSession, dir: String): DataFrame = {
+    // Product quantization: 4×16-dim sampled codebooks, kernel-encoded
+    // codes, decimal-exact ADC top-5 for the first 8 query vectors.
+    import graft.analyze.Pq
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.buildSampled(emb, "vec_id", "embedding", m = 4, ks = 16)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    Pq.adcTopK(codes, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        cb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -1044,6 +1056,7 @@ object SparkEntry {
     "q78_stratified_sample" -> (q78_stratified_sample _),
     "q79_span_dedup" -> (q79_span_dedup _),
     "q80_crossdup_contamination" -> (q80_crossdup_contamination _),
+    "q81_pq_topk" -> (q81_pq_topk _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

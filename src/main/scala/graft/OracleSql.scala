@@ -1378,6 +1378,22 @@ r AS (
 SELECT query_id, neighbor_id, dist, "rank" FROM r
 WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
+  /** q82: incremental-ingest dedup — batch (doc_id%5=4) deduped within
+    * itself then anti-joined against historical fingerprints. */
+  private val q82 = """
+WITH fps AS (
+  SELECT doc_id, lang,
+    md5(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 4),
+batch AS (
+  SELECT doc_id, lang, fp,
+    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fps WHERE doc_id % 5 = 4)
+SELECT doc_id, lang, fp FROM batch b
+WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+ORDER BY doc_id"""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -1445,6 +1461,7 @@ FROM planted ORDER BY doc_id"""
     "q79_span_dedup" -> q79,
     "q80_crossdup_contamination" -> q80,
     "q81_pq_topk" -> q81,
+    "q82_incremental_dedup" -> q82,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

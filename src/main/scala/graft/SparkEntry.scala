@@ -772,6 +772,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def q82_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    // Incremental-ingest dedup: a new batch (doc_id % 5 == 4) lands
+    // against the historical corpus — dedup within the batch (keep
+    // lowest id per fingerprint), then anti-join the batch's
+    // fingerprints against history. The historical side reduces to
+    // DISTINCT fingerprints (16-byte rows, map-side combined) — document
+    // text never shuffles, which is what makes daily ingest against a
+    // 100 TB archive tractable.
+    val docs = t(s, dir, "documents")
+      .withColumn("fp", TA.fingerprint(col("text")))
+    val hist = docs.filter(col("doc_id") % 5 =!= 4).select("fp").distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(hist, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -1057,6 +1077,7 @@ object SparkEntry {
     "q79_span_dedup" -> (q79_span_dedup _),
     "q80_crossdup_contamination" -> (q80_crossdup_contamination _),
     "q81_pq_topk" -> (q81_pq_topk _),
+    "q82_incremental_dedup" -> (q82_incremental_dedup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

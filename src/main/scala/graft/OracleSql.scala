@@ -1394,6 +1394,65 @@ SELECT doc_id, lang, fp FROM batch b
 WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
 ORDER BY doc_id"""
 
+  /** q83: IVFPQ — q48's probe/assign CTEs select candidates, q81's PQ
+    * CTEs (p-prefixed to avoid name clashes) ADC-score them. */
+  private val q83 = ivfAssignCtes + """,
+probes AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE vec_id < 8 AND rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+sub AS (SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS s, i, x FROM e2),
+n2sub AS (
+  SELECT vec_id, s, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM sub GROUP BY 1, 2),
+pcent AS (
+  SELECT vec_id AS cvec,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+pcb AS (
+  SELECT c.code, sb.s, sb.i, sb.x FROM pcent c JOIN sub sb ON sb.vec_id = c.cvec),
+pcn2 AS (
+  SELECT s, code, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM pcb GROUP BY 1, 2),
+edots AS (
+  SELECT a.vec_id, b.s, b.code,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM sub a JOIN pcb b ON b.s = a.s AND b.i = a.i
+  GROUP BY 1, 2, 3),
+edist AS (
+  SELECT d.vec_id, d.s, d.code, (na.n2 + nc.n2 - 2 * d.dot) AS dist
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN pcn2 nc ON nc.s = d.s AND nc.code = d.code),
+eranked AS (
+  SELECT vec_id, s, code,
+    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+  FROM edist),
+codes AS (SELECT vec_id, s, code FROM eranked WHERE rn = 1),
+lut AS (
+  SELECT d.vec_id, d.s, d.code,
+    CAST(na.n2 AS DECIMAL(30,12)) + CAST(nc.n2 AS DECIMAL(30,12))
+      - CAST(d.dot AS DECIMAL(30,12)) - CAST(d.dot AS DECIMAL(30,12)) AS dd
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN pcn2 nc ON nc.s = d.s AND nc.code = d.code
+  WHERE d.vec_id < 8),
+adc AS (
+  SELECT c.query_id, cd.vec_id AS neighbor_id, SUM(l.dd) AS dist_dec
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN lut l ON l.vec_id = c.query_id AND l.s = cd.s AND l.code = cd.code
+  GROUP BY 1, 2),
+r2 AS (
+  SELECT query_id, neighbor_id, CAST(dist_dec AS DOUBLE) AS dist,
+    CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY dist_dec, neighbor_id) AS INTEGER) AS "rank"
+  FROM adc)
+SELECT query_id, neighbor_id, dist, "rank" FROM r2
+WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -1462,6 +1521,7 @@ FROM planted ORDER BY doc_id"""
     "q80_crossdup_contamination" -> q80,
     "q81_pq_topk" -> q81,
     "q82_incremental_dedup" -> q82,
+    "q83_ivfpq_topk" -> q83,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

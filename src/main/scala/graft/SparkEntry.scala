@@ -792,6 +792,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q83_ivfpq_topk(s: SparkSession, dir: String): DataFrame = {
+    // IVFPQ: probe 4 of 16 IVF cells, ADC-score only probed candidates
+    // against 4×16 PQ codebooks — the composition of the q48 and q81
+    // halves, and the standard billion-vector ANN layout.
+    import graft.analyze.{Ivf, Pq}
+    val emb = t(s, dir, "embeddings")
+    val ivf = Ivf.buildSampled(emb, "vec_id", "embedding", nlist = 16)
+    val cb = Pq.buildSampled(emb, "vec_id", "embedding", m = 4, ks = 16)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    Pq.ivfpqTopK(ivf, cb, codes, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -1078,6 +1092,7 @@ object SparkEntry {
     "q80_crossdup_contamination" -> (q80_crossdup_contamination _),
     "q81_pq_topk" -> (q81_pq_topk _),
     "q82_incremental_dedup" -> (q82_incremental_dedup _),
+    "q83_ivfpq_topk" -> (q83_ivfpq_topk _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

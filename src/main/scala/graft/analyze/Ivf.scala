@@ -119,15 +119,21 @@ object Ivf {
     * broadcast centroid matrix — no driver collect), with the same
     * exact-decimal math as buildSampled, so a sampled-centroid index
     * searches bitwise-reproducibly at any query-table size. */
-  def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nprobe: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val cm = broadcast(centroidRelation(spark, index.centroids))
-    // (query_id, cell) probe pairs — ids only, one row per probe
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+  /** (query_id, cell) probe pairs — ids only, one row per probe; the
+    * distributed probe-selection pass shared by [[search]] and
+    * [[Pq.ivfpqTopK]]. */
+  def probeCells(index: Index, queries: DataFrame, idCol: String,
+                 vecCol: String, nprobe: Int): DataFrame = {
+    val cm = broadcast(centroidRelation(queries.sparkSession, index.centroids))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cm)
       .select(col("query_id"),
         explode(VectorFunctions.ivfProbes(col("qv"), col(MatCol), nprobe)).as("cell"))
+  }
+
+  def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nprobe: Int): DataFrame = {
+    val probes = probeCells(index, queries, idCol, vecCol, nprobe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Similarity.dotExact(col(vecCol), col(vecCol)).as("qn2"))
 

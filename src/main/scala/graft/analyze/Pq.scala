@@ -86,38 +86,73 @@ object Pq {
       .select(col("id"), posexplode(array(codeCols: _*)).as(Seq("s", "code")))
   }
 
-  /** ADC top-k: per query, exact-decimal subspace distances to every
-    * codebook entry (the LUT), joined to the code table and summed in
-    * DECIMAL. Returns (query_id, neighbor_id, dist, rank). */
-  def adcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, cb: Codebooks, k: Int): DataFrame = {
-    val spark = queries.sparkSession
+  /** Per-query ADC lookup table (query_id, s, code, dd): exact-decimal
+    * d²(query subvector, codebook entry), built distributed (query melt
+    * × broadcast codebook rows). n2q + n2c − dot − dot: pure
+    * decimal(,12) additions — never ×2, which would push Spark past the
+    * 38-digit cap and truncate scale. */
+  private def lutFor(queries: DataFrame, idCol: String, vecCol: String,
+                     cb: Codebooks): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(30,12)")
-    // (query_id, s, qsub) — narrow melt of each query into subvectors
     val qsub = queries.select(col(idCol).as("query_id"),
         posexplode(array((0 until cb.m).map(s =>
           slice(col(vecCol), lit(s * cb.subDim + 1), lit(cb.subDim))): _*))
           .as(Seq("s", "qsub")))
-    val cbr = codebookRows(spark, cb)
+    val cbr = codebookRows(queries.sparkSession, cb)
       .withColumn("cn2", Similarity.dotExact(col("cvec"), col("cvec")))
-    // LUT rows: exact-decimal d²(query subvector, codebook entry).
-    // n2q + n2c − dot − dot: pure decimal(,12) additions — never ×2,
-    // which would push Spark past the 38-digit cap and truncate scale.
     val qdot = dec(Similarity.dotExact(col("qsub"), col("cvec")))
-    val lut = qsub.join(broadcast(cbr), Seq("s"))
+    qsub.join(broadcast(cbr), Seq("s"))
       .withColumn("dd",
         dec(Similarity.dotExact(col("qsub"), col("qsub")))
           + dec(col("cn2")) - qdot - qdot)
       .select("query_id", "s", "code", "dd")
-    val scored = codes.join(broadcast(lut), Seq("s", "code"))
-      .filter(col("id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("dd")).as("dist_dec"))
+  }
+
+  /** DECIMAL-summed ADC scores → deterministic top-k rows. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist_dec").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("dist_dec").cast("double").as("dist"), col("rank"))
+  }
+
+  /** ADC top-k over the WHOLE code table (exhaustive compressed scan):
+    * per query, the LUT joins the codes and subspace distances sum in
+    * DECIMAL. Returns (query_id, neighbor_id, dist, rank). */
+  def adcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, cb: Codebooks, k: Int): DataFrame = {
+    val lut = lutFor(queries, idCol, vecCol, cb)
+    rankTopK(
+      codes.join(broadcast(lut), Seq("s", "code"))
+        .filter(col("id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(col("dd")).as("dist_dec")),
+      k)
+  }
+
+  /** IVFPQ (the standard large-scale ANN layout): probe the `nprobe`
+    * nearest IVF cells, then ADC-score ONLY vectors assigned to probed
+    * cells — candidate volume is nprobe/nlist of the corpus and the scan
+    * reads codes, not vectors. Both halves are the independently
+    * verified [[Ivf]] and [[Pq]] paths; this is their join: probes and
+    * LUT are ids-plus-decimals broadcasts, the big sides (assignments,
+    * codes) only ever stream. */
+  def ivfpqTopK(ivf: Ivf.Index, cb: Codebooks, codes: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, nprobe: Int): DataFrame = {
+    val probes = Ivf.probeCells(ivf, queries, idCol, vecCol, nprobe)
+    val candIds = ivf.assigned.select(col("id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+    val lut = lutFor(queries, idCol, vecCol, cb)
+    rankTopK(
+      candIds.join(codes, Seq("id"))
+        .join(broadcast(lut), Seq("query_id", "s", "code"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(col("dd")).as("dist_dec")),
+      k)
   }
 }

@@ -55,6 +55,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ with exhaustive probing equals the plain ADC scan") {
+    import graft.analyze.Ivf
+    val df = clustered.toDF("id", "v")
+    val ivf = Ivf.buildSampled(df, "id", "v", nlist = 8)
+    val cb = Pq.buildSampled(df, "id", "v", m = 4, ks = 16)
+    val codes = Pq.encode(df, "id", "v", cb)
+    val full = Pq.adcTopK(codes, df, "id", "v", cb, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ivfpq = Pq.ivfpqTopK(ivf, cb, codes, df, "id", "v", k = 3, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivfpq == full)
+    // narrow probing finds cluster-mates when cells align with clusters —
+    // which needs the k-means build: sampled centroids here are the 8
+    // lowest ids, all drawn from cluster 0
+    val kmeans = Ivf.build(df, "id", "v", nlist = 4)
+    val top1 = Pq.ivfpqTopK(kmeans, cb, codes, df, "id", "v", k = 1, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length == 40)
+    top1.foreach { case (q, n) => assert(q / 10 == n / 10, s"$q -> $n") }
+  }
+
   test("PQ: top-1 recovers cluster-mates on separated clusters") {
     val df = clustered.toDF("id", "v")
     val cb = Pq.buildSampled(df, "id", "v", m = 4, ks = 16)

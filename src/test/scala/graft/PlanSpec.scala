@@ -170,4 +170,25 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
   }
+
+  test("repetition/PII curation maps are shuffle-free (no Exchange in the plan)") {
+    // Per-document metrics must never shuffle the corpus: the sorted-run
+    // fold and the regex scrub are pure maps over the scan (the gate
+    // queries only add a presentation ORDER BY on top).
+    import graft.analyze.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "repetitionProfile" -> TextAnalysis.repetitionProfile(docs, "doc_id", "text"),
+        "piiProfile" -> TextAnalysis.piiProfile(docs, "doc_id", "text"))) {
+      val s = planString(df)
+      assert(!s.contains("Exchange"), s"$name plans a shuffle:\n$s")
+    }
+  }
+
+  test("q78 stratified sample joins the rate table as a broadcast") {
+    val s = planString(q("q78_stratified_sample"))
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    // the fact side must not hash-partition on the stratum key
+    assert(!s.contains("Exchange hashpartitioning(lang"), s)
+  }
 }

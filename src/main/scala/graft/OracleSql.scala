@@ -1478,6 +1478,73 @@ SELECT doc_id,
     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
 FROM planted ORDER BY doc_id"""
 
+  /** q84: curation composite — q76's plant+scrub, q75's repetition flag
+    * on the SCRUBBED text, q30's fingerprint dedup, q78's residue
+    * sample, then a per-language profile. */
+  private val q84 = """
+WITH planted AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 3 = 0 THEN "text"
+         ELSE "text" || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example ip 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST(doc_id % 100 AS VARCHAR)
+           || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    END AS t0
+  FROM documents),
+scrub AS (
+  SELECT doc_id, lang,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t
+  FROM planted),
+tk AS (
+  SELECT doc_id, string_split(TRIM(regexp_replace(LOWER(t), '\s+', ' ', 'g')), ' ') AS toks
+  FROM scrub),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_distinct, MAX(c) AS top_tok
+  FROM tc GROUP BY 1),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tk)),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, MAX(c) AS top_bg
+  FROM bc GROUP BY 1),
+flags AS (
+  SELECT ts.doc_id,
+    (COALESCE(bs.top_bg, 0) * 100 > COALESCE(bs.n_bg, 0) * 18
+      OR ts.top_tok * 5 > ts.n_tokens
+      OR ts.n_distinct * 10 < ts.n_tokens * 3) AS lowq
+  FROM tstat ts LEFT JOIN bstat bs USING (doc_id)),
+kept AS (
+  SELECT s.doc_id, s.lang, s.t
+  FROM scrub s JOIN flags f ON f.doc_id = s.doc_id AND NOT f.lowq),
+fpd AS (
+  SELECT doc_id, lang, t,
+    md5(TRIM(regexp_replace(LOWER(t), '\s+', ' ', 'g'))) AS fp
+  FROM kept),
+ded AS (
+  SELECT doc_id, lang, t,
+    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fpd),
+rates AS (
+  SELECT 'en' AS lang, 40 AS kp UNION ALL SELECT 'de', 60),
+sampled AS (
+  SELECT d.doc_id, d.lang, d.t
+  FROM ded d LEFT JOIN rates r ON r.lang = d.lang
+  WHERE d.rn = 1
+    AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT)
+        % 100 < COALESCE(r.kp, 50))
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(length(t)) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM sampled GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1522,6 +1589,7 @@ FROM planted ORDER BY doc_id"""
     "q81_pq_topk" -> q81,
     "q82_incremental_dedup" -> q82,
     "q83_ivfpq_topk" -> q83,
+    "q84_curation_pipeline" -> q84,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

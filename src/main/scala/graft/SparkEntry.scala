@@ -806,6 +806,40 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def q84_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
+    // Capstone curation composite, every stage an oracle-verified
+    // operator: plant deterministic PII (q76's fixture) → scrub →
+    // repetition-quality gate on the scrubbed text (q75) → exact dedup
+    // by fingerprint (q30) → stratified down-sample (q78) → per-language
+    // profile. Stage order matters and the oracle verifies the
+    // interactions (e.g. scrubbing changes fingerprints and token
+    // counts), not just each stage alone.
+    val id = col("doc_id")
+    val planted = concat(col("text"),
+      lit(" contact user"), id.cast("string"),
+      lit("@mail.example ip 10.2."), (id % 256).cast("string"),
+      lit("."), (id % 100).cast("string"),
+      lit(" call 555-867-"), lpad((id % 10000).cast("string"), 4, "0"))
+    val scrubbed = t(s, dir, "documents")
+      .withColumn("text",
+        TA.scrubPii(when(id % 3 === 0, col("text")).otherwise(planted)))
+    val kept = scrubbed.join(
+      TA.repetitionProfile(scrubbed, "doc_id", "text")
+        .filter(col("low_quality") === 0).select("doc_id"),
+      Seq("doc_id"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = kept.withColumn("fp", TA.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val sampled = TA.stratifiedHashSample(deduped, "doc_id", "lang",
+      modulus = 100, keepByStratum = Map("en" -> 40, "de" -> 60),
+      defaultKeep = 50)
+    sampled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .orderBy("lang")
+  }
+
   private def q53_corpus_prep(s: SparkSession, dir: String): DataFrame = {
     // Flagship training-data composite: quality gate → exact dedup by
     // content fingerprint (keep lowest doc_id) → near-dup removal (drop
@@ -1093,6 +1127,7 @@ object SparkEntry {
     "q81_pq_topk" -> (q81_pq_topk _),
     "q82_incremental_dedup" -> (q82_incremental_dedup _),
     "q83_ivfpq_topk" -> (q83_ivfpq_topk _),
+    "q84_curation_pipeline" -> (q84_curation_pipeline _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -392,4 +392,43 @@ class ExtraSpec extends SparkSpec {
     assert(MultiModal.decodeImage(blobs.head._2) ==
       MultiModal.ImageInfo(37, 21, 3))
   }
+
+  test("streaming: curation maps (PII scrub + repetition flag) run on a document stream") {
+    // The curation operators are stateless column maps, so the SAME code
+    // drives batch tables and readStream micro-batches — streaming ingest
+    // gets scrubbing/gating for free. Results must equal the batch twin.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.analyze.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "write to a.b@x.org or 10.0.0.1 about the quick brown fox today"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "a perfectly ordinary diverse document with many distinct words here")
+    )
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.repetitionProfile(
+        df.withColumn("text", TextAnalysis.scrubPii(col("text"))),
+        "doc_id", "text").select("doc_id", "n_tokens", "low_quality")
+    val mem = MemoryStream[(Long, String)]
+    val q = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    val q2 = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("text"))
+      .writeStream.format("memory").queryName("scrubbed_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable(); q2.processAllAvailable()
+      val streamed = spark.table("curated")
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+      val batch = curate(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch)
+      assert(streamed(1)._3 == 1 && streamed(2)._3 == 0) // spam flagged, prose kept
+      val t1 = spark.table("scrubbed_stream").filter($"doc_id" === 1L)
+        .select("text").as[String].head()
+      assert(t1.contains("<EMAIL>") && t1.contains("<IP>"))
+    } finally { q.stop(); q2.stop() }
+  }
 }

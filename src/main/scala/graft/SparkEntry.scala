@@ -823,10 +823,7 @@ object SparkEntry {
     val scrubbed = t(s, dir, "documents")
       .withColumn("text",
         TA.scrubPii(when(id % 3 === 0, col("text")).otherwise(planted)))
-    val kept = scrubbed.join(
-      TA.repetitionProfile(scrubbed, "doc_id", "text")
-        .filter(col("low_quality") === 0).select("doc_id"),
-      Seq("doc_id"))
+    val kept = TA.repetitionGate(scrubbed, "text")
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val deduped = kept.withColumn("fp", TA.fingerprint(col("text")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

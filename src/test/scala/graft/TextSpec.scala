@@ -141,6 +141,21 @@ class TextSpec extends SparkSpec {
       .select("scrubbed").as[String].head() == "v1.2 beta build 123-45")
   }
 
+  test("repetitionGate keeps exactly the profile's unflagged docs; no helper columns leak") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (3L, "one two three four five"),
+      (4L, (0 until 25).map(i => s"tok$i a").mkString(" "))
+    ).toDF("doc_id", "text")
+    val gated = TextAnalysis.repetitionGate(docs, "text")
+    assert(gated.columns.toSeq == Seq("doc_id", "text"))
+    val fromProfile = TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+      .filter($"low_quality" === 0).select("doc_id").as[Long].collect().toSet
+    assert(gated.select("doc_id").as[Long].collect().toSet == fromProfile)
+  }
+
   test("stratifiedHashSample: per-stratum rates honored, deterministic, subset of plain sample") {
     import spark.implicits._
     val docs = (0L until 900L).map(i =>

@@ -1545,6 +1545,130 @@ SELECT lang, COUNT(*) AS n_docs,
   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM sampled GROUP BY 1 ORDER BY 1"""
 
+  /** q85: overlapping token-window chunking — 32-token windows every 24
+    * tokens; starts 1, 25, 49, … while <= n_tokens (trailing chunks may
+    * be short). chunk_idx = (start-1)/stride (integer), matching Spark's
+    * 0-based posexplode position. */
+  private val q85 = """
+WITH toks AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+  WHERE "text" IS NOT NULL AND LENGTH(TRIM("text")) > 0),
+c AS (
+  SELECT doc_id, len(t) AS n, t,
+    unnest(generate_series(1, len(t), 24)) AS strt
+  FROM toks)
+SELECT doc_id,
+  CAST((strt - 1) // 24 AS INTEGER) AS chunk_idx,
+  CAST(strt AS INTEGER) AS start_pos,
+  CAST(least(32, n - strt + 1) AS INTEGER) AS n_chunk_tokens,
+  array_to_string(list_slice(t, strt, strt + 31), ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx"""
+
+  /** q86: recall@5 of the IVF index (q48's exact configuration) against
+    * brute-force exact top-5 (q33's) — both searches re-implemented in
+    * SQL from the same CTEs, then an ids-only hit count per query and
+    * one final IEEE division. */
+  private val q86 = ivfAssignCtes + """,
+probes AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE vec_id < 8 AND rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+adots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN e2 a ON a.vec_id = cand.query_id
+  JOIN e2 b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2),
+acosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM adots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id),
+ar AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM acosv),
+approx AS (SELECT query_id, neighbor_id FROM ar WHERE rn <= 5),
+xdots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i
+  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+xcosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM xdots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id),
+xr AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM xcosv),
+exact AS (SELECT query_id, neighbor_id FROM xr WHERE rn <= 5),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(a2.neighbor_id) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a2
+    ON a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
+  GROUP BY 1)
+SELECT query_id, n_hit, CAST(n_hit AS DOUBLE) / 5.0 AS recall
+FROM hits ORDER BY query_id"""
+
+  /** q87: deterministic source-mixture sampling — weight w(src_i) =
+    * i%4 + 1 (Σw = 50 over src0..src19), budget 200 docs; per-source
+    * target = (200·w) // 50, keep rate = min(1000, (1000·target) // n)
+    * residues of the md5 key. All-integer arithmetic (`//` ≡ Spark
+    * `div`), so the selected row set matches bitwise. */
+  private val q87 = """
+WITH w AS (
+  SELECT source,
+    (CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS wt
+  FROM (SELECT DISTINCT source FROM documents)),
+counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+rates AS (
+  SELECT c.source,
+    CAST(least(1000, (1000 * ((200 * w.wt) // 50)) // c.n) AS INTEGER) AS keep_k
+  FROM counts c JOIN w ON w.source = c.source),
+keyed AS (
+  SELECT d.doc_id, d.source, r.keep_k,
+    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS h
+  FROM documents d JOIN rates r ON r.source = d.source)
+SELECT doc_id, source, keep_k FROM keyed
+WHERE h % 1000 < keep_k ORDER BY doc_id"""
+
+  /** q88: corpus-LM fluency proxy — mean corpus frequency of each
+    * document's bigrams. Integer counts; avg is the single final IEEE
+    * division. Docs with < 2 tokens report zeros. */
+  private val q88 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+bgs AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+lm AS (SELECT bg, COUNT(*) AS freq FROM bgs GROUP BY 1),
+per AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(l.freq) AS BIGINT) AS sum_freq
+  FROM bgs b JOIN lm l USING (bg) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(p.sum_freq, 0) AS BIGINT) AS sum_freq,
+  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+       THEN CAST(p.sum_freq AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+       ELSE 0.0 END AS avg_freq
+FROM t d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1590,6 +1714,10 @@ FROM sampled GROUP BY 1 ORDER BY 1"""
     "q82_incremental_dedup" -> q82,
     "q83_ivfpq_topk" -> q83,
     "q84_curation_pipeline" -> q84,
+    "q85_doc_chunking" -> q85,
+    "q86_ann_recall" -> q86,
+    "q87_source_mixture" -> q87,
+    "q88_bigram_fluency" -> q88,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1038,6 +1038,44 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  private def q85_doc_chunking(s: SparkSession, dir: String): DataFrame = {
+    // Overlapping token-window chunking (context-window prep): 32-token
+    // windows every 24 tokens — pure map + posexplode, no shuffle.
+    TA.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        win = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private def q86_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    // ANN quality gate: recall@5 of the IVF index (q48's configuration)
+    // against exact brute-force top-5 (q33) — the recall/latency curve
+    // point a real deployment tunes nprobe on. ids-only join, one final
+    // IEEE division.
+    val exact = q33_cosine_topk(s, dir)
+    val approx = q48_ivf_topk(s, dir)
+    Similarity.annRecall(exact, approx, "query_id", "neighbor_id", k = 5)
+      .orderBy("query_id")
+  }
+
+  private def q87_source_mixture(s: SparkSession, dir: String): DataFrame = {
+    // Deterministic source-mixture sampling (the data-mixing step of
+    // corpus assembly): weight w(src_i) = i%4 + 1, budget 200 docs,
+    // integer-exact keep rates out of 1000 residues, md5-keyed rows.
+    val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1)).toMap
+    TA.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        weights, budget = 200L, modulus = 1000)
+      .select("doc_id", "source", "keep_k")
+      .orderBy("doc_id")
+  }
+
+  private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
+    // Corpus-LM fluency proxy: mean corpus frequency of each document's
+    // bigrams (integer-exact LM counts; one final IEEE division) — the
+    // distributed stand-in for a perplexity quality filter.
+    TA.bigramFluency(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1125,6 +1163,10 @@ object SparkEntry {
     "q82_incremental_dedup" -> (q82_incremental_dedup _),
     "q83_ivfpq_topk" -> (q83_ivfpq_topk _),
     "q84_curation_pipeline" -> (q84_curation_pipeline _),
+    "q85_doc_chunking" -> (q85_doc_chunking _),
+    "q86_ann_recall" -> (q86_ann_recall _),
+    "q87_source_mixture" -> (q87_source_mixture _),
+    "q88_bigram_fluency" -> (q88_bigram_fluency _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

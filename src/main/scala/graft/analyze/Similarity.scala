@@ -188,6 +188,30 @@ object Similarity {
         .otherwise(x.cast("double")))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the standard ANN quality gate run before an index configuration
+    * ships (the recall/latency trade is THE tuning axis for IVF/PQ/LSH
+    * nprobe/bits choices). Inputs are two (query, neighbor, …) top-k
+    * tables; per query the metric is |exact ∩ approx| / k. Queries in
+    * `exact` with no approx hits report recall 0.
+    *
+    * Scale shape: an ids-only semi join + count — the evaluation never
+    * touches vectors, so it costs nothing next to the searches
+    * themselves and scales with n_queries × k. `recall` is the single
+    * final IEEE division (engine-portable). */
+  def annRecall(exact: DataFrame, approx: DataFrame,
+                queryCol: String, neighborCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val hits = exact.select(col(queryCol), col(neighborCol))
+      .join(approx.select(col(queryCol), col(neighborCol)),
+        Seq(queryCol, neighborCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
+    exact.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
+  }
+
   /** EXACT cosine-threshold pairs by brute force over all id pairs —
     * the correctness baseline for cosineNearDups. O(n²) in pairs: on a
     * cluster, bound `df` (sample or pre-filter) before calling; for dense

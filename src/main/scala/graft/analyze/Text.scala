@@ -344,4 +344,109 @@ object TextAnalysis {
     }
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** Overlapping token-window chunking — the context-window prep step
+    * for training corpora and retrieval indexes: windows of `win` tokens
+    * starting every `stride` tokens (stride < win ⇒ adjacent chunks
+    * overlap by win − stride). Starts are 1, 1+stride, … while ≤
+    * n_tokens, so trailing chunks may be shorter than `win`; documents
+    * with no tokens produce no chunks. Output: (id, chunk_idx,
+    * start_pos, n_chunk_tokens, chunk_text).
+    *
+    * Scale shape: a per-row `transform` + `posexplode` — a pure map, no
+    * shuffle; output volume is corpus tokens × win/stride overlap
+    * factor, and the chunk rows stream straight into downstream
+    * tokenize/pack stages (e.g. [[packSequences]]). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  win: Int, stride: Int): DataFrame = {
+    require(win >= 1 && stride >= 1, s"win/stride must be >= 1; got $win/$stride")
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), col("__n"), lit(stride)), s =>
+          struct(s.cast("int").as("start_pos"),
+            least(lit(win), col("__n") - s + 1).cast("int").as("n_chunk_tokens"),
+            concat_ws(" ", slice(col("__toks"), s, lit(win))).as("chunk_text"))))
+          .as(Seq("__i", "__c")))
+      .select(col(idCol), col("__i").cast("int").as("chunk_idx"),
+        col("__c.start_pos"), col("__c.n_chunk_tokens"), col("__c.chunk_text"))
+  }
+
+  /** Deterministic source-mixture sampling — the data-mixing step of
+    * training-corpus assembly (fixed-weight mixtures à la The Pile;
+    * weights typically come from an upstream ablation). Each stratum's
+    * target count is budget·wₛ/Σw; its keep rate is the integer residue
+    * fraction target/available out of `modulus` (capped at 1); rows then
+    * keep deterministically by md5 residue ([[hashSampleKey]]). All rate
+    * arithmetic is integer (`div`), so the selected row set is
+    * engine-portable and re-runs identically. A stratum scarcer than its
+    * target keeps everything (the cap) — re-balancing budget across
+    * strata (water-filling) is a policy knob deliberately left out.
+    *
+    * Scale shape: one partial-aggregating count pass over the fact
+    * (stratum-sized result), rates join back as a broadcast dimension,
+    * and the sample itself is a narrow filter — [[stratifiedHashSample]]
+    * with computed rather than hand-set rates. Strata absent from
+    * `weights` are dropped. Output keeps the input columns plus
+    * `keep_k` (the stratum's residue keep count). */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    weights: Map[String, Int], budget: Long,
+                    modulus: Int): DataFrame = {
+    require(modulus > 0 && budget >= 0, s"need modulus > 0, budget >= 0")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.exists(_ > 0), "weights must be non-negative, not all zero")
+    import df.sparkSession.implicits._
+    val wSum = weights.values.map(_.toLong).sum
+    val wdf = weights.toSeq.toDF(strataCol, "__w")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts.join(broadcast(wdf), Seq(strataCol))
+      .withColumn("__target", expr(s"(${budget}L * __w) div ${wSum}L"))
+      .withColumn("keep_k",
+        least(lit(modulus.toLong), expr(s"(${modulus}L * __target) div __n"))
+          .cast("int"))
+      .select(col(strataCol), col("keep_k"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashSampleKey(col(idCol)) % modulus < col("keep_k"))
+  }
+
+  /** Corpus-LM fluency proxy: per document, the mean corpus frequency of
+    * its word bigrams. Documents whose bigrams are common corpus-wide
+    * read as fluent (or templated); documents full of corpus-rare
+    * bigrams are noisy or novel — the cheap distributed stand-in for a
+    * perplexity filter when no trained LM is in the loop (cf. CCNet's
+    * LM-based quality bucketing, Wenzek et al. 2020). Frequencies are
+    * exact integers (the q64 bigram LM as a table); `avg_freq` is the
+    * single final IEEE division, so results are engine-portable.
+    *
+    * Scale shape: the (doc, bigram) stream is linear in corpus tokens;
+    * the LM groupBy partial-aggregates map-side; the stream↔LM join
+    * shuffles (gram, id, count) rows only — at corpus scale swap the
+    * gram string for its md5-low64 hash (8-byte keys, same plan), and
+    * persist/write the tokenized stream once instead of deriving it in
+    * both branches. Docs with < 2 tokens report n_bigrams = 0 and
+    * avg_freq = 0. */
+  def bigramFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val tail = greatest(size(col("__toks")) - 1, lit(0))
+    val base = docs
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__bigrams", zip_with(
+        slice(col("__toks"), lit(1), tail), slice(col("__toks"), lit(2), tail),
+        (a, b) => concat_ws(" ", a, b)))
+    val stream = base.select(col(idCol), explode(col("__bigrams")).as("bg"))
+    val lm = stream.groupBy(col("bg")).agg(count(lit(1)).as("freq"))
+    val perDoc = stream.join(lm, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
+    base.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("sum_freq", coalesce(col("sum_freq"), lit(0L)))
+      .withColumn("avg_freq",
+        when(col("n_bigrams") > 0,
+          col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -165,4 +165,14 @@ class SimilaritySpec extends SparkSpec {
       bits = 16, bands = 8, dim = 16).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("annRecall: hit counting, zero-overlap queries, perfect recall") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 21L), (2L, 99L), (3L, 98L), (3L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.annRecall(exact, approx, "query_id", "neighbor_id", k = 2)
+      .orderBy("query_id").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
+  }
 }

@@ -174,4 +174,60 @@ class TextSpec extends SparkSpec {
     val strat = s1.filter($"lang" === "zh").select("doc_id").as[Long].collect().toSet
     assert(strat == flat)
   }
+
+  test("chunkTokens: starts/lengths/overlap; short and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, win 4 stride 3
+      (2L, "a b"),                                    // shorter than win
+      (3L, "   "),                                    // whitespace-only: no chunks
+      (4L, null.asInstanceOf[String])                 // null: no chunks
+    ).toDF("doc_id", "text")
+    val c = TextAnalysis.chunkTokens(docs, "doc_id", "text", win = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(c.count(_._1 == 1L) == 4)                  // starts 1,4,7,10
+    assert(c.filter(_._1 == 1L).map(_._3).toSeq == Seq(1, 4, 7, 10))
+    assert(c.filter(_._1 == 1L).map(_._4).toSeq == Seq(4, 4, 4, 1))
+    assert(c.find(x => x._1 == 1L && x._2 == 1).get._5 == "t4 t5 t6 t7")
+    // adjacent chunks overlap by win - stride = 1 token
+    assert(c.find(x => x._1 == 1L && x._2 == 0).get._5.endsWith("t4"))
+    assert(c.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, 2, "a b")))
+    assert(!c.exists(x => x._1 == 3L || x._1 == 4L))
+  }
+
+  test("mixtureSample: integer targets honored, scarce stratum keeps all, deterministic") {
+    import spark.implicits._
+    // strata: "big" 400 rows, "small" 10 rows (scarcer than its target)
+    val df = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1010L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val out = TextAnalysis.mixtureSample(df, "doc_id", "src",
+      Map("big" -> 1, "small" -> 1), budget = 100L, modulus = 100)
+    val byKeep = out.select("src", "keep_k").distinct()
+      .as[(String, Int)].collect().toMap
+    // target 50 each: big keeps 100*50/400 = 12 residues; small capped at 100
+    assert(byKeep("big") == 12 && byKeep("small") == 100)
+    val n = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(n("small") == 10L)                        // scarce keeps everything
+    assert(n("big") > 30L && n("big") < 70L)         // ~12% of 400, md5-uniform
+    // rate semantics match the flat sampler exactly
+    val flat = TextAnalysis.hashSample(df.filter($"src" === "big"),
+      "doc_id", 100, 12).select("doc_id").as[Long].collect().toSet
+    assert(out.filter($"src" === "big").select("doc_id")
+      .as[Long].collect().toSet == flat)
+  }
+
+  test("bigramFluency: exact corpus counts; short docs report zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams: "a b", "b c"
+      (2L, "a b"),     // bigram:  "a b"  -> corpus freq("a b") = 2
+      (3L, "x")        // no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(r(0) == ((1L, 2L, 3L, 1.5)))  // freqs 2 ("a b") + 1 ("b c")
+    assert(r(1) == ((2L, 1L, 2L, 2.0)))
+    assert(r(2) == ((3L, 0L, 0L, 0.0)))
+  }
 }

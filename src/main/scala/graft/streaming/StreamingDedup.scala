@@ -85,6 +85,24 @@ object StreamingDedup {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming twin of the q82 incremental-ingest dedup: new documents
+    * stream in, duplicates INSIDE the stream collapse on fingerprint
+    * state (dropDuplicatesWithinWatermark — evicted one watermark delay
+    * after first sighting, so state is bounded even though producers
+    * retry with skewed timestamps), and anything already in the
+    * historical fingerprint set anti-joins away. The history side is a
+    * static DISTINCT-fingerprint table — 16-byte rows, the ONLY thing
+    * the archive contributes; the stream-static anti join is stateless
+    * on the stream side. At 100 TB the history table is bucketed by
+    * fingerprint so each micro-batch probes its buckets without a
+    * shuffle, and the accepted batch's fingerprints append back to it
+    * downstream (the batch q82 runs that merge offline). */
+  def incrementalDedupStream(docs: DataFrame, fpCol: String, tsCol: String,
+                             watermark: String, historyFps: DataFrame): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fpCol)
+      .join(historyFps.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+
   /** Stream–static enrichment join: the streaming fact side joins a
     * static dimension (broadcast by Catalyst when small) — no state, no
     * watermark needed on the static side; the streaming analogue of the

@@ -331,6 +331,28 @@ class ExtraSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: incremental-ingest dedup (q82 twin) drops in-stream and historical dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val history = Seq("fpA", "fpB").toDF("fp")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingDedup.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "fp", "ts"), "fp", "ts", "10 minutes", history)
+    val q = out.writeStream.format("memory").queryName("incdd_out")
+      .outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      mem.addData(
+        (1L, "fpA", t(100)),  // already in history -> dropped
+        (2L, "fpC", t(110)),  // novel -> kept
+        (3L, "fpC", t(120)),  // in-stream duplicate (skewed ts) -> dropped
+        (4L, "fpD", t(130)))  // novel -> kept
+      q.processAllAvailable()
+      val got = spark.table("incdd_out").select($"doc_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming: driver-light egress writes per-epoch results, driver sees only totals") {
     val dir = Files.createTempDirectory("graft-stream5").toString
     (1 to 25).map(i => s"""{"i":$i}""").toDF("payload").write.parquet(s"$dir/in")

@@ -191,4 +191,21 @@ class PlanSpec extends SparkSpec {
     // the fact side must not hash-partition on the stratum key
     assert(!s.contains("Exchange hashpartitioning(lang"), s)
   }
+
+  test("chunkTokens is a pure map: no Exchange in the chunk plan") {
+    import graft.analyze.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s = planString(TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24))
+    assert(!s.contains("Exchange"), s"chunking plans a shuffle:\n$s")
+  }
+
+  test("q87 mixture sample: computed rates join back as a broadcast, fact never hash-partitions on source") {
+    val s = planString(q("q87_source_mixture"))
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the only hashpartitioning allowed on `source` is the tiny counts
+    // aggregation (stratum-sized); the FACT row filter itself must ride
+    // a broadcast join. Assert the fact-side sort for the output is the
+    // sole non-agg exchange by checking no sort-merge join appears.
+    assert(!s.contains("SortMergeJoin"), s)
+  }
 }

@@ -1669,6 +1669,69 @@ SELECT d.doc_id,
 FROM t d LEFT JOIN per p USING (doc_id)
 ORDER BY doc_id"""
 
+  /** q89: vocabulary coverage — top-500 corpus vocab (count desc, token
+    * asc: total order), per-doc OOV occurrence fraction; integer counts
+    * and one IEEE division. */
+  private val q89 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+vocab AS (
+  SELECT tk FROM (
+    SELECT tk, COUNT(*) AS c FROM tok GROUP BY 1
+    ORDER BY c DESC, tk ASC LIMIT 500)),
+per AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tok o LEFT JOIN vocab v ON v.tk = o.tk
+  GROUP BY 1)
+SELECT doc_id, n_tokens, n_oov,
+  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac
+FROM per ORDER BY doc_id"""
+
+  /** q90: per-source quality-percentile gate — q29's quality score
+    * (quarter-step doubles, bitwise portable), percent_rank within the
+    * source with doc_id tiebreak (total order), keep pr >= 0.5. */
+  private val q90 = """
+WITH n AS (
+  SELECT doc_id, source, "text",
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks,
+    regexp_extract_all("text", '[A-Za-z]+') AS words,
+    CASE WHEN "text" IS NULL OR LENGTH(TRIM("text")) = 0 THEN 0
+         ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+         END AS ntok
+  FROM documents),
+c AS (
+  SELECT doc_id, source, ntok,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> list_contains(
+        ['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN LENGTH("text") > 0 THEN
+      CAST(LENGTH(regexp_replace("text", '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / CAST(LENGTH("text") AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN
+      CAST(list_sum(list_transform(words, w -> LENGTH(w))) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mean_word_len
+  FROM n),
+scored AS (
+  SELECT doc_id, source,
+    (CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+    AS quality
+  FROM c),
+ranked AS (
+  SELECT doc_id, source, quality,
+    percent_rank() OVER (PARTITION BY source
+      ORDER BY quality ASC, doc_id ASC) AS pr
+  FROM scored)
+SELECT doc_id, source, quality, pr
+FROM ranked WHERE pr >= 0.5 ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1718,6 +1781,8 @@ ORDER BY doc_id"""
     "q86_ann_recall" -> q86,
     "q87_source_mixture" -> q87,
     "q88_bigram_fluency" -> q88,
+    "q89_vocab_coverage" -> q89,
+    "q90_quality_gate" -> q90,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

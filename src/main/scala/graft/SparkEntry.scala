@@ -1076,6 +1076,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q89_vocab_coverage(s: SparkSession, dir: String): DataFrame = {
+    // Tokenizer-coverage signal: top-500 corpus vocabulary (broadcast),
+    // per-doc OOV occurrence fraction; one IEEE division.
+    TA.vocabCoverage(t(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
+      .orderBy("doc_id")
+  }
+
+  private def q90_quality_gate(s: SparkSession, dir: String): DataFrame = {
+    // Per-domain quality thresholding (FineWeb-style): percent_rank of
+    // the q29 quality score within each source, keep the top half.
+    val docs = t(s, dir, "documents")
+      .withColumn("quality", TA.qualityScore(col("text")))
+    TA.stratumQuantileGate(docs, "source", col("quality"), col("doc_id"),
+        keepFrac = 0.5)
+      .select("doc_id", "source", "quality", "pr")
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1167,6 +1185,8 @@ object SparkEntry {
     "q86_ann_recall" -> (q86_ann_recall _),
     "q87_source_mixture" -> (q87_source_mixture _),
     "q88_bigram_fluency" -> (q88_bigram_fluency _),
+    "q89_vocab_coverage" -> (q89_vocab_coverage _),
+    "q90_quality_gate" -> (q90_quality_gate _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,6 +1,7 @@
 package graft.analyze
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -409,6 +410,55 @@ object TextAnalysis {
       .select(col(strataCol), col("keep_k"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(hashSampleKey(col(idCol)) % modulus < col("keep_k"))
+  }
+
+  /** Vocabulary coverage / OOV rate: build the top-`vocabSize` corpus
+    * vocabulary (count desc, token asc — a total order, so the cut is
+    * deterministic) and report, per document, the fraction of token
+    * OCCURRENCES falling outside it — the tokenizer-coverage /
+    * domain-shift signal that decides whether a corpus needs its own
+    * vocabulary before training.
+    *
+    * Scale shape: the vocab build is a map-side-combined count + a
+    * distributed TakeOrdered (top-V fits in memory by definition — that
+    * is what a vocabulary IS); it joins back as a broadcast, so the
+    * token stream never shuffles for the lookup — only the per-doc
+    * count aggregation partitions by doc id. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1; got $vocabSize")
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tk"))
+    val vocab = toks.groupBy(col("tk")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tk").asc)
+      .limit(vocabSize)
+      .select(col("tk"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Per-stratum quality-quantile gate (per-domain thresholds à la
+    * FineWeb: an absolute score cut over-prunes clean domains and
+    * under-prunes noisy ones — rank within the domain instead): keep the
+    * top `keepFrac` of each stratum by `scoreCol`, ties broken by
+    * `tieCol` for a total order. percent_rank = (rank−1)/(n−1) —
+    * integer counts and one IEEE division, so the kept set is
+    * engine-portable whenever the score itself is.
+    *
+    * Scale shape: one window shuffle keyed by the stratum; strata are
+    * domains/languages (many, each large), so skew stays bounded. For a
+    * pathological single giant stratum, switch to an approximate
+    * threshold (percentile_approx over the score) + a plain filter —
+    * same semantics to within sketch error, no single-partition window. */
+  def stratumQuantileGate(df: DataFrame, strataCol: String, scoreCol: Column,
+                          tieCol: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1]; got $keepFrac")
+    val w = Window.partitionBy(col(strataCol)).orderBy(scoreCol.asc, tieCol.asc)
+    df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= lit(1.0) - lit(keepFrac))
   }
 
   /** Corpus-LM fluency proxy: per document, the mean corpus frequency of

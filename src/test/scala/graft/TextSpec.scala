@@ -217,6 +217,36 @@ class TextSpec extends SparkSpec {
       .as[Long].collect().toSet == flat)
   }
 
+  test("vocabCoverage: top-V cut is deterministic; OOV counts occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),   // corpus counts: a=4, b=3, c=2, d=1
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    // vocab = {a, b}; doc 1: 1 OOV occurrence of c; doc 2: c and d OOV
+    assert(r(0) == ((1L, 6L, 1L, 1.0 / 6.0)))
+    assert(r(1) == ((2L, 4L, 2L, 0.5)))
+    // tie at the boundary cuts by token order: with V=3, c (count 2)
+    // beats d (count 1); with counts tied the lexicographic token wins
+    val docs2 = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.vocabCoverage(docs2, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(r2.forall(x => x._3 == 1L)) // vocab = {x}: y is OOV everywhere
+  }
+
+  test("stratumQuantileGate keeps the per-stratum top fraction with tie-broken total order") {
+    import spark.implicits._
+    // stratum A: scores 1..4 (keep pr >= 0.5 -> scores 3,4)
+    // stratum B: all-tied scores -> tiebreak by id; keep the upper half
+    val df = (Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), (4L, "A", 4.0)) ++
+      (10L until 14L).map(i => (i, "B", 7.0))).toDF("id", "src", "score")
+    val kept = TextAnalysis.stratumQuantileGate(df, "src", col("score"), col("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 12L, 13L))
+  }
+
   test("bigramFluency: exact corpus counts; short docs report zeros") {
     import spark.implicits._
     val docs = Seq(

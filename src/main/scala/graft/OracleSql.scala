@@ -1732,6 +1732,16 @@ ranked AS (
 SELECT doc_id, source, quality, pr
 FROM ranked WHERE pr >= 0.5 ORDER BY doc_id"""
 
+  /** q91: the salted join must be bit-identical to the PLAIN inner join
+    * it rewrites — the oracle is that plain join. */
+  private val q91 = """
+WITH dim AS (
+  SELECT DISTINCT lang, CAST(LENGTH(lang) AS BIGINT) AS lang_len
+  FROM documents)
+SELECT d.doc_id, d.lang, m.lang_len
+FROM documents d JOIN dim m USING (lang)
+ORDER BY d.doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1783,6 +1793,7 @@ FROM ranked WHERE pr >= 0.5 ORDER BY doc_id"""
     "q88_bigram_fluency" -> q88,
     "q89_vocab_coverage" -> q89,
     "q90_quality_gate" -> q90,
+    "q91_salted_join" -> q91,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

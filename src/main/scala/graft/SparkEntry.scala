@@ -1094,6 +1094,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q91_salted_join(s: SparkSession, dir: String): DataFrame = {
+    // Skew-mitigation rewrite, oracle-verified semantics-preserving:
+    // documents are skewed by lang (en is ~half the corpus); the salted
+    // join spreads each hot key across 8 reducers while the small dim
+    // replicates 8x. The salt is deterministic (doc_id mod 8) so task
+    // retries and re-runs route rows identically; the output must be
+    // bit-identical to the plain inner join — which is the oracle.
+    val docs = t(s, dir, "documents")
+    val dim = docs.select(col("lang")).distinct()
+      .withColumn("lang_len", length(col("lang")).cast("long"))
+    graft.core.Skew.saltedJoinBy(docs, dim, "lang",
+        pmod(col("doc_id"), lit(8)).cast("int"), salts = 8)
+      .select(col("doc_id"), col("lang"), col("lang_len"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1187,6 +1203,7 @@ object SparkEntry {
     "q88_bigram_fluency" -> (q88_bigram_fluency _),
     "q89_vocab_coverage" -> (q89_vocab_coverage _),
     "q90_quality_gate" -> (q90_quality_gate _),
+    "q91_salted_join" -> (q91_salted_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

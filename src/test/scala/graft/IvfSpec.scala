@@ -108,4 +108,30 @@ class IvfSpec extends SparkSpec {
     val hot = Skew.hotKeys(big, "k", minCount = 50).as[(Long, Long)].collect()
     assert(hot.map(_._1).toSeq == Seq(1L))
   }
+
+  test("deterministic salted join: equals plain join, spreads hot key, shuffles on (k, salt)") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "v", "name").collect().toSet
+    val salted = Skew.saltedJoinBy(big, small, "k",
+      pmod(col("v"), lit(8)).cast("int"), salts = 8)
+    assert(salted.select("k", "v", "name").collect().toSet == plain)
+    // the hot key's rows really spread over multiple salt values
+    val spread = big.filter(col("k") === 1L)
+      .select(pmod(col("v"), lit(8)).cast("int").as("s"))
+      .distinct().count()
+    assert(spread > 1)
+    // with broadcast disabled, the join hash-partitions on (k, __salt) —
+    // the skew-spreading shuffle shape, not plain (k)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val s2 = Skew.saltedJoinBy(big, small, "k",
+        pmod(col("v"), lit(8)).cast("int"), salts = 8)
+      val planStr = s2.queryExecution.executedPlan.toString
+      assert(planStr.contains("hashpartitioning(k") &&
+        planStr.contains("__salt"), planStr)
+    } finally spark.conf.set(key, prev)
+  }
 }

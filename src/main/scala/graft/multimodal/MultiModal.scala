@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   * deterministic fake-header format is kept as a fast path for synthetic
   * fixtures and oracle-gated tests; the header tag (int 1) collides with
   * no real format magic (PNG \x89PNG, JPEG \xFFD8, GIF "GIF8", BMP "BM").
-  * Audio/video stay stubbed (no JDK codec); their plumbing (frame
-  * sampling, binary chunking) is format-agnostic and real.
+  * Audio is real too: `decodeWav`/`extractAudioFeatures` read WAV/PCM
+  * via `javax.sound.sampled` (also base-JDK) — WAV is the raw-PCM
+  * interchange format audio training pipelines standardize on before
+  * featurization; compressed codecs (MP3/AAC/Opus) have no JDK decoder
+  * and stay out of scope. Video stays container-agnostic (frame
+  * sampling, binary chunking) — no JDK codec exists.
   */
 object MultiModal {
 
@@ -74,6 +78,89 @@ object MultiModal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  case class AudioInfo(sampleRate: Int, channels: Int,
+                       bitsPerSample: Int, nFrames: Long)
+
+  /** Real zero-dep WAV/PCM header decode via `javax.sound.sampled`
+    * (ships in the base JDK). Metadata only — [[extractAudioFeatures]]
+    * adds sample statistics in the same pass when features are wanted. */
+  def decodeWav(bytes: Array[Byte]): AudioInfo = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      AudioInfo(f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, in.getFrameLength)
+    } finally in.close()
+  }
+
+  /** Deterministic 16-bit mono little-endian PCM WAV from raw samples —
+    * real bytes for specs and fixtures without external assets. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(data.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data.array()), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode + feature-extract WAV blobs, partition-local (the audio twin
+    * of [[extractImageFeatures]]): format metadata, duration, and
+    * integer-exact 16-bit sample statistics — peak = max |sample|, and
+    * the sum of squares as a Long so RMS is reproducible bit-for-bit
+    * regardless of partitioning. One iterator pass per blob, memory
+    * bounded by the largest single blob, no driver involvement. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_s", DoubleType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          require(f.getSampleSizeInBits == 16,
+            s"only 16-bit PCM supported; got ${f.getSampleSizeInBits}")
+          val pcm = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(pcm).order(
+            if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var peak = 0
+          var sumSq = 0L
+          var n = 0L
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            if (math.abs(s) > peak) peak = math.abs(s)
+            sumSq += s.toLong * s.toLong
+            n += 1
+          }
+          val frames = in.getFrameLength
+          Row(id, f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, frames,
+            frames.toDouble / f.getSampleRate.toDouble, peak,
+            if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n.toDouble))
+        } finally in.close()
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Decode + feature-extract, batch-wise per partition. Output schema is

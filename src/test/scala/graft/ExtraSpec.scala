@@ -415,6 +415,32 @@ class ExtraSpec extends SparkSpec {
       MultiModal.ImageInfo(37, 21, 3))
   }
 
+  test("multimodal: REAL WAV bytes decode + integer-exact audio features, distributed") {
+    import org.apache.spark.sql.Row
+    // deterministic square wave: |sample| = 1000 everywhere -> peak 1000,
+    // RMS exactly 1000.0 (sum of squares is integer-exact)
+    val square = Array.tabulate(8000)(i => (if (i % 2 == 0) 1000 else -1000).toShort)
+    val silence = Array.fill[Short](4000)(0)
+    val blobs = Seq((1L, MultiModal.encodeWav(8000, square)),
+      (2L, MultiModal.encodeWav(16000, silence)))
+    val rows = blobs.map { case (id, b) =>
+      Row(id, "audio", b, Row("audio/wav", s"mem://$id", b.length.toLong))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.mediaSchema)
+    val feats = MultiModal.extractAudioFeatures(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = feats(1L)
+    assert(a.getInt(1) == 8000 && a.getInt(2) == 1 && a.getInt(3) == 16)
+    assert(a.getLong(4) == 8000L && a.getDouble(5) == 1.0)
+    assert(a.getInt(6) == 1000 && a.getDouble(7) == 1000.0)
+    val b = feats(2L)
+    assert(b.getLong(4) == 4000L && b.getInt(6) == 0 && b.getDouble(7) == 0.0)
+    // header-only decode agrees
+    assert(MultiModal.decodeWav(blobs.head._2) ==
+      MultiModal.AudioInfo(8000, 1, 16, 8000L))
+  }
+
   test("streaming: curation maps (PII scrub + repetition flag) run on a document stream") {
     // The curation operators are stateless column maps, so the SAME code
     // drives batch tables and readStream micro-batches — streaming ingest

@@ -461,6 +461,86 @@ object TextAnalysis {
       .filter(col("pr") >= lit(1.0) - lit(keepFrac))
   }
 
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    * `nMerges` merge rules over the corpus word-frequency table. Each
+    * round counts adjacent symbol pairs (weighted by word frequency),
+    * takes the argmax under a TOTAL order (count desc, then pair asc —
+    * ties are where BPE implementations silently diverge), and rewrites
+    * the symbol strings with a leftmost-non-overlapping merge.
+    *
+    * Scale shape: training runs on DISTINCT words + counts — the
+    * classic collapse that makes BPE tractable (corpus tokens → unique
+    * words); pair counting partial-aggregates map-side; the per-round
+    * argmax is a 1-row collect (the merge rule IS the model — a
+    * metadata-sized driver value, like connected-components'
+    * convergence flag); each round's rewrite is a narrow map over the
+    * word table, lineage truncated per round (lazy localCheckpoint)
+    * exactly as in [[graft.dedup.Dedup.connectedComponents]]. Word-
+    * frequency skew is irrelevant: the heavy word is ONE row here.
+    * Spec-gated — an iterative training loop is not SQL-expressible. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    import java.util.regex.{Matcher, Pattern}
+    require(nMerges >= 0, s"nMerges must be >= 0; got $nMerges")
+    var words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(concat_ws(" ", split(col("w"), "")), lit(" </w>")).as("syms"),
+        col("cnt"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    var i = 0
+    while (i < nMerges && !exhausted) {
+      val tail = greatest(size(col("s")) - 1, lit(0))
+      val top = words.withColumn("s", split(col("syms"), " "))
+        .select(col("cnt"), explode(zip_with(
+          slice(col("s"), lit(1), tail), slice(col("s"), lit(2), tail),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += ((l, r))
+        words = words
+          .withColumn("syms", regexp_replace(col("syms"), mergePattern(l, r),
+            Matcher.quoteReplacement(l + r)))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Leftmost-non-overlapping whole-symbol pair match: lookaround keeps
+    * the delimiting spaces unconsumed so adjacent merge sites ("a b a b")
+    * all rewrite in one pass. Executor-side Java regex only (training /
+    * segmentation never feeds a SQL oracle, so RE2 portability is not
+    * required here, unlike the PII patterns). */
+  private def mergePattern(l: String, r: String): String = {
+    import java.util.regex.Pattern
+    "(?<=\\s|^)" + Pattern.quote(l) + " " + Pattern.quote(r) + "(?=\\s|$)"
+  }
+
+  /** Apply learned BPE merges to a text column: per word, split to
+    * characters + the `</w>` end marker, then replay the merge rules in
+    * rank order. A pure narrow map (nMerges chained regexp_replace
+    * kernels inside one `transform` lambda — no shuffle, no UDF);
+    * returns the array of subword tokens. */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
+    import java.util.regex.Matcher
+    val segmentWord: Column => Column = w => {
+      val base = concat(concat_ws(" ", split(w, "")), lit(" </w>"))
+      merges.foldLeft(base) { case (e, (l, r)) =>
+        regexp_replace(e, mergePattern(l, r), Matcher.quoteReplacement(l + r))
+      }
+    }
+    flatten(transform(tokens(lower(text)), w => split(segmentWord(w), " ")))
+  }
+
   /** Corpus-LM fluency proxy: per document, the mean corpus frequency of
     * its word bigrams. Documents whose bigrams are common corpus-wide
     * read as fluent (or templated); documents full of corpus-rare

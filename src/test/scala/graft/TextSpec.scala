@@ -247,6 +247,27 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(3L, 4L, 12L, 13L))
   }
 
+  test("bpeTrain learns deterministic merges; bpeSegment replays them; overlaps are leftmost") {
+    import spark.implicits._
+    // corpus: "ab" x3, "abc" x2 -> pair counts (a,b)=5, (b,</w>)=3,
+    // (b,c)=2, (c,</w>)=2 -> merge 1 = (a,b); then (ab,</w>)=3 wins
+    val docs = Seq("ab ab ab abc abc").toDF("text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+    assert(merges == Seq(("a", "b"), ("ab", "</w>")))
+    val seg = Seq("ab abc").toDF("t")
+      .select(TextAnalysis.bpeSegment(col("t"), merges).as("s"))
+      .as[Seq[String]].head
+    assert(seg == Seq("ab</w>", "ab", "c", "</w>"))
+    // leftmost-non-overlapping: merging (a,a) over "aaa" gives aa + a
+    val seg2 = Seq("aaa").toDF("t")
+      .select(TextAnalysis.bpeSegment(col("t"), Seq(("a", "a"))).as("s"))
+      .as[Seq[String]].head
+    assert(seg2 == Seq("aa", "a", "</w>"))
+    // merge exhaustion stops early instead of looping
+    val m2 = TextAnalysis.bpeTrain(Seq("x").toDF("text"), "text", nMerges = 10)
+    assert(m2.length <= 2 && m2.head == (("x", "</w>")))
+  }
+
   test("bigramFluency: exact corpus counts; short docs report zeros") {
     import spark.implicits._
     val docs = Seq(

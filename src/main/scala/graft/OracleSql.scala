@@ -1742,6 +1742,61 @@ SELECT d.doc_id, d.lang, m.lang_len
 FROM documents d JOIN dim m USING (lang)
 ORDER BY d.doc_id"""
 
+  /** q92: agreement report — exact 3-gram Jaccard >= 0.3 (reference,
+    * q40's ground truth) vs md5-simhash Hamming <= 8 (candidate, q41's
+    * detector). Counts are BIGINT; precision/recall are each one IEEE
+    * division. */
+  private val q92 = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ref AS (
+  SELECT id_a, id_b
+  FROM (SELECT id_a, id_b,
+          CAST(inter AS DOUBLE) / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+        FROM jp JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+  WHERE jaccard >= 0.3),
+wtok AS (
+  SELECT doc_id,
+    unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM wtok),
+votes AS (
+  SELECT doc_id, b.bit,
+    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY 1, 2),
+sigs AS (
+  SELECT doc_id,
+    COALESCE(bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit) END), 0::UBIGINT) AS sig
+  FROM votes GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ref) AS n_ref,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ref r
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.id_a = r.id_a AND c.id_b = r.id_b)) AS n_both)
+SELECT n_ref, n_cand, n_both,
+  CASE WHEN n_cand > 0 THEN CAST(n_both AS DOUBLE) / CAST(n_cand AS DOUBLE)
+       ELSE 0.0 END AS precision,
+  CASE WHEN n_ref > 0 THEN CAST(n_both AS DOUBLE) / CAST(n_ref AS DOUBLE)
+       ELSE 0.0 END AS recall
+FROM counts"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1794,6 +1849,7 @@ ORDER BY d.doc_id"""
     "q89_vocab_coverage" -> q89,
     "q90_quality_gate" -> q90,
     "q91_salted_join" -> q91,
+    "q92_dedup_agreement" -> q92,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

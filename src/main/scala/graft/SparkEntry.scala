@@ -1110,6 +1110,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q92_dedup_agreement(s: SparkSession, dir: String): DataFrame = {
+    // Sketch-tuning report: how well do SimHash radius-8 pairs (q41's
+    // detector) agree with exact 3-gram Jaccard >= 0.3 (q40's ground
+    // truth)? One row: counts + precision/recall — the numbers a
+    // curation pipeline tunes its radius/threshold on.
+    val docs = t(s, dir, "documents")
+    val ref = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.3)
+    val cand = Dedup.simhashNearDups(docs, "doc_id", "text",
+      maxHamming = 8, md5Compat = true)
+    Dedup.pairAgreement(ref, cand, "id_a", "id_b")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1204,6 +1217,7 @@ object SparkEntry {
     "q89_vocab_coverage" -> (q89_vocab_coverage _),
     "q90_quality_gate" -> (q90_quality_gate _),
     "q91_salted_join" -> (q91_salted_join _),
+    "q92_dedup_agreement" -> (q92_dedup_agreement _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

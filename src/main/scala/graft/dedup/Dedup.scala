@@ -517,4 +517,33 @@ object Dedup extends graft.core.Logging {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Agreement report between two near-dup PAIR sets — the tuning
+    * metric for every sketch in this file: precision = how many of the
+    * candidate detector's pairs the reference confirms, recall = how
+    * many reference pairs the candidate finds (e.g. simhash radius vs
+    * exact Jaccard threshold — the radius/threshold trade is chosen off
+    * exactly this report). One output row.
+    *
+    * Scale shape: ids-only joins and three single-row counts — the
+    * evaluation never touches documents, so it costs nothing beyond the
+    * two detectors themselves; run it on the deterministic hash-sample
+    * (q69) when even the detectors are too big to run corpus-wide. */
+  def pairAgreement(ref: DataFrame, cand: DataFrame,
+                    aCol: String, bCol: String): DataFrame = {
+    val r = ref.select(col(aCol).as("a"), col(bCol).as("b"))
+    val c = cand.select(col(aCol).as("a"), col(bCol).as("b"))
+    val nr = r.agg(count(lit(1)).as("n_ref"))
+    val nc = c.agg(count(lit(1)).as("n_cand"))
+    val nb = r.join(c, Seq("a", "b"), "left_semi").agg(count(lit(1)).as("n_both"))
+    nr.crossJoin(nc).crossJoin(nb)
+      .withColumn("precision",
+        when(col("n_cand") > 0,
+          col("n_both").cast("double") / col("n_cand").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_ref") > 0,
+          col("n_both").cast("double") / col("n_ref").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -241,4 +241,16 @@ class DedupSpec extends SparkSpec {
     // the jittered near-dup also crosses at this threshold
     assert(got.contains((5L, 2L)))
   }
+
+  test("pairAgreement: exact counts and IEEE precision/recall; empty edges") {
+    val ref = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (4L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val r = Dedup.pairAgreement(ref, cand, "id_a", "id_b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r == ((4L, 3L, 2L, 2.0 / 3.0, 0.5)))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r2 = Dedup.pairAgreement(empty, cand, "id_a", "id_b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r2 == ((0L, 3L, 0L, 0.0, 0.0)))
+  }
 }

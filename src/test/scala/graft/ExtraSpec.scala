@@ -479,4 +479,28 @@ class ExtraSpec extends SparkSpec {
       assert(t1.contains("<EMAIL>") && t1.contains("<IP>"))
     } finally { q.stop(); q2.stop() }
   }
+
+  test("streaming: doc chunking runs unchanged on a document stream") {
+    // chunkTokens is a stateless map+explode, so the same operator
+    // chunks micro-batches; output equals the batch twin.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.analyze.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.chunkTokens(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", win = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunked")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunked")
+        .as[(Long, Int, Int, Int, String)].collect().sortBy(c => (c._1, c._2)).toSeq
+      val batch = TextAnalysis.chunkTokens(
+          docs.toDF("doc_id", "text"), "doc_id", "text", win = 4, stride = 3)
+        .as[(Long, Int, Int, Int, String)].collect().sortBy(c => (c._1, c._2)).toSeq
+      assert(streamed == batch && streamed.size == 5)
+    } finally q.stop()
+  }
 }

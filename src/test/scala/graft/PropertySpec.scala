@@ -145,4 +145,43 @@ class PropertySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("partial_max") || plan.contains("partial_"), plan)
   }
+
+  test("chunking property: full coverage, stride-spaced starts, bounded lengths") {
+    import graft.analyze.TextAnalysis
+    val texts = samples(Gen.chooseNum(1, 40), 25).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(k => s"w$k").mkString(" "))
+    }
+    for ((win, stride) <- Seq((4, 3), (8, 8), (5, 2))) {
+      val chunks = TextAnalysis.chunkTokens(
+          texts.toDF("doc_id", "text"), "doc_id", "text", win, stride)
+        .select("doc_id", "start_pos", "n_chunk_tokens")
+        .as[(Long, Int, Int)].collect().groupBy(_._1)
+      for ((id, text) <- texts) {
+        val n = text.split(" ").length
+        val cs = chunks(id).sortBy(_._2)
+        // starts are exactly 1, 1+stride, ... <= n
+        assert(cs.map(_._2).toSeq == (1 to n by stride).toSeq, s"doc $id win=$win")
+        // every token position is covered; lengths never exceed win
+        val covered = cs.flatMap(c => c._2 until (c._2 + c._3)).toSet
+        assert(covered == (1 to n).toSet, s"doc $id win=$win")
+        assert(cs.forall(c => c._3 >= 1 && c._3 <= win))
+      }
+    }
+  }
+
+  test("BPE property: segmentation always reconstructs the input words") {
+    import graft.analyze.TextAnalysis
+    val words = samples(Gen.listOfN(6,
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)), 8)
+      .map(_.mkString(" "))
+    val docs = words.toDF("text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 6)
+    val got = docs.select(TextAnalysis.bpeSegment(col("text"), merges).as("s"),
+        col("text")).as[(Seq[String], String)].collect()
+    got.foreach { case (segs, text) =>
+      // dropping </w> markers and concatenating reconstructs the text
+      val rebuilt = segs.mkString("").replace("</w>", " ").trim
+      assert(rebuilt == text.toLowerCase.replaceAll("\\s+", " ").trim, s"text=$text segs=$segs")
+    }
+  }
 }

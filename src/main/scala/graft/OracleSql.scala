@@ -1797,6 +1797,40 @@ SELECT n_ref, n_cand, n_both,
        ELSE 0.0 END AS recall
 FROM counts"""
 
+  /** q93: chunk→pack composite — q85's chunk table (with per-chunk token
+    * counts) keyed doc_id*1000+chunk_idx, sharded by lang, packed into
+    * 256-token bins with q68's exclusive-prefix binning. */
+  private val q93 = """
+WITH toks AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+  WHERE "text" IS NOT NULL AND LENGTH(TRIM("text")) > 0),
+c AS (
+  SELECT doc_id, len(t) AS n,
+    unnest(generate_series(1, len(t), 24)) AS strt
+  FROM toks),
+chunks AS (
+  SELECT doc_id, CAST((strt - 1) // 24 AS INTEGER) AS chunk_idx,
+    least(32, n - strt + 1) AS n_tok
+  FROM c),
+k AS (
+  SELECT d.lang AS shard, ch.doc_id * 1000 + ch.chunk_idx AS id,
+    CAST(ch.n_tok AS BIGINT) AS n_tok
+  FROM chunks ch JOIN documents d USING (doc_id)),
+cum AS (
+  SELECT shard, id, n_tok,
+    SUM(n_tok) OVER (PARTITION BY shard ORDER BY id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM k),
+b AS (
+  SELECT shard,
+    CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 256.0) AS BIGINT) AS bin, n_tok
+  FROM cum)
+SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1850,6 +1884,7 @@ FROM counts"""
     "q90_quality_gate" -> q90,
     "q91_salted_join" -> q91,
     "q92_dedup_agreement" -> q92,
+    "q93_chunk_pack" -> q93,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

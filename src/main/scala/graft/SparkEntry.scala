@@ -1123,6 +1123,21 @@ object SparkEntry {
     Dedup.pairAgreement(ref, cand, "id_a", "id_b")
   }
 
+  private def q93_chunk_pack(s: SparkSession, dir: String): DataFrame = {
+    // Context-window prep end-to-end: overlapping chunks (q85) stream
+    // into per-shard sequence packing (q68) — chunk keys are
+    // doc_id*1000 + chunk_idx (docs cap at 5 chunks), shard = lang,
+    // 256-token bins. Also cross-checks that chunk_text re-tokenizes to
+    // exactly n_chunk_tokens (the packer recounts from text).
+    val docs = t(s, dir, "documents")
+    val chunks = TA.chunkTokens(docs, "doc_id", "text", win = 32, stride = 24)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("chunk_key", col("doc_id") * 1000 + col("chunk_idx"))
+    TA.packSequences(chunks, "chunk_key", "chunk_text",
+        tokenBudget = 256, shardCol = col("lang"))
+      .orderBy("shard", "bin")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1218,6 +1233,7 @@ object SparkEntry {
     "q90_quality_gate" -> (q90_quality_gate _),
     "q91_salted_join" -> (q91_salted_join _),
     "q92_dedup_agreement" -> (q92_dedup_agreement _),
+    "q93_chunk_pack" -> (q93_chunk_pack _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -192,6 +192,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange hashpartitioning(lang"), s)
   }
 
+  test("q89 vocab lookup joins as a broadcast (token stream never shuffles for it)") {
+    val s = planString(q("q89_vocab_coverage"))
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the vocabulary cut is a distributed TakeOrdered, not a global sort
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
   test("chunkTokens is a pure map: no Exchange in the chunk plan") {
     import graft.analyze.TextAnalysis
     val docs = spark.read.parquet(s"$sf/documents.parquet")

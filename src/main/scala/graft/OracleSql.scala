@@ -1798,7 +1798,7 @@ SELECT n_ref, n_cand, n_both,
 FROM counts"""
 
   /** q93: chunk→pack composite — q85's chunk table (with per-chunk token
-    * counts) keyed doc_id*1000+chunk_idx, sharded by lang, packed into
+    * counts) keyed doc_id*1000000+chunk_idx, sharded by lang, packed into
     * 256-token bins with q68's exclusive-prefix binning. */
   private val q93 = """
 WITH toks AS (
@@ -1815,7 +1815,7 @@ chunks AS (
     least(32, n - strt + 1) AS n_tok
   FROM c),
 k AS (
-  SELECT d.lang AS shard, ch.doc_id * 1000 + ch.chunk_idx AS id,
+  SELECT d.lang AS shard, ch.doc_id * 1000000 + ch.chunk_idx AS id,
     CAST(ch.n_tok AS BIGINT) AS n_tok
   FROM chunks ch JOIN documents d USING (doc_id)),
 cum AS (

@@ -1126,13 +1126,16 @@ object SparkEntry {
   private def q93_chunk_pack(s: SparkSession, dir: String): DataFrame = {
     // Context-window prep end-to-end: overlapping chunks (q85) stream
     // into per-shard sequence packing (q68) — chunk keys are
-    // doc_id*1000 + chunk_idx (docs cap at 5 chunks), shard = lang,
-    // 256-token bins. Also cross-checks that chunk_text re-tokenizes to
-    // exactly n_chunk_tokens (the packer recounts from text).
+    // doc_id*1e6 + chunk_idx (a 1M-chunk headroom: at stride 24 that is
+    // ~24M tokens/doc before keys could collide — collisions would make
+    // packSequences' ORDER BY id non-total and bin assignment engine-
+    // dependent), shard = lang, 256-token bins. Also cross-checks that
+    // chunk_text re-tokenizes to exactly n_chunk_tokens (the packer
+    // recounts from text).
     val docs = t(s, dir, "documents")
     val chunks = TA.chunkTokens(docs, "doc_id", "text", win = 32, stride = 24)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      .withColumn("chunk_key", col("doc_id") * 1000 + col("chunk_idx"))
+      .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_idx"))
     TA.packSequences(chunks, "chunk_key", "chunk_text",
         tokenBudget = 256, shardCol = col("lang"))
       .orderBy("shard", "bin")

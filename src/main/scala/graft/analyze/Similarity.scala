@@ -202,8 +202,11 @@ object Similarity {
   def annRecall(exact: DataFrame, approx: DataFrame,
                 queryCol: String, neighborCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
-    val hits = exact.select(col(queryCol), col(neighborCol))
-      .join(approx.select(col(queryCol), col(neighborCol)),
+    // distinct() both pair projections: duplicate (query, neighbor) rows
+    // in either input would double-count hits and report recall > 1.0.
+    // Ids-only, so the dedup is cheap relative to the searches.
+    val hits = exact.select(col(queryCol), col(neighborCol)).distinct()
+      .join(approx.select(col(queryCol), col(neighborCol)).distinct(),
         Seq(queryCol, neighborCol), "left_semi")
       .groupBy(col(queryCol)).agg(count(lit(1)).as("n_hit"))
     exact.select(col(queryCol)).distinct()

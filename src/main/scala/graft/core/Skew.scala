@@ -18,18 +18,25 @@ object Skew {
     saltedJoinBy(big, small, key, (rand(42) * salts).cast("int"), salts)
 
   /** Salted join with a CALLER-SUPPLIED salt expression for the big
-    * side. The salt must be uniform over [0, salts) and independent of
+    * side. The salt should be uniform over [0, salts) and independent of
     * the join key (a hot key must spread across salts — deriving the
     * salt from the key would put it back on one reducer). Deriving it
     * deterministically from a row identity column, e.g.
-    * `pmod(hash(col("row_id")), lit(salts))`, keeps re-runs (and task
-    * RETRIES — `rand` re-draws per attempt, so a retried partition can
-    * change row→salt routing mid-job) bit-identical, which is what lets
-    * the rewrite be oracle-verified equal to the plain join. */
+    * `hash(col("row_id"))`, keeps re-runs (and task RETRIES — `rand`
+    * re-draws per attempt, so a retried partition can change row→salt
+    * routing mid-job) bit-identical, which is what lets the rewrite be
+    * oracle-verified equal to the plain join.
+    *
+    * The expression is normalized internally with `pmod(_, salts)`:
+    * `hash()` is signed and a raw negative (or >= salts) value would
+    * land outside the replicated small side's [0, salts) range and
+    * SILENTLY DROP the row from the inner join — misuse cannot cause
+    * row loss, only (at worst) a skewed salt distribution. */
   def saltedJoinBy(big: DataFrame, small: DataFrame, key: String,
                    saltExpr: Column, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1; got $salts")
-    val saltedBig = big.withColumn("__salt", saltExpr)
+    val saltedBig = big.withColumn("__salt",
+      pmod(saltExpr.cast("long"), lit(salts.toLong)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

@@ -153,6 +153,13 @@ object MultiModal {
             n += 1
           }
           val frames = in.getFrameLength
+          // AudioInputStream.getFrameLength is NOT_SPECIFIED (-1) for
+          // some stream types and a zero/unspecified sample rate would
+          // yield -/Infinity or NaN durations — fail loudly instead.
+          require(frames >= 0,
+            s"media $id: frame length unspecified ($frames)")
+          require(f.getSampleRate > 0,
+            s"media $id: invalid sample rate ${f.getSampleRate}")
           Row(id, f.getSampleRate.toInt, f.getChannels,
             f.getSampleSizeInBits, frames,
             frames.toDouble / f.getSampleRate.toDouble, peak,

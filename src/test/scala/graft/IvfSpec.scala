@@ -134,4 +134,19 @@ class IvfSpec extends SparkSpec {
         planStr.contains("__salt"), planStr)
     } finally spark.conf.set(key, prev)
   }
+
+  test("salted join normalizes out-of-range salt expressions (no silent row loss)") {
+    val big = (1 to 200).map(i => (if (i % 5 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "v", "name").collect().toSet
+    // hash() is signed: without internal pmod normalization, rows whose
+    // hash is negative (or >= salts) would silently vanish from the join
+    val salted = Skew.saltedJoinBy(big, small, "k",
+      hash(col("v")), salts = 8).select("k", "v", "name").collect().toSet
+    assert(salted == plain)
+    // raw negative literal salt: still lossless after normalization
+    val neg = Skew.saltedJoinBy(big, small, "k",
+      lit(-3), salts = 8).select("k", "v", "name").collect().toSet
+    assert(neg == plain)
+  }
 }

@@ -1831,6 +1831,50 @@ SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_tok) AS BIGINT) AS total_tokens
 FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q94: BPE segmentation replaying graft.analyze.BpeFixture.merges —
+    * the replace chain is GENERATED from the same frozen constant the
+    * Spark query uses, so both engines replay the identical model.
+    *
+    * Leftmost-non-overlapping whole-symbol matching without lookaround
+    * (DuckDB regex is RE2, which has none): double every inter-symbol
+    * space, so each symbol owns a private space on each side, then a
+    * plain `replace(s, ' l r ', ' lr ')` is exactly the leftmost-non-
+    * overlapping whole-symbol pass — each match consumes one space from
+    * each neighboring 2-space gap and the replacement restores it, so
+    * the invariant (and therefore matchability of the neighbors) is
+    * preserved. Collapse the doubles and trim at the end. */
+  private val q94: String = {
+    val chain = graft.analyze.BpeFixture.merges.foldLeft("doubled") {
+      case (expr, (l, r)) =>
+        def esc(s: String) = s.replace("'", "''")
+        s"replace($expr, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l)}${esc(r)} ')"
+    }
+    s"""
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos
+  FROM t),
+sym AS (
+  SELECT doc_id, pos,
+    ' ' || replace(
+      TRIM(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>',
+      ' ', '  ') || ' ' AS doubled
+  FROM w),
+seg AS (
+  SELECT doc_id, pos,
+    TRIM(replace($chain, '  ', ' ')) AS word_seg
+  FROM sym),
+per AS (
+  SELECT doc_id, string_agg(word_seg, ' ' ORDER BY pos) AS subwords
+  FROM seg GROUP BY 1)
+SELECT doc_id, subwords,
+  CAST(len(string_split(subwords, ' ')) AS BIGINT) AS n_subwords
+FROM per ORDER BY doc_id"""
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1885,6 +1929,7 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
     "q91_salted_join" -> q91,
     "q92_dedup_agreement" -> q92,
     "q93_chunk_pack" -> q93,
+    "q94_bpe_segment" -> q94,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1141,6 +1141,23 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  private def q94_bpe_segment(s: SparkSession, dir: String): DataFrame = {
+    // BPE segmentation with a FROZEN merge table (BpeFixture — trained
+    // once on sf0.001, shipped as an artifact, exactly how a tokenizer
+    // reaches the 100 TB hot path). Narrow map: nMerges chained
+    // regexp_replace kernels per word inside one transform lambda, no
+    // shuffle, no UDF. The oracle replays the identical merge list as a
+    // per-word replace chain (OracleSql generates it from the same
+    // constant), so per-doc subword sequences must hash-match bitwise.
+    val docs = t(s, dir, "documents")
+    val segs = TA.bpeSegment(col("text"), graft.analyze.BpeFixture.merges)
+    docs.select(col("doc_id"), segs.as("__segs"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__segs")).as("subwords"),
+        size(col("__segs")).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1237,6 +1254,7 @@ object SparkEntry {
     "q91_salted_join" -> (q91_salted_join _),
     "q92_dedup_agreement" -> (q92_dedup_agreement _),
     "q93_chunk_pack" -> (q93_chunk_pack _),
+    "q94_bpe_segment" -> (q94_bpe_segment _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

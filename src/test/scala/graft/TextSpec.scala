@@ -268,6 +268,20 @@ class TextSpec extends SparkSpec {
     assert(m2.length <= 2 && m2.head == (("x", "</w>")))
   }
 
+  test("BpeFixture segments known corpus words to single subwords (q94 model pin)") {
+    import spark.implicits._
+    // the frozen 32-merge model fully merges its highest-frequency
+    // training words; a silent edit to the fixture order breaks this
+    val seg = Seq("window column order sort scan").toDF("t")
+      .select(TextAnalysis.bpeSegment(col("t"), graft.analyze.BpeFixture.merges).as("s"))
+      .as[Seq[String]].head
+    assert(seg == Seq("window</w>", "column</w>", "order</w>",
+      "s", "ort</w>", "scan</w>"))
+    // no left side contains the terminal marker (keeps per-word and
+    // whole-stream replay equivalent — documented in the fixture)
+    assert(graft.analyze.BpeFixture.merges.forall(!_._1.contains("</w>")))
+  }
+
   test("bigramFluency: exact corpus counts; short docs report zeros") {
     import spark.implicits._
     val docs = Seq(

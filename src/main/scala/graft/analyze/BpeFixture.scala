@@ -2,8 +2,11 @@ package graft.analyze
 
 /** Frozen BPE merge table for the q94 correctness gate.
   *
-  * Trained once with [[TextAnalysis.bpeTrain]] (nMerges = 32) over the
-  * sf0.001 `documents` fixture and frozen here as literals, so the
+  * Trained once with [[TextAnalysis.bpeTrain]] (nMerges = 32,
+  * batchCap = 1 — the sf0.001 corpus has natural pair-count ties, where
+  * prefix batching may reorder commuting merges; serial training is the
+  * reproducible reference) over the sf0.001 `documents` fixture and
+  * frozen here as literals, so the
   * segmentation operator can be oracle-gated: the DuckDB oracle replays
   * the SAME merge list (OracleSql builds the replace-chain SQL from this
   * constant), which is only possible when the model is a fixed value

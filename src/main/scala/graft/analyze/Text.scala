@@ -464,23 +464,52 @@ object TextAnalysis {
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     * `nMerges` merge rules over the corpus word-frequency table. Each
     * round counts adjacent symbol pairs (weighted by word frequency),
-    * takes the argmax under a TOTAL order (count desc, then pair asc —
-    * ties are where BPE implementations silently diverge), and rewrites
-    * the symbol strings with a leftmost-non-overlapping merge.
+    * takes a BATCH of merges under a TOTAL order (count desc, then pair
+    * asc — ties are where BPE implementations silently diverge), and
+    * rewrites the symbol strings with leftmost-non-overlapping merges.
+    *
+    * Batching rule (the round-count cut for distributed training): a
+    * round takes the longest PREFIX of the sorted pair table whose
+    * pairs are pairwise symbol-DISJOINT, stopping at the first pair
+    * that conflicts with an earlier selection (capped at `batchCap`).
+    * The prefix rule — unlike skip-and-continue greedy — is provably
+    * equal to one-merge-at-a-time training whenever the round's pair
+    * counts are tie-free: (1) disjoint merges neither create nor
+    * destroy each other's adjacencies, so batched counts equal serial
+    * recounts; (2) every NEW pair created by merging (a,b) is bounded
+    * by a generator pair sharing a or b — count(x,ab) <= count(x,a),
+    * count(ab,y) <= count(b,y) — and any such conflicting pair ranked
+    * above a batched pair would have STOPPED the prefix first, so no
+    * new pair can outrank a batched one mid-batch. (Skip-and-continue
+    * fails exactly there: a skipped conflicting pair keeps its count
+    * and serial would merge it before the batch's later picks.) With
+    * exact count ties across the batch boundary the model can reorder
+    * commuting merges; segmentation output is unaffected.
     *
     * Scale shape: training runs on DISTINCT words + counts — the
     * classic collapse that makes BPE tractable (corpus tokens → unique
     * words); pair counting partial-aggregates map-side; the per-round
-    * argmax is a 1-row collect (the merge rule IS the model — a
-    * metadata-sized driver value, like connected-components'
-    * convergence flag); each round's rewrite is a narrow map over the
-    * word table, lineage truncated per round (lazy localCheckpoint)
-    * exactly as in [[graft.dedup.Dedup.connectedComponents]]. Word-
-    * frequency skew is irrelevant: the heavy word is ONE row here.
-    * Spec-gated — an iterative training loop is not SQL-expressible. */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
-    import java.util.regex.{Matcher, Pattern}
+    * batch is a <= batchCap-row collect (the merge rules ARE the model —
+    * a metadata-sized driver value, like connected-components'
+    * convergence flag); each round's rewrite chains the batch's
+    * replaces in ONE narrow projection over the word table, lineage
+    * truncated per round (lazy localCheckpoint) exactly as in
+    * [[graft.dedup.Dedup.connectedComponents]]. Word-frequency skew is
+    * irrelevant: the heavy word is ONE row here. Training is iterative
+    * (not SQL-expressible); segmentation is oracle-gated on the frozen
+    * [[BpeFixture]] model (q94). */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+               batchCap: Int = 64): Seq[(String, String)] =
+    bpeTrainWithStats(docs, textCol, nMerges, batchCap)._1
+
+  /** [[bpeTrain]] plus the number of Spark rounds it took — the measured
+    * quantity the batching exists to cut (serial = one round per merge;
+    * prefix batching = one round per disjoint prefix). */
+  def bpeTrainWithStats(docs: DataFrame, textCol: String, nMerges: Int,
+                        batchCap: Int = 64): (Seq[(String, String)], Int) = {
+    import java.util.regex.Matcher
     require(nMerges >= 0, s"nMerges must be >= 0; got $nMerges")
+    require(batchCap >= 1, s"batchCap must be >= 1; got $batchCap")
     var words = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
@@ -490,8 +519,9 @@ object TextAnalysis {
       .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
-    var i = 0
-    while (i < nMerges && !exhausted) {
+    var rounds = 0
+    while (merges.length < nMerges && !exhausted) {
+      val take = math.min(batchCap, nMerges - merges.length)
       val tail = greatest(size(col("s")) - 1, lit(0))
       val top = words.withColumn("s", split(col("syms"), " "))
         .select(col("cnt"), explode(zip_with(
@@ -500,19 +530,31 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+        .limit(take).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r) = (top.head.getString(0), top.head.getString(1))
-        merges += ((l, r))
-        words = words
-          .withColumn("syms", regexp_replace(col("syms"), mergePattern(l, r),
-            Matcher.quoteReplacement(l + r)))
+        rounds += 1
+        // longest pairwise-disjoint PREFIX: stop at the first conflict
+        // (the head never conflicts, so every round advances >= 1 merge;
+        // a self-pair (a,a) just claims its one symbol)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val selected = top.iterator
+          .map(row => (row.getString(0), row.getString(1)))
+          .takeWhile { case (l, r) =>
+            val ok = !used.contains(l) && !used.contains(r)
+            if (ok) { used += l; used += r }
+            ok
+          }
+          .toSeq
+        merges ++= selected
+        val rewritten = selected.foldLeft(col("syms")) { case (e, (l, r)) =>
+          regexp_replace(e, mergePattern(l, r), Matcher.quoteReplacement(l + r))
+        }
+        words = words.withColumn("syms", rewritten)
           .localCheckpoint(eager = false)
-        i += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** Leftmost-non-overlapping whole-symbol pair match: lookaround keeps

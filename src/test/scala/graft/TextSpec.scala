@@ -268,6 +268,29 @@ class TextSpec extends SparkSpec {
     assert(m2.length <= 2 && m2.head == (("x", "</w>")))
   }
 
+  test("batched BPE training equals serial; disjoint-prefix batching cuts rounds") {
+    import spark.implicits._
+    // power-of-2 word frequencies keep pair counts tie-free around the
+    // batch boundaries (the regime where prefix batching is provably
+    // serial-equal; see bpeTrain scaladoc — natural ties like every
+    // pair of a single word counting the same CAN reorder commuting
+    // merges, so the corpus is chosen tie-free by construction)
+    val freqs = Seq("mejlcni" -> 1, "ifljffgin" -> 2, "ccnfmnmb" -> 4,
+      "nlgmj" -> 8, "agldfhce" -> 16, "gnmdfcl" -> 32, "jfaien" -> 64,
+      "kinhkb" -> 128, "igid" -> 256)
+    val corpus = freqs.flatMap { case (w, f) => Seq.fill(f)(w) }.mkString(" ")
+    val docs = Seq(corpus).toDF("text")
+    val (serial, serialRounds) =
+      TextAnalysis.bpeTrainWithStats(docs, "text", nMerges = 24, batchCap = 1)
+    val (batched, batchedRounds) =
+      TextAnalysis.bpeTrainWithStats(docs, "text", nMerges = 24, batchCap = 64)
+    assert(serial.length == 24 && serialRounds == 24)
+    assert(batched == serial)
+    // the measured point of the batching: materially fewer Spark rounds
+    assert(batchedRounds * 2 <= serialRounds,
+      s"expected <= ${serialRounds / 2} rounds, got $batchedRounds")
+  }
+
   test("BpeFixture segments known corpus words to single subwords (q94 model pin)") {
     import spark.implicits._
     // the frozen 32-merge model fully merges its highest-frequency

@@ -450,15 +450,48 @@ object TextAnalysis {
     *
     * Scale shape: one window shuffle keyed by the stratum; strata are
     * domains/languages (many, each large), so skew stays bounded. For a
-    * pathological single giant stratum, switch to an approximate
-    * threshold (percentile_approx over the score) + a plain filter —
-    * same semantics to within sketch error, no single-partition window. */
+    * pathological single giant stratum — one domain holding most of a
+    * 100 TB corpus would serialize into a single task's sort — set
+    * `maxExactStratumRows`: strata above the knob switch to an
+    * approximate threshold (percentile_approx over the score, a
+    * mergeable sketch that partial-aggregates map-side — no window, no
+    * per-stratum sort) + a plain filter. Same kept set to within sketch
+    * error; ties AT the threshold are all kept; `pr` is null on the
+    * approx path (a rank would cost the sort the fallback exists to
+    * avoid). The default knob (MaxValue) keeps the gate fully exact —
+    * the oracle-gated q90 path — with no counting pre-pass in the plan. */
   def stratumQuantileGate(df: DataFrame, strataCol: String, scoreCol: Column,
-                          tieCol: Column, keepFrac: Double): DataFrame = {
+                          tieCol: Column, keepFrac: Double,
+                          maxExactStratumRows: Long = Long.MaxValue,
+                          accuracy: Int = 10000): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1]; got $keepFrac")
-    val w = Window.partitionBy(col(strataCol)).orderBy(scoreCol.asc, tieCol.asc)
-    df.withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") >= lit(1.0) - lit(keepFrac))
+    val exact: DataFrame => DataFrame = part => {
+      val w = Window.partitionBy(col(strataCol)).orderBy(scoreCol.asc, tieCol.asc)
+      part.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= lit(1.0) - lit(keepFrac))
+    }
+    if (maxExactStratumRows == Long.MaxValue) exact(df)
+    else {
+      // per-stratum sizes: one partial-aggregated count, broadcast back
+      // (strata counts are a metadata-sized relation: one row per domain)
+      val sizes = df.groupBy(col(strataCol))
+        .agg(count(lit(1)).as("__stratum_n"))
+      val sized = df.join(broadcast(sizes), Seq(strataCol))
+      val small = sized.filter(col("__stratum_n") <= maxExactStratumRows)
+        .drop("__stratum_n")
+      val bigRows = sized.filter(col("__stratum_n") > maxExactStratumRows)
+        .drop("__stratum_n")
+      // approx path: sketch threshold per oversized stratum (partial-agg,
+      // NO sort), broadcast the per-stratum thresholds, plain filter
+      val thresholds = bigRows.groupBy(col(strataCol))
+        .agg(percentile_approx(scoreCol, lit(1.0 - keepFrac), lit(accuracy))
+          .as("__thr"))
+      val keptBig = bigRows.join(broadcast(thresholds), Seq(strataCol))
+        .filter(scoreCol >= col("__thr"))
+        .drop("__thr")
+        .withColumn("pr", lit(null).cast("double"))
+      exact(small).unionByName(keptBig)
+    }
   }
 
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn

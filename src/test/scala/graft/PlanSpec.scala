@@ -206,6 +206,29 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"chunking plans a shuffle:\n$s")
   }
 
+  test("stratum gate fallback: oversized strata take the sketch path — one sort total, thresholds broadcast") {
+    import graft.analyze.TextAnalysis
+    val rows = (1 to 5000).map(i => ("big", i.toDouble, i.toLong)) ++
+      (1 to 50).map(i => ("small", i.toDouble, i.toLong))
+    val df = rows.toDF("src", "score", "id")
+    val s = planString(TextAnalysis.stratumQuantileGate(df, "src",
+      col("score"), col("id"), 0.5, maxExactStratumRows = 1000))
+    // the oversized branch gates on a mergeable percentile sketch with a
+    // map-side partial, never a per-stratum sort
+    assert(s.contains("percentile_approx"), s)
+    assert(s.contains("partial_percentile_approx"), s)
+    // exactly one window (the under-knob branch) and one sort (its
+    // window sort) in the whole plan: the giant stratum sorts NOWHERE
+    val windows = s.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly 1 Window, got $windows:\n$s")
+    val sorts = s.linesIterator.count(l => l.contains("Sort [") && !l.contains("SortAggregate"))
+    assert(sorts == 1, s"expected exactly 1 sort (small-branch window), got $sorts:\n$s")
+    // sizes and thresholds ride broadcasts; the fact side never
+    // sort-merge-joins
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("q87 mixture sample: computed rates join back as a broadcast, fact never hash-partitions on source") {
     val s = planString(q("q87_source_mixture"))
     assert(s.contains("BroadcastHashJoin"), s)

@@ -268,6 +268,28 @@ class TextSpec extends SparkSpec {
     assert(m2.length <= 2 && m2.head == (("x", "</w>")))
   }
 
+  test("stratumQuantileGate giant-stratum fallback agrees with exact within sketch error") {
+    import spark.implicits._
+    // one oversized uniform stratum (10k distinct scores) + one small
+    val rows = (1 to 10000).map(i => ("big", i.toDouble, i.toLong)) ++
+      (1 to 100).map(i => ("small", i.toDouble, i.toLong))
+    val df = rows.toDF("src", "score", "id")
+    val exact = TextAnalysis.stratumQuantileGate(df, "src", col("score"), col("id"), 0.25)
+    val fb = TextAnalysis.stratumQuantileGate(df, "src", col("score"), col("id"), 0.25,
+      maxExactStratumRows = 1000, accuracy = 10000)
+    // under-knob stratum: identical kept set, rank still reported
+    def ids(d: org.apache.spark.sql.DataFrame, s: String) =
+      d.filter(col("src") === s).select("id").as[Long].collect().toSet
+    assert(ids(fb, "small") == ids(exact, "small"))
+    assert(fb.filter(col("src") === "small" && col("pr").isNull).count() == 0)
+    // oversized stratum: sketch path — kept sets agree within the
+    // accuracy bound (rank error ~ n/accuracy ≈ 1 row here; allow slack),
+    // and no rank is reported (the sort it would need is the point)
+    val d = (ids(fb, "big") -- ids(exact, "big")) ++ (ids(exact, "big") -- ids(fb, "big"))
+    assert(d.size <= 20, s"kept-set disagreement ${d.size} rows")
+    assert(fb.filter(col("src") === "big" && col("pr").isNotNull).count() == 0)
+  }
+
   test("batched BPE training equals serial; disjoint-prefix batching cuts rounds") {
     import spark.implicits._
     // power-of-2 word frequencies keep pair counts tie-free around the

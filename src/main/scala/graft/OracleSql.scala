@@ -1875,6 +1875,26 @@ SELECT doc_id, subwords,
 FROM per ORDER BY doc_id"""
   }
 
+  /** q96: video pipeline — synthesizeVideosFromDocs writes fake-header
+    * frames (dims arithmetic in n_chars and frame_no) into a real AVI
+    * container; extractVideoFeatures parses + decodes them back. The
+    * oracle recomputes the arithmetic: nf = 2 + n%3 frames, frame i is
+    * (64 + n%512 + i) x (64 + 7n%512) x 3, 40000 us/frame at fps 25. */
+  private val q96 = """
+WITH d AS (
+  SELECT doc_id, CAST(LENGTH("text") AS BIGINT) AS n FROM documents),
+f AS (
+  SELECT doc_id, n, 2 + (n % 3) AS nf,
+    unnest(generate_series(0, 1 + (n % 3))) AS i
+  FROM d)
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
+  CAST(nf AS INTEGER) AS n_frames,
+  CAST(40000 AS INTEGER) AS us_per_frame,
+  CAST(64 + (n % 512) + i AS INTEGER) AS width,
+  CAST(64 + ((n * 7) % 512) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels
+FROM f ORDER BY media_id, frame_no"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1930,6 +1950,7 @@ FROM per ORDER BY doc_id"""
     "q92_dedup_agreement" -> q92,
     "q93_chunk_pack" -> q93,
     "q94_bpe_segment" -> q94,
+    "q96_video_frames" -> q96,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

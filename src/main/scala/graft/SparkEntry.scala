@@ -1141,6 +1141,24 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  private def q96_video_frames(s: SparkSession, dir: String): DataFrame = {
+    // Video under the oracle gate (q59's pattern, one level deeper):
+    // deterministic fake-header frames inside a REAL RIFF/AVI container
+    // — synthesize → container parse → per-frame decode, all partition-
+    // local. The oracle recomputes every decoded feature arithmetically
+    // from doc lengths, so a hash match proves the AVI writer, the RIFF
+    // walker, and the per-frame decode pipeline preserve frame payloads
+    // and metadata exactly. (Real MJPEG — JPEG frames in the same
+    // container — is spec-gated in ExtraSpec; JPEG pixel output is not
+    // SQL-recomputable.)
+    import graft.multimodal.MultiModal
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val vids = MultiModal.synthesizeVideosFromDocs(docs)
+    MultiModal.extractVideoFeatures(vids)
+      .orderBy("media_id", "frame_no")
+  }
+
   private def q94_bpe_segment(s: SparkSession, dir: String): DataFrame = {
     // BPE segmentation with a FROZEN merge table (BpeFixture — trained
     // once on sf0.001, shipped as an artifact, exactly how a tokenizer
@@ -1255,6 +1273,7 @@ object SparkEntry {
     "q92_dedup_agreement" -> (q92_dedup_agreement _),
     "q93_chunk_pack" -> (q93_chunk_pack _),
     "q94_bpe_segment" -> (q94_bpe_segment _),
+    "q96_video_frames" -> (q96_video_frames _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

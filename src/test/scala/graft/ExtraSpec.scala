@@ -441,6 +441,49 @@ class ExtraSpec extends SparkSpec {
       MultiModal.AudioInfo(8000, 1, 16, 8000L))
   }
 
+  test("multimodal: REAL MJPEG/AVI decodes distributed — container parse + per-frame JPEG") {
+    import org.apache.spark.sql.Row
+    // a genuine 2-frame MJPEG AVI: JPEG-encoded frames in a RIFF
+    // container, built and decoded with zero non-JDK deps
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val avi = MultiModal.encodeAvi(
+      Seq(jpeg(48, 32, 0xFF0000), jpeg(48, 32, 0x00FF00)), 48, 32, fps = 10)
+    // odd-sized frame payloads exercise RIFF even-padding
+    val odd = MultiModal.fakeImageBytes(20, 10, 3, 1)
+    assert(odd.length % 2 == 1)
+    val avi2 = MultiModal.encodeAvi(Seq(odd, odd, odd), 20, 10, fps = 25)
+    val rows = Seq((1L, avi), (2L, avi2)).map { case (id, b) =>
+      Row(id, "video", b, Row("video/x-msvideo", s"mem://$id", b.length.toLong))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.mediaSchema)
+    // header-only parse
+    val (info, frames) = MultiModal.decodeAvi(avi)
+    assert(info == MultiModal.VideoInfo(48, 32, 100000, 2))
+    assert(frames.length == 2)
+    // distributed: per-frame JPEG dims decode through the same path
+    val feats = MultiModal.extractVideoFeatures(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(feats.size == 5)
+    assert(feats((1L, 0)).getInt(4) == 48 && feats((1L, 0)).getInt(5) == 32)
+    assert(feats((1L, 1)).getInt(2) == 2)    // n_frames
+    assert(feats((1L, 1)).getInt(3) == 100000) // us_per_frame
+    assert(feats((2L, 2)).getInt(4) == 20 && feats((2L, 2)).getInt(5) == 10)
+    // frame explode form: payloads survive the container roundtrip
+    val exploded = MultiModal.extractVideoFrames(media)
+      .filter($"media_id" === 1L).orderBy("frame_no")
+      .select("frame").collect().map(_.getAs[Array[Byte]](0))
+    assert(exploded(0).sameElements(jpeg(48, 32, 0xFF0000)))
+    assert(exploded(1).sameElements(jpeg(48, 32, 0x00FF00)))
+  }
+
   test("streaming: curation maps (PII scrub + repetition flag) run on a document stream") {
     // The curation operators are stateless column maps, so the SAME code
     // drives batch tables and readStream micro-batches — streaming ingest

@@ -1875,6 +1875,69 @@ SELECT doc_id, subwords,
 FROM per ORDER BY doc_id"""
   }
 
+  /** q95: incremental ANN maintenance — frozen sampled-centroid index on
+    * even vec_ids (16 lowest even vectors ARE the centroids, mirroring
+    * buildSampled), odd vec_ids as the new batch assigned to the same
+    * centroids (argmin exact-decimal L2², ties to the lowest cell). The
+    * drift report: per-cell counts/shares and the batch's exact-decimal
+    * inertia (round-4 + one division, per the parity policy). */
+  private val q95 = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+cent AS (
+  SELECT vec_id AS cvec,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cell
+  FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+cdots AS (
+  SELECT a.vec_id, c.cell,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a
+  JOIN cent c ON true
+  JOIN e2 b ON b.vec_id = c.cvec AND b.i = a.i
+  GROUP BY 1, 2),
+dist AS (
+  SELECT d.vec_id, d.cell, (na.n2 + nc.n2 - 2 * d.dot) AS dist
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN cent c ON c.cell = d.cell
+  JOIN norms nc ON nc.vec_id = c.cvec),
+ranked AS (
+  SELECT vec_id, cell, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+  FROM dist),
+assign AS (SELECT vec_id, cell, dist FROM ranked WHERE rn = 1),
+olds AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS old_n
+  FROM assign WHERE vec_id % 2 = 0 GROUP BY 1),
+news AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS new_n,
+    SUM(CAST(dist AS DECIMAL(30,12))) AS sumd
+  FROM assign WHERE vec_id % 2 = 1 GROUP BY 1),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0) AS old_t,
+         (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1) AS new_t)
+SELECT c.cell,
+  COALESCE(o.old_n, 0) AS old_n,
+  COALESCE(n.new_n, 0) AS new_n,
+  CAST(COALESCE(o.old_n, 0) AS DOUBLE) / CAST(t.old_t AS DOUBLE) AS old_share,
+  CAST(COALESCE(n.new_n, 0) AS DOUBLE) / CAST(t.new_t AS DOUBLE) AS new_share,
+  CAST(COALESCE(n.new_n, 0) AS DOUBLE) / CAST(t.new_t AS DOUBLE)
+    - CAST(COALESCE(o.old_n, 0) AS DOUBLE) / CAST(t.old_t AS DOUBLE) AS share_delta,
+  CASE WHEN COALESCE(n.new_n, 0) > 0
+       THEN CAST(round(n.sumd, 4) AS DOUBLE) / CAST(n.new_n AS DOUBLE)
+       ELSE 0.0 END AS new_inertia
+FROM cent c
+LEFT JOIN olds o ON o.cell = c.cell
+LEFT JOIN news n ON n.cell = c.cell
+CROSS JOIN totals t
+ORDER BY c.cell"""
+
   /** q96: video pipeline — synthesizeVideosFromDocs writes fake-header
     * frames (dims arithmetic in n_chars and frame_no) into a real AVI
     * container; extractVideoFeatures parses + decodes them back. The
@@ -1950,6 +2013,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q92_dedup_agreement" -> q92,
     "q93_chunk_pack" -> q93,
     "q94_bpe_segment" -> q94,
+    "q95_ann_maintenance" -> q95,
     "q96_video_frames" -> q96,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

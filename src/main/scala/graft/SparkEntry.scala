@@ -1141,6 +1141,23 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  private def q95_ann_maintenance(s: SparkSession, dir: String): DataFrame = {
+    // Incremental ANN maintenance: the index is FROZEN on the even
+    // vectors (a shipped artifact, like the BPE model in q94); the odd
+    // vectors arrive as the daily batch and are assigned with the same
+    // deterministic kernel. The drift report is what decides retraining:
+    // per-cell count skew between corpus and batch, and the batch's
+    // inertia against the frozen centroids. Exact integer counts, exact-
+    // decimal inertia sums, final IEEE divisions — hash-oracle-able.
+    import graft.analyze.Ivf
+    val emb = t(s, dir, "embeddings")
+    val frozen = Ivf.buildSampled(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 16)
+    Ivf.driftReport(frozen, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      .orderBy("cell")
+  }
+
   private def q96_video_frames(s: SparkSession, dir: String): DataFrame = {
     // Video under the oracle gate (q59's pattern, one level deeper):
     // deterministic fake-header frames inside a REAL RIFF/AVI container
@@ -1273,6 +1290,7 @@ object SparkEntry {
     "q92_dedup_agreement" -> (q92_dedup_agreement _),
     "q93_chunk_pack" -> (q93_chunk_pack _),
     "q94_bpe_segment" -> (q94_bpe_segment _),
+    "q95_ann_maintenance" -> (q95_ann_maintenance _),
     "q96_video_frames" -> (q96_video_frames _),
   )
 

@@ -73,14 +73,83 @@ object Ivf {
     val centroids = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    Index(centroids, assign(centroids, corpus, idCol, vecCol))
+  }
+
+  /** Assign vectors to a FROZEN centroid set — the incremental-ingest
+    * maintenance path: a production index trains once and every daily
+    * batch is assigned against the shipped centroids (retraining would
+    * re-shuffle the whole 100 TB corpus). Same deterministic kernel as
+    * [[buildSampled]] (argmin exact-decimal L2², ties to the lowest
+    * cell) against the 1-row broadcast centroid matrix, so new-batch
+    * assignment is bitwise identical to what a from-scratch build over
+    * the same vectors would produce — which is what lets q95 oracle it.
+    * Output columns: id, vec, cell, n2. */
+  def assign(centroids: Array[Array[Double]], batch: DataFrame,
+             idCol: String, vecCol: String): DataFrame = {
     val withN2 = Similarity.ensureParallelism(
-        corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        batch.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("n2", Similarity.dotExact(col("vec"), col("vec")))
-    val assigned = withN2
-      .crossJoin(broadcast(centroidRelation(corpus.sparkSession, centroids)))
+    withN2
+      .crossJoin(broadcast(centroidRelation(batch.sparkSession, centroids)))
       .withColumn("cell", VectorFunctions.ivfAssign(col("vec"), col(MatCol)))
       .select(col("id"), col("vec"), col("cell"), col("n2"))
-    Index(centroids, assigned)
+  }
+
+  /** Index-maintenance drift report: assign a newly-ingested batch to
+    * the frozen centroids and compare its per-cell population against
+    * the index's — the numbers an operator watches to decide when a
+    * daily-ingest index needs retraining (cell share skew growing, or
+    * per-cell inertia rising as the batch drifts away from the frozen
+    * centroid).
+    *
+    * Per cell: old_n/new_n counts, old_share/new_share (one IEEE
+    * division each over exact integer counts), share_delta, and
+    * new_inertia = mean exact-decimal L2² of the batch's vectors to
+    * their frozen centroid (per-row dist² from the same decimal-exact
+    * parts as assignment; summed as DECIMAL so partitioning can never
+    * change the result; rounded and divided once at the end, per the
+    * engine-parity policy).
+    *
+    * Scale shape: one narrow assignment pass over the batch, two
+    * partial-aggregated per-cell counts, a broadcast of the nlist-row
+    * centroid relation and the 1-row totals — nothing shuffles but the
+    * (cell) aggregations, whose key cardinality is nlist. */
+  def driftReport(index: Index, batch: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
+      .toDF("cell", "cvec")
+    val newAssigned = assign(index.centroids, batch, idCol, vecCol)
+    val withDist = newAssigned.join(broadcast(cents), Seq("cell"))
+      .withColumn("c2", Similarity.dotExact(col("cvec"), col("cvec")))
+      .withColumn("dist2",
+        col("n2") + col("c2") - lit(2.0) * Similarity.dotExact(col("vec"), col("cvec")))
+    val newStats = withDist.groupBy(col("cell")).agg(
+      count(lit(1)).as("new_n"),
+      sum(col("dist2").cast("decimal(30,12)")).as("__sumd"))
+    val oldStats = index.assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("old_n"))
+    val totals = index.assigned.agg(count(lit(1)).as("__old_t"))
+      .crossJoin(batch.agg(count(lit(1)).as("__new_t")))
+    cents.select(col("cell"))
+      .join(oldStats, Seq("cell"), "left")
+      .join(newStats, Seq("cell"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("old_n", coalesce(col("old_n"), lit(0L)))
+      .withColumn("new_n", coalesce(col("new_n"), lit(0L)))
+      .withColumn("old_share",
+        col("old_n").cast("double") / col("__old_t").cast("double"))
+      .withColumn("new_share",
+        col("new_n").cast("double") / col("__new_t").cast("double"))
+      .withColumn("share_delta", col("new_share") - col("old_share"))
+      .withColumn("new_inertia", when(col("new_n") > 0,
+          round(col("__sumd"), 4).cast("double") / col("new_n").cast("double"))
+        .otherwise(lit(0.0)))
+      .select("cell", "old_n", "new_n", "old_share", "new_share",
+        "share_delta", "new_inertia")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

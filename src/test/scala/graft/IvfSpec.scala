@@ -98,6 +98,44 @@ class IvfSpec extends SparkSpec {
     assert(kept2.join(df, Seq("id")).count() == kept2.count())
   }
 
+  test("frozen-centroid assign matches the build; drift report balances") {
+    val df = vecs.toDF("id", "v")
+    // maintenance invariant: re-assigning the SAME corpus against a
+    // frozen centroid set is bitwise the build's own assignment
+    val sampled = Ivf.buildSampled(df, "id", "v", nlist = 4)
+    val re = Ivf.assign(sampled.centroids, df, "id", "v")
+      .select("id", "cell").as[(Long, Int)].collect().toSet
+    val orig = sampled.assigned
+      .select("id", "cell").as[(Long, Int)].collect().toSet
+    assert(re == orig)
+    // semantic drift checks on an index with the TRUE cluster centers
+    // (buildSampled's lowest-id centroids all come from cluster 0 here)
+    val centroids = (0 until 4)
+      .map(c => Array.tabulate(8)(i => if (i == c * 2) 10.0 else 0.0)).toArray
+    val index = Ivf.Index(centroids, Ivf.assign(centroids, df, "id", "v"))
+    // batch == corpus → every cell has old_n == new_n, share_delta == 0
+    val drift = Ivf.driftReport(index, df, "id", "v").collect()
+    assert(drift.length == 4)
+    assert(drift.forall(r => r.getAs[Long]("old_n") == r.getAs[Long]("new_n")))
+    assert(drift.forall(_.getAs[Double]("share_delta") == 0.0))
+    assert(drift.map(_.getAs[Long]("new_n")).sum == vecs.length)
+    assert(drift.forall(r => r.getAs[Long]("old_n") == 20L)) // 4 clusters x 20
+    // inertia is a mean squared distance: nonnegative everywhere
+    assert(drift.forall(_.getAs[Double]("new_inertia") >= 0.0))
+    // a DRIFTED batch (every vector pushed along cluster 0's axis) must
+    // grow cell 0's share and its inertia vs the balanced report
+    val drifted = vecs.map { case (id, v) =>
+      (id, v.zipWithIndex.map { case (x, i) => if (i == 0) x + 20f else x }) }
+      .toDF("id", "v")
+    val d2 = Ivf.driftReport(index, drifted, "id", "v").collect()
+      .map(r => r.getAs[Int]("cell") ->
+        ((r.getAs[Double]("share_delta"), r.getAs[Double]("new_inertia")))).toMap
+    assert(d2(0)._1 > 0.0, s"expected positive drift into cell 0: $d2")
+    val balanced0 = drift.find(_.getAs[Int]("cell") == 0).get
+      .getAs[Double]("new_inertia")
+    assert(d2(0)._2 > balanced0)
+  }
+
   test("salted join equals plain join; hot keys diagnosed") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
     val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")

@@ -78,6 +78,36 @@ class JobSpec extends SparkSpec {
     assert(cdfCalls.size == 1)
   }
 
+  test("Delta CDF LIVE path: real readChangeFeed end-to-end when delta-spark is on the classpath") {
+    import org.apache.spark.sql.functions.col
+    // auto-skip without the jar: this environment ships none, so the
+    // branch above is probe/mock-tested; on a classpath WITH delta-spark
+    // this test exercises the true format("delta") CDF read instead
+    if (!graft.source.DeltaCdf.available) {
+      info("delta-spark not on classpath — live CDF read skipped " +
+        "(probe gating and fallback are covered by the previous test)")
+      cancel("delta-spark jar absent in this environment")
+    }
+    val dir = Files.createTempDirectory("graft-delta-live").toString + "/tbl"
+    val cdfDefault = "spark.databricks.delta.properties.defaults.enableChangeDataFeed"
+    spark.conf.set(cdfDefault, "true") // new tables get CDF from version 0
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.format("delta").save(dir)
+      Seq((3L, "c")).toDF("id", "v")
+        .write.format("delta").mode("append").save(dir)
+      // the REAL branch: probe true → format("delta").option("readChangeFeed")
+      val src = new graft.source.AutoChangeFeedSource(spark, dir)
+      val all = src.since(None)
+      assert(all.columns.contains("_change_type"), all.columns.mkString(","))
+      assert(all.filter(col("_change_type") === "insert").count() == 3)
+      // strict > bookmark filtering applies on top of the CDF read
+      val latest = all.agg(org.apache.spark.sql.functions.max(
+        col("_commit_timestamp"))).head.getTimestamp(0)
+      assert(src.since(Some(latest)).count() == 0)
+    } finally spark.conf.unset(cdfDefault)
+  }
+
   test("UserProfileJob end-to-end: dedup → transforms → egress → bookmark") {
     val root = Files.createTempDirectory("graft-job").toString
     // changelog: two changes for user 1 (latest wins), one for user 2,

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bench main (driver contract): one JSON line with per-query seconds.
   *
@@ -66,7 +67,89 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val skew = skewStress(spark, sfDir, time)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Skew-stress fixture (SCALE.md "skew" entry): every headline number is
+    * measured on uniform TPC-H-ish keys, but the 100 TB failure mode is the
+    * hot key. Plant one (~20 % of a 10×-replicated lineitem lands on key 0),
+    * force the shuffle-join regime (broadcast off — at real scale the dim
+    * side outgrows the broadcast threshold), and measure the mitigations
+    * this repo actually ships against the naive plan:
+    *   join_unsalted     sort-merge join, AQE skew split OFF — the naive
+    *                     plan whose hot partition serializes one task
+    *   join_salted       [[graft.core.Skew.saltedJoinBy]], 32 salts
+    *   join_aqe          plain join + AQE skew split, thresholds scaled to
+    *                     the fixture (256 MB defaults sized for real
+    *                     clusters never trigger on an sf0.1 derivative)
+    *   dedup_window      q21-form latest-per-key (window) on the hot key —
+    *                     the whole key's history sorts in ONE task
+    *   dedup_agg         [[graft.dedup.Dedup.latestPerKeyAgg]] — map-side
+    *                     partial agg sends one candidate row per key per
+    *                     task; the skew-proof form the scaladoc recommends
+    * Reported per variant: best of two runs after a cold prime (same
+    * steady-state convention as the main loop). Results sink to a noop
+    * write so every payload row materializes (a count() would let Spark
+    * prune the join payload and undersell the skew). */
+  private def skewStress(spark: SparkSession, sfDir: String,
+                         time: (=> Unit) => Double): String = {
+    import graft.core.Skew
+    import graft.dedup.Dedup
+    val dir = "file:/tmp/graft_skew_bench"
+    // fixture: 10× lineitem ≈ 6M rows at sf0.1; rid = deterministic row
+    // identity (drives the retry-safe salt); 20 % of rows on hot key 0,
+    // the rest uniform over 100k keys — the dim side (100k rows) is
+    // replicable ×32 but represents one too big to broadcast
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rep", explode(lit((0 until 10).toArray)))
+      .withColumn("rid", xxhash64(col("l_orderkey"), col("l_linenumber"), col("rep")))
+      .withColumn("k", when(pmod(col("rid"), lit(5L)) === 0, lit(0L))
+        .otherwise(pmod(col("rid"), lit(100000L))))
+      .select(col("k"), col("rid"),
+        rpad(md5(col("rid").cast("string")), 64, "x").as("payload"))
+      .write.mode("overwrite").parquet(s"$dir/big")
+    spark.range(100000).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("dim")).coalesce(4)
+      .write.mode("overwrite").parquet(s"$dir/small")
+    val big = spark.read.parquet(s"$dir/big")
+    val small = spark.read.parquet(s"$dir/small")
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def withConf(pairs: (String, String)*)(f: => Double): Double = {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    def best(f: => Unit): Double = { time(f); math.min(time(f), time(f)) }
+    val noBroadcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    val results = Seq(
+      "join_unsalted" -> withConf(noBroadcast,
+        "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        best(sink(big.join(small, "k")))
+      },
+      "join_salted" -> withConf(noBroadcast,
+        "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        best(sink(Skew.saltedJoinBy(big, small, "k", col("rid"), salts = 32)))
+      },
+      "join_aqe" -> withConf(noBroadcast,
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m") {
+        best(sink(big.join(small, "k")))
+      },
+      "dedup_window" -> best(sink(
+        Dedup.latestPerKey(big, Seq("k"), Seq(col("rid").desc, col("payload").desc)))),
+      "dedup_agg" -> best(sink(
+        Dedup.latestPerKeyAgg(big, Seq("k"), Seq("rid", "payload"))))
+    )
+    results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
   }
 }

@@ -1855,8 +1855,12 @@ WITH t AS (
     string_split(TRIM(regexp_replace(LOWER("text"), '\\s+', ' ', 'g')), ' ') AS toks
   FROM documents),
 w AS (
-  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos
-  FROM t),
+  -- string_split('') yields ['']; drop empty words so whitespace-only
+  -- docs segment to nothing (mirrors bpeSegment's empty-token filter)
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos
+    FROM t)
+  WHERE word <> ''),
 sym AS (
   SELECT doc_id, pos,
     ' ' || replace(
@@ -1868,10 +1872,13 @@ seg AS (
     TRIM(replace($chain, '  ', ' ')) AS word_seg
   FROM sym),
 per AS (
-  SELECT doc_id, string_agg(word_seg, ' ' ORDER BY pos) AS subwords
-  FROM seg GROUP BY 1)
+  -- LEFT JOIN keeps empty/whitespace-only docs as a row with no subwords
+  SELECT t.doc_id,
+    COALESCE(string_agg(word_seg, ' ' ORDER BY pos), '') AS subwords
+  FROM t LEFT JOIN seg USING (doc_id) GROUP BY 1)
 SELECT doc_id, subwords,
-  CAST(len(string_split(subwords, ' ')) AS BIGINT) AS n_subwords
+  CAST(CASE WHEN subwords = '' THEN 0
+       ELSE len(string_split(subwords, ' ')) END AS BIGINT) AS n_subwords
 FROM per ORDER BY doc_id"""
   }
 

@@ -472,23 +472,32 @@ object TextAnalysis {
     }
     if (maxExactStratumRows == Long.MaxValue) exact(df)
     else {
+      // temp names must not collide with user columns (a pre-existing
+      // `__stratum_n`/`__thr` would make the join/drop ambiguous)
+      def tmp(base: String): String = {
+        var n = base
+        while (df.columns.contains(n)) n += "_"
+        n
+      }
+      val nCol = tmp("__stratum_n")
+      val thrCol = tmp("__thr")
       // per-stratum sizes: one partial-aggregated count, broadcast back
       // (strata counts are a metadata-sized relation: one row per domain)
       val sizes = df.groupBy(col(strataCol))
-        .agg(count(lit(1)).as("__stratum_n"))
+        .agg(count(lit(1)).as(nCol))
       val sized = df.join(broadcast(sizes), Seq(strataCol))
-      val small = sized.filter(col("__stratum_n") <= maxExactStratumRows)
-        .drop("__stratum_n")
-      val bigRows = sized.filter(col("__stratum_n") > maxExactStratumRows)
-        .drop("__stratum_n")
+      val small = sized.filter(col(nCol) <= maxExactStratumRows)
+        .drop(nCol)
+      val bigRows = sized.filter(col(nCol) > maxExactStratumRows)
+        .drop(nCol)
       // approx path: sketch threshold per oversized stratum (partial-agg,
       // NO sort), broadcast the per-stratum thresholds, plain filter
       val thresholds = bigRows.groupBy(col(strataCol))
         .agg(percentile_approx(scoreCol, lit(1.0 - keepFrac), lit(accuracy))
-          .as("__thr"))
+          .as(thrCol))
       val keptBig = bigRows.join(broadcast(thresholds), Seq(strataCol))
-        .filter(scoreCol >= col("__thr"))
-        .drop("__thr")
+        .filter(scoreCol >= col(thrCol))
+        .drop(thrCol)
         .withColumn("pr", lit(null).cast("double"))
       exact(small).unionByName(keptBig)
     }
@@ -613,7 +622,10 @@ object TextAnalysis {
         regexp_replace(e, mergePattern(l, r), Matcher.quoteReplacement(l + r))
       }
     }
-    flatten(transform(tokens(lower(text)), w => split(segmentWord(w), " ")))
+    // tokens('') yields [""]; drop empty tokens so whitespace-only docs
+    // segment to [] rather than a spurious ["", "</w>"].
+    val words = filter(tokens(lower(text)), w => length(w) > lit(0))
+    flatten(transform(words, w => split(segmentWord(w), " ")))
   }
 
   /** Corpus-LM fluency proxy: per document, the mean corpus frequency of

@@ -27,16 +27,19 @@ object Skew {
     * routing mid-job) bit-identical, which is what lets the rewrite be
     * oracle-verified equal to the plain join.
     *
-    * The expression is normalized internally with `pmod(_, salts)`:
-    * `hash()` is signed and a raw negative (or >= salts) value would
-    * land outside the replicated small side's [0, salts) range and
-    * SILENTLY DROP the row from the inner join — misuse cannot cause
-    * row loss, only (at worst) a skewed salt distribution. */
+    * The expression is normalized internally with
+    * `coalesce(pmod(_, salts), 0)`: `hash()` is signed, and a raw
+    * negative / >= salts value — or a null salt (non-numeric column,
+    * null input) — would land outside the replicated small side's
+    * [0, salts) range and SILENTLY DROP the row from the inner join.
+    * Misuse cannot cause row loss, only (at worst) a skewed salt
+    * distribution (null-salt rows all land on salt 0). */
   def saltedJoinBy(big: DataFrame, small: DataFrame, key: String,
                    saltExpr: Column, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1; got $salts")
     val saltedBig = big.withColumn("__salt",
-      pmod(saltExpr.cast("long"), lit(salts.toLong)).cast("int"))
+      coalesce(pmod(saltExpr.cast("long"), lit(salts.toLong)), lit(0L))
+        .cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

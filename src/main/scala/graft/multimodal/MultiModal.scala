@@ -332,6 +332,9 @@ object MultiModal {
       while (bb.position() + 8 <= end) {
         val fcc = bb.getInt()
         val size = bb.getInt()
+        // A negative size (corrupt/adversarial input) would otherwise
+        // reposition backwards (infinite loop) or blow up allocation.
+        require(size >= 0, s"negative chunk size $size")
         val dataEnd = bb.position() + size
         require(dataEnd <= end, s"truncated chunk (size $size)")
         if (fcc == fourcc("LIST")) {
@@ -347,7 +350,10 @@ object MultiModal {
           bb.get(f)
           frames += f
         }
-        bb.position(dataEnd + (size % 2)) // skip data + even-pad
+        // Skip data + even-pad; a well-formed file pads odd chunks, but a
+        // final odd chunk missing its pad byte must not position() past
+        // the buffer. size >= 0 guarantees forward progress (>= 8 B/iter).
+        bb.position(math.min(dataEnd + (size % 2), bytes.length))
       }
     }
     walk(bytes.length)

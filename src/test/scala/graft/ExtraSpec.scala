@@ -484,6 +484,29 @@ class ExtraSpec extends SparkSpec {
     assert(exploded(1).sameElements(jpeg(48, 32, 0x00FF00)))
   }
 
+  test("multimodal: decodeAvi rejects negative chunk sizes, tolerates a missing final pad byte") {
+    val avi = MultiModal.encodeAvi(
+      Seq(MultiModal.fakeImageBytes(20, 10, 3, 1)), 20, 10, fps = 25)
+    def chunkHdr(fcc: String, size: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fcc.getBytes("ISO-8859-1").foreach(bb.put)
+      bb.putInt(size)
+      bb.array()
+    }
+    // odd-size FINAL chunk with no RIFF pad byte: a well-formed writer
+    // pads, but the decoder must not position() past the buffer
+    val odd = avi ++ chunkHdr("JUNK", 3) ++ Array[Byte](1, 2, 3)
+    val (_, frames) = MultiModal.decodeAvi(odd)
+    assert(frames.length == 1)
+    // negative chunk size (corrupt/adversarial): fail fast — the old
+    // behavior was an infinite walk() loop (executor hang) or a
+    // NegativeArraySizeException on a frame chunk
+    val neg = avi ++ chunkHdr("JUNK", -8)
+    val e = intercept[IllegalArgumentException](MultiModal.decodeAvi(neg))
+    assert(e.getMessage.contains("negative chunk size"))
+  }
+
   test("streaming: curation maps (PII scrub + repetition flag) run on a document stream") {
     // The curation operators are stateless column maps, so the SAME code
     // drives batch tables and readStream micro-batches — streaming ingest

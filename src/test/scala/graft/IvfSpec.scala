@@ -186,5 +186,11 @@ class IvfSpec extends SparkSpec {
     val neg = Skew.saltedJoinBy(big, small, "k",
       lit(-3), salts = 8).select("k", "v", "name").collect().toSet
     assert(neg == plain)
+    // null salt (non-numeric column / null input casts to null): pmod
+    // alone keeps it null and the inner join would still drop the rows —
+    // coalesce routes them to salt 0 instead
+    val nul = Skew.saltedJoinBy(big, small, "k",
+      lit(null), salts = 8).select("k", "v", "name").collect().toSet
+    assert(nul == plain)
   }
 }

@@ -266,6 +266,12 @@ class TextSpec extends SparkSpec {
     // merge exhaustion stops early instead of looping
     val m2 = TextAnalysis.bpeTrain(Seq("x").toDF("text"), "text", nMerges = 10)
     assert(m2.length <= 2 && m2.head == (("x", "</w>")))
+    // empty / whitespace-only docs segment to [] (tokens('') yields [""];
+    // the spurious ["", "</w>"] would diverge from the q94 oracle's trim)
+    val segEmpty = Seq("", "   ", "\t\n").toDF("t")
+      .select(TextAnalysis.bpeSegment(col("t"), merges).as("s"))
+      .as[Seq[String]].collect()
+    assert(segEmpty.forall(_.isEmpty), segEmpty.toSeq.toString)
   }
 
   test("stratumQuantileGate giant-stratum fallback agrees with exact within sketch error") {
@@ -288,6 +294,15 @@ class TextSpec extends SparkSpec {
     val d = (ids(fb, "big") -- ids(exact, "big")) ++ (ids(exact, "big") -- ids(fb, "big"))
     assert(d.size <= 20, s"kept-set disagreement ${d.size} rows")
     assert(fb.filter(col("src") === "big" && col("pr").isNotNull).count() == 0)
+    // user columns that collide with the internal temp names must not
+    // make the fallback's joins/drops ambiguous or eat user data
+    val dfc = df.withColumn("__stratum_n", lit("mine")).withColumn("__thr", lit(-1))
+    val fbc = TextAnalysis.stratumQuantileGate(dfc, "src", col("score"), col("id"), 0.25,
+      maxExactStratumRows = 1000, accuracy = 10000)
+    assert(ids(fbc, "small") == ids(exact, "small"))
+    assert(fbc.columns.count(_ == "__stratum_n") == 1 &&
+      fbc.columns.count(_ == "__thr") == 1)
+    assert(fbc.select("__stratum_n").distinct().collect().map(_.getString(0)).toSeq == Seq("mine"))
   }
 
   test("batched BPE training equals serial; disjoint-prefix batching cuts rounds") {

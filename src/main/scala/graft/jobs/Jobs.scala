@@ -90,6 +90,10 @@ object UserProfileJob {
     * incremental run would then silently skip. */
   private[jobs] def withPrepared[T](spark: SparkSession, conf: Conf)(
       egress: Prepared => T): (T, Option[Timestamp]) = {
+    // 0. egress-safety guard: the destination APIs don't dedupe, so a
+    //    speculating cluster would double-POST every batch (see
+    //    HttpSink.requireNoSpeculation) — refuse to run
+    HttpSink.requireNoSpeculation(spark)
     // 1. bookmark lookup (metadata-sized; absent ⇒ full history)
     val bookmark = Bookmarks.lookup(spark, conf.bookmarkPath, conf.jobName)
 

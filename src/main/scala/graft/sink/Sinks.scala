@@ -230,6 +230,28 @@ object HttpSink {
       }
   }
 
+  /** Fail fast when `spark.speculation` is enabled: speculative attempts
+    * re-run egress partitions, so every batch can POST twice — the
+    * at-least-once contract documented on [[sendBatches]] degrades to
+    * guaranteed duplicates unless the destination dedupes on the
+    * idempotency key, which the reference destinations do not. Jobs call
+    * this before their egress action; a config regression then dies at
+    * submit time instead of silently double-sending. The conf is read
+    * through a getter so specs can exercise the failing config without
+    * standing up a second SparkContext. */
+  def requireNoSpeculation(getConf: String => Option[String]): Unit = {
+    val on = getConf("spark.speculation").exists(_.trim.equalsIgnoreCase("true"))
+    if (on) throw new IllegalStateException(
+      "spark.speculation is enabled: speculative task attempts re-POST egress " +
+        "batches and the destination does not dedupe on the idempotency key. " +
+        "Disable speculation for egress jobs, or send through a destination " +
+        "that drops duplicate idempotency keys.")
+  }
+
+  /** [[requireNoSpeculation]] against a live session's SparkConf. */
+  def requireNoSpeculation(spark: org.apache.spark.sql.SparkSession): Unit =
+    requireNoSpeculation(k => spark.sparkContext.getConf.getOption(k))
+
   /** Invalid-record split (R21): rows with null identity are rejected;
     * returns (valid, invalid) without double-scanning semantics changes. */
   def splitInvalid(df: DataFrame, identityCol: String): (DataFrame, DataFrame) =

@@ -193,6 +193,34 @@ class SinkSpec extends SparkSpec {
     assert(a.map(_.idempotencyKey) == b.map(_.idempotencyKey)) // retry-stable
     assert(a.map(_.idempotencyKey).distinct.size == a.size)    // per-batch unique
     assert(a.forall(_.idempotencyKey.matches("[0-9a-f]{32}")))
+    // the key is EXACTLY md5 over the batch's concatenated UTF-8 payloads —
+    // recomputed here independently, so a re-executed task ATTEMPT (retry
+    // or speculation) over the same rows derives the same key
+    // byte-for-byte, which is what lets a deduping destination drop the
+    // duplicate POST
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("""{"i":1}""", """{"i":2}""")
+      .foreach(p => md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(a.head.idempotencyKey == md.digest().map("%02x".format(_)).mkString)
+  }
+
+  test("speculation guard: egress refuses spark.speculation=true, passes on safe configs") {
+    // red: a speculating cluster config dies at submit time, not by
+    // silently double-POSTing every batch (at-least-once -> guaranteed
+    // duplicates when the destination can't dedupe)
+    val e = intercept[IllegalStateException] {
+      HttpSink.requireNoSpeculation(k =>
+        if (k == "spark.speculation") Some("true") else None)
+    }
+    assert(e.getMessage.contains("speculation"))
+    // case/whitespace variants still trip it
+    intercept[IllegalStateException](HttpSink.requireNoSpeculation(_ => Some(" TRUE ")))
+    // green: absent / false / the live test session (UserProfileJob.
+    // withPrepared runs this same guard on every job entry)
+    HttpSink.requireNoSpeculation(_ => None)
+    HttpSink.requireNoSpeculation(_ => Some("false"))
+    HttpSink.requireNoSpeculation(spark)
+    assert(!spark.sparkContext.getConf.getBoolean("spark.speculation", false))
   }
 
   test("Netcore notify URL carries apikey/path; Gamooga events POST jwt") {

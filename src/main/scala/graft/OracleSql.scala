@@ -1945,6 +1945,97 @@ LEFT JOIN news n ON n.cell = c.cell
 CROSS JOIN totals t
 ORDER BY c.cell"""
 
+  /** q97: q90 forced through the giant-stratum sketch fallback — the
+    * kept set from per-stratum percentile_approx thresholds. With
+    * accuracy >> stratum size the sketch is exact and both engines
+    * return the value at rank ceil(p*n) (probed across n x p sweeps),
+    * so the fallback branch is hash-gateable, not just plan/spec-gated. */
+  private val q97 = """
+WITH n AS (
+  SELECT doc_id, source, "text",
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks,
+    regexp_extract_all("text", '[A-Za-z]+') AS words,
+    CASE WHEN "text" IS NULL OR LENGTH(TRIM("text")) = 0 THEN 0
+         ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+         END AS ntok
+  FROM documents),
+c AS (
+  SELECT doc_id, source, ntok,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> list_contains(
+        ['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN LENGTH("text") > 0 THEN
+      CAST(LENGTH(regexp_replace("text", '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / CAST(LENGTH("text") AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN
+      CAST(list_sum(list_transform(words, w -> LENGTH(w))) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mean_word_len
+  FROM n),
+scored AS (
+  SELECT doc_id, source,
+    (CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+    AS quality
+  FROM c),
+thr AS (
+  -- the sketch threshold: with full retention, Spark's percentile_approx
+  -- returns the value at rank ceil(p*n) == DuckDB's quantile_disc
+  SELECT source, quantile_disc(quality, 0.5) AS thr
+  FROM scored GROUP BY 1)
+SELECT s.doc_id, s.source, s.quality
+FROM scored s JOIN thr t ON s.source = t.source
+WHERE s.quality >= t.thr
+ORDER BY s.doc_id"""
+
+  /** q98: centroid refresh — same frozen-even/batch-odd assignment CTEs
+    * as q95, then each populated cell's refreshed centroid coordinate is
+    * the exact-decimal per-dimension mean of its assigned batch vectors
+    * (DECIMAL(30,12) sums over double-cast elements, round-4, ONE IEEE
+    * division — the q95 inertia parity pattern applied per coordinate). */
+  private val q98 = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+cent AS (
+  SELECT vec_id AS cvec,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cell
+  FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+cdots AS (
+  SELECT a.vec_id, c.cell,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a
+  JOIN cent c ON true
+  JOIN e2 b ON b.vec_id = c.cvec AND b.i = a.i
+  WHERE a.vec_id % 2 = 1
+  GROUP BY 1, 2),
+dist AS (
+  SELECT d.vec_id, d.cell, (na.n2 + nc.n2 - 2 * d.dot) AS dist
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN cent c ON c.cell = d.cell
+  JOIN norms nc ON nc.vec_id = c.cvec),
+ranked AS (
+  SELECT vec_id, cell,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+  FROM dist),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)
+SELECT a.cell, CAST(e.i AS INTEGER) AS dim,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(round(SUM(CAST(e.x AS DECIMAL(30,12))), 4) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS c
+FROM assign a
+JOIN e2 e ON e.vec_id = a.vec_id
+GROUP BY 1, 2
+ORDER BY cell, dim"""
+
   /** q96: video pipeline — synthesizeVideosFromDocs writes fake-header
     * frames (dims arithmetic in n_chars and frame_no) into a real AVI
     * container; extractVideoFeatures parses + decodes them back. The
@@ -2022,6 +2113,8 @@ FROM f ORDER BY media_id, frame_no"""
     "q94_bpe_segment" -> q94,
     "q95_ann_maintenance" -> q95,
     "q96_video_frames" -> q96,
+    "q97_quality_gate_sketch" -> q97,
+    "q98_ann_recenter" -> q98,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

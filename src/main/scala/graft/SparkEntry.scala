@@ -1094,6 +1094,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q97_quality_gate_sketch(s: SparkSession, dir: String): DataFrame = {
+    // q90's gate forced through the giant-stratum SKETCH fallback:
+    // maxExactStratumRows = 0 sends every stratum down the
+    // percentile_approx path (partial-agg sketch, broadcast thresholds,
+    // plain filter — no per-stratum sort). With accuracy >> stratum size
+    // the sketch retains every sample, and Spark's exact-summary query
+    // returns the value at rank ceil(p·n) — bitwise what DuckDB's
+    // quantile_disc computes (probed over n×p sweeps), so the fallback's
+    // kept set is hash-oracle-able: same rows q90 keeps, minus the rank
+    // column the fallback exists to avoid computing.
+    val docs = t(s, dir, "documents")
+      .withColumn("quality", TA.qualityScore(col("text")))
+    TA.stratumQuantileGate(docs, "source", col("quality"), col("doc_id"),
+        keepFrac = 0.5, maxExactStratumRows = 0, accuracy = 1000000)
+      .select("doc_id", "source", "quality")
+      .orderBy("doc_id")
+  }
+
   private def q91_salted_join(s: SparkSession, dir: String): DataFrame = {
     // Skew-mitigation rewrite, oracle-verified semantics-preserving:
     // documents are skewed by lang (en is ~half the corpus); the salted
@@ -1174,6 +1192,23 @@ object SparkEntry {
     val vids = MultiModal.synthesizeVideosFromDocs(docs)
     MultiModal.extractVideoFeatures(vids)
       .orderBy("media_id", "frame_no")
+  }
+
+  private def q98_ann_recenter(s: SparkSession, dir: String): DataFrame = {
+    // The ACTION q95's drift report points at: one k-means update step
+    // over the drifted batch against the frozen index — per-cell,
+    // per-dimension exact-decimal means of the assigned vectors (one
+    // narrow assignment pass + one nlist×dim-key aggregation; nothing
+    // retrains, nothing reshuffles the corpus). Same frozen-even /
+    // batch-odd split as q95 so the two reports describe one maintenance
+    // cycle: q95 says WHICH cells drifted, q98 says where they move.
+    import graft.analyze.Ivf
+    val emb = t(s, dir, "embeddings")
+    val frozen = Ivf.buildSampled(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 16)
+    Ivf.recenteredCoords(frozen.centroids, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      .orderBy("cell", "dim")
   }
 
   private def q94_bpe_segment(s: SparkSession, dir: String): DataFrame = {
@@ -1292,6 +1327,8 @@ object SparkEntry {
     "q94_bpe_segment" -> (q94_bpe_segment _),
     "q95_ann_maintenance" -> (q95_ann_maintenance _),
     "q96_video_frames" -> (q96_video_frames _),
+    "q97_quality_gate_sketch" -> (q97_quality_gate_sketch _),
+    "q98_ann_recenter" -> (q98_ann_recenter _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

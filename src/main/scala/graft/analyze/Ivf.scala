@@ -152,6 +152,50 @@ object Ivf {
         "share_delta", "new_inertia")
   }
 
+  /** Centroid refresh — the ACTION [[driftReport]]'s signal points at:
+    * recompute each cell's centroid as the per-dimension mean of the
+    * batch vectors assigned to it (one k-means update step over the new
+    * data, no iteration, no 100 TB retrain). One narrow assignment pass,
+    * then a single (cell, dim) aggregation — partial-aggregated map-side,
+    * key cardinality nlist × dim, so nothing scales with the batch but
+    * the narrow scan.
+    *
+    * Parity policy (oracle q98): coordinate sums are exact DECIMAL(30,12)
+    * over double-cast elements (bitwise the same rounding DuckDB applies,
+    * proven by the q95 inertia gate), one final round-4 + IEEE division.
+    * `dim` is 1-based to match the oracle's generate_series convention.
+    * Cells with no assigned vectors emit no rows (the caller keeps their
+    * frozen centroid — see [[recenter]]). Output: cell, dim, n, c. */
+  def recenteredCoords(centroids: Array[Array[Double]], batch: DataFrame,
+                       idCol: String, vecCol: String): DataFrame =
+    assign(centroids, batch, idCol, vecCol)
+      .select(col("cell"), posexplode(col("vec")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+        col("col").cast("double").as("x"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(30,12)")).as("__s"))
+      .withColumn("c",
+        round(col("__s"), 4).cast("double") / col("n").cast("double"))
+      .select("cell", "dim", "n", "c")
+
+  /** Materialize [[recenteredCoords]] into a refreshed centroid matrix:
+    * cells the batch populated move to the batch mean (inertia against
+    * the new data is non-increasing by the k-means argument — the mean
+    * minimizes summed L2² within a cell); empty cells keep their frozen
+    * centroid. The collect is nlist × dim rows — metadata-sized by
+    * construction, the same budget as [[buildSampled]]'s centroid
+    * sample. IvfSpec pins the inertia-reduction property on a drifted
+    * batch. */
+  def recenter(centroids: Array[Array[Double]], batch: DataFrame,
+               idCol: String, vecCol: String): Array[Array[Double]] = {
+    val out = centroids.map(_.clone)
+    recenteredCoords(centroids, batch, idCol, vecCol).collect().foreach { r =>
+      out(r.getAs[Int]("cell"))(r.getAs[Int]("dim") - 1) = r.getAs[Double]("c")
+    }
+    out
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication of an embedded corpus — cluster, then drop all but
     * one representative of every near-duplicate group WITHIN each

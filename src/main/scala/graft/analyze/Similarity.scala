@@ -22,6 +22,10 @@ object Similarity {
     * parallel enough, so large inputs (which naturally have many splits)
     * never pay an extra shuffle. */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+    // streaming plans can't be probed via .rdd (and micro-batch
+    // parallelism is the source's knob) — pass them through, which is
+    // what lets Ivf.assign serve as its own streaming twin
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }

@@ -546,6 +546,42 @@ class ExtraSpec extends SparkSpec {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("streaming: Ivf.assign runs unchanged on a vector stream, equal to the batch path") {
+    // Incremental ANN maintenance's streaming half: assignment against a
+    // FROZEN broadcast centroid matrix is a stateless narrow map, so the
+    // SAME Ivf.assign drives micro-batches — a daily-ingest index can
+    // route vectors to cells as they arrive (q95/q98's batch cycle, made
+    // continuous). Mirrors the q82 batch/stream twin pattern.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.analyze.Ivf
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val centroids = (0 until 4)
+      .map(c => Array.tabulate(8)(i => if (i == c * 2) 1.0 else 0.0)).toArray
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Ivf.assign(centroids, mem.toDF().toDF("id", "v"), "id", "v")
+      .writeStream.format("memory").queryName("assigned_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the frozen matrix broadcasts once, every epoch
+      // assigns with the same deterministic kernel
+      mem.addData(vecs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(vecs.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("assigned_stream")
+        .select("id", "cell", "n2").as[(Long, Int, Double)]
+        .collect().sortBy(_._1).toSeq
+      val batch = Ivf.assign(centroids, vecs.toDF("id", "v"), "id", "v")
+        .select("id", "cell", "n2").as[(Long, Int, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(streamed == batch)          // bitwise: cells AND exact norms
+      assert(streamed.map(_._1) == (0L until 40L))
+      assert(streamed.map(_._2).distinct.size > 1) // vectors actually spread
+    } finally q.stop()
+  }
+
   test("streaming: doc chunking runs unchanged on a document stream") {
     // chunkTokens is a stateless map+explode, so the same operator
     // chunks micro-batches; output equals the batch twin.

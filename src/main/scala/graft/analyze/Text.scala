@@ -546,9 +546,29 @@ object TextAnalysis {
 
   /** [[bpeTrain]] plus the number of Spark rounds it took — the measured
     * quantity the batching exists to cut (serial = one round per merge;
-    * prefix batching = one round per disjoint prefix). */
+    * prefix batching = one round per disjoint prefix).
+    *
+    * `strict = true` (default) is the provably-serial-equal prefix rule.
+    * Measured bound (SCALE.md): the prefix stops at the FIRST symbol
+    * conflict, and the top of a natural pair table is dominated by a few
+    * hot symbols, so batches average ~3–4 merges regardless of batchCap
+    * (50k-word Zipf corpus: 1000 merges / 297 rounds). That bound is
+    * inherent — skipping a conflicted pair and continuing is NOT
+    * serial-equal (the skipped pair may still outrank later picks after
+    * the batch applies; see the batching-rule scaladoc above).
+    *
+    * `strict = false` is the standard distributed-BPE compromise for
+    * real vocab sizes: scan the same total order, SKIP conflicted pairs,
+    * and keep selecting disjoint ones up to batchCap. Still fully
+    * deterministic (same corpus → same model), and every selected pair
+    * is frequency-justified against the same snapshot; but commuting
+    * merges may apply in a different order than one-at-a-time training,
+    * so the MODEL can differ from serial around conflicts. Use it when
+    * round count (≈ nMerges/batchCap Spark jobs instead of ≈ nMerges/3)
+    * matters more than bit-equality to a serial trainer. */
   def bpeTrainWithStats(docs: DataFrame, textCol: String, nMerges: Int,
-                        batchCap: Int = 64): (Seq[(String, String)], Int) = {
+                        batchCap: Int = 64,
+                        strict: Boolean = true): (Seq[(String, String)], Int) = {
     import java.util.regex.Matcher
     require(nMerges >= 0, s"nMerges must be >= 0; got $nMerges")
     require(batchCap >= 1, s"batchCap must be >= 1; got $batchCap")
@@ -564,6 +584,9 @@ object TextAnalysis {
     var rounds = 0
     while (merges.length < nMerges && !exhausted) {
       val take = math.min(batchCap, nMerges - merges.length)
+      // non-strict scans past conflicts, so fetch extra candidates to
+      // fill the batch after skips (still a metadata-sized collect)
+      val fetch = if (strict) take else take * 4
       val tail = greatest(size(col("s")) - 1, lit(0))
       val top = words.withColumn("s", split(col("syms"), " "))
         .select(col("cnt"), explode(zip_with(
@@ -572,22 +595,34 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(take).collect()
+        .limit(fetch).collect()
       if (top.isEmpty) exhausted = true
       else {
         rounds += 1
-        // longest pairwise-disjoint PREFIX: stop at the first conflict
-        // (the head never conflicts, so every round advances >= 1 merge;
-        // a self-pair (a,a) just claims its one symbol)
         val used = scala.collection.mutable.HashSet.empty[String]
-        val selected = top.iterator
-          .map(row => (row.getString(0), row.getString(1)))
-          .takeWhile { case (l, r) =>
-            val ok = !used.contains(l) && !used.contains(r)
-            if (ok) { used += l; used += r }
-            ok
+        val pairs = top.iterator.map(row => (row.getString(0), row.getString(1)))
+        val selected =
+          if (strict)
+            // longest pairwise-disjoint PREFIX: stop at the first conflict
+            // (the head never conflicts, so every round advances >= 1
+            // merge; a self-pair (a,a) just claims its one symbol)
+            pairs.takeWhile { case (l, r) =>
+              val ok = !used.contains(l) && !used.contains(r)
+              if (ok) { used += l; used += r }
+              ok
+            }.toSeq
+          else {
+            // skip-and-continue: same total order, conflicted pairs are
+            // skipped instead of stopping the batch (deterministic;
+            // commuting merges may reorder vs serial — see scaladoc)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            pairs.foreach { case (l, r) =>
+              if (buf.length < take && !used.contains(l) && !used.contains(r)) {
+                used += l; used += r; buf += ((l, r))
+              }
+            }
+            buf.toSeq
           }
-          .toSeq
         merges ++= selected
         val rewritten = selected.foldLeft(col("syms")) { case (e, (l, r)) =>
           regexp_replace(e, mergePattern(l, r), Matcher.quoteReplacement(l + r))

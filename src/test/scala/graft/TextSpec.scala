@@ -326,6 +326,26 @@ class TextSpec extends SparkSpec {
     // the measured point of the batching: materially fewer Spark rounds
     assert(batchedRounds * 2 <= serialRounds,
       s"expected <= ${serialRounds / 2} rounds, got $batchedRounds")
+    // skip-and-continue (strict = false): fewer-or-equal rounds than the
+    // prefix rule (it never stops early), deterministic across runs, and
+    // every learned pair joins two symbols that exist at selection time —
+    // here the corpus is conflict-light, so it matches serial too
+    val (loose, looseRounds) = TextAnalysis.bpeTrainWithStats(
+      docs, "text", nMerges = 24, batchCap = 64, strict = false)
+    val (loose2, _) = TextAnalysis.bpeTrainWithStats(
+      docs, "text", nMerges = 24, batchCap = 64, strict = false)
+    assert(loose == loose2)                    // deterministic
+    assert(looseRounds <= batchedRounds)
+    assert(loose.length == 24)
+    // the model DIVERGES from serial here (commuting merges reorder
+    // around skipped conflicts — the documented trade) but must stay
+    // VALID: segmenting corpus words yields subwords that concatenate
+    // back to the original word + terminal marker
+    val segs = freqs.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.bpeSegment(col("t"), loose).as("s"))
+      .as[(String, Seq[String])].collect()
+    segs.foreach { case (w, s) =>
+      assert(s.mkString == w + "</w>", s"$w segmented to $s") }
   }
 
   test("BpeFixture segments known corpus words to single subwords (q94 model pin)") {

@@ -549,6 +549,37 @@ pairs AS (
   FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b"""
 
+  /** q99: banded simhash (the radius-8 scale mitigation) — q41's
+    * signatures, but a pair is reported only when at least one of the
+    * four 16-bit chunks matches exactly (the deterministic recall rule
+    * banding trades for 2^16-key buckets; Dedup.simhashNearDupsBanded). */
+  private val q99 = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+votes AS (
+  SELECT doc_id, b.bit,
+    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY 1, 2),
+sigs AS (
+  SELECT doc_id,
+    COALESCE(bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit) END), 0::UBIGINT) AS sig
+  FROM votes GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming,
+    ((a.sig >> 0)  & 65535 = (b.sig >> 0)  & 65535 OR
+     (a.sig >> 16) & 65535 = (b.sig >> 16) & 65535 OR
+     (a.sig >> 32) & 65535 = (b.sig >> 32) & 65535 OR
+     (a.sig >> 48) & 65535 = (b.sig >> 48) & 65535) AS bucketed
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 8 AND bucketed ORDER BY id_a, id_b"""
+
   /** q44: language-ID marker heuristic — per-language marker-token hit
     * counts, argmax with ties to the LAST language in registration order
     * (en, es, fr, de), 'und' when nothing hits (mirrors LangIdExpr's
@@ -2115,6 +2146,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q96_video_frames" -> q96,
     "q97_quality_gate_sketch" -> q97,
     "q98_ann_recenter" -> q98,
+    "q99_simhash_banded" -> q99,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

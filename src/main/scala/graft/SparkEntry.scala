@@ -573,6 +573,17 @@ object SparkEntry {
         maxHamming = 8, md5Compat = true)
       .orderBy("id_a", "id_b")
 
+  private def q99_simhash_banded(s: SparkSession, dir: String): DataFrame =
+    // The measured scale mitigation for the radius-8 regime (SCALE.md
+    // round-7 exponents: exact 9-chunk blocking 1.69, banded 4×16 1.20):
+    // wider chunks, 2^16 bucket keys, ~77 % recall at d=8. The recall
+    // loss is DETERMINISTIC — a pair survives iff at least one 16-bit
+    // chunk is error-free — so the oracle replays it as a chunk-equality
+    // predicate over the same SQL simhash signatures as q41.
+    Dedup.simhashNearDupsBanded(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8, nChunks = 4, md5Compat = true)
+      .orderBy("id_a", "id_b")
+
   private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.4)
@@ -1329,6 +1340,7 @@ object SparkEntry {
     "q96_video_frames" -> (q96_video_frames _),
     "q97_quality_gate_sketch" -> (q97_quality_gate_sketch _),
     "q98_ann_recenter" -> (q98_ann_recenter _),
+    "q99_simhash_banded" -> (q99_simhash_banded _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

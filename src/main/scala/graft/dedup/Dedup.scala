@@ -216,9 +216,14 @@ object Dedup extends graft.core.Logging {
     * selective buckets (2^(64/nChunks) keys), at the cost of recall: a
     * true pair is found only if at least one chunk is error-free, which
     * for distance d is 1 − C(missing)/C(total) hypergeometrically — e.g.
-    * d=8 over 4×16-bit chunks finds ≈ 77% of pairs, d=4 ≈ 95%. The exact
-    * variant (simhashNearDups) is the default; this is the documented
-    * scale escape hatch when a wide radius is genuinely required. */
+    * d=8 over 4×16-bit chunks finds ≈ 77% of pairs, d=4 ≈ 95% — IF error
+    * bits land uniformly. On real text they correlate (shared tokens
+    * flip clustered bit groups): measured 47% at d≤8 on the sf0.01
+    * corpus (q99 vs q41) — budget recall empirically per corpus, not
+    * from the hypergeometric bound. The exact variant (simhashNearDups)
+    * is the default; this is the documented scale escape hatch when a
+    * wide radius is genuinely required (measured exponent 1.20 vs the
+    * exact path's 1.69 at 4× corpus scale — SCALE.md round 7). */
   def simhashNearDupsBanded(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int, nChunks: Int,
                             md5Compat: Boolean = false): DataFrame = {

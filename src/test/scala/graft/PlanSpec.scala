@@ -199,6 +199,25 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  test("recenteredCoords: one partial-aggregated shuffle, centroid matrix broadcast, no sort") {
+    import graft.analyze.Ivf
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = (0 until 4)
+      .map(c => Array.tabulate(8)(i => if (i == c * 2) 1.0 else 0.0)).toArray
+    val s = planString(
+      Ivf.recenteredCoords(centroids, emb, "vec_id", "embedding"))
+    // the (cell, dim) aggregation partial-aggregates map-side...
+    assert(s.contains("partial_count") && s.contains("partial_sum"), s)
+    // ...over exactly ONE hash-partitioned exchange; the only other
+    // exchange allowed is ensureParallelism's round-robin fan-out
+    // (data-independent). Nothing sorts.
+    val hashEx = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$s")
+    assert(!s.contains("SortAggregate") && !s.contains("SortMergeJoin"), s)
+    // the frozen centroid matrix rides a 1-row broadcast relation
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("chunkTokens is a pure map: no Exchange in the chunk plan") {
     import graft.analyze.TextAnalysis
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -338,9 +338,14 @@ object MultiModal {
         val dataEnd = bb.position() + size
         require(dataEnd <= end, s"truncated chunk (size $size)")
         if (fcc == fourcc("LIST")) {
+          // a LIST body starts with its 4-byte type; a shorter declared
+          // size is corrupt (and reading the type would underflow)
+          require(size >= 4, s"LIST chunk too short (size $size)")
           bb.getInt() // list type — descend regardless (hdrl/movi/rec )
           walk(dataEnd)
         } else if (fcc == fourcc("avih")) {
+          // the 10 header ints below need 40 declared bytes
+          require(size >= 40, s"avih chunk too short (size $size)")
           val us = bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
           val total = bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
           val w = bb.getInt(); val h = bb.getInt()

@@ -169,6 +169,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decodeAvi property: adversarial bytes terminate fast — decode or IllegalArgument, never hang") {
+    import graft.multimodal.MultiModal
+    val rnd = new java.util.Random(7)
+    val valid = MultiModal.encodeAvi(
+      Seq(MultiModal.fakeImageBytes(20, 10, 3, 1),
+        MultiModal.fakeImageBytes(20, 10, 3, 2)), 20, 10, fps = 25)
+    def attempt(bytes: Array[Byte]): Unit = {
+      // executor-safety contract (the round-6 ADVICE hang class): any
+      // input either decodes or throws IAE — no infinite walk() loop,
+      // no negative allocation, no raw buffer underflow
+      val t0 = System.nanoTime()
+      try { MultiModal.decodeAvi(bytes); () }
+      catch { case _: IllegalArgumentException => () }
+      assert((System.nanoTime() - t0) < 2e9, "decode attempt took > 2s")
+    }
+    // pure-random buffers (mostly fail the RIFF magic)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(256)); rnd.nextBytes(b); attempt(b)
+    }
+    // mutated VALID containers: magic passes, structure is corrupt —
+    // the regime where the old decoder hung or threw NegativeArraySize
+    (0 until 500).foreach { _ =>
+      val b = valid.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+      attempt(b)
+    }
+    // truncations and pad-byte removals
+    (1 until valid.length by 7).foreach(n => attempt(valid.take(n)))
+  }
+
   test("BPE property: segmentation always reconstructs the input words") {
     import graft.analyze.TextAnalysis
     val words = samples(Gen.listOfN(6,

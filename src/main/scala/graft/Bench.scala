@@ -67,7 +67,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    val skew = skewStress(spark, sfDir, time)
+    // subset iteration (GRAFT_ONLY) skips the skew fixture — the driver
+    // never sets GRAFT_ONLY, so per-round BENCH json always carries it
+    val skew = if (only.isEmpty) skewStress(spark, sfDir, time) else "{}"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
   }

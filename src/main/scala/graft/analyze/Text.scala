@@ -465,6 +465,9 @@ object TextAnalysis {
                           maxExactStratumRows: Long = Long.MaxValue,
                           accuracy: Int = 10000): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1]; got $keepFrac")
+    require(!df.columns.contains("pr"),
+      "input already has a 'pr' column; the gate outputs its rank there — " +
+        "rename the input column (silent overwrite would eat user data)")
     val exact: DataFrame => DataFrame = part => {
       val w = Window.partitionBy(col(strataCol)).orderBy(scoreCol.asc, tieCol.asc)
       part.withColumn("pr", percent_rank().over(w))

@@ -303,6 +303,12 @@ class TextSpec extends SparkSpec {
     assert(fbc.columns.count(_ == "__stratum_n") == 1 &&
       fbc.columns.count(_ == "__thr") == 1)
     assert(fbc.select("__stratum_n").distinct().collect().map(_.getString(0)).toSeq == Seq("mine"))
+    // a pre-existing 'pr' column is refused loudly, not silently clobbered
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.stratumQuantileGate(df.withColumn("pr", lit(1)),
+        "src", col("score"), col("id"), 0.25)
+    }
+    assert(e.getMessage.contains("pr"))
   }
 
   test("batched BPE training equals serial; disjoint-prefix batching cuts rounds") {

@@ -166,6 +166,28 @@ object StreamingDedup {
       onEpoch(epochId, stats)
     }
 
+  /** Streaming half of the ANN maintenance cycle (q95 signal / q98
+    * action, made continuous): each micro-batch of vectors is assigned
+    * to the FROZEN index and its drift report lands at
+    * `reportPath/epoch=<id>` — driver-light like [[egressStreamToPath]]
+    * (epoch-keyed overwrite makes replays idempotent); `onEpoch`
+    * receives only the per-epoch report row count. Recentering stays an
+    * offline decision fed by these reports: the index is a shipped
+    * artifact, and swapping centroids mid-stream would make epoch
+    * results non-replayable. Per-epoch output equals the batch
+    * [[graft.analyze.Ivf.driftReport]] on the same rows (spec-pinned). */
+  def driftReportStream(index: graft.analyze.Ivf.Index, vectors: DataFrame,
+                        idCol: String, vecCol: String, reportPath: String,
+                        onEpoch: (Long, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val report = graft.analyze.Ivf.driftReport(index, batch, idCol, vecCol)
+      report.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$reportPath/epoch=$epochId")
+      onEpoch(epochId,
+        batch.sparkSession.read.parquet(s"$reportPath/epoch=$epochId").count())
+    }
+
   /** Run a streaming query on a memory sink until all available input is
     * processed (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

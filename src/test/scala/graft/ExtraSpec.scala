@@ -582,6 +582,38 @@ class ExtraSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: per-epoch drift reports equal the batch driftReport, written driver-light") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.analyze.Ivf
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 32L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
+    val batch1 = (100L until 120L).map(i => i -> Seq.fill(8)(rnd.nextFloat()))
+    val batch2 = (200L until 210L).map(i => i -> Seq.fill(8)(rnd.nextFloat() + 1f))
+    val index = Ivf.buildSampled(corpus.toDF("id", "v"), "id", "v", nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("drift_stream").toString
+    val epochs = scala.collection.mutable.Map.empty[Long, Long]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDedup.driftReportStream(index,
+        mem.toDF().toDF("id", "v"), "id", "v", dir,
+        (e, n) => epochs(e) = n)
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(epochs.values.forall(_ == 4)) // one row per cell, every epoch
+    // each epoch's written report equals the batch twin on the same rows
+    for ((epoch, batch) <- Seq((0L, batch1), (1L, batch2))) {
+      val streamed = spark.read.parquet(s"$dir/epoch=$epoch")
+        .orderBy("cell").collect().toSeq
+      val twin = Ivf.driftReport(index, batch.toDF("id", "v"), "id", "v")
+        .orderBy("cell").collect().toSeq
+      assert(streamed == twin, s"epoch $epoch diverged from batch twin")
+    }
+  }
+
   test("streaming: doc chunking runs unchanged on a document stream") {
     // chunkTokens is a stateless map+explode, so the same operator
     // chunks micro-batches; output equals the batch twin.

@@ -59,6 +59,16 @@ WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 ORDER BY c_custkey"""
 
+  /** q100: the Bloom-prefiltered semi join must be bit-identical to the
+    * PLAIN left semi it rewrites (the finish join removes fpp residue) —
+    * the oracle is q06's EXISTS form (rewrite-equivalence gate, like
+    * the salted join q91). */
+  private val q100 = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey"""
+
   private val q07 = """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -2147,6 +2157,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q97_quality_gate_sketch" -> q97,
     "q98_ann_recenter" -> q98,
     "q99_simhash_banded" -> q99,
+    "q100_bloom_semi_join" -> q100,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -584,6 +584,21 @@ object SparkEntry {
         maxHamming = 8, nChunks = 4, md5Compat = true)
       .orderBy("id_a", "id_b")
 
+  private def q100_bloom_semi_join(s: SparkSession, dir: String): DataFrame = {
+    // q06's semi join through the Bloom pre-filter rewrite: the sketch
+    // drops non-matching big-side rows BEFORE the shuffle (the 100 TB
+    // shuffle-volume win); the finish join removes the fpp residue, so
+    // the result must be bit-identical to the plain left_semi — which is
+    // the oracle (same rewrite-equivalence gate as the salted join q91).
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    graft.relational.Relational.bloomSemiJoin(c, o, "c_custkey", "o_custkey",
+        expectedItems = 10000L)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.4)
@@ -1341,6 +1356,7 @@ object SparkEntry {
     "q97_quality_gate_sketch" -> (q97_quality_gate_sketch _),
     "q98_ann_recenter" -> (q98_ann_recenter _),
     "q99_simhash_banded" -> (q99_simhash_banded _),
+    "q100_bloom_semi_join" -> (q100_bloom_semi_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -200,6 +200,37 @@ class PropertySpec extends SparkSpec {
     (1 until valid.length by 7).foreach(n => attempt(valid.take(n)))
   }
 
+  test("decodeWav/decodeImage property: adversarial bytes terminate fast with a typed failure") {
+    import graft.multimodal.MultiModal
+    val rnd = new java.util.Random(11)
+    val wav = MultiModal.encodeWav(8000, Array.tabulate(256)(i => (i * 7).toShort))
+    val png = MultiModal.encodePng(16, 8, 0x336699)
+    def attempt(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try f catch {
+        case _: IllegalArgumentException => ()
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => () // ImageIO/AudioSystem stream errors
+      }
+      assert((System.nanoTime() - t0) < 2e9, "decode attempt took > 2s")
+    }
+    (0 until 150).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
+      attempt(MultiModal.decodeWav(b))
+      attempt(MultiModal.decodeImage(b))
+    }
+    (0 until 300).foreach { _ =>
+      val w = wav.clone(); val p = png.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        w(rnd.nextInt(w.length)) = rnd.nextInt(256).toByte
+        p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte }
+      attempt(MultiModal.decodeWav(w))
+      attempt(MultiModal.decodeImage(p))
+    }
+    (1 until wav.length by 5).foreach(n => attempt(MultiModal.decodeWav(wav.take(n))))
+    (1 until png.length by 5).foreach(n => attempt(MultiModal.decodeImage(png.take(n))))
+  }
+
   test("BPE property: segmentation always reconstructs the input words") {
     import graft.analyze.TextAnalysis
     val words = samples(Gen.listOfN(6,

@@ -851,6 +851,42 @@ FROM events ev
 LEFT JOIN (SELECT * FROM j WHERE rn = 1) j2 USING (event_id)
 ORDER BY ev.event_id"""
 
+  /** q101: nearest as-of join — q52's backward and q71's forward
+    * candidates per event, whichever is closer in exact integer
+    * MICROSECONDS (epoch_us ≡ Spark's unix_micros); past wins exact
+    * ties. Event timestamps cast TIMESTAMP_NS → TIMESTAMP so both
+    * engines compare the same µs-truncated instants. */
+  private val q101 = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+b AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM ev e JOIN orders o
+    ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts),
+f AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+  FROM ev e JOIN orders o
+    ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts),
+pick AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+    b2.o_orderkey AS bk, b2.o_totalprice AS bp,
+    epoch_us(CAST(b2.o_orderdate AS TIMESTAMP)) AS bus,
+    f2.o_orderkey AS fk, f2.o_totalprice AS fp,
+    epoch_us(CAST(f2.o_orderdate AS TIMESTAMP)) AS fus
+  FROM ev e
+  LEFT JOIN (SELECT * FROM b WHERE rn = 1) b2 USING (event_id)
+  LEFT JOIN (SELECT * FROM f WHERE rn = 1) f2 USING (event_id))
+SELECT event_id, user_id,
+  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR (us - bus) <= (fus - us))
+       THEN bk ELSE fk END AS matched_o_orderkey,
+  CASE WHEN bk IS NOT NULL AND (fk IS NULL OR (us - bus) <= (fus - us))
+       THEN bp ELSE fp END AS matched_o_totalprice
+FROM pick ORDER BY event_id"""
+
   /** q72: L2 normalization, long form — exact-decimal norm (unscaled
     * values stay far below 2^53, so the decimal→double cast is exact in
     * both engines) and per-element IEEE division. */
@@ -2158,6 +2194,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q98_ann_recenter" -> q98,
     "q99_simhash_banded" -> q99,
     "q100_bloom_semi_join" -> q100,
+    "q101_asof_nearest" -> q101,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -599,6 +599,23 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  private def q101_asof_nearest(s: SparkSession, dir: String): DataFrame =
+    // Nearest as-of join (third variant beside q52 backward / q71
+    // forward): each event picks whichever order — latest at-or-before
+    // or earliest at-or-after — sits closer in time, past winning exact
+    // ties. Distances compare as exact integer microseconds on both
+    // engines (unix_micros / epoch_us); event timestamps are µs-
+    // truncated from the parquet nanos identically on both sides.
+    graft.relational.Relational.asofJoinNearest(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        t(s, dir, "orders").select(col("o_custkey").as("user_id"),
+          col("o_orderdate"), col("o_orderkey"), col("o_totalprice")),
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        tiebreak = "o_orderkey", payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("matched_o_orderkey"), col("matched_o_totalprice"))
+      .orderBy("event_id")
+
   private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.4)
@@ -1357,6 +1374,7 @@ object SparkEntry {
     "q98_ann_recenter" -> (q98_ann_recenter _),
     "q99_simhash_banded" -> (q99_simhash_banded _),
     "q100_bloom_semi_join" -> (q100_bloom_semi_join _),
+    "q101_asof_nearest" -> (q101_asof_nearest _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -47,6 +47,62 @@ object Relational {
     asofJoinImpl(left, right, key, leftTs, rightTs, tiebreak, payload,
       forward = true)
 
+  /** Nearest as-of join — the third variant beside backward (q52) and
+    * forward (q71): for every left row, the right row minimizing the
+    * absolute time distance to `leftTs`, searching BOTH directions.
+    * An exact past/future distance tie resolves to the PAST candidate
+    * (prefer known history); equal-timestamp candidates within a
+    * direction resolve by `tiebreak` exactly as in the one-direction
+    * forms. Distances compare as exact integer MICROSECONDS
+    * (`unix_micros`), never floating seconds — at epoch magnitudes a
+    * double's resolution (~0.5 µs) could flip a near-tie, and the
+    * DuckDB oracle replays the same integer math (`epoch_us`).
+    *
+    * Plan shape: the same union as the directional forms, with BOTH
+    * scans as windows over the SAME hash partitioning — two sorts, ONE
+    * exchange; no pair explosion, no self-join. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, tiebreak: String,
+                      payload: Seq[String]): DataFrame = {
+    // carry the matched timestamp inside the payload struct (as micros)
+    // so the final pick can measure both distances without a re-join
+    val pStruct = struct(
+      (unix_micros(col(rightTs).cast("timestamp")).as("__mus") +:
+        payload.map(col)): _*)
+    val rPayloadType = right.select(pStruct.as("__p")).schema("__p").dataType
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lStructType = left.select(lStruct.as("__l")).schema("__l").dataType
+    val l = left.select(col(key).as("__k"),
+      col(leftTs).cast("timestamp").as("__ts"),
+      lit(1).as("__side"), lit(0L).as("__tb"),
+      lit(null).cast(rPayloadType).as("__p"), lStruct.as("__l"))
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).cast("timestamp").as("__ts"),
+        lit(0).as("__side"), col(tiebreak).cast("long").as("__tb"),
+        pStruct.as("__p"), lit(null).cast(lStructType).as("__l"))
+    val unioned = r.unionByName(l)
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc_nulls_first, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc_nulls_first, col("__side").asc, col("__tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__p"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val us = unix_micros(col("__ts"))
+    val db = us - col("__mb.__mus")
+    val df = col("__mf.__mus") - us
+    val pick = when(col("__mb").isNotNull &&
+        (col("__mf").isNull || db <= df), col("__mb"))
+      .otherwise(col("__mf"))
+    val leftOut = left.columns.map(c => col(s"__l.$c").as(c))
+    val payloadOut = payload.map(p => col(s"__m.$p").as(s"matched_$p"))
+    matched.withColumn("__m", pick)
+      .select((leftOut ++ payloadOut).toIndexedSeq: _*)
+  }
+
   private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String,
                            leftTs: String, rightTs: String, tiebreak: String,
                            payload: Seq[String], forward: Boolean): DataFrame = {

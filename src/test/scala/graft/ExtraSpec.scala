@@ -193,6 +193,36 @@ class ExtraSpec extends SparkSpec {
     assert(rows(4L).isEmpty)
   }
 
+  test("asofJoinNearest: closer side wins, exact distance tie prefers past, one-sided falls back") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-03 06:00:00")),  // past at -30h, future at +42h → past (key 2)
+      (2L, 10L, ts("2024-01-03 12:00:00")),  // past -36h, future +36h: EXACT tie → past (key 2)
+      (3L, 10L, ts("2024-01-04 18:00:00")),  // past -66h, future +6h → future (key 3)
+      (4L, 10L, ts("2023-12-01 00:00:00")),  // before all → forward fallback (key 1)
+      (5L, 10L, ts("2024-06-01 00:00:00")),  // after all → backward fallback (key 3)
+      (6L, 99L, ts("2024-01-01 00:00:00"))   // key with no orders → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, 100.0),
+      (10L, ts("2024-01-02 00:00:00"), 2L, 200.0),
+      (10L, ts("2024-01-05 00:00:00"), 3L, 300.0),
+      (10L, null.asInstanceOf[java.sql.Timestamp], 99L, 999.0)
+    ).toDF("user_id", "odate", "okey", "price")
+    val rows = graft.relational.Relational.asofJoinNearest(
+        left, right, key = "user_id", leftTs = "ts", rightTs = "odate",
+        tiebreak = "okey", payload = Seq("okey", "price"))
+      .select($"event_id", $"matched_okey")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L) == Some(2L))
+    assert(rows(2L) == Some(2L)) // exact tie: past wins
+    assert(rows(3L) == Some(3L))
+    assert(rows(4L) == Some(1L))
+    assert(rows(5L) == Some(3L))
+    assert(rows(6L).isEmpty)
+  }
+
   test("bloomSemiJoin: exact result, prefilter passes every true match and prunes") {
     import graft.relational.Relational
     val big = (0L until 20000L).map(i => (i, s"p$i")).toDF("k", "payload")

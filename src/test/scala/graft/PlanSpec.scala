@@ -80,10 +80,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q52/q71 as-of joins plan a single shuffle (union+window, no pair join)") {
-    for (name <- Seq("q52_asof_join", "q71_asof_forward")) {
+    for (name <- Seq("q52_asof_join", "q71_asof_forward", "q101_asof_nearest")) {
       val s = planString(q(name))
-      // exchanges: one hash partition for the window + the final
-      // rangepartition for ORDER BY — no join operator at all
+      // exchanges: one hash partition for the window(s) + the final
+      // rangepartition for ORDER BY — no join operator at all. The
+      // nearest form runs BOTH directional windows over that same
+      // exchange (two sorts, one shuffle).
       val hashExchanges = s.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning"))
       assert(hashExchanges == 1, s"$name: expected 1 hash exchange, plan:\n$s")

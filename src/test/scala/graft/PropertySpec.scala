@@ -231,6 +231,49 @@ class PropertySpec extends SparkSpec {
     (1 until png.length by 5).foreach(n => attempt(MultiModal.decodeImage(png.take(n))))
   }
 
+  test("asofJoinNearest property: equals the brute-force nearest pick on random data") {
+    import graft.relational.Relational
+    val rnd = new java.util.Random(17)
+    // small key space + coarse timestamps force collisions, equal-ts
+    // tiebreaks, exact past/future distance ties, and empty sides
+    val base = 1700000000000L
+    val events = (1 to 120).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(20) * 60000L)))
+    val orders = (1 to 60).map(i =>
+      ((rnd.nextInt(8) + 1).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(20) * 60000L),
+        i.toLong, rnd.nextInt(1000).toDouble))
+    val got = Relational.asofJoinNearest(
+        events.toDF("event_id", "user_id", "ts"),
+        orders.toDF("user_id", "odate", "okey", "price"),
+        key = "user_id", leftTs = "ts", rightTs = "odate",
+        tiebreak = "okey", payload = Seq("okey"))
+      .select($"event_id", $"matched_okey")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    events.foreach { case (eid, k, ts) =>
+      val mine = orders.filter(_._1 == k)
+      // backward: latest odate <= ts, ties to LARGEST okey
+      val b = mine.filter(!_._2.after(ts))
+        .sortBy(o => (o._2.getTime, o._3)).lastOption
+      // forward: earliest odate >= ts, ties to SMALLEST okey
+      val f = mine.filter(!_._2.before(ts))
+        .sortBy(o => (o._2.getTime, o._3)).headOption
+      val expected = (b, f) match {
+        case (Some(bo), Some(fo)) =>
+          val db = ts.getTime - bo._2.getTime
+          val df = fo._2.getTime - ts.getTime
+          if (db <= df) Some(bo._3) else Some(fo._3)
+        case (Some(bo), None) => Some(bo._3)
+        case (None, Some(fo)) => Some(fo._3)
+        case _ => None
+      }
+      assert(got(eid) == expected,
+        s"event $eid key $k ts $ts: got ${got(eid)}, expected $expected (b=$b f=$f)")
+    }
+  }
+
   test("BPE property: segmentation always reconstructs the input words") {
     import graft.analyze.TextAnalysis
     val words = samples(Gen.listOfN(6,

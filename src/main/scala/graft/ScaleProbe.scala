@@ -22,11 +22,16 @@ object ScaleProbe {
   private val Queries = Seq(
     "q40_minhash_neardups", "q41_simhash_neardups", "q42_ngram_jaccard",
     "q53_corpus_prep", "q63_neardup_clusters", "q70_cluster_survivors",
-    "q92_dedup_agreement")
+    "q92_dedup_agreement",
+    // ANN family: same 8 query vectors at both scales (ids < 8 survive
+    // the vec_id*scale+rep renumbering), corpus side grows scale×
+    "q33_cosine_topk", "q48_ivf_topk", "q81_pq_topk", "q83_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scale = if (args.length > 1) args(1).toInt else 4
+    val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
+               else Queries.toSet
     val out = s"/tmp/graft_scale$scale"
     val log = new java.io.PrintWriter(
       new java.io.FileWriter("/tmp/scale_results.txt", true), true)
@@ -53,13 +58,22 @@ object ScaleProbe {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("int"))
       .write.mode("overwrite").parquet(s"file:$out/documents.parquet")
+    // embeddings derivative: replicas get a small deterministic per-rep
+    // shift (distinct vectors, same distribution); ids < 8 stay the same
+    // 8 query vectors at every scale
+    Tables.load(spark, sf, "embeddings")
+      .withColumn("rep", explode(lit((0 until scale).toArray)))
+      .select((col("vec_id") * scale + col("rep")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"))
+      .write.mode("overwrite").parquet(s"file:$out/embeddings.parquet")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def best(f: => Unit): Double = {
       System.gc(); time(f); math.min(time(f), time(f))
     }
-    Queries.foreach { q =>
+    Queries.filter(only.contains).foreach { q =>
       def run(dir: String): Unit = SparkEntry.queries(q)(spark, dir).count()
       val t1 = best(run(sf))
       val tS = best(run(out))
@@ -68,7 +82,7 @@ object ScaleProbe {
     }
     // the documented mitigation for the radius-8 regime, measured at S×:
     // banded 4×16-bit chunks (2^16 bucket keys vs 2^7) at ~77% recall
-    locally {
+    if (only.contains("q41_simhash_neardups")) {
       import graft.dedup.Dedup
       def banded(dir: String): Unit =
         Dedup.simhashNearDupsBanded(Tables.load(spark, dir, "documents"),

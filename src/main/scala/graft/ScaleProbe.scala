@@ -23,8 +23,9 @@ object ScaleProbe {
     "q40_minhash_neardups", "q41_simhash_neardups", "q42_ngram_jaccard",
     "q53_corpus_prep", "q63_neardup_clusters", "q70_cluster_survivors",
     "q92_dedup_agreement",
-    // ANN family: same 8 query vectors at both scales (ids < 8 survive
-    // the vec_id*scale+rep renumbering), corpus side grows scale×
+    // ANN family: the vec_id < 8 filter keeps the query COUNT at 8 at
+    // every scale (at high replication those are near-identical replicas
+    // of the lowest originals — fine for timing); corpus grows scale×
     "q33_cosine_topk", "q48_ivf_topk", "q81_pq_topk", "q83_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
@@ -59,8 +60,8 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")).cast("int"))
       .write.mode("overwrite").parquet(s"file:$out/documents.parquet")
     // embeddings derivative: replicas get a small deterministic per-rep
-    // shift (distinct vectors, same distribution); ids < 8 stay the same
-    // 8 query vectors at every scale
+    // shift (distinct vectors, same distribution); vec_id < 8 still
+    // selects exactly 8 query vectors at every scale
     Tables.load(spark, sf, "embeddings")
       .withColumn("rep", explode(lit((0 until scale).toArray)))
       .select((col("vec_id") * scale + col("rep")).as("vec_id"),

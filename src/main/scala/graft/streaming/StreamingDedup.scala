@@ -144,6 +144,11 @@ object StreamingDedup {
       val results = graft.sink.HttpSink.sendBatchesKeyed(
         batch, payloadCol, batchSize,
         (key, rows) => send(s"$epochId-$key", rows)).collect().toSeq
+      if (results.length > 10000)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"egressStream epoch $epochId collected ${results.length} sink " +
+            "results to the driver — this is the TEST/SMALL-topology form; " +
+            "use egressStreamToPath for production volumes")
       collectResults(epochId, results)
     }
 

@@ -69,7 +69,16 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     // subset iteration (GRAFT_ONLY) skips the skew fixture — the driver
     // never sets GRAFT_ONLY, so per-round BENCH json always carries it
-    val skew = if (only.isEmpty) skewStress(spark, sfDir, time) else "{}"
+    // guarded like the per-query runs: a fixture failure (unwritable /tmp,
+    // sink issue) must not abort main AFTER all queries ran and lose the
+    // whole JSON line — log to stderr, emit {} for the skew field
+    val skew =
+      if (only.nonEmpty) "{}"
+      else try skewStress(spark, sfDir, time) catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] skewStress failed: ${t.getMessage}")
+          "{}"
+      }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * per-query exponent is log(tS/t1)/log(S). The perturbation inserts a
   * UNIQUE marker token (hash of doc, replica, position) after every 3rd
   * word, so replicas are NOT near-dups of each other or of the original
-  * (shingles differ), while near-dup pairs WITHIN the original corpus
-  * replicate once per replica — dup-rate structure stays constant and
-  * the null hypothesis is ~linear scaling. Markers must be UNIQUE, not
+  * (shingles differ). Markers are keyed per (doc, replica, position), so
+  * the two members of an original near-dup pair draw DIFFERENT markers —
+  * dilution shifts Jaccard/hamming similarity downward relative to the
+  * raw corpus. Both timings therefore run on marker-perturbed
+  * derivatives (t1 on a scale-1 derivative, tS on the scale-S one) so
+  * they share the same diluted similarity/candidate structure and the
+  * exponent measures SCALE, not a structure change; the null hypothesis
+  * is ~linear scaling. Markers must be UNIQUE, not
   * replica-wide: a shared marker repeated every 3rd token dominates the
   * simhash weighted majority and artificially correlates every replica-N
   * signature (measured: it pushed the banded mitigation from ~linear to
@@ -34,6 +39,7 @@ object ScaleProbe {
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet
     val out = s"/tmp/graft_scale$scale"
+    val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
       new java.io.FileWriter("/tmp/scale_results.txt", true), true)
     val spark = SparkSession.builder()
@@ -47,27 +53,34 @@ object ScaleProbe {
       .config("spark.sql.ui.retainedExecutions", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.load(spark, sf, "documents")
-    docs.withColumn("rep", explode(lit((0 until scale).toArray)))
-      .select(
-        (col("doc_id") * scale + col("rep")).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          (w, i) => when(i % 3 === 2,
-            concat(w, lit(" zq"),
-              abs(xxhash64(col("doc_id"), col("rep"), i)).cast("string")))
-            .otherwise(w)), " ").as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("int"))
-      .write.mode("overwrite").parquet(s"file:$out/documents.parquet")
-    // embeddings derivative: replicas get a small deterministic per-rep
-    // shift (distinct vectors, same distribution); vec_id < 8 still
-    // selects exactly 8 query vectors at every scale
-    Tables.load(spark, sf, "embeddings")
-      .withColumn("rep", explode(lit((0 until scale).toArray)))
-      .select((col("vec_id") * scale + col("rep")).as("vec_id"),
-        transform(col("embedding"),
-          x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"))
-      .write.mode("overwrite").parquet(s"file:$out/embeddings.parquet")
+    // One writer for every scale INCLUDING 1: the baseline must carry the
+    // identical marker perturbation (rep = 0 only) or the two timings
+    // compare different similarity structures, not different scales.
+    def writeDerivative(s: Int, dir: String): Unit = {
+      Tables.load(spark, sf, "documents")
+        .withColumn("rep", explode(lit((0 until s).toArray)))
+        .select(
+          (col("doc_id") * s + col("rep")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            (w, i) => when(i % 3 === 2,
+              concat(w, lit(" zq"),
+                abs(xxhash64(col("doc_id"), col("rep"), i)).cast("string")))
+              .otherwise(w)), " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("int"))
+        .write.mode("overwrite").parquet(s"file:$dir/documents.parquet")
+      // embeddings derivative: replicas get a small deterministic per-rep
+      // shift (distinct vectors, same distribution); vec_id < 8 still
+      // selects exactly 8 query vectors at every scale
+      Tables.load(spark, sf, "embeddings")
+        .withColumn("rep", explode(lit((0 until s).toArray)))
+        .select((col("vec_id") * s + col("rep")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"))
+        .write.mode("overwrite").parquet(s"file:$dir/embeddings.parquet")
+    }
+    writeDerivative(scale, out)
+    writeDerivative(1, base)
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -76,7 +89,7 @@ object ScaleProbe {
     }
     Queries.filter(only.contains).foreach { q =>
       def run(dir: String): Unit = SparkEntry.queries(q)(spark, dir).count()
-      val t1 = best(run(sf))
+      val t1 = best(run(base))
       val tS = best(run(out))
       val exp = math.log(tS / t1) / math.log(scale.toDouble)
       log.println(f"""{"query":"$q","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f}""")
@@ -88,7 +101,7 @@ object ScaleProbe {
       def banded(dir: String): Unit =
         Dedup.simhashNearDupsBanded(Tables.load(spark, dir, "documents"),
           "doc_id", "text", maxHamming = 8, nChunks = 4).count()
-      val t1 = best(banded(sf))
+      val t1 = best(banded(base))
       val tS = best(banded(out))
       val exp = math.log(tS / t1) / math.log(scale.toDouble)
       log.println(f"""{"query":"q41_banded_4x16(mitigation)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f}""")

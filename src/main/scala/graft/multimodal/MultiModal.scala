@@ -335,8 +335,12 @@ object MultiModal {
         // A negative size (corrupt/adversarial input) would otherwise
         // reposition backwards (infinite loop) or blow up allocation.
         require(size >= 0, s"negative chunk size $size")
+        // Overflow-safe bound: end <= bytes.length and position() >= 0, so
+        // the subtraction can't overflow — whereas position() + size can
+        // wrap negative for size near Int.MaxValue and sneak past a
+        // dataEnd <= end check into a ~2 GB allocation.
+        require(size <= end - bb.position(), s"truncated chunk (size $size)")
         val dataEnd = bb.position() + size
-        require(dataEnd <= end, s"truncated chunk (size $size)")
         if (fcc == fourcc("LIST")) {
           // a LIST body starts with its 4-byte type; a shorter declared
           // size is corrupt (and reading the type would underflow)

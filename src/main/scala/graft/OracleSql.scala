@@ -1874,6 +1874,66 @@ SELECT n_ref, n_cand, n_both,
        ELSE 0.0 END AS recall
 FROM counts"""
 
+  /** q102: q92's agreement report with the candidate detector swapped
+    * for the banded scale-safe form (q99's predicate: same md5-simhash
+    * signatures, pair kept only when at least one of four 16-bit chunks
+    * matches exactly — the deterministic recall rule banding trades for
+    * 2^16-key buckets). */
+  private val q102 = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ref AS (
+  SELECT id_a, id_b
+  FROM (SELECT id_a, id_b,
+          CAST(inter AS DOUBLE) / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+        FROM jp JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+  WHERE jaccard >= 0.3),
+wtok AS (
+  SELECT doc_id,
+    unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM wtok),
+votes AS (
+  SELECT doc_id, b.bit,
+    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY 1, 2),
+sigs AS (
+  SELECT doc_id,
+    COALESCE(bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit) END), 0::UBIGINT) AS sig
+  FROM votes GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    AND ((a.sig >> 0)  & 65535 = (b.sig >> 0)  & 65535 OR
+         (a.sig >> 16) & 65535 = (b.sig >> 16) & 65535 OR
+         (a.sig >> 32) & 65535 = (b.sig >> 32) & 65535 OR
+         (a.sig >> 48) & 65535 = (b.sig >> 48) & 65535)),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ref) AS n_ref,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ref r
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.id_a = r.id_a AND c.id_b = r.id_b)) AS n_both)
+SELECT n_ref, n_cand, n_both,
+  CASE WHEN n_cand > 0 THEN CAST(n_both AS DOUBLE) / CAST(n_cand AS DOUBLE)
+       ELSE 0.0 END AS precision,
+  CASE WHEN n_ref > 0 THEN CAST(n_both AS DOUBLE) / CAST(n_ref AS DOUBLE)
+       ELSE 0.0 END AS recall
+FROM counts"""
+
   /** q93: chunk→pack composite — q85's chunk table (with per-chunk token
     * counts) keyed doc_id*1000000+chunk_idx, sharded by lang, packed into
     * 256-token bins with q68's exclusive-prefix binning. */
@@ -2195,6 +2255,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q99_simhash_banded" -> q99,
     "q100_bloom_semi_join" -> q100,
     "q101_asof_nearest" -> q101,
+    "q102_dedup_agreement_banded" -> q102,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -570,7 +570,7 @@ object SparkEntry {
     // scaladoc). md5Compat makes the signatures — and so the pair set —
     // reproducible by the DuckDB oracle's SQL simhash.
     Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8, md5Compat = true)
+        maxHamming = 8, md5Compat = true, allowWideRadius = true)
       .orderBy("id_a", "id_b")
 
   private def q99_simhash_banded(s: SparkSession, dir: String): DataFrame =
@@ -1180,7 +1180,21 @@ object SparkEntry {
     val ref = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       shingleN = 3, threshold = 0.3)
     val cand = Dedup.simhashNearDups(docs, "doc_id", "text",
-      maxHamming = 8, md5Compat = true)
+      maxHamming = 8, md5Compat = true, allowWideRadius = true)
+    Dedup.pairAgreement(ref, cand, "id_a", "id_b")
+  }
+
+  private def q102_dedup_agreement_banded(s: SparkSession, dir: String): DataFrame = {
+    // q92's tuning report with the candidate detector swapped for the
+    // SCALE-SAFE banded form (q99's detector, exponent 1.20 vs the exact
+    // radius-8 path's 1.69): at corpus scale this is the variant of the
+    // radius/threshold tuning loop you can actually afford to run.
+    // pairAgreement is detector-agnostic, so the swap is pure composition.
+    val docs = t(s, dir, "documents")
+    val ref = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.3)
+    val cand = Dedup.simhashNearDupsBanded(docs, "doc_id", "text",
+      maxHamming = 8, nChunks = 4, md5Compat = true)
     Dedup.pairAgreement(ref, cand, "id_a", "id_b")
   }
 
@@ -1375,6 +1389,7 @@ object SparkEntry {
     "q99_simhash_banded" -> (q99_simhash_banded _),
     "q100_bloom_semi_join" -> (q100_bloom_semi_join _),
     "q101_asof_nearest" -> (q101_asof_nearest _),
+    "q102_dedup_agreement_banded" -> (q102_dedup_agreement_banded _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -195,12 +195,27 @@ object Dedup extends graft.core.Logging {
     * Scale note: blocking selectivity degrades as chunks shrink — at
     * `maxHamming = 3` each chunk is 16 bits (65k buckets); at
     * `maxHamming = 8` each is ~7 bits (~128 buckets), so candidate volume
-    * approaches n²/128 per chunk. Keep the radius small on large corpora
-    * (Manku et al., WWW'07 use 3–4 on 64-bit simhashes). */
+    * approaches n²/128 per chunk. Radius ≤ 4 is the STATED exact-mode
+    * operating point (Manku et al., WWW'07 use 3–4 on 64-bit simhashes;
+    * measured at 4× corpus scale the radius-8 exact path ran at exponent
+    * 1.69 vs the banded mitigation's 1.20 — SCALE.md). A wider radius
+    * therefore requires an explicit `allowWideRadius = true` opt-in;
+    * without it the call fails fast and points at
+    * [[simhashNearDupsBanded]], the measured scale-safe form. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, md5Compat: Boolean = false): DataFrame = {
+                      maxHamming: Int = 3, md5Compat: Boolean = false,
+                      allowWideRadius: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    require(maxHamming <= 4 || allowWideRadius,
+      s"simhashNearDups maxHamming=$maxHamming is past the exact-mode " +
+        s"operating point (radius <= 4, Manku et al. WWW'07): blocking " +
+        s"chunks shrink to ~${64 / (maxHamming + 1)} bits and candidate " +
+        s"volume grows toward n^2/2^${64 / (maxHamming + 1)} (measured " +
+        "super-linear at corpus scale, SCALE.md). Use " +
+        "simhashNearDupsBanded(maxHamming, nChunks) for the measured " +
+        "scale-safe form, or pass allowWideRadius = true to keep exact " +
+        "recall at the documented super-linear cost.")
     if (maxHamming > 4)
       logger.warn(
         s"simhashNearDups maxHamming=$maxHamming blocks on ${maxHamming + 1} " +

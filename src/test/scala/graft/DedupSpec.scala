@@ -87,10 +87,28 @@ class DedupSpec extends SparkSpec {
         a <- sigs.keys; b <- sigs.keys if a < b
         if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= h
       } yield (a, b)).toSet
-      val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = h)
+      val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = h,
+        allowWideRadius = true)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got == brute, s"radius $h")
     }
+  }
+
+  test("simhashNearDups: wide radius requires explicit opt-in (scale steering)") {
+    // Radius > 4 is past the exact-mode operating point (SCALE.md measured
+    // exponent 1.69 at radius 8) — without the opt-in the call must fail
+    // fast and point at the banded form, not silently build a candidate
+    // bomb on a large corpus. Radius <= 4 stays unchanged.
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+    }
+    assert(ex.getMessage.contains("simhashNearDupsBanded"))
+    assert(ex.getMessage.contains("allowWideRadius"))
+    // radius 4 needs no opt-in; opted-in radius 8 plans fine
+    Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 4).count()
+    Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8,
+      allowWideRadius = true).count()
   }
 
   test("banded simhash: subset of the exact result, only qualifying pairs") {
@@ -101,7 +119,8 @@ class DedupSpec extends SparkSpec {
     val docs = (0 until 10).map { i =>
       (i.toLong, (words.drop(i % 4) ++ words.take(3 + i % 5)).mkString(" "))
     }.toDF("doc_id", "text")
-    val exact = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 12)
+    val exact = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 12,
+      allowWideRadius = true)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     val banded = Dedup.simhashNearDupsBanded(docs, "doc_id", "text",

@@ -1934,6 +1934,65 @@ SELECT n_ref, n_cand, n_both,
        ELSE 0.0 END AS recall
 FROM counts"""
 
+  /** q103: cross-document duplicated spans — q79's shared-gram anchors
+    * (5-grams in ≥ 2 distinct docs), merged into maximal runs by the
+    * gaps-and-islands idiom (pos − row_number over pos), span end =
+    * last anchor + k − 1. */
+  private val q103 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+dup AS (
+  SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM occ)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+  MAX(pos) + 4 - MIN(pos) + 1 AS n_tokens
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start"""
+
+  /** q104: cross-document exact-substring removal — every position under
+    * a shared 5-gram dropped, survivors re-joined in order; docs with
+    * nothing left emit the empty string (COALESCE mirrors Spark's
+    * array_join over an empty array). */
+  private val q104 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+dup AS (
+  SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (gram)),
+covd AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM occ)),
+tp AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tp LEFT JOIN covd c ON c.doc_id = tp.doc_id AND c.p = tp.pos
+  WHERE c.p IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1),
+nrm AS (SELECT doc_id, COUNT(*) AS n_removed FROM covd GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  COALESCE(nrm.n_removed, 0) AS n_removed,
+  COALESCE(agg.clean_text, '') AS clean_text
+FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id"""
+
   /** q93: chunk→pack composite — q85's chunk table (with per-chunk token
     * counts) keyed doc_id*1000000+chunk_idx, sharded by lang, packed into
     * 256-token bins with q68's exclusive-prefix binning. */
@@ -2256,6 +2315,8 @@ FROM f ORDER BY media_id, frame_no"""
     "q100_bloom_semi_join" -> q100,
     "q101_asof_nearest" -> q101,
     "q102_dedup_agreement_banded" -> q102,
+    "q103_crossdoc_spans" -> q103,
+    "q104_crossdoc_strip" -> q104,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1198,6 +1198,24 @@ object SparkEntry {
     Dedup.pairAgreement(ref, cand, "id_a", "id_b")
   }
 
+  private def q103_crossdoc_spans(s: SparkSession, dir: String): DataFrame =
+    // Cross-document exact-substring dedup, span form (Lee et al. 2022):
+    // maximal runs of 5-gram anchors shared by >= 2 docs — the verbatim
+    // boilerplate/license/template substrings, with boundaries, that a
+    // removal pass consumes. Where q79 summarizes coverage, this emits
+    // the spans themselves.
+    Dedup.crossDocSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+
+  private def q104_crossdoc_strip(s: SparkSession, dir: String): DataFrame =
+    // The removal pass: every token position under a shared 5-gram
+    // dropped from the normalized token stream (all occurrences — the
+    // C4-style boilerplate strip), surviving tokens re-joined.
+    Dedup.stripCrossDocSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .orderBy("doc_id")
+
   private def q93_chunk_pack(s: SparkSession, dir: String): DataFrame = {
     // Context-window prep end-to-end: overlapping chunks (q85) stream
     // into per-shard sequence packing (q68) — chunk keys are
@@ -1390,6 +1408,8 @@ object SparkEntry {
     "q100_bloom_semi_join" -> (q100_bloom_semi_join _),
     "q101_asof_nearest" -> (q101_asof_nearest _),
     "q102_dedup_agreement_banded" -> (q102_dedup_agreement_banded _),
+    "q103_crossdoc_spans" -> (q103_crossdoc_spans _),
+    "q104_crossdoc_strip" -> (q104_crossdoc_strip _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -454,18 +454,7 @@ object Dedup extends graft.core.Logging {
     val toks = docs
       .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-    val spans = toks.select(col(idCol), posexplode(
-        when(size(col("toks")) >= k,
-          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
-          .otherwise(array()))
-        .as(Seq("pos0", "gram")))
-      .select(col(idCol), (col("pos0") + 1).as("pos"), col("gram"))
-    val dupGrams = spans.groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gram")
-    val occ = spans.join(dupGrams, Seq("gram"))
+    val occ = sharedGramPositions(docs, idCol, textCol, k, minDocs)
     val nds = occ.groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
     val covered = occ
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
@@ -479,6 +468,98 @@ object Dedup extends graft.core.Logging {
       .withColumn("covered_frac", round(col("n_covered") / col("n_tokens"), 4))
       .withColumn("flagged",
         (col("n_covered") * 5 >= col("n_tokens")).cast("int"))
+  }
+
+  /** Shared (id, pos, gram) construction for the span-dedup family:
+    * one row per k-gram start position (1-based), gram key = the literal
+    * normalized k-token string (bitwise oracle-portable; at corpus scale
+    * swap for the md5-low64 gram hash — same plan, 8-byte keys). */
+  private def kGramPositions(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int): DataFrame =
+    docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .select(col(idCol), posexplode(
+          when(size(col("toks")) >= k,
+            transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+            .otherwise(array()))
+          .as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
+
+  /** Start positions whose k-gram occurs in ≥ `minDocs` DISTINCT
+    * documents: the anchor set for cross-document exact-substring dedup.
+    * One partial-aggregating groupBy on the gram key + an ids-only join
+    * back — text never shuffles twice. */
+  private def sharedGramPositions(docs: DataFrame, idCol: String,
+                                  textCol: String, k: Int,
+                                  minDocs: Int): DataFrame = {
+    val spans = kGramPositions(docs, idCol, textCol, k)
+    val dupGrams = spans.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    spans.join(dupGrams, Seq("gram")).select(col(idCol), col("pos"))
+  }
+
+  /** Maximal cross-document duplicated spans (Lee et al. 2022,
+    * arXiv:2107.06499 — the distributed anchor-grouping stand-in for
+    * their suffix-array pass): a k-token gram occurring in ≥ `minDocs`
+    * distinct documents is a duplicated anchor; per document, maximal
+    * RUNS of consecutive anchor start positions merge into one span of
+    * `run + k − 1` tokens — exactly the verbatim substrings (length
+    * ≥ k tokens) that appear in other documents: licenses, boilerplate,
+    * templated spam. Returns (id, span_start, span_end, n_tokens),
+    * positions 1-based inclusive over the normalized token sequence.
+    *
+    * Where [[duplicatedSpanCoverage]] reports per-doc summary counts,
+    * this emits the actual span BOUNDARIES — the input a removal pass
+    * ([[stripCrossDocSpans]]) or a manual review queue needs.
+    *
+    * Scale shape: gram-key aggregation (map-side combine collapses
+    * within-partition repeats), an ids-only join back, then ONE per-doc
+    * window for the gaps-and-islands merge — grouping key (id, pos−rank)
+    * is computed inside the window pass, no extra shuffle. Span count is
+    * bounded by anchor count; nothing quadratic. */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
+    val marked = sharedGramPositions(docs, idCol, textCol, k, minDocs)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .withColumn("n_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_tokens"))
+  }
+
+  /** Cross-document exact-substring REMOVAL: drop every token position
+    * covered by a duplicated k-gram anchor (the C4/Lee-style boilerplate
+    * strip; this removes ALL occurrences — keep-first-occurrence is a
+    * policy layer on top of [[crossDocSpans]], not this operator).
+    * Returns (id, n_tokens, n_removed, clean_text) where `clean_text`
+    * re-joins the surviving tokens of the NORMALIZED sequence in order.
+    *
+    * Scale shape: covered positions per doc are collected into one
+    * per-doc set — bounded by the doc's own token count, the same bound
+    * as the tokenization array itself — then the strip is a narrow
+    * per-row array filter; no driver collection, one join. */
+  def stripCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
+    val covered = sharedGramPositions(docs, idCol, textCol, k, minDocs)
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("cov"))
+    docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<long>")))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        array_join(filter(col("toks"),
+          (_, i) => !array_contains(col("cov"), (i + 1).cast("long"))), " ")
+          .as("clean_text"))
   }
 
   /** Near-dup SURVIVORSHIP by cluster: connected components over the

@@ -111,6 +111,33 @@ class DedupSpec extends SparkSpec {
       allowWideRadius = true).count()
   }
 
+  test("crossDocSpans merges adjacent shared anchors into maximal spans") {
+    // d1/d2 share the 6-token run "aaa..fff" (two overlapping 5-gram
+    // anchors — they must merge into ONE span per doc); d3 shares nothing.
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff tail1 tail2"),
+      (2L, "pre aaa bbb ccc ddd eee fff post"),
+      (3L, "totally different words only here now")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 1L, 6L, 6L), (2L, 2L, 7L, 6L)))
+  }
+
+  test("stripCrossDocSpans removes exactly the covered positions") {
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff tail1 tail2"),
+      (2L, "pre aaa bbb ccc ddd eee fff post"),
+      (3L, "totally different words only here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripCrossDocSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 6L, "tail1 tail2")))
+    assert(got(2L) == ((8L, 6L, "pre post")))
+    assert(got(3L) == ((6L, 0L, "totally different words only here now")))
+  }
+
   test("banded simhash: subset of the exact result, only qualifying pairs") {
     // Same fixture as the exactness test; banding with fewer chunks than
     // radius+1 may MISS pairs (documented recall < 1) but must never

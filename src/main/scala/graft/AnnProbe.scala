@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analyze.{Ivf, Pq, Similarity}
+
+/** Data-dominated ANN scale probe (SCALE.md round-8 entry): the round-7
+  * 4×/32× embeddings probe measured exponents of 0.04–0.14 because at
+  * ~102k × 64-dim vectors EVERYTHING is overhead — it neither confirmed
+  * IVF's sub-linear probing nor exposed a brute-force crossover. This
+  * probe generates corpora large enough that brute force costs real
+  * seconds (10⁶–10⁷ × 64-dim) and measures the serving regime directly:
+  *
+  *  - corpus: deterministic hash vectors (xxhash64(id, d) → [0, 1)),
+  *    generated distributed, written parquet — NO driver data path. The
+  *    8 query vectors are ids 0–7, whose vectors are identical at every
+  *    scale (the hash ignores corpus size): constant query set, growing
+  *    corpus.
+  *  - brute: [[Similarity.bruteForceTopK]] over the full scan — the
+  *    linear baseline.
+  *  - IVF: [[Ivf.buildSampled]] at nlist = ⌈√n⌉ (cell size √n, the
+  *    standard sizing), assignments written PARTITIONED BY CELL and
+  *    reloaded, so [[Ivf.search]]'s probe join prunes to the ~nprobe·8
+  *    probed cells via dynamic partition pruning — the read itself is
+  *    sub-linear, not just the compute. Build time is measured and
+  *    reported separately: the serving question is "after how many
+  *    query batches does the index pay for itself", and that
+  *    break-even count is emitted per scale.
+  *  - recall@10 of IVF vs brute on the same corpus, so every speed
+  *    number is tied to the recall it buys (uniform hash vectors are
+  *    the WORST case for IVF recall — no cluster structure — making
+  *    the reported recall a floor, not a cherry-pick).
+  *
+  * Results append as JSON lines to /tmp/ann_results.txt (crash-safe,
+  * same convention as ScaleProbe). Args: comma-separated corpus sizes
+  * (default "250000,1000000,4000000"). */
+object AnnProbe {
+  private val Dim = 64
+  private val K = 10
+  private val NProbe = 8
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("250000,1000000,4000000")
+      .split(",").map(_.trim.toLong)
+    val log = new java.io.PrintWriter(
+      new java.io.FileWriter("/tmp/ann_results.txt", true), true)
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors())
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def best(f: => Unit): Double = {
+      System.gc(); time(f); math.min(time(f), time(f))
+    }
+    sizes.foreach { n =>
+      val dir = s"/tmp/graft_ann_$n"
+      // deterministic synthetic corpus, generated distributed
+      spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(Dim - 1)),
+            d => (pmod(xxhash64(col("id"), d), lit(1000000L))
+              .cast("double") / lit(1000000.0)).cast("float")).as("vec"))
+        .write.mode("overwrite").parquet(s"file:$dir/corpus")
+      val corpus = spark.read.parquet(s"file:$dir/corpus")
+      val queries = corpus.filter(col("id") < 8)
+
+      val tBrute = best(
+        Similarity.bruteForceTopK(corpus, queries, "id", "vec", K).count())
+
+      val nlist = math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
+      var centroids: Array[Array[Double]] = null
+      val tBuild = time {
+        val idx = Ivf.buildSampled(corpus, "id", "vec", nlist)
+        centroids = idx.centroids
+        // one file per cell; cell-partitioned layout is what makes the
+        // search read sub-linear (DPP prunes to the probed cells)
+        idx.assigned.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"file:$dir/assigned")
+      }
+      val index = Ivf.Index(centroids,
+        spark.read.parquet(s"file:$dir/assigned"))
+      val tIvf = best(
+        Ivf.search(index, queries, "id", "vec", K, NProbe).count())
+
+      // recall@10 vs brute (ids-only join; result is 8 rows)
+      val exact = Similarity.bruteForceTopK(corpus, queries, "id", "vec", K)
+      val approx = Ivf.search(index, queries, "id", "vec", K, NProbe)
+      val recall = Similarity.annRecall(exact, approx,
+          "query_id", "neighbor_id", K)
+        .agg(avg(col("recall"))).head().getDouble(0)
+
+      // break-even: query batches (of 8) until the build cost is repaid
+      // by the per-batch saving; Infinity formats unparseably, cap it
+      val saving = tBrute - tIvf
+      val breakEven =
+        if (saving > 0) (tBuild / saving).ceil.toLong else -1L
+      log.println(
+        f"""{"n":$n,"nlist":$nlist,"t_brute":$tBrute%.3f,"t_ivf":$tIvf%.3f,"t_build":$tBuild%.3f,"recall":$recall%.3f,"break_even_batches":$breakEven}""")
+    }
+    log.close()
+    spark.stop()
+  }
+}

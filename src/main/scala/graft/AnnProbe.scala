@@ -26,10 +26,15 @@ import graft.analyze.{Ivf, Pq, Similarity}
   *    reported separately: the serving question is "after how many
   *    query batches does the index pay for itself", and that
   *    break-even count is emitted per scale.
-  *  - recall@10 of IVF vs brute on the same corpus, so every speed
-  *    number is tied to the recall it buys (uniform hash vectors are
-  *    the WORST case for IVF recall — no cluster structure — making
-  *    the reported recall a floor, not a cherry-pick).
+  *  - PQ/ADC (exhaustive compressed scan — linear with a smaller
+  *    constant than brute) and IVFPQ (probed + compressed — the
+  *    billion-vector layout) over the same prebuilt artifacts, codes
+  *    materialized to parquet like the assignments.
+  *  - recall@10 of each approximate form vs brute on the same corpus,
+  *    so every speed number is tied to the recall it buys (uniform
+  *    hash vectors are the WORST case for IVF recall — no cluster
+  *    structure — making the reported recall a floor, not a
+  *    cherry-pick).
   *
   * Results append as JSON lines to /tmp/ann_results.txt (crash-safe,
   * same convention as ScaleProbe). Args: comma-separated corpus sizes
@@ -91,12 +96,30 @@ object AnnProbe {
       val tIvf = best(
         Ivf.search(index, queries, "id", "vec", K, NProbe).count())
 
-      // recall@10 vs brute (ids-only join; result is 8 rows)
+      // PQ: m=8 subspaces × ks=256 codes, codebooks from the id-ordered
+      // sample; codes materialized like the assignments so the timed
+      // scans read parquet, not a recomputing lineage
+      val cb = Pq.buildSampled(corpus, "id", "vec", m = 8, ks = 256)
+      val tEncode = time {
+        Pq.encode(corpus, "id", "vec", cb)
+          .write.mode("overwrite").parquet(s"file:$dir/codes")
+      }
+      val codes = spark.read.parquet(s"file:$dir/codes")
+      val tAdc = best(
+        Pq.adcTopK(codes, queries, "id", "vec", cb, K).count())
+      val tIvfpq = best(
+        Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, NProbe).count())
+
+      // recall@10 vs brute (ids-only joins; results are 8 rows each)
       val exact = Similarity.bruteForceTopK(corpus, queries, "id", "vec", K)
-      val approx = Ivf.search(index, queries, "id", "vec", K, NProbe)
-      val recall = Similarity.annRecall(exact, approx,
-          "query_id", "neighbor_id", K)
-        .agg(avg(col("recall"))).head().getDouble(0)
+      def recallOf(approx: DataFrame): Double =
+        Similarity.annRecall(exact, approx, "query_id", "neighbor_id", K)
+          .agg(avg(col("recall"))).head().getDouble(0)
+      val recall = recallOf(Ivf.search(index, queries, "id", "vec", K, NProbe))
+      val recallAdc = recallOf(
+        Pq.adcTopK(codes, queries, "id", "vec", cb, K))
+      val recallIvfpq = recallOf(
+        Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, NProbe))
 
       // break-even: query batches (of 8) until the build cost is repaid
       // by the per-batch saving; Infinity formats unparseably, cap it
@@ -104,7 +127,7 @@ object AnnProbe {
       val breakEven =
         if (saving > 0) (tBuild / saving).ceil.toLong else -1L
       log.println(
-        f"""{"n":$n,"nlist":$nlist,"t_brute":$tBrute%.3f,"t_ivf":$tIvf%.3f,"t_build":$tBuild%.3f,"recall":$recall%.3f,"break_even_batches":$breakEven}""")
+        f"""{"n":$n,"nlist":$nlist,"t_brute":$tBrute%.3f,"t_ivf":$tIvf%.3f,"t_build":$tBuild%.3f,"recall":$recall%.3f,"break_even_batches":$breakEven,"t_encode":$tEncode%.3f,"t_adc":$tAdc%.3f,"t_ivfpq":$tIvfpq%.3f,"recall_adc":$recallAdc%.3f,"recall_ivfpq":$recallIvfpq%.3f}""")
     }
     log.close()
     spark.stop()

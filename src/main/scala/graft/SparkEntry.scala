@@ -575,7 +575,7 @@ object SparkEntry {
 
   private def q99_simhash_banded(s: SparkSession, dir: String): DataFrame =
     // The measured scale mitigation for the radius-8 regime (SCALE.md
-    // round-7 exponents: exact 9-chunk blocking 1.69, banded 4×16 1.20):
+    // round-8 exponents: exact 9-chunk blocking 1.75, banded 4×16 0.97):
     // wider chunks, 2^16 bucket keys, ~77 % recall at d=8. The recall
     // loss is DETERMINISTIC — a pair survives iff at least one 16-bit
     // chunk is error-free — so the oracle replays it as a chunk-equality
@@ -1186,8 +1186,8 @@ object SparkEntry {
 
   private def q102_dedup_agreement_banded(s: SparkSession, dir: String): DataFrame = {
     // q92's tuning report with the candidate detector swapped for the
-    // SCALE-SAFE banded form (q99's detector, exponent 1.20 vs the exact
-    // radius-8 path's 1.69): at corpus scale this is the variant of the
+    // SCALE-SAFE banded form (q99's detector, exponent 0.97 vs the exact
+    // radius-8 path's 1.75): at corpus scale this is the variant of the
     // radius/threshold tuning loop you can actually afford to run.
     // pairAgreement is detector-agnostic, so the swap is pure composition.
     val docs = t(s, dir, "documents")

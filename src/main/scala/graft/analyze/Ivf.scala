@@ -255,10 +255,11 @@ object Ivf {
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qv"), col("vec")), col("qn2"), col("n2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // two-level rank (see Similarity.topKPerQuery): probed candidates are
+    // nprobe·(n/nlist) rows PER QUERY — a single-level window would send
+    // each query's whole candidate set to one reducer
+    Similarity.topKPerQuery(cand, "query_id",
+        Seq(col("cos").desc, col("id").asc), k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("cos"), col("rank"))
   }
 }

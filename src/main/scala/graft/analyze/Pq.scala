@@ -109,14 +109,14 @@ object Pq {
   }
 
   /** DECIMAL-summed ADC scores → deterministic top-k rows. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist_dec").asc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    // two-level rank (see Similarity.topKPerQuery): the ADC-scored table
+    // is corpus-sized per query — the single-level window's one-reducer-
+    // per-query funnel is exactly the shape this avoids
+    Similarity.topKPerQuery(scored, "query_id",
+        Seq(col("dist_dec").asc, col("id").asc), k)
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("dist_dec").cast("double").as("dist"), col("rank"))
-  }
 
   /** ADC top-k over the WHOLE code table (exhaustive compressed scan):
     * per query, the LUT joins the codes and subspace distances sum in

@@ -67,13 +67,41 @@ object Similarity {
     when(n > 0, dotExact(a, b) / n).otherwise(lit(0.0))
   }
 
+  /** Distributed per-query top-k rank: two-level, so no single reducer
+    * ever receives ALL of one query's candidates. A plain
+    * `Window.partitionBy(query)` funnels every candidate row for a query
+    * into ONE reducer — with few queries over a large corpus that is a
+    * per-query reducer bottleneck (and at billions of candidates an
+    * OOM), the classic low-cardinality window skew. Level 1 ranks within
+    * (query, input-partition) — `spark_partition_id()` is captured below
+    * the exchange, so the shuffle spreads each query over as many
+    * reducers as the candidate scan has partitions — and keeps k rows
+    * per group; level 2 ranks the surviving ≤ k·partitions rows per
+    * query (a tiny shuffle). The result is IDENTICAL to the single
+    * global rank: a per-partition top-k preserves the global top-k under
+    * any total order — `order` must be total (callers tie-break on id)
+    * or neither form is deterministic. Emits `rank` 1..k per query. */
+  private[graft] def topKPerQuery(scored: DataFrame, queryCol: String,
+                                  order: Seq[Column], k: Int): DataFrame = {
+    val local = Window.partitionBy(col(queryCol), col("__pid")).orderBy(order: _*)
+    val global = Window.partitionBy(col(queryCol)).orderBy(order: _*)
+    scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrank", row_number().over(local))
+      .filter(col("__lrank") <= k)
+      .drop("__pid", "__lrank")
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector.
     *
     * `queries` is expected to be small (it is broadcast); the scan over
     * `corpus` is a single narrow pass per query — the right baseline on a
     * cluster when queries fit in memory. Norms are precomputed per side
     * (once per vector, not once per pair). Excludes self-matches by id.
-    * Deterministic: ties broken by corpus id.
+    * Deterministic: ties broken by corpus id. Ranking is the two-level
+    * [[topKPerQuery]] — the candidate volume is n·queries, exactly the
+    * shape where a single-level window bottlenecks.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
@@ -86,10 +114,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         cosineFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, "query_id",
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
@@ -145,10 +171,8 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos",
         cosineFromParts(dotExact(col("qv"), col("cv")), col("qn2"), col("cn2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(cand, "query_id",
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 

@@ -198,7 +198,7 @@ object Dedup extends graft.core.Logging {
     * approaches n²/128 per chunk. Radius ≤ 4 is the STATED exact-mode
     * operating point (Manku et al., WWW'07 use 3–4 on 64-bit simhashes;
     * measured at 4× corpus scale the radius-8 exact path ran at exponent
-    * 1.69 vs the banded mitigation's 1.20 — SCALE.md). A wider radius
+    * 1.75 vs the banded mitigation's 0.97 — SCALE.md). A wider radius
     * therefore requires an explicit `allowWideRadius = true` opt-in;
     * without it the call fails fast and points at
     * [[simhashNearDupsBanded]], the measured scale-safe form. */
@@ -237,8 +237,8 @@ object Dedup extends graft.core.Logging {
     * corpus (q99 vs q41) — budget recall empirically per corpus, not
     * from the hypergeometric bound. The exact variant (simhashNearDups)
     * is the default; this is the documented scale escape hatch when a
-    * wide radius is genuinely required (measured exponent 1.20 vs the
-    * exact path's 1.69 at 4× corpus scale — SCALE.md round 7). */
+    * wide radius is genuinely required (measured exponent 0.97 — linear —
+    * vs the exact path's 1.75 at 4× corpus scale — SCALE.md round 8). */
   def simhashNearDupsBanded(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int, nChunks: Int,
                             md5Compat: Boolean = false): DataFrame = {

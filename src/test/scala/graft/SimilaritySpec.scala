@@ -43,6 +43,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topKPerQuery == single global rank, across partitionings and ties") {
+    // The two-level rank must be IDENTICAL to the naive one-window form
+    // for any input partitioning — including tied scores, where only the
+    // total order (score, id) makes either form deterministic. 40 rows,
+    // scores drawn from 5 distinct values so ties are guaranteed.
+    import org.apache.spark.sql.expressions.Window
+    val rows = for (q <- 0 until 3; i <- 0 until 40)
+      yield (q.toLong, i.toLong, (i * 7 % 5).toDouble)
+    for (parts <- Seq(1, 3, 16)) {
+      val scored = rows.toDF("query_id", "id", "score").repartition(parts)
+      val naive = scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"score".desc, $"id".asc)))
+        .filter($"rank" <= 4)
+        .select("query_id", "id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val got = Similarity.topKPerQuery(scored, "query_id",
+          Seq($"score".desc, $"id".asc), 4)
+        .select("query_id", "id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == naive, s"parts=$parts")
+    }
+  }
+
   test("lshTopK candidates are a subset with correct scores; self excluded") {
     val df = vecs.toDF("id", "v")
     val got = Similarity.lshTopK(df, df.filter($"id" < 2L), "id", "v",

@@ -1993,6 +1993,58 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
 FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN agg USING (doc_id)
 ORDER BY t.doc_id"""
 
+  /** q105: keep-first cross-document removal — q104's anchors, but each
+    * gram's (doc,pos)-minimal occurrence is canonical and positions
+    * covered by a canonical anchor survive; only covered-and-unprotected
+    * positions are removed. */
+  private val q105 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+dup AS (
+  SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT sp.doc_id, sp.pos, sp.gram FROM sp JOIN dup USING (gram)),
+own AS (
+  SELECT gram, doc_id AS odoc, pos AS opos FROM (
+    SELECT gram, doc_id, pos,
+      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM occ) WHERE rn = 1),
+anch AS (
+  SELECT occ.doc_id, occ.pos,
+    (occ.doc_id = own.odoc AND occ.pos = own.opos) AS prot
+  FROM occ JOIN own USING (gram)),
+covd AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM anch)),
+keep AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p
+    FROM anch WHERE prot)),
+rmv AS (
+  SELECT c.doc_id, c.p FROM covd c
+  LEFT JOIN keep k ON k.doc_id = c.doc_id AND k.p = c.p
+  WHERE k.p IS NULL),
+tp AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tp LEFT JOIN rmv r ON r.doc_id = tp.doc_id AND r.p = tp.pos
+  WHERE r.p IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1),
+nrm AS (SELECT doc_id, COUNT(*) AS n_removed FROM rmv GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  COALESCE(nrm.n_removed, 0) AS n_removed,
+  COALESCE(agg.clean_text, '') AS clean_text
+FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id"""
+
   /** q93: chunk→pack composite — q85's chunk table (with per-chunk token
     * counts) keyed doc_id*1000000+chunk_idx, sharded by lang, packed into
     * 256-token bins with q68's exclusive-prefix binning. */
@@ -2317,6 +2369,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q102_dedup_agreement_banded" -> q102,
     "q103_crossdoc_spans" -> q103,
     "q104_crossdoc_strip" -> q104,
+    "q105_crossdoc_keepfirst" -> q105,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

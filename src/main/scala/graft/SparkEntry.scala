@@ -1208,6 +1208,14 @@ object SparkEntry {
         k = 5, minDocs = 2)
       .orderBy("doc_id", "span_start")
 
+  private def q105_crossdoc_keepfirst(s: SparkSession, dir: String): DataFrame =
+    // The Lee et al. removal POLICY: one occurrence of each duplicated
+    // substring survives corpus-wide (the (doc,pos)-minimal one); q104
+    // is the remove-all C4 policy over the same anchors.
+    Dedup.keepFirstCrossDocSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .orderBy("doc_id")
+
   private def q104_crossdoc_strip(s: SparkSession, dir: String): DataFrame =
     // The removal pass: every token position under a shared 5-gram
     // dropped from the normalized token stream (all occurrences — the
@@ -1410,6 +1418,7 @@ object SparkEntry {
     "q102_dedup_agreement_banded" -> (q102_dedup_agreement_banded _),
     "q103_crossdoc_spans" -> (q103_crossdoc_spans _),
     "q104_crossdoc_strip" -> (q104_crossdoc_strip _),
+    "q105_crossdoc_keepfirst" -> (q105_crossdoc_keepfirst _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -562,6 +562,55 @@ object Dedup extends graft.core.Logging {
           .as("clean_text"))
   }
 
+  /** Cross-document exact-substring removal, KEEP-FIRST policy (the
+    * Lee et al. 2022 semantics: one occurrence of each duplicated
+    * substring survives corpus-wide, unlike [[stripCrossDocSpans]]'s
+    * C4-style remove-all). Each shared k-gram's canonical copy is its
+    * occurrence at the minimum (doc, pos); a covered token position is
+    * kept iff SOME anchor covering it is a canonical copy — so the
+    * first document containing a boilerplate passage keeps it intact
+    * and every later document loses it. Deterministic (min-struct
+    * ownership, no RNG). Returns (id, n_tokens, n_removed, clean_text)
+    * over the normalized token sequence, like the remove-all form.
+    *
+    * Scale shape: identical to [[stripCrossDocSpans]] plus ONE extra
+    * gram-keyed aggregation (min(struct(doc,pos)) — map-side partial)
+    * and an anchor-level join against it; covered/protected position
+    * sets stay bounded by per-doc token counts. */
+  def keepFirstCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
+    val spans = kGramPositions(docs, idCol, textCol, k)
+    val dupGrams = spans.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val occ = spans.join(dupGrams, Seq("gram"))
+    // canonical copy per gram: the (doc, pos)-minimal occurrence
+    val owner = occ.groupBy(col("gram"))
+      .agg(min(struct(col(idCol).as("odoc"), col("pos").as("opos"))).as("__o"))
+      .select(col("gram"), col("__o.odoc").as("odoc"), col("__o.opos").as("opos"))
+    val anchors = occ.join(owner, Seq("gram"))
+      .withColumn("protected",
+        col(idCol) === col("odoc") && col("pos") === col("opos"))
+    def positions(df: DataFrame): DataFrame = df
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val covered = positions(anchors)
+    val kept = positions(anchors.filter(col("protected")))
+    val removed = covered.join(kept, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("rm"))
+    docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .join(removed, Seq(idCol), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<long>")))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("rm")).cast("long").as("n_removed"),
+        array_join(filter(col("toks"),
+          (_, i) => !array_contains(col("rm"), (i + 1).cast("long"))), " ")
+          .as("clean_text"))
+  }
+
   /** Near-dup SURVIVORSHIP by cluster: connected components over the
     * pair graph, keep exactly the minimum id of each cluster (plus every
     * document in no pair). This is the standard corpus-dedup policy —

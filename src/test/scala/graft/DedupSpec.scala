@@ -138,6 +138,25 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((6L, 0L, "totally different words only here now")))
   }
 
+  test("keepFirstCrossDocSpans keeps the canonical copy, strips the rest") {
+    // Same fixture as the strip test: d1 holds the (doc,pos)-minimal
+    // occurrence of both shared anchors, so d1 keeps its text INTACT
+    // while d2 loses the duplicated run — the Lee et al. keep-one
+    // policy, vs stripCrossDocSpans which removed it from both.
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff tail1 tail2"),
+      (2L, "pre aaa bbb ccc ddd eee fff post"),
+      (3L, "totally different words only here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.keepFirstCrossDocSpans(docs, "doc_id", "text",
+        k = 5, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 0L, "aaa bbb ccc ddd eee fff tail1 tail2")))
+    assert(got(2L) == ((8L, 6L, "pre post")))
+    assert(got(3L) == ((6L, 0L, "totally different words only here now")))
+  }
+
   test("banded simhash: subset of the exact result, only qualifying pairs") {
     // Same fixture as the exactness test; banding with fewer chunks than
     // radius+1 may MISS pairs (documented recall < 1) but must never

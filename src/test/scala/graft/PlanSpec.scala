@@ -107,6 +107,32 @@ class PlanSpec extends SparkSpec {
     assert(planString(q("q07_anti_join")).contains("LeftAnti"))
   }
 
+  test("IVF search over cell-partitioned storage prunes to probed cells (DPP)") {
+    // The AnnProbe/SCALE.md serving claim: with assignments written
+    // partitionBy("cell"), the probe join must reach the scan as a
+    // partition filter — dynamic partition pruning, since probed cells
+    // are only known at runtime — so a search READS nprobe·queries
+    // cells, not the corpus. If this regresses the search is silently
+    // linear again in I/O (compute would still be candidate-bounded).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val corpus = spark.range(5000).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (pmod(xxhash64(col("id"), d), lit(1000000L))
+          .cast("double") / lit(1000000.0)).cast("float")).as("vec"))
+    val built = graft.analyze.Ivf.buildSampled(corpus, "id", "vec", 32)
+    built.assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    val index = graft.analyze.Ivf.Index(built.centroids,
+      spark.read.parquet(s"$dir/assigned"))
+    val res = graft.analyze.Ivf.search(index,
+      corpus.filter(col("id") < 4), "id", "vec", k = 5, nprobe = 4)
+    val s = planString(res)
+    assert(s.contains("dynamicpruning"), s)
+    assert(s.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") &&
+        !l.contains("PartitionFilters: []")), s)
+  }
+
   test("partitioned layout prunes directories: filter lands in PartitionFilters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.source.Layout.writePartitioned(

@@ -255,11 +255,14 @@ object Ivf {
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos", Similarity.cosineFromParts(
         Similarity.dotExact(col("qv"), col("vec")), col("qn2"), col("n2")))
-    // two-level rank (see Similarity.topKPerQuery): probed candidates are
-    // nprobe·(n/nlist) rows PER QUERY — a single-level window would send
-    // each query's whole candidate set to one reducer
-    Similarity.topKPerQuery(cand, "query_id",
-        Seq(col("cos").desc, col("id").asc), k)
+    // single-level rank ON PURPOSE (contrast Similarity.topKPerQuery):
+    // candidates are INDEX-BOUNDED at nprobe·(n/nlist) ≈ nprobe·√n rows
+    // per query, so the per-query reducer never sees corpus-proportional
+    // data and the two-level form's extra exchange is pure overhead
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("cos"), col("rank"))
   }
 }

@@ -109,14 +109,21 @@ object Pq {
   }
 
   /** DECIMAL-summed ADC scores → deterministic top-k rows. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    // two-level rank (see Similarity.topKPerQuery): the ADC-scored table
-    // is corpus-sized per query — the single-level window's one-reducer-
-    // per-query funnel is exactly the shape this avoids
-    Similarity.topKPerQuery(scored, "query_id",
-        Seq(col("dist_dec").asc, col("id").asc), k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        col("dist_dec").cast("double").as("dist"), col("rank"))
+  /** `twoLevel = true` for corpus-proportional candidate sets (the
+    * exhaustive ADC scan — see Similarity.topKPerQuery's applicability
+    * note); false for index-bounded ones (IVFPQ: nprobe·(n/nlist) rows
+    * per query), where the single window is the cheaper correct form. */
+  private def rankTopK(scored: DataFrame, k: Int, twoLevel: Boolean): DataFrame = {
+    val order = Seq(col("dist_dec").asc, col("id").asc)
+    val ranked =
+      if (twoLevel) Similarity.topKPerQuery(scored, "query_id", order, k)
+      else {
+        val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      }
+    ranked.select(col("query_id"), col("id").as("neighbor_id"),
+      col("dist_dec").cast("double").as("dist"), col("rank"))
+  }
 
   /** ADC top-k over the WHOLE code table (exhaustive compressed scan):
     * per query, the LUT joins the codes and subspace distances sum in
@@ -129,7 +136,7 @@ object Pq {
         .filter(col("id") =!= col("query_id"))
         .groupBy(col("query_id"), col("id"))
         .agg(sum(col("dd")).as("dist_dec")),
-      k)
+      k, twoLevel = true)
   }
 
   /** IVFPQ (the standard large-scale ANN layout): probe the `nprobe`
@@ -153,6 +160,6 @@ object Pq {
         .join(broadcast(lut), Seq("query_id", "s", "code"))
         .groupBy(col("query_id"), col("id"))
         .agg(sum(col("dd")).as("dist_dec")),
-      k)
+      k, twoLevel = false)
   }
 }

@@ -80,7 +80,15 @@ object Similarity {
     * query (a tiny shuffle). The result is IDENTICAL to the single
     * global rank: a per-partition top-k preserves the global top-k under
     * any total order — `order` must be total (callers tie-break on id)
-    * or neither form is deterministic. Emits `rank` 1..k per query. */
+    * or neither form is deterministic. Emits `rank` 1..k per query.
+    *
+    * Where it applies: rankers whose candidate volume is CORPUS-
+    * proportional per query (brute force, exhaustive ADC, LSH buckets).
+    * Index-bounded rankers (IVF/IVFPQ: nprobe·(n/nlist) ≈ nprobe·√n
+    * rows per query at standard sizing) keep the single-level window —
+    * their per-query reducer load is capped by the index geometry, and
+    * the extra exchange would be pure overhead (measured +0.2–0.6 s per
+    * query at bench scale). */
   private[graft] def topKPerQuery(scored: DataFrame, queryCol: String,
                                   order: Seq[Column], k: Int): DataFrame = {
     val local = Window.partitionBy(col(queryCol), col("__pid")).orderBy(order: _*)

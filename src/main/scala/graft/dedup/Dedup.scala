@@ -673,7 +673,10 @@ object Dedup extends graft.core.Logging {
     * candidate detector's pairs the reference confirms, recall = how
     * many reference pairs the candidate finds (e.g. simhash radius vs
     * exact Jaccard threshold — the radius/threshold trade is chosen off
-    * exactly this report). One output row.
+    * exactly this report). Detector-agnostic: at corpus scale feed it
+    * [[simhashNearDupsBanded]] (q102) rather than the exact wide-radius
+    * detector (q92), whose cost is super-linear by design. One output
+    * row.
     *
     * Scale shape: ids-only joins and three single-row counts — the
     * evaluation never touches documents, so it costs nothing beyond the

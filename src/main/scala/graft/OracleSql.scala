@@ -2045,6 +2045,42 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
 FROM t LEFT JOIN nrm USING (doc_id) LEFT JOIN agg USING (doc_id)
 ORDER BY t.doc_id"""
 
+  /** q106: span-level decontamination — train (even ids) positions under
+    * a 5-gram occurring anywhere in eval (odd ids) are stripped; q104's
+    * tail with the dup CTE replaced by the eval-gram semi join. */
+  private val q106 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+ev AS (SELECT DISTINCT gram FROM sp WHERE doc_id % 2 = 1),
+occ AS (
+  SELECT sp.doc_id, sp.pos FROM sp
+  WHERE sp.doc_id % 2 = 0 AND EXISTS (SELECT 1 FROM ev WHERE ev.gram = sp.gram)),
+covd AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM occ)),
+tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 0),
+tp AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tr)),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tp LEFT JOIN covd c ON c.doc_id = tp.doc_id AND c.p = tp.pos
+  WHERE c.p IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1),
+nrm AS (SELECT doc_id, COUNT(*) AS n_removed FROM covd GROUP BY 1)
+SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_tokens,
+  COALESCE(nrm.n_removed, 0) AS n_removed,
+  COALESCE(agg.clean_text, '') AS clean_text
+FROM tr LEFT JOIN nrm USING (doc_id) LEFT JOIN agg USING (doc_id)
+ORDER BY tr.doc_id"""
+
   /** q93: chunk→pack composite — q85's chunk table (with per-chunk token
     * counts) keyed doc_id*1000000+chunk_idx, sharded by lang, packed into
     * 256-token bins with q68's exclusive-prefix binning. */
@@ -2370,6 +2406,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q103_crossdoc_spans" -> q103,
     "q104_crossdoc_strip" -> q104,
     "q105_crossdoc_keepfirst" -> q105,
+    "q106_span_decontamination" -> q106,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1216,6 +1216,20 @@ object SparkEntry {
         k = 5, minDocs = 2)
       .orderBy("doc_id")
 
+  private def q106_span_decontamination(s: SparkSession, dir: String): DataFrame = {
+    // Span-level decontamination, the removal form of q74/q80's
+    // detection: strip from the TRAIN split (even ids) every token
+    // position under a 5-gram that also occurs in the EVAL split (odd
+    // ids) — the verbatim-leakage scrub a pre-training pipeline runs
+    // after the contamination report comes back nonzero.
+    val docs = t(s, dir, "documents")
+    Dedup.stripSpansSharedWith(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+  }
+
   private def q104_crossdoc_strip(s: SparkSession, dir: String): DataFrame =
     // The removal pass: every token position under a shared 5-gram
     // dropped from the normalized token stream (all occurrences — the
@@ -1419,6 +1433,7 @@ object SparkEntry {
     "q103_crossdoc_spans" -> (q103_crossdoc_spans _),
     "q104_crossdoc_strip" -> (q104_crossdoc_strip _),
     "q105_crossdoc_keepfirst" -> (q105_crossdoc_keepfirst _),
+    "q106_span_decontamination" -> (q106_span_decontamination _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

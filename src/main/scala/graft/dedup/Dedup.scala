@@ -547,12 +547,26 @@ object Dedup extends graft.core.Logging {
   def stripCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, minDocs: Int = 2): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
-    val covered = sharedGramPositions(docs, idCol, textCol, k, minDocs)
+    stripPositions(docs, idCol, textCol,
+      coveredPositions(sharedGramPositions(docs, idCol, textCol, k, minDocs),
+        idCol, k))
+  }
+
+  /** Expand anchor start positions to their k-token coverage sets, one
+    * row per doc: (id, cov: array<long>) — bounded by per-doc length. */
+  private def coveredPositions(anchors: DataFrame, idCol: String,
+                               k: Int): DataFrame =
+    anchors
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .distinct()
       .groupBy(col(idCol)).agg(collect_set(col("p")).as("cov"))
+
+  /** Shared strip tail: drop every token position in `removed`'s per-doc
+    * `cov` set, emit (id, n_tokens, n_removed, clean_text). */
+  private def stripPositions(docs: DataFrame, idCol: String, textCol: String,
+                             removed: DataFrame): DataFrame =
     docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
-      .join(covered, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
       .withColumn("cov", coalesce(col("cov"), array().cast("array<long>")))
       .select(col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -560,6 +574,30 @@ object Dedup extends graft.core.Logging {
         array_join(filter(col("toks"),
           (_, i) => !array_contains(col("cov"), (i + 1).cast("long"))), " ")
           .as("clean_text"))
+
+  /** Span-level benchmark DECONTAMINATION (the removal form of
+    * [[contamination]]'s detection): strip from `corpus` every token
+    * position lying under a k-gram that ALSO occurs anywhere in
+    * `probes` (the eval/test set) — q74 counts shared grams, q80 finds
+    * paraphrased near-dups, this one actually removes the verbatim
+    * leakage so the cleaned training text can ship. Same output shape
+    * as [[stripCrossDocSpans]].
+    *
+    * Scale shape: the probe side reduces to DISTINCT grams (the eval
+    * set is small by definition; broadcast-ready but never required —
+    * it's a semi join on the gram key), the corpus side is one gram
+    * pass + the per-doc position-set strip; corpus text shuffles
+    * nowhere. */
+  def stripSpansSharedWith(corpus: DataFrame, probes: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    val probeGrams = kGramPositions(probes, idCol, textCol, k)
+      .select("gram").distinct()
+    val anchors = kGramPositions(corpus, idCol, textCol, k)
+      .join(probeGrams, Seq("gram"), "left_semi")
+    stripPositions(corpus, idCol, textCol,
+      coveredPositions(anchors, idCol, k))
   }
 
   /** Cross-document exact-substring removal, KEEP-FIRST policy (the
@@ -599,16 +637,8 @@ object Dedup extends graft.core.Logging {
     val covered = positions(anchors)
     val kept = positions(anchors.filter(col("protected")))
     val removed = covered.join(kept, Seq(idCol, "p"), "left_anti")
-      .groupBy(col(idCol)).agg(collect_set(col("p")).as("rm"))
-    docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
-      .join(removed, Seq(idCol), "left")
-      .withColumn("rm", coalesce(col("rm"), array().cast("array<long>")))
-      .select(col(idCol),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(col("rm")).cast("long").as("n_removed"),
-        array_join(filter(col("toks"),
-          (_, i) => !array_contains(col("rm"), (i + 1).cast("long"))), " ")
-          .as("clean_text"))
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("cov"))
+    stripPositions(docs, idCol, textCol, removed)
   }
 
   /** Near-dup SURVIVORSHIP by cluster: connected components over the

@@ -157,6 +157,24 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((6L, 0L, "totally different words only here now")))
   }
 
+  test("stripSpansSharedWith removes exactly the eval-leaked spans from train") {
+    // train doc 2 embeds eval doc 1's benchmark question verbatim; train
+    // doc 4 is clean. Only the leaked run is stripped — and an overlap
+    // shorter than k (doc 4 shares a 2-token phrase) survives.
+    val eval_ = Seq((1L, "what is the capital of france answer paris"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (2L, "intro what is the capital of france answer paris outro"),
+      (4L, "the capital markets report something else entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripSpansSharedWith(train, eval_, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(2L) == ((10L, 8L, "intro outro")))
+    assert(got(4L) == ((8L, 0L,
+      "the capital markets report something else entirely here")))
+  }
+
   test("banded simhash: subset of the exact result, only qualifying pairs") {
     // Same fixture as the exactness test; banding with fewer chunks than
     // radius+1 may MISS pairs (documented recall < 1) but must never

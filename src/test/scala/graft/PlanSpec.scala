@@ -133,6 +133,20 @@ class PlanSpec extends SparkSpec {
         !l.contains("PartitionFilters: []")), s)
   }
 
+  test("q103 span dedup: map-side combine on grams, one window, no pair explosion") {
+    // The span family's scale shape: the gram aggregation must partial-
+    // aggregate before its exchange (boilerplate grams collapse per
+    // input partition), the gaps-and-islands merge must be ONE window
+    // whose (doc, grp) aggregation reuses the window partitioning (the
+    // plan shows partial_min/max, i.e. combine without a new exchange),
+    // and nothing may plan as a cartesian/nested-loop pair join.
+    val s = planString(q("q103_crossdoc_spans"))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("partial_count(distinct"), s)
+    assert(s.linesIterator.count(_.contains("Window [row_number()")) == 1, s)
+    assert(s.contains("partial_min") && s.contains("partial_max"), s)
+  }
+
   test("partitioned layout prunes directories: filter lands in PartitionFilters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.source.Layout.writePartitioned(

@@ -96,6 +96,17 @@ object AnnProbe {
       val tIvf = best(
         Ivf.search(index, queries, "id", "vec", K, NProbe).count())
 
+      // same search against a FLAT (non-partitioned) copy of the same
+      // assignments: compute is identical, but without the cell layout
+      // there is nothing for DPP to prune, so the scan reads the whole
+      // index — this isolates the storage-layout share of the win
+      spark.read.parquet(s"file:$dir/assigned")
+        .write.mode("overwrite").parquet(s"file:$dir/assigned_flat")
+      val flatIndex = Ivf.Index(centroids,
+        spark.read.parquet(s"file:$dir/assigned_flat"))
+      val tIvfFlat = best(
+        Ivf.search(flatIndex, queries, "id", "vec", K, NProbe).count())
+
       // PQ: m=8 subspaces × ks=256 codes, codebooks from the id-ordered
       // sample; codes materialized like the assignments so the timed
       // scans read parquet, not a recomputing lineage
@@ -127,7 +138,7 @@ object AnnProbe {
       val breakEven =
         if (saving > 0) (tBuild / saving).ceil.toLong else -1L
       log.println(
-        f"""{"n":$n,"nlist":$nlist,"t_brute":$tBrute%.3f,"t_ivf":$tIvf%.3f,"t_build":$tBuild%.3f,"recall":$recall%.3f,"break_even_batches":$breakEven,"t_encode":$tEncode%.3f,"t_adc":$tAdc%.3f,"t_ivfpq":$tIvfpq%.3f,"recall_adc":$recallAdc%.3f,"recall_ivfpq":$recallIvfpq%.3f}""")
+        f"""{"n":$n,"nlist":$nlist,"t_brute":$tBrute%.3f,"t_ivf":$tIvf%.3f,"t_ivf_flat":$tIvfFlat%.3f,"t_build":$tBuild%.3f,"recall":$recall%.3f,"break_even_batches":$breakEven,"t_encode":$tEncode%.3f,"t_adc":$tAdc%.3f,"t_ivfpq":$tIvfpq%.3f,"recall_adc":$recallAdc%.3f,"recall_ivfpq":$recallIvfpq%.3f}""")
     }
     log.close()
     spark.stop()

@@ -274,6 +274,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("crossDocSpans/strip property: equal a local reference on random corpora") {
+    import graft.dedup.Dedup
+    val rnd = new java.util.Random(23)
+    // tiny vocab forces heavy cross-doc gram sharing; doc lengths span
+    // shorter-than-k through many-island shapes
+    for (trial <- 0 until 4; k <- Seq(2, 3)) {
+      val docs = (1 to 12).map { i =>
+        val n = 1 + rnd.nextInt(14)
+        (i.toLong, (0 until n).map(_ => "w" + rnd.nextInt(5)).mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val grams = toks.view.mapValues(_.sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toVector).toMap
+      val shared = grams.toSeq
+        .flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+        .groupBy(_._1).collect { case (g, occ)
+          if occ.map(_._2).toSet.size >= 2 => g }.toSet
+      val marked = grams.map { case (id, gs) =>
+        id -> gs.zipWithIndex.collect {
+          case (g, i) if shared(g) => i + 1 }.toVector }
+      // reference spans: maximal runs of consecutive marked starts
+      val expSpans = marked.flatMap { case (id, ps) =>
+        ps.foldLeft(Vector.empty[(Long, Long)]) { (acc, p) =>
+          acc.lastOption match {
+            case Some((s, e)) if p == e + 1 => acc.init :+ (s, p.toLong)
+            case _ => acc :+ (p.toLong, p.toLong)
+          }
+        }.map { case (s, e) => (id, s, e + k - 1, e + k - s) }
+      }.toSet
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = Dedup.crossDocSpans(df, "doc_id", "text", k, minDocs = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotSpans == expSpans, s"trial $trial k=$k spans")
+      // reference strip: drop every position under a marked gram
+      val gotStrip = Dedup.stripCrossDocSpans(df, "doc_id", "text", k, minDocs = 2)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      docs.foreach { case (id, _) =>
+        val cov = marked(id).flatMap(p => p until p + k).toSet
+        val keptToks = toks(id).zipWithIndex
+          .collect { case (t, i) if !cov(i + 1) => t }
+        assert(gotStrip(id) ==
+          ((toks(id).size.toLong, cov.size.toLong, keptToks.mkString(" "))),
+          s"trial $trial k=$k strip doc $id")
+      }
+    }
+  }
+
   test("BPE property: segmentation always reconstructs the input words") {
     import graft.analyze.TextAnalysis
     val words = samples(Gen.listOfN(6,

@@ -740,6 +740,19 @@ ranked AS (
   FROM dist),
 assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)"""
 
+  /** q107: cluster-balanced sample — q48's deterministic assignment,
+    * then per-cell bottom-25 by the q69 md5 hash key, ties to vec_id. */
+  private val q107 = ivfAssignCtes + """,
+keyed AS (
+  SELECT a.vec_id, a.cell,
+    CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS hk
+  FROM assign a),
+rk AS (
+  SELECT vec_id, cell,
+    CAST(row_number() OVER (PARTITION BY cell ORDER BY hk, vec_id) AS INTEGER) AS rank
+  FROM keyed)
+SELECT vec_id, cell, rank FROM rk WHERE rank <= 25 ORDER BY cell, rank"""
+
   private val q48 = ivfAssignCtes + """,
 probes AS (SELECT vec_id AS query_id, cell FROM ranked
            WHERE vec_id < 8 AND rn <= 4),
@@ -2407,6 +2420,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q104_crossdoc_strip" -> q104,
     "q105_crossdoc_keepfirst" -> q105,
     "q106_span_decontamination" -> q106,
+    "q107_cluster_sample" -> q107,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -639,6 +639,18 @@ object SparkEntry {
         threshold = 0.8, bits = 32, bands = 4)
       .orderBy("id_a", "id_b")
 
+  private def q107_cluster_sample(s: SparkSession, dir: String): DataFrame = {
+    // Cluster-balanced sampling: at most 25 vectors per IVF cell by
+    // ascending md5 hash key — head clusters stop dominating the
+    // sample. Same deterministic assignment as q48, same hash key as
+    // the flat/stratified samplers, so the oracle replays both.
+    val emb = t(s, dir, "embeddings")
+    val index = graft.analyze.Ivf.buildSampled(emb, "vec_id", "embedding", nlist = 16)
+    graft.analyze.Ivf.clusterBalancedSample(index, quota = 25)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("cell", "rank")
+  }
+
   private def q48_ivf_topk(s: SparkSession, dir: String): DataFrame = {
     // IVF scale path: sampled-centroid cells (deterministic, oracle-
     // verifiable — Ivf.build keeps the k-means alternative), nprobe-
@@ -1434,6 +1446,7 @@ object SparkEntry {
     "q104_crossdoc_strip" -> (q104_crossdoc_strip _),
     "q105_crossdoc_keepfirst" -> (q105_crossdoc_keepfirst _),
     "q106_span_decontamination" -> (q106_span_decontamination _),
+    "q107_cluster_sample" -> (q107_cluster_sample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

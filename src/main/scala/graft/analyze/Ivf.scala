@@ -235,6 +235,28 @@ object Ivf {
   /** (query_id, cell) probe pairs — ids only, one row per probe; the
     * distributed probe-selection pass shared by [[search]] and
     * [[Pq.ivfpqTopK]]. */
+  /** Cluster-balanced (diversity-preserving) sampling: keep at most
+    * `quota` vectors PER IVF CELL, chosen by ascending md5 hash key —
+    * the curation primitive that stops head clusters (boilerplate,
+    * near-identical templates) from dominating a sampled corpus the way
+    * uniform sampling lets them. Deterministic and engine-reproducible:
+    * the hash order is the same md5-derived key as the flat/stratified
+    * samplers ([[TextAnalysis.hashSampleKey]]), ties broken by id.
+    * Returns (id, cell, rank) with rank 1..quota inside each cell.
+    *
+    * Scale shape: per-cell bottom-k over corpus-sized data is the same
+    * one-reducer-per-group funnel as per-query top-k, so it rides
+    * [[Similarity.topKPerQuery]]'s two-level rank (grouped by cell);
+    * no per-cell sort of the full corpus, no driver participation. */
+  def clusterBalancedSample(index: Index, quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1; got $quota")
+    val keyed = index.assigned.select(col("id"), col("cell"),
+      TextAnalysis.hashSampleKey(col("id")).as("__hk"))
+    Similarity.topKPerQuery(keyed, "cell",
+        Seq(col("__hk").asc, col("id").asc), quota)
+      .select(col("id"), col("cell"), col("rank"))
+  }
+
   def probeCells(index: Index, queries: DataFrame, idCol: String,
                  vecCol: String, nprobe: Int): DataFrame = {
     val cm = broadcast(centroidRelation(queries.sparkSession, index.centroids))

@@ -59,6 +59,26 @@ class IvfSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("clusterBalancedSample: per-cell quota cap, small cells kept whole, deterministic") {
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 400L).map(i => i -> Array.fill(8)(rnd.nextFloat()))
+      .toDF("id", "v")
+    val index = Ivf.buildSampled(df, "id", "v", nlist = 8)
+    val cellSizes = index.assigned.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val got = Ivf.clusterBalancedSample(index, quota = 20)
+      .as[(Long, Int, Int)].collect()
+    val perCell = got.groupBy(_._2).view.mapValues(_.length).toMap
+    perCell.foreach { case (cell, n) =>
+      assert(n == math.min(20L, cellSizes(cell)), s"cell $cell") }
+    // ranks are 1..n within each cell; rerun is bit-identical
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)) }
+    val again = Ivf.clusterBalancedSample(index, quota = 20)
+      .as[(Long, Int, Int)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
   test("IVF assignment plans ONE broadcast; plan size independent of nlist") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val rnd = new scala.util.Random(3)

@@ -383,6 +383,42 @@ class ExtraSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: span decontamination strips eval leakage per micro-batch (q106 twin)") {
+    // stripSpansSharedWith is stateless given the static eval gram set,
+    // so it runs unchanged inside foreachBatch — the shape of a
+    // continuous-ingest scrubber: each arriving train batch is cleaned
+    // against the frozen benchmark set, batch results identical to the
+    // batch operator on the same rows.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val eval_ = Seq((1L, "what is the capital of france answer paris"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (2L, "intro what is the capital of france answer paris outro"),
+      (4L, "the capital markets report something else entirely here"))
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= graft.dedup.Dedup
+          .stripSpansSharedWith(batch, eval_, "doc_id", "text", k = 5)
+          .select($"doc_id", $"n_removed", $"clean_text")
+          .as[(Long, Long, String)].collect()
+        ()
+      }.start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val expected = graft.dedup.Dedup
+        .stripSpansSharedWith(rows.toDF("doc_id", "text"), eval_,
+          "doc_id", "text", k = 5)
+        .select($"doc_id", $"n_removed", $"clean_text")
+        .as[(Long, Long, String)].collect()
+      assert(seen.toSet == expected.toSet)
+      assert(seen.exists { case (id, nr, _) => id == 2L && nr == 8L })
+    } finally q.stop()
+  }
+
   test("streaming: driver-light egress writes per-epoch results, driver sees only totals") {
     val dir = Files.createTempDirectory("graft-stream5").toString
     (1 to 25).map(i => s"""{"i":$i}""").toDF("payload").write.parquet(s"$dir/in")

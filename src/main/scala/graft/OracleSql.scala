@@ -1737,6 +1737,44 @@ WHERE h % 1000 < keep_k ORDER BY doc_id"""
   /** q88: corpus-LM fluency proxy — mean corpus frequency of each
     * document's bigrams. Integer counts; avg is the single final IEEE
     * division. Docs with < 2 tokens report zeros. */
+  /** q108: smoothed bigram LM — add-one conditional probabilities
+    * trained on the even-id split, every doc scored. Per-bigram prob is
+    * one IEEE division cast to DECIMAL(30,12) (the dotExact parity
+    * policy), per-doc sum decimal, final mean one IEEE division rounded
+    * to 4 dp. */
+  private val q108 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+bgs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+tw AS (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0),
+c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tw GROUP BY 1),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bgs WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+scored AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    SUM(CAST(
+      CAST(COALESCE(g.c12, 0) + 1 AS DOUBLE) /
+      CAST(COALESCE(u.c1, 0) + vv.v AS DOUBLE)
+      AS DECIMAL(30,12))) AS psum
+  FROM bgs b
+  LEFT JOIN c12 g ON g.w1 = b.w1 AND g.w2 = b.w2
+  LEFT JOIN c1 u ON u.w = b.w1
+  CROSS JOIN vv
+  GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+       THEN ROUND(CAST(s.psum AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE), 4)
+       ELSE 0.0 END AS lm_score
+FROM t d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id"""
+
   private val q88 = """
 WITH t AS (
   SELECT doc_id,
@@ -2421,6 +2459,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q105_crossdoc_keepfirst" -> q105,
     "q106_span_decontamination" -> q106,
     "q107_cluster_sample" -> q107,
+    "q108_bigram_lm" -> q108,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1123,6 +1123,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q108_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    // Smoothed LM scoring across a train/apply boundary: counts from
+    // the even-id split, every document scored — odd docs exercise the
+    // unseen-gram smoothing mass (q88 is the unsmoothed in-corpus
+    // variant with no train/apply separation).
+    val docs = t(s, dir, "documents")
+    TA.bigramLmScore(docs, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1447,6 +1458,7 @@ object SparkEntry {
     "q105_crossdoc_keepfirst" -> (q105_crossdoc_keepfirst _),
     "q106_span_decontamination" -> (q106_span_decontamination _),
     "q107_cluster_sample" -> (q107_cluster_sample _),
+    "q108_bigram_lm" -> (q108_bigram_lm _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

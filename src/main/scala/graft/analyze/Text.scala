@@ -682,6 +682,62 @@ object TextAnalysis {
     * persist/write the tokenized stream once instead of deriving it in
     * both branches. Docs with < 2 tokens report n_bigrams = 0 and
     * avg_freq = 0. */
+  /** Smoothed bigram language-model scoring (the CCNet-style quality
+    * filter shape): train add-one-smoothed conditional probabilities
+    * p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) on `train`, score EVERY document
+    * in `docs` by its mean bigram probability — unseen grams and unseen
+    * history words fall back to the smoothing mass instead of zeroing
+    * the score, which is the point of running it on data the counts
+    * never saw. [[bigramFluency]] is the unsmoothed in-corpus variant.
+    *
+    * Engine-parity: counts and V are exact integers; each per-bigram
+    * probability is ONE IEEE division rounded to 12 dp (double→decimal
+    * cast, identical in Spark and DuckDB — the dotExact policy), the
+    * per-doc sum is decimal (order-free), and the mean is one final
+    * IEEE division rounded to 4 dp.
+    *
+    * Scale shape: two gram-keyed count aggregations over the train
+    * split (map-side combine), two gram-keyed joins back on the scored
+    * stream, a 1-row broadcast for V — no driver participation, no
+    * vocabulary in the plan. Returns (id, n_bigrams, lm_score). */
+  def bigramLmScore(docs: DataFrame, train: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame) = {
+      val toks = tokens(lower(col(textCol)))
+      val tail = greatest(size(col("__toks")) - 1, lit(0))
+      df.select(col(idCol), toks.as("__toks"))
+        .withColumn("__pairs", zip_with(
+          slice(col("__toks"), lit(1), tail), slice(col("__toks"), lit(2), tail),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .select(col(idCol), explode(col("__pairs")).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val trainToks = train
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+    val c1 = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val c12 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val scored = bigrams(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        ((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          .cast("decimal(30,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("lm_score",
+        when(col("n_bigrams") > 0,
+          round(col("psum").cast("double") / col("n_bigrams").cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col("n_bigrams"), col("lm_score"))
+  }
+
   def bigramFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(lower(col(textCol)))
     val tail = greatest(size(col("__toks")) - 1, lit(0))

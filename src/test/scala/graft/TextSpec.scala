@@ -381,4 +381,23 @@ class TextSpec extends SparkSpec {
     assert(r(1) == ((2L, 1L, 2L, 2.0)))
     assert(r(2) == ((3L, 0L, 0L, 0.0)))
   }
+
+  test("bigramLmScore: add-one smoothing, unseen grams and histories, short docs") {
+    import spark.implicits._
+    // train = even docs 2+4: tokens a b a c | a -> c1: a=3 b=1 c=1, V=3;
+    // bigrams (a,b) (b,a) (a,c) each once
+    val docs = Seq(
+      (1L, "a b d"),  // (a,b): (1+1)/(3+3)=1/3; (b,d) unseen: 1/(1+3)=0.25
+      (2L, "a b a c"),// 1/3, (b,a): 2/4=0.5, (a,c): 2/6=1/3 -> mean 7/18
+      (3L, "z q"),    // unseen history z: 1/(0+3)
+      (4L, "a")       // no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(docs,
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(r(0) == ((1L, 2L, 0.2917)))
+    assert(r(1) == ((2L, 3L, 0.3889)))
+    assert(r(2) == ((3L, 1L, 0.3333)))
+    assert(r(3) == ((4L, 0L, 0.0)))
+  }
 }

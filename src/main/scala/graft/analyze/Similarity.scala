@@ -91,6 +91,10 @@ object Similarity {
     * query at bench scale). */
   private[graft] def topKPerQuery(scored: DataFrame, queryCol: String,
                                   order: Seq[Column], k: Int): DataFrame = {
+    // fail fast on temp-name collisions (the q90 lesson): a caller
+    // column named __pid/__lrank would silently corrupt the grouping
+    require(!scored.columns.contains("__pid") && !scored.columns.contains("__lrank"),
+      "topKPerQuery: input must not carry columns named __pid/__lrank")
     val local = Window.partitionBy(col(queryCol), col("__pid")).orderBy(order: _*)
     val global = Window.partitionBy(col(queryCol)).orderBy(order: _*)
     scored.withColumn("__pid", spark_partition_id())

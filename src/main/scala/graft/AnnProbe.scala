@@ -121,16 +121,28 @@ object AnnProbe {
       val tIvfpq = best(
         Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, NProbe).count())
 
-      // recall@10 vs brute (ids-only joins; results are 8 rows each)
+      // recall@10 vs brute (ids-only joins; results are 8·K rows each).
+      // Every side is cached and forced ONCE: without this each
+      // recallOf() re-executes the full brute scan (and the approximate
+      // searches) from lineage — three extra corpus passes per scale,
+      // the recomputing-lineage trap the materialized artifacts exist
+      // to avoid.
       val exact = Similarity.bruteForceTopK(corpus, queries, "id", "vec", K)
-      def recallOf(approx: DataFrame): Double =
-        Similarity.annRecall(exact, approx, "query_id", "neighbor_id", K)
+        .cache()
+      exact.count()
+      def recallOf(approx: DataFrame): Double = {
+        val a = approx.cache(); a.count()
+        val r = Similarity.annRecall(exact, a, "query_id", "neighbor_id", K)
           .agg(avg(col("recall"))).head().getDouble(0)
+        a.unpersist(blocking = false)
+        r
+      }
       val recall = recallOf(Ivf.search(index, queries, "id", "vec", K, NProbe))
       val recallAdc = recallOf(
         Pq.adcTopK(codes, queries, "id", "vec", cb, K))
       val recallIvfpq = recallOf(
         Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, NProbe))
+      exact.unpersist(blocking = false)
 
       // break-even: query batches (of 8) until the build cost is repaid
       // by the per-batch saving; Infinity formats unparseably, cap it

@@ -1358,14 +1358,7 @@ ORDER BY doc_id"""
   /** q79: repeated 5-token span coverage — duplicated spans (>=2 docs),
     * per-doc covered positions via interval union, 20% flag. List slice
     * toks[i : i+4] is 1-based inclusive ≡ Spark slice(toks, i, 5). */
-  private val q79 = """
-WITH t AS (
-  SELECT doc_id,
-    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
-  FROM documents),
-sp AS (
-  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+  private val q79 = spanGramCtes + """,
 dup AS (
   SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
 occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (gram)),
@@ -1985,18 +1978,27 @@ SELECT n_ref, n_cand, n_both,
        ELSE 0.0 END AS recall
 FROM counts"""
 
-  /** q103: cross-document duplicated spans — q79's shared-gram anchors
-    * (5-grams in ≥ 2 distinct docs), merged into maximal runs by the
-    * gaps-and-islands idiom (pos − row_number over pos), span end =
-    * last anchor + k − 1. */
-  private val q103 = """
+  /** Shared tokenize + 5-gram-position CTE prefix for the span-dedup
+    * oracle family (q103–q106) — one definition so the slicing/regex can
+    * never desynchronize across the four queries (the ivfAssignCtes
+    * pattern). */
+  // a def, not a val: referenced from query vals declared both before and
+  // after this point (q79, q103–q106) — a val would be null during the
+  // object initializer for the earlier ones
+  private def spanGramCtes: String = """
 WITH t AS (
   SELECT doc_id,
     string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
   FROM documents),
 sp AS (
   SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t))"""
+
+  /** q103: cross-document duplicated spans — q79's shared-gram anchors
+    * (5-grams in ≥ 2 distinct docs), merged into maximal runs by the
+    * gaps-and-islands idiom (pos − row_number over pos), span end =
+    * last anchor + k − 1. */
+  private val q103 = spanGramCtes + """,
 dup AS (
   SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
 occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (gram)),
@@ -2013,14 +2015,7 @@ ORDER BY doc_id, span_start"""
     * a shared 5-gram dropped, survivors re-joined in order; docs with
     * nothing left emit the empty string (COALESCE mirrors Spark's
     * array_join over an empty array). */
-  private val q104 = """
-WITH t AS (
-  SELECT doc_id,
-    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
-  FROM documents),
-sp AS (
-  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+  private val q104 = spanGramCtes + """,
 dup AS (
   SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
 occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (gram)),
@@ -2048,14 +2043,7 @@ ORDER BY t.doc_id"""
     * gram's (doc,pos)-minimal occurrence is canonical and positions
     * covered by a canonical anchor survive; only covered-and-unprotected
     * positions are removed. */
-  private val q105 = """
-WITH t AS (
-  SELECT doc_id,
-    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
-  FROM documents),
-sp AS (
-  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+  private val q105 = spanGramCtes + """,
 dup AS (
   SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
 occ AS (SELECT sp.doc_id, sp.pos, sp.gram FROM sp JOIN dup USING (gram)),
@@ -2099,14 +2087,7 @@ ORDER BY t.doc_id"""
   /** q106: span-level decontamination — train (even ids) positions under
     * a 5-gram occurring anywhere in eval (odd ids) are stripped; q104's
     * tail with the dup CTE replaced by the eval-gram semi join. */
-  private val q106 = """
-WITH t AS (
-  SELECT doc_id,
-    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
-  FROM documents),
-sp AS (
-  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t)),
+  private val q106 = spanGramCtes + """,
 ev AS (SELECT DISTINCT gram FROM sp WHERE doc_id % 2 = 1),
 occ AS (
   SELECT sp.doc_id, sp.pos FROM sp

@@ -80,7 +80,13 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"file:$dir/embeddings.parquet")
     }
     writeDerivative(scale, out)
-    writeDerivative(1, base)
+    // the base1 derivative is input-deterministic, so reuse it across
+    // runs/scales (delete /tmp/graft_scale_base1 manually if the source
+    // sf dir changes); regenerating it every run would also race a
+    // concurrent probe timing t1 against the same shared path
+    if (!new java.io.File(s"$base/documents.parquet/_SUCCESS").exists())
+      writeDerivative(1, base)
+    else System.err.println(s"[scaleprobe] reusing existing $base")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

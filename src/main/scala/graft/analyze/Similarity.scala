@@ -93,8 +93,8 @@ object Similarity {
                                   order: Seq[Column], k: Int): DataFrame = {
     // fail fast on temp-name collisions (the q90 lesson): a caller
     // column named __pid/__lrank would silently corrupt the grouping
-    require(!scored.columns.contains("__pid") && !scored.columns.contains("__lrank"),
-      "topKPerQuery: input must not carry columns named __pid/__lrank")
+    require(Seq("__pid", "__lrank", "rank").forall(!scored.columns.contains(_)),
+      "topKPerQuery: input must not carry columns named __pid/__lrank/rank")
     val local = Window.partitionBy(col(queryCol), col("__pid")).orderBy(order: _*)
     val global = Window.partitionBy(col(queryCol)).orderBy(order: _*)
     scored.withColumn("__pid", spark_partition_id())

@@ -490,14 +490,16 @@ object Dedup extends graft.core.Logging {
     * One partial-aggregating groupBy on the gram key + an ids-only join
     * back — text never shuffles twice. */
   private def sharedGramPositions(docs: DataFrame, idCol: String,
-                                  textCol: String, k: Int,
-                                  minDocs: Int): DataFrame = {
+                                  textCol: String, k: Int, minDocs: Int,
+                                  keepGram: Boolean = false): DataFrame = {
     val spans = kGramPositions(docs, idCol, textCol, k)
     val dupGrams = spans.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("gram")
-    spans.join(dupGrams, Seq("gram")).select(col(idCol), col("pos"))
+    val joined = spans.join(dupGrams, Seq("gram"))
+    if (keepGram) joined.select(col(idCol), col("pos"), col("gram"))
+    else joined.select(col(idCol), col("pos"))
   }
 
   /** Maximal cross-document duplicated spans (Lee et al. 2022,
@@ -618,12 +620,8 @@ object Dedup extends graft.core.Logging {
   def keepFirstCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 5, minDocs: Int = 2): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
-    val spans = kGramPositions(docs, idCol, textCol, k)
-    val dupGrams = spans.groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gram")
-    val occ = spans.join(dupGrams, Seq("gram"))
+    val occ = sharedGramPositions(docs, idCol, textCol, k, minDocs,
+      keepGram = true)
     // canonical copy per gram: the (doc, pos)-minimal occurrence
     val owner = occ.groupBy(col("gram"))
       .agg(min(struct(col(idCol).as("odoc"), col("pos").as("opos"))).as("__o"))

@@ -96,7 +96,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhashNearDups: wide radius requires explicit opt-in (scale steering)") {
     // Radius > 4 is past the exact-mode operating point (SCALE.md measured
-    // exponent 1.69 at radius 8) — without the opt-in the call must fail
+    // exponent 1.75 at radius 8) — without the opt-in the call must fail
     // fast and point at the banded form, not silently build a candidate
     // bomb on a large corpus. Radius <= 4 stays unchanged.
     val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")

@@ -42,7 +42,11 @@ object Bench {
     }
     // local iteration aid (driver never sets it): bench a subset
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // serial skew measurement aid (driver never sets it): skip the query
+    // loop and run ONLY the skew fixture — the fixture's numbers are
+    // meaningful only in a quiet JVM (concurrent sbt inflates them 3-4x)
+    val skewOnly = sys.env.contains("GRAFT_SKEW_ONLY")
+    val results = (if (skewOnly) Seq.empty else SparkEntry.queries.toSeq).sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // Nudge the ContextCleaner between queries: in one long-lived JVM
@@ -52,7 +56,7 @@ object Bench {
       // a failing query must be VISIBLE (stderr), never silently timed
       // as near-zero — the JSON line on stdout stays parseable either way
       def run(): Unit = try fn(spark, sfDir).count() catch {
-        case t: Throwable =>
+        case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] $name failed: ${t.getMessage}")
       }
       val cold = time(run())
@@ -71,11 +75,13 @@ object Bench {
     // never sets GRAFT_ONLY, so per-round BENCH json always carries it
     // guarded like the per-query runs: a fixture failure (unwritable /tmp,
     // sink issue) must not abort main AFTER all queries ran and lose the
-    // whole JSON line — log to stderr, emit {} for the skew field
+    // whole JSON line — log to stderr, emit {} for the skew field.
+    // NonFatal only: an OOM/StackOverflow must abort visibly, not emit a
+    // normal-looking JSON line with skew {}
     val skew =
-      if (only.nonEmpty) "{}"
+      if (only.nonEmpty && !skewOnly) "{}"
       else try skewStress(spark, sfDir, time) catch {
-        case t: Throwable =>
+        case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] skewStress failed: ${t.getMessage}")
           "{}"
       }
@@ -85,7 +91,10 @@ object Bench {
 
   /** Skew-stress fixture (SCALE.md "skew" entry): every headline number is
     * measured on uniform TPC-H-ish keys, but the 100 TB failure mode is the
-    * hot key. Plant one (~20 % of a 10×-replicated lineitem lands on key 0),
+    * hot key. Plant one (~50 % of a 10×-replicated lineitem lands on key 0
+    * — sharp enough that the hot reducer task, not per-job fixed costs,
+    * is the naive plans' wall-clock term at sf0.1; at 20 % the variants
+    * measured within run-to-run noise of each other),
     * force the shuffle-join regime (broadcast off — at real scale the dim
     * side outgrows the broadcast threshold), and measure the mitigations
     * this repo actually ships against the naive plan:
@@ -95,11 +104,24 @@ object Bench {
     *   join_aqe          plain join + AQE skew split, thresholds scaled to
     *                     the fixture (256 MB defaults sized for real
     *                     clusters never trigger on an sf0.1 derivative)
-    *   dedup_window      q21-form latest-per-key (window) on the hot key —
-    *                     the whole key's history sorts in ONE task
+    *   dedup_window      q21-form latest-per-key (window). NOT skew-bound
+    *                     on Spark 3.5+: InferWindowGroupLimit turns the
+    *                     rn=1 filter into a map-side group limit, so the
+    *                     hot key ships ≤1 row per map task (plan-verified)
+    *   dedup_window_salted  [[graft.dedup.Dedup.latestPerKeySalted]] — the
+    *                     hash-salted two-stage rank; measured here to show
+    *                     it is PURE OVERHEAD for the rank-limit shape on an
+    *                     engine with group-limit inference
     *   dedup_agg         [[graft.dedup.Dedup.latestPerKeyAgg]] — map-side
     *                     partial agg sends one candidate row per key per
-    *                     task; the skew-proof form the scaladoc recommends
+    *                     task; engine-version-independent skew-proof form
+    *   window_full       rank attached to EVERY row (no filter): the window
+    *                     shape group-limit inference CANNOT prune — the hot
+    *                     key's whole history sorts in one reducer; the real
+    *                     window-skew victim at 100 TB
+    *   window_full_salted  [[graft.core.Skew.saltedRowNumber]] — exact
+    *                     global rank via range buckets + offsets; the
+    *                     mitigation for the full-output shape
     * Reported per variant: best of two runs after a cold prime (same
     * steady-state convention as the main loop). Results sink to a noop
     * write so every payload row materializes (a count() would let Spark
@@ -110,17 +132,26 @@ object Bench {
     import graft.dedup.Dedup
     val dir = "file:/tmp/graft_skew_bench"
     // fixture: 10× lineitem ≈ 6M rows at sf0.1; rid = deterministic row
-    // identity (drives the retry-safe salt); 20 % of rows on hot key 0,
+    // identity (drives the retry-safe salt); 50 % of rows on hot key 0,
     // the rest uniform over 100k keys — the dim side (100k rows) is
     // replicable ×32 but represents one too big to broadcast
     val li = graft.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"))
     li.withColumn("rep", explode(lit((0 until 10).toArray)))
       .withColumn("rid", xxhash64(col("l_orderkey"), col("l_linenumber"), col("rep")))
-      .withColumn("k", when(pmod(col("rid"), lit(5L)) === 0, lit(0L))
+      .withColumn("k", when(pmod(col("rid"), lit(2L)) === 0, lit(0L))
         .otherwise(pmod(col("rid"), lit(100000L))))
+      // 16-byte payload: heavy enough that rows materialize through the
+      // shuffle, light enough that the hot reducer's SORT (rows), not
+      // shuffle I/O (bytes), is what the skew variants differ on
       .select(col("k"), col("rid"),
-        rpad(md5(col("rid").cast("string")), 64, "x").as("payload"))
+        substring(md5(col("rid").cast("string")), 1, 16).as("payload"))
+      // 32 files, NOT Spark's write-side default: lineitem at sf0.1 is one
+      // input split, so without this the fixture lands in ONE parquet file
+      // whose single row group serializes the SCAN into one task — every
+      // variant then measures that scan task (~7.5 s even on uniform keys,
+      // SkewDebug-verified), not the reducer skew under test
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/big")
     spark.range(100000).select(col("id").as("k"),
       md5(col("id").cast("string")).as("dim")).coalesce(4)
@@ -139,14 +170,21 @@ object Bench {
     }
     def best(f: => Unit): Double = { time(f); math.min(time(f), time(f)) }
     val noBroadcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    val noCoalesce = "spark.sql.adaptive.coalescePartitions.enabled" -> "false"
     val results = Seq(
       "join_unsalted" -> withConf(noBroadcast,
         "spark.sql.adaptive.skewJoin.enabled" -> "false") {
         best(sink(big.join(small, "k")))
       },
+      // salt = xxhash64(rid), NOT rid: k is derived from rid by mod and
+      // 100000 ≡ 0 (mod 32), so pmod(rid, 32) would be a FUNCTION OF k for
+      // uniform keys and hit only half the salt values for the (even-rid)
+      // hot key — the hash decorrelates salt from key as the scaladoc
+      // requires (measured: the correlated salt left stage-1 survivors at
+      // 50k instead of the ~400k a real salt produces)
       "join_salted" -> withConf(noBroadcast,
         "spark.sql.adaptive.skewJoin.enabled" -> "false") {
-        best(sink(Skew.saltedJoinBy(big, small, "k", col("rid"), salts = 32)))
+        best(sink(Skew.saltedJoinBy(big, small, "k", xxhash64(col("rid")), salts = 32)))
       },
       "join_aqe" -> withConf(noBroadcast,
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -155,10 +193,30 @@ object Bench {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m") {
         best(sink(big.join(small, "k")))
       },
-      "dedup_window" -> best(sink(
-        Dedup.latestPerKey(big, Seq("k"), Seq(col("rid").desc, col("payload").desc)))),
-      "dedup_agg" -> best(sink(
-        Dedup.latestPerKeyAgg(big, Seq("k"), Seq("rid", "payload"))))
+      // the dedup/window variants pin AQE partition coalescing OFF:
+      // coalescing targets BYTES, and with a 16-byte payload it merges the
+      // row-heavy reduce side down to a few tasks — reducer count, not key
+      // routing, would then be what the variants measure. Pinned fan-out =
+      // the variants differ only in how rows route across 32 reducers,
+      // which is the thing under test.
+      "dedup_window" -> withConf(noCoalesce) { best(sink(
+        Dedup.latestPerKey(big, Seq("k"), Seq(col("rid").desc, col("payload").desc)))) },
+      // salts=8, not 32: stage-1 survivors multiply with the salt count
+      // (every occupied (key,salt) bucket emits a row into the stage-2
+      // sort), so the window form wants the smallest split that de-skews
+      // the hot key — unlike the join, where replication is on the dim side
+      "dedup_window_salted" -> withConf(noCoalesce) { best(sink(
+        Dedup.latestPerKeySalted(big, Seq("k"),
+          Seq(col("rid").desc, col("payload").desc), xxhash64(col("rid")), salts = 8))) },
+      "dedup_agg" -> withConf(noCoalesce) { best(sink(
+        Dedup.latestPerKeyAgg(big, Seq("k"), Seq("rid", "payload")))) },
+      "window_full" -> withConf(noCoalesce) { best(sink(
+        big.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+            .orderBy(col("rid").desc, col("payload").desc))))) },
+      "window_full_salted" -> withConf(noCoalesce) { best(sink(
+        Skew.saltedRowNumber(big, Seq("k"), col("rid"), descending = true,
+          tieBreakers = Seq(col("payload").desc), buckets = 32))) }
     )
     results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -48,6 +48,41 @@ object Dedup extends graft.core.Logging {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Two-stage salted window form of [[latestPerKey]] for skewed keys.
+    *
+    * Stage 1 ranks within (keys, salt) — the hot key's history spreads
+    * over `salts` shuffle partitions, each sorting 1/salts of it — and
+    * keeps one survivor per (key, salt). Stage 2 ranks the at-most-`salts`
+    * survivors per key globally.
+    *
+    * MEASURED CAVEAT (SCALE.md skew table, round 9): on Spark 3.5+ the
+    * plain [[latestPerKey]] is already skew-proof for this shape —
+    * `InferWindowGroupLimit` turns the rn=1 filter into a map-side group
+    * limit, so the hot key ships ≤1 row per map task and this rewrite's
+    * second shuffle is pure overhead (0.98 s vs 0.60 s on the 50 %-hot-key
+    * fixture). Use the plain form (or [[latestPerKeyAgg]], fastest) on
+    * Spark 4; this form is for engines/plan shapes without group-limit
+    * inference. For windows whose FULL output is needed (no rank filter —
+    * the shape group-limit cannot prune), see
+    * [[graft.core.Skew.saltedRowNumber]].
+    *
+    * `saltExpr` must be independent of `keys` and deterministic per row
+    * (derive from a row identity, not `rand()` — retries re-draw). It is
+    * normalized with `coalesce(pmod(_, salts), 0)` so misuse can't route
+    * rows outside [0, salts) (see [[graft.core.Skew.saltedJoinBy]]). */
+  def latestPerKeySalted(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+                         saltExpr: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1; got $salts")
+    val salted = df.withColumn("__salt",
+      coalesce(pmod(saltExpr.cast("long"), lit(salts.toLong)), lit(0L)))
+    val w1 = Window.partitionBy((keys :+ "__salt").map(col): _*).orderBy(orderBy: _*)
+    val survivors = salted
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__salt")
+    latestPerKey(survivors, keys, orderBy)
+  }
+
   /** Reference-shaped join form (`clevertap.py:30-53`): per-key max
     * timestamp, inner-join back. Kept for the equivalence spec; ties
     * multiply (documented reference behavior). */

@@ -103,6 +103,49 @@ class PropertySpec extends SparkSpec {
     val agg = graft.dedup.Dedup.latestPerKeyAgg(ev, Seq("user_id"), Seq("ts", "event_id"))
       .select("user_id", "event_id").collect().toSet
     assert(win == agg)
+    // the two-stage salted window rewrite must be bit-equivalent for any
+    // salt routing: the per-(key,salt) winner set always contains the
+    // global per-key winner
+    val salted = graft.dedup.Dedup.latestPerKeySalted(ev, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc), xxhash64(col("event_id")), salts = 7)
+      .select("user_id", "event_id").collect().toSet
+    assert(win == salted)
+    // null/negative salt normalization must not drop rows
+    val nullSalt = graft.dedup.Dedup.latestPerKeySalted(ev, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc), lit(null).cast("long"), salts = 4)
+      .select("user_id", "event_id").collect().toSet
+    assert(win == nullSalt)
+  }
+
+  test("saltedRowNumber ≡ plain row_number (skewed keys, nulls, degenerate buckets)") {
+    // The full-output window rewrite must assign the EXACT same rank to
+    // every row as one global per-key sort, for any bucket count — the
+    // range-bucket + offset construction is only valid if bucket order
+    // aligns with sort order and ties never straddle a boundary.
+    val rnd = new scala.util.Random(7)
+    // skewed: ~half the rows on key 0, rest over 20 keys; duplicate order
+    // values (v = small range) force tie-breaking through the boundary
+    // logic; some null order values exercise edge-bucket routing
+    val rows = (0 until 5000).map { i =>
+      val k = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(20)
+      val v: java.lang.Long =
+        if (rnd.nextInt(50) == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+      (k, v, i)
+    }
+    val df = rows.toDF("k", "v", "id")
+    import org.apache.spark.sql.expressions.Window
+    for (desc <- Seq(true, false); buckets <- Seq(1, 4, 7)) {
+      val ord = (if (desc) col("v").desc else col("v").asc) +: Seq(col("id").asc)
+      val plain = df.withColumn("rn",
+          row_number().over(Window.partitionBy(col("k")).orderBy(ord: _*)))
+        .select("k", "id", "rn").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val salted = graft.core.Skew.saltedRowNumber(df, Seq("k"), col("v"),
+          descending = desc, tieBreakers = Seq(col("id").asc), buckets = buckets)
+        .select("k", "id", "rn").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(plain == salted, s"desc=$desc buckets=$buckets")
+    }
   }
 
   test("unscaled12 fast path ≡ BigDecimal reference (fuzz + adversarial boundaries)") {

@@ -1979,9 +1979,13 @@ SELECT n_ref, n_cand, n_both,
 FROM counts"""
 
   /** Shared tokenize + 5-gram-position CTE prefix for the span-dedup
-    * oracle family (q103–q106) — one definition so the slicing/regex can
-    * never desynchronize across the four queries (the ivfAssignCtes
-    * pattern). */
+    * oracle family (q79, q103–q106) — one definition so the slicing/regex
+    * can never desynchronize across the five queries (the ivfAssignCtes
+    * pattern). The gram key is the md5-low64 HASH of the 5-token string
+    * (('0x'||substr(md5(g),1,16))::UBIGINT ≡ the Spark side's
+    * KmvDistinct.md5Low64 bit pattern) — the oracles gate the hashed
+    * 8-byte-key path the engine actually ships at corpus scale, not a
+    * literal-string stand-in. */
   // a def, not a val: referenced from query vals declared both before and
   // after this point (q79, q103–q106) — a val would be null during the
   // object initializer for the earlier ones
@@ -1991,7 +1995,8 @@ WITH t AS (
     string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
   FROM documents),
 sp AS (
-  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 4], ' ') AS gram
+  SELECT doc_id, i AS pos,
+    ('0x' || substr(md5(array_to_string(toks[i : i + 4], ' ')), 1, 16))::UBIGINT AS gram
   FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t))"""
 
   /** q103: cross-document duplicated spans — q79's shared-gram anchors

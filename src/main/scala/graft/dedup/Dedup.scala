@@ -480,9 +480,8 @@ object Dedup extends graft.core.Logging {
     * position, linear in corpus tokens; duplicate detection is a
     * partial-aggregating groupBy on the gram key; coverage is an
     * ids-only join back plus an interval explode bounded by k·dups.
-    * Gram keys here are the literal k-token strings (bitwise
-    * oracle-portable); at corpus scale swap the key for the md5-low64
-    * gram hash ([[shingles]]) — same plan shape, 8-byte shuffle keys. */
+    * Gram keys are md5-low64 hashes (8-byte shuffle rows, oracle-gated
+    * on both engines — see [[kGramPositions]]). */
   def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 5, minDocs: Int = 2): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
@@ -506,9 +505,17 @@ object Dedup extends graft.core.Logging {
   }
 
   /** Shared (id, pos, gram) construction for the span-dedup family:
-    * one row per k-gram start position (1-based), gram key = the literal
-    * normalized k-token string (bitwise oracle-portable; at corpus scale
-    * swap for the md5-low64 gram hash — same plan, 8-byte keys). */
+    * one row per k-gram start position (1-based), gram key = the
+    * md5-low64 hash of the literal normalized k-token string
+    * ([[graft.analyze.KmvDistinct.md5Low64]] — codegen'd built-ins,
+    * DuckDB-replayable, so the HASHED path is what the q79/q103–q106
+    * oracles gate). 8-byte shuffle keys instead of k-token strings:
+    * at corpus scale the gram-key shuffle is this family's dominant
+    * byte volume, ~5× narrower hashed. A 64-bit collision would merge
+    * two unrelated grams (≈ n²/2⁶⁵ pair probability — at 10¹² grams,
+    * ~0.03 expected collisions corpus-wide, each costing at most one
+    * spurious k-token span); both engines hash identically, so parity
+    * is unaffected either way. */
   private def kGramPositions(docs: DataFrame, idCol: String, textCol: String,
                              k: Int): DataFrame =
     docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
@@ -518,7 +525,8 @@ object Dedup extends graft.core.Logging {
               i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
             .otherwise(array()))
           .as(Seq("pos0", "gram")))
-      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        graft.analyze.KmvDistinct.md5Low64(col("gram")).as("gram"))
 
   /** Start positions whose k-gram occurs in ≥ `minDocs` DISTINCT
     * documents: the anchor set for cross-document exact-substring dedup.
@@ -599,7 +607,13 @@ object Dedup extends graft.core.Logging {
       .groupBy(col(idCol)).agg(collect_set(col("p")).as("cov"))
 
   /** Shared strip tail: drop every token position in `removed`'s per-doc
-    * `cov` set, emit (id, n_tokens, n_removed, clean_text). */
+    * `cov` set, emit (id, n_tokens, n_removed, clean_text). Kept
+    * positions come from `array_except(all_positions, cov)` — a hash-set
+    * difference, O(tokens + |cov|) per document — rather than a
+    * per-token `array_contains` scan, which is O(tokens × |cov|) and
+    * quadratic exactly on the long, heavily-covered boilerplate docs
+    * this operator targets. `array_except` preserves first-argument
+    * order, so surviving tokens re-join in document order. */
   private def stripPositions(docs: DataFrame, idCol: String, textCol: String,
                              removed: DataFrame): DataFrame =
     docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
@@ -608,8 +622,13 @@ object Dedup extends graft.core.Logging {
       .select(col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("cov")).cast("long").as("n_removed"),
-        array_join(filter(col("toks"),
-          (_, i) => !array_contains(col("cov"), (i + 1).cast("long"))), " ")
+        array_join(transform(
+            array_except(
+              when(size(col("toks")) >= 1,
+                sequence(lit(1L), size(col("toks")).cast("long")))
+                .otherwise(array().cast("array<long>")),
+              col("cov")),
+            p => element_at(col("toks"), p.cast("int"))), " ")
           .as("clean_text"))
 
   /** Span-level benchmark DECONTAMINATION (the removal form of
@@ -645,8 +664,12 @@ object Dedup extends graft.core.Logging {
     * kept iff SOME anchor covering it is a canonical copy — so the
     * first document containing a boilerplate passage keeps it intact
     * and every later document loses it. Deterministic (min-struct
-    * ownership, no RNG). Returns (id, n_tokens, n_removed, clean_text)
-    * over the normalized token sequence, like the remove-all form.
+    * ownership, no RNG). "First" means the MINIMUM (id, pos) under the
+    * id column's natural sort order — lexicographic for string ids, so
+    * doc "10" precedes doc "2"; callers wanting ingestion or numeric
+    * order should pass a column that sorts that way (zero-padded or
+    * numeric ids). Returns (id, n_tokens, n_removed, clean_text) over
+    * the normalized token sequence, like the remove-all form.
     *
     * Scale shape: identical to [[stripCrossDocSpans]] plus ONE extra
     * gram-keyed aggregation (min(struct(doc,pos)) — map-side partial)

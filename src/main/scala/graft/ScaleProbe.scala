@@ -28,6 +28,9 @@ object ScaleProbe {
     "q40_minhash_neardups", "q41_simhash_neardups", "q42_ngram_jaccard",
     "q53_corpus_prep", "q63_neardup_clusters", "q70_cluster_survivors",
     "q92_dedup_agreement",
+    // span family (gram-key partial agg + ids-only join + one window):
+    // the "nothing quadratic" scaladoc claim, measured
+    "q103_crossdoc_spans", "q104_crossdoc_strip",
     // ANN family: the vec_id < 8 filter keeps the query COUNT at 8 at
     // every scale (at high replication those are near-identical replicas
     // of the lowest originals — fine for timing); corpus grows scale×
@@ -83,10 +86,24 @@ object ScaleProbe {
     // the base1 derivative is input-deterministic, so reuse it across
     // runs/scales (delete /tmp/graft_scale_base1 manually if the source
     // sf dir changes); regenerating it every run would also race a
-    // concurrent probe timing t1 against the same shared path
-    if (!new java.io.File(s"$base/documents.parquet/_SUCCESS").exists())
-      writeDerivative(1, base)
-    else System.err.println(s"[scaleprobe] reusing existing $base")
+    // concurrent probe timing t1 against the same shared path.
+    // Completeness = BOTH tables' _SUCCESS (a crash between the two
+    // writes must not pass as complete), and the build goes to a temp
+    // dir renamed into place so a partial write can never be reused.
+    def complete(dir: String): Boolean =
+      new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()
+    if (!complete(base)) {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      val tmp = new java.io.File(base + ".tmp")
+      rmrf(tmp); rmrf(new java.io.File(base))
+      writeDerivative(1, tmp.getPath)
+      require(tmp.renameTo(new java.io.File(base)),
+        s"rename $tmp -> $base failed")
+    } else System.err.println(s"[scaleprobe] reusing existing $base")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

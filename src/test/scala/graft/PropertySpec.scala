@@ -317,6 +317,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoinBackward/Forward property: equal the brute-force directional picks") {
+    import graft.relational.Relational
+    // same collision-heavy generator as the nearest test (coarse
+    // timestamps force equal-ts tiebreaks and empty directions), but the
+    // DIRECTIONAL operators asserted directly instead of via the
+    // nearest composition
+    val rnd = new java.util.Random(29)
+    val base = 1700000000000L
+    val events = (1 to 120).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(20) * 60000L)))
+    val orders = (1 to 60).map(i =>
+      ((rnd.nextInt(8) + 1).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(20) * 60000L),
+        i.toLong, rnd.nextInt(1000).toDouble))
+    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select($"event_id", $"matched_okey").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val gotB = collect(Relational.asofJoinBackward(
+      events.toDF("event_id", "user_id", "ts"),
+      orders.toDF("user_id", "odate", "okey", "price"),
+      key = "user_id", leftTs = "ts", rightTs = "odate",
+      tiebreak = "okey", payload = Seq("okey")))
+    val gotF = collect(Relational.asofJoinForward(
+      events.toDF("event_id", "user_id", "ts"),
+      orders.toDF("user_id", "odate", "okey", "price"),
+      key = "user_id", leftTs = "ts", rightTs = "odate",
+      tiebreak = "okey", payload = Seq("okey")))
+    events.foreach { case (eid, k, ts) =>
+      val mine = orders.filter(_._1 == k)
+      // backward: latest odate <= ts, equal-ts ties to LARGEST okey
+      val b = mine.filter(!_._2.after(ts))
+        .sortBy(o => (o._2.getTime, o._3)).lastOption.map(_._3)
+      // forward: earliest odate >= ts, equal-ts ties to SMALLEST okey
+      val f = mine.filter(!_._2.before(ts))
+        .sortBy(o => (o._2.getTime, o._3)).headOption.map(_._3)
+      assert(gotB(eid) == b, s"backward: event $eid key $k ts $ts")
+      assert(gotF(eid) == f, s"forward: event $eid key $k ts $ts")
+    }
+  }
+
   test("crossDocSpans/strip property: equal a local reference on random corpora") {
     import graft.dedup.Dedup
     val rnd = new java.util.Random(23)

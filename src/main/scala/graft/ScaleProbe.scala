@@ -28,19 +28,27 @@ object ScaleProbe {
     "q40_minhash_neardups", "q41_simhash_neardups", "q42_ngram_jaccard",
     "q53_corpus_prep", "q63_neardup_clusters", "q70_cluster_survivors",
     "q92_dedup_agreement",
-    // span family (gram-key partial agg + ids-only join + one window):
-    // the "nothing quadratic" scaladoc claim, measured
-    "q103_crossdoc_spans", "q104_crossdoc_strip",
     // ANN family: the vec_id < 8 filter keeps the query COUNT at 8 at
     // every scale (at high replication those are near-identical replicas
     // of the lowest originals — fine for timing); corpus grows scale×
     "q33_cosine_topk", "q48_ivf_topk", "q81_pq_topk", "q83_ivfpq_topk")
 
+  // The span family (q103/q104 shapes) is probed by a DEDICATED block on a
+  // planted-boilerplate derivative, not via the generic query list: the
+  // marker corpus above has ZERO shared 5-grams by construction (a unique
+  // marker lands inside every 5-gram window), so the span queries there
+  // time the gram aggregation but leave the anchor join, window merge, and
+  // strip tail with EMPTY inputs — and a bare count() of the strip output
+  // doesn't even run the pipeline (left-join elimination on the unique-key
+  // removal side + the 1-row ungrouped-agg shortcut; measured 0.23 s flat
+  // across 4×).
+  private val SpanProbe = "span_planted"
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scale = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
-               else Queries.toSet
+               else Queries.toSet + SpanProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -128,6 +136,63 @@ object ScaleProbe {
       val tS = best(banded(out))
       val exp = math.log(tS / t1) / math.log(scale.toDouble)
       log.println(f"""{"query":"q41_banded_4x16(mitigation)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f}""")
+    }
+    // Span family on a PLANTED-boilerplate derivative (see SpanProbe note
+    // at the top): same unique-marker body as the main derivative — no
+    // accidental cross-doc gram sharing, for the same reason the main
+    // derivative uses markers — plus a fixed 40-token passage appended to
+    // every 5th doc and a 25-token one to every 7th. Shared-span STRUCTURE
+    // is scale-invariant (a constant fraction of docs carries each
+    // passage; per-doc cov is bounded by the passage lengths) while the
+    // corpus, anchor count, and flagged-doc count all grow S× — the null
+    // hypothesis is ~linear. The strip timing forces the full pipeline
+    // through a 1-row checksum COLLECTED (not counted) so nothing is
+    // eliminated.
+    if (only.contains(SpanProbe)) {
+      import graft.dedup.Dedup
+      val boiler1 = (1 to 40).map(i => s"bp$i").mkString(" ")
+      val boiler2 = (1 to 25).map(i => s"lic$i").mkString(" ")
+      def writeSpanDerivative(s: Int, dir: String): Unit =
+        Tables.load(spark, sf, "documents")
+          .withColumn("rep", explode(lit((0 until s).toArray)))
+          .withColumn("nid", col("doc_id") * s + col("rep"))
+          .select(col("nid").as("doc_id"),
+            concat(
+              array_join(transform(split(col("text"), " "),
+                (w, i) => when(i % 3 === 2,
+                  concat(w, lit(" zq"),
+                    abs(xxhash64(col("doc_id"), col("rep"), i)).cast("string")))
+                  .otherwise(w)), " "),
+              when(pmod(col("nid"), lit(5L)) === 0, lit(" " + boiler1))
+                .otherwise(lit("")),
+              when(pmod(col("nid"), lit(7L)) === 0, lit(" " + boiler2))
+                .otherwise(lit(""))).as("text"))
+          .write.mode("overwrite").parquet(s"file:$dir/documents.parquet")
+      val spanBase = "/tmp/graft_span_base1"
+      val spanOut = s"/tmp/graft_span_scale$scale"
+      if (!new java.io.File(s"$spanBase/documents.parquet/_SUCCESS").exists())
+        writeSpanDerivative(1, spanBase)
+      else System.err.println(s"[scaleprobe] reusing existing $spanBase")
+      writeSpanDerivative(scale, spanOut)
+      def docs(dir: String): DataFrame =
+        spark.read.parquet(s"file:$dir/documents.parquet")
+      def spans(dir: String): Unit = {
+        Dedup.crossDocSpans(docs(dir), "doc_id", "text",
+          k = 5, minDocs = 2).count(); ()
+      }
+      def strip(dir: String): Unit = {
+        Dedup.stripCrossDocSpans(docs(dir), "doc_id", "text",
+            k = 5, minDocs = 2)
+          .select(sum(length(col("clean_text"))), sum(col("n_removed")))
+          .collect(); ()
+      }
+      Seq("q103_spans(planted)" -> (spans _),
+          "q104_strip(planted)" -> (strip _)).foreach { case (nm, f) =>
+        val t1 = best(f(spanBase))
+        val tS = best(f(spanOut))
+        val exp = math.log(tS / t1) / math.log(scale.toDouble)
+        log.println(f"""{"query":"$nm","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f}""")
+      }
     }
     log.close()
     spark.stop()

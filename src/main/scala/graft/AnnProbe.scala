@@ -38,7 +38,13 @@ import graft.analyze.{Ivf, Pq, Similarity}
   *
   * Results append as JSON lines to /tmp/ann_results.txt (crash-safe,
   * same convention as ScaleProbe). Args: comma-separated corpus sizes
-  * (default "250000,1000000,4000000"). */
+  * (default "250000,1000000,4000000"); optional second arg = comma-
+  * separated nprobe values to SWEEP (e.g. "2,4,8,16") — each sweep
+  * point re-times IVF and IVFPQ search at that nprobe and re-measures
+  * recall@10 vs the same cached exact answer, emitting one extra JSON
+  * line per point. The sweep is the tooling behind SCALE.md's nprobe
+  * sizing guidance: recall-vs-nprobe is corpus-dependent, so a user
+  * picks nprobe from a measured curve, not folklore. */
 object AnnProbe {
   private val Dim = 64
   private val K = 10
@@ -47,6 +53,9 @@ object AnnProbe {
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.getOrElse("250000,1000000,4000000")
       .split(",").map(_.trim.toLong)
+    val sweepNProbes: Array[Int] =
+      if (args.length > 1) args(1).split(",").map(_.trim.toInt)
+      else Array.empty
     val log = new java.io.PrintWriter(
       new java.io.FileWriter("/tmp/ann_results.txt", true), true)
     val spark = SparkSession.builder()
@@ -142,6 +151,21 @@ object AnnProbe {
         Pq.adcTopK(codes, queries, "id", "vec", cb, K))
       val recallIvfpq = recallOf(
         Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, NProbe))
+
+      // nprobe sweep: same index/codes/exact artifacts, one line per
+      // requested nprobe — the recall-vs-cost curve a user sizes nprobe
+      // from (the headline line above is fixed at nprobe = 8)
+      sweepNProbes.foreach { p =>
+        val tIvfP = best(
+          Ivf.search(index, queries, "id", "vec", K, p).count())
+        val rIvfP = recallOf(Ivf.search(index, queries, "id", "vec", K, p))
+        val tIvfpqP = best(
+          Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, p).count())
+        val rIvfpqP = recallOf(
+          Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, p))
+        log.println(
+          f"""{"n":$n,"sweep_nprobe":$p,"t_ivf":$tIvfP%.3f,"recall":$rIvfP%.3f,"t_ivfpq":$tIvfpqP%.3f,"recall_ivfpq":$rIvfpqP%.3f}""")
+      }
       exact.unpersist(blocking = false)
 
       // break-even: query batches (of 8) until the build cost is repaid

@@ -1768,6 +1768,102 @@ SELECT d.doc_id,
 FROM t d LEFT JOIN scored s USING (doc_id)
 ORDER BY d.doc_id"""
 
+  /** q109: PQ recall@5 on a PLANTED-CLUSTER derivative of the embeddings
+    * ids — ceil(n/6) clusters, md5-keyed integer centers in [-6,6] per
+    * dim, per-vector noise < 0.1, all engine-portable ('0x'||md5-substr
+    * ::UINTEGER ≡ Spark's conv(...,16,10)). Replays q81's full PQ
+    * pipeline (ks=256 lowest-id codebook, m=4 subspaces, decimal ADC)
+    * and q86's recall tail (exact cosine top-5, n_hit, one final IEEE
+    * division). Geometry makes both top-5 sets the query's 5 cluster
+    * co-members, so recall gates at 1.0 — the structured-data
+    * counterpart to AnnProbe's 0.13–0.16 hash-vector floor. */
+  private val q109 = """
+WITH params AS (
+  SELECT CAST((COUNT(*) + 5) // 6 AS BIGINT) AS nc FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 63)) AS i0),
+e2 AS (
+  SELECT v.vec_id, d.i0 + 1 AS i, CAST(CAST(
+      ((CAST(('0x' || substr(md5('q109c_' || CAST(v.vec_id % p.nc AS VARCHAR)
+          || '_' || CAST(d.i0 AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) % 13) - 6)
+      + ((CAST(('0x' || substr(md5('q109n_' || CAST(v.vec_id AS VARCHAR)
+          || '_' || CAST(d.i0 AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) % 97) / 1000.0)
+    AS REAL) AS DOUBLE) AS x
+  FROM embeddings v CROSS JOIN dims d CROSS JOIN params p),
+sub AS (SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS s, i, x FROM e2),
+n2sub AS (
+  SELECT vec_id, s, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM sub GROUP BY 1, 2),
+cent AS (
+  SELECT vec_id AS cvec,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code
+  FROM embeddings ORDER BY vec_id LIMIT 256),
+cb AS (
+  SELECT c.code, sb.s, sb.i, sb.x FROM cent c JOIN sub sb ON sb.vec_id = c.cvec),
+cn2 AS (
+  SELECT s, code, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM cb GROUP BY 1, 2),
+edots AS (
+  SELECT a.vec_id, b.s, b.code,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM sub a JOIN cb b ON b.s = a.s AND b.i = a.i
+  GROUP BY 1, 2, 3),
+edist AS (
+  SELECT d.vec_id, d.s, d.code, (na.n2 + nc2.n2 - 2 * d.dot) AS dist
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN cn2 nc2 ON nc2.s = d.s AND nc2.code = d.code),
+eranked AS (
+  SELECT vec_id, s, code,
+    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+  FROM edist),
+codes AS (SELECT vec_id, s, code FROM eranked WHERE rn = 1),
+lut AS (
+  SELECT d.vec_id, d.s, d.code,
+    CAST(na.n2 AS DECIMAL(30,12)) + CAST(nc2.n2 AS DECIMAL(30,12))
+      - CAST(d.dot AS DECIMAL(30,12)) - CAST(d.dot AS DECIMAL(30,12)) AS dd
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN cn2 nc2 ON nc2.s = d.s AND nc2.code = d.code
+  WHERE d.vec_id < 8),
+adc AS (
+  SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(l.dd) AS dist_dec
+  FROM lut l JOIN codes c ON c.s = l.s AND c.code = l.code
+  WHERE c.vec_id <> l.vec_id
+  GROUP BY 1, 2),
+ar AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY dist_dec, neighbor_id) AS rn
+  FROM adc),
+approx AS (SELECT query_id, neighbor_id FROM ar WHERE rn <= 5),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+xdots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i
+  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+xcosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM xdots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id),
+xr AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM xcosv),
+exact AS (SELECT query_id, neighbor_id FROM xr WHERE rn <= 5),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(a2.neighbor_id) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a2
+    ON a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
+  GROUP BY 1)
+SELECT query_id, n_hit, CAST(n_hit AS DOUBLE) / 5.0 AS recall
+FROM hits ORDER BY query_id"""
+
   private val q88 = """
 WITH t AS (
   SELECT doc_id,
@@ -2446,6 +2542,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q106_span_decontamination" -> q106,
     "q107_cluster_sample" -> q107,
     "q108_bigram_lm" -> q108,
+    "q109_pq_recall_clustered" -> q109,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1134,6 +1134,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q109_pq_recall_clustered(s: SparkSession, dir: String): DataFrame = {
+    // PQ recall on CLUSTERED vectors — the counterpart to the recorded
+    // worst case (AnnProbe: recall 0.13–0.16 on structure-free hash
+    // vectors). Planted-cluster derivative over the embeddings ids:
+    // ceil(n/6) clusters (≈6 members each at every sf), md5-keyed integer
+    // centers in [-6,6] per dim, per-vector noise < 0.1 — so a query's
+    // exact cosine top-5 and the ADC top-5 are both its 5 co-members and
+    // recall is 1.0 by geometry, not luck. ks=256 lowest-id codebook
+    // rows cover every query's cluster. Oracle replays the identical
+    // construction (md5 centers/noise are engine-portable).
+    import graft.analyze.Pq
+    val nc = (t(s, dir, "embeddings").count() + 5) / 6
+    def h(prefix: String, a: Column, b: Column): Column =
+      conv(substring(md5(concat(lit(prefix), a.cast("string"), lit("_"),
+        b.cast("string"))), 1, 8), 16, 10).cast("long")
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (((h("q109c_", pmod(col("vec_id"), lit(nc)), i) % 13) - 6)
+            .cast("double")
+          + (h("q109n_", col("vec_id"), i) % 97).cast("double") / 1000.0)
+        .cast("float")).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val cb = Pq.buildSampled(emb, "vec_id", "embedding", m = 4, ks = 256)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      k = 5)
+    val approx = Pq.adcTopK(codes, queries, "vec_id", "embedding", cb, k = 5)
+    Similarity.annRecall(exact, approx, "query_id", "neighbor_id", k = 5)
+      .orderBy("query_id")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1459,6 +1490,7 @@ object SparkEntry {
     "q106_span_decontamination" -> (q106_span_decontamination _),
     "q107_cluster_sample" -> (q107_cluster_sample _),
     "q108_bigram_lm" -> (q108_bigram_lm _),
+    "q109_pq_recall_clustered" -> (q109_pq_recall_clustered _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

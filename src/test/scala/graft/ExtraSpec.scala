@@ -441,6 +441,72 @@ class ExtraSpec extends SparkSpec {
     assert(onDisk.columns.contains("idempotencyKey"))
   }
 
+  test("streaming: job-shaped dedup → egressStreamToPath pipeline; epoch replay is idempotent") {
+    // The at-scale egress twin driven through a FULL job shape: changelog
+    // source → incremental dedup (in-stream + historical) → JSON payload →
+    // path-form egress. Then the failure mode the epoch-keyed design
+    // exists for: Structured Streaming re-runs WHOLE epochs after a
+    // checkpoint loss, so the same input replays as epoch 0 again — the
+    // destination must see the SAME idempotency keys (content-hash,
+    // epoch-prefixed) and the results path must overwrite epoch=0, not
+    // append a duplicate audit trail. batchSize = 1 keys each payload by
+    // its own md5, so the key sets are order-independent.
+    val dir = Files.createTempDirectory("graft-stream6").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      (1L, "fpA", t(100)), // in history -> dropped
+      (2L, "fpC", t(110)), // novel -> egressed
+      (3L, "fpC", t(120)), // in-stream dup (skewed ts) -> dropped
+      (4L, "fpD", t(130)), // novel -> egressed
+      (5L, "fpE", t(140))) // novel -> egressed
+      .toDF("doc_id", "fp", "ts").write.parquet(s"$dir/in")
+    val inSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("fp", StringType), StructField("ts", TimestampType)))
+    val history = Seq("fpA").toDF("fp")
+    // `send` runs inside executor tasks: a closure-captured buffer would
+    // be a DESERIALIZED COPY there, so capture through the JVM-static
+    // holder below (same JVM in local mode)
+    val sentKeys = EgressReplayCapture.keys
+    def run(ckpt: String): Unit = {
+      val deduped = StreamingDedup.incrementalDedupStream(
+        StreamingDedup.changelogStream(spark, s"$dir/in", inSchema),
+        "fp", "ts", "10 minutes", history)
+        .select(to_json(struct($"doc_id", $"fp")).as("payload"))
+      val q = StreamingDedup.egressStreamToPath(deduped, "payload",
+          batchSize = 1,
+          (key, _) => { EgressReplayCapture.keys.add(key); (200, "ok") },
+          s"$dir/results", (_, _) => ())
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def key(id: Long, fp: String) = "0-" + md5(s"""{"doc_id":$id,"fp":"$fp"}""")
+    run(s"$dir/ckpt1")
+    val firstSent = sentKeys.toArray.map(_.toString).sorted.toSeq
+    // dedup held: one fpC carrier (dropDuplicatesWithinWatermark keeps
+    // the first PROCESSED row — doc 2 or doc 3, processing order decides,
+    // and the replay assertion below pins that the choice is stable),
+    // plus fpD, fpE; fpA never egressed (history). Epoch prefix = 0.
+    assert(firstSent.size == 3)
+    assert(firstSent.count(k => k == key(2, "fpC") || k == key(3, "fpC")) == 1)
+    assert(firstSent.contains(key(4, "fpD")) && firstSent.contains(key(5, "fpE")))
+    def audit() = spark.read.parquet(s"$dir/results")
+      .select($"idempotencyKey", $"records", $"ok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val firstAudit = audit()
+    assert(firstAudit.map(_._2).sum == 3 && firstAudit.forall(_._3))
+    // replay: lose the checkpoint, keep the results path — same files
+    // re-run as epoch 0
+    sentKeys.clear()
+    run(s"$dir/ckpt2")
+    val replaySent = sentKeys.toArray.map(_.toString).sorted.toSeq
+    assert(replaySent == firstSent) // destination can dedupe on the key
+    assert(audit() == firstAudit)   // epoch-keyed overwrite: no duplication
+  }
+
   test("multimodal: synthesize → decode → features → resize plan → frames") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = MultiModal.synthesizeFromDocs(docs).repartition(4).cache()
@@ -703,4 +769,11 @@ class ExtraSpec extends SparkSpec {
       assert(streamed == batch && streamed.size == 5)
     } finally q.stop()
   }
+}
+
+/** JVM-static capture for the egress-replay spec: executor-side `send`
+  * callbacks land here (closure capture would write to a deserialized
+  * copy of any spec-local buffer). */
+object EgressReplayCapture {
+  val keys = new java.util.concurrent.CopyOnWriteArrayList[String]()
 }

@@ -56,6 +56,23 @@ object AnnProbe {
     val sweepNProbes: Array[Int] =
       if (args.length > 1) args(1).split(",").map(_.trim.toInt)
       else Array.empty
+    // third arg: corpus shape. "hash" (default) = structure-free uniform
+    // vectors — the recall worst case. "clustered" = 250 planted fuzzy
+    // clusters (md5-deterministic centers in [0,1)^64, 0.3-amplitude
+    // per-vector noise): true neighbors are cluster co-members, and at
+    // nlist = √n ≫ 250 each cluster SPLINTERS across ~nlist/250 cells —
+    // so recall must climb with nprobe and the sweep shows a real knee,
+    // the regime the nprobe guidance is written for. Also the at-scale
+    // test of "PQ recalls correctly on structured data" (PqSpec proves
+    // it at toy size; the hash fixture floor is 0.13–0.16).
+    val mode = if (args.length > 2) args(2) else "hash"
+    // fourth arg: re-rank candidate width as a multiple of K (default
+    // 10·K). The re-rank can only reorder what ADC retrieved, and ADC
+    // breaks within-cluster ties by id — so recall after re-rank is
+    // bounded by how much of the TIE SET the width covers. On tightly
+    // clustered corpora that means width ≳ cluster occupancy of the
+    // best code, not a small constant.
+    val rerankMult = if (args.length > 3) args(3).toInt else 10
     val log = new java.io.PrintWriter(
       new java.io.FileWriter("/tmp/ann_results.txt", true), true)
     val spark = SparkSession.builder()
@@ -76,12 +93,24 @@ object AnnProbe {
       System.gc(); time(f); math.min(time(f), time(f))
     }
     sizes.foreach { n =>
-      val dir = s"/tmp/graft_ann_$n"
+      val dir =
+        if (mode == "hash") s"/tmp/graft_ann_$n"
+        else s"/tmp/graft_ann_${mode}_$n"
       // deterministic synthetic corpus, generated distributed
-      spark.range(n).select(col("id"),
+      val u = (salt: String, key: org.apache.spark.sql.Column,
+               d: org.apache.spark.sql.Column) =>
+        pmod(xxhash64(key, d, lit(salt)), lit(1000000L))
+          .cast("double") / lit(1000000.0)
+      val vecExpr =
+        if (mode == "clustered")
+          transform(sequence(lit(0), lit(Dim - 1)), d =>
+            (u("c", pmod(col("id"), lit(250L)), d)
+              + u("n", col("id"), d) * lit(0.3)).cast("float"))
+        else
           transform(sequence(lit(0), lit(Dim - 1)),
             d => (pmod(xxhash64(col("id"), d), lit(1000000L))
-              .cast("double") / lit(1000000.0)).cast("float")).as("vec"))
+              .cast("double") / lit(1000000.0)).cast("float"))
+      spark.range(n).select(col("id"), vecExpr.as("vec"))
         .write.mode("overwrite").parquet(s"file:$dir/corpus")
       val corpus = spark.read.parquet(s"file:$dir/corpus")
       val queries = corpus.filter(col("id") < 8)
@@ -163,8 +192,17 @@ object AnnProbe {
           Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, p).count())
         val rIvfpqP = recallOf(
           Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec", K, p))
+        // ADC-retrieve wide (10·K) + exact re-rank to K — the production
+        // tail that rescues PQ's within-cluster tie collapse; its cost
+        // rides the same probed scan plus a candidate-set re-rank
+        def reranked() = Similarity.rerankExact(
+          Pq.ivfpqTopK(index, cb, codes, queries, "id", "vec",
+            K * rerankMult, p),
+          corpus, queries, "id", "vec", K)
+        val tRerank = best(reranked().count())
+        val rRerank = recallOf(reranked())
         log.println(
-          f"""{"n":$n,"sweep_nprobe":$p,"t_ivf":$tIvfP%.3f,"recall":$rIvfP%.3f,"t_ivfpq":$tIvfpqP%.3f,"recall_ivfpq":$rIvfpqP%.3f}""")
+          f"""{"n":$n,"mode":"$mode","sweep_nprobe":$p,"rerank_mult":$rerankMult,"t_ivf":$tIvfP%.3f,"recall":$rIvfP%.3f,"t_ivfpq":$tIvfpqP%.3f,"recall_ivfpq":$rIvfpqP%.3f,"t_ivfpq_rerank":$tRerank%.3f,"recall_ivfpq_rerank":$rRerank%.3f}""")
       }
       exact.unpersist(blocking = false)
 
@@ -174,7 +212,7 @@ object AnnProbe {
       val breakEven =
         if (saving > 0) (tBuild / saving).ceil.toLong else -1L
       log.println(
-        f"""{"n":$n,"nlist":$nlist,"t_brute":$tBrute%.3f,"t_ivf":$tIvf%.3f,"t_ivf_flat":$tIvfFlat%.3f,"t_build":$tBuild%.3f,"recall":$recall%.3f,"break_even_batches":$breakEven,"t_encode":$tEncode%.3f,"t_adc":$tAdc%.3f,"t_ivfpq":$tIvfpq%.3f,"recall_adc":$recallAdc%.3f,"recall_ivfpq":$recallIvfpq%.3f}""")
+        f"""{"n":$n,"mode":"$mode","nlist":$nlist,"t_brute":$tBrute%.3f,"t_ivf":$tIvf%.3f,"t_ivf_flat":$tIvfFlat%.3f,"t_build":$tBuild%.3f,"recall":$recall%.3f,"break_even_batches":$breakEven,"t_encode":$tEncode%.3f,"t_adc":$tAdc%.3f,"t_ivfpq":$tIvfpq%.3f,"recall_adc":$recallAdc%.3f,"recall_ivfpq":$recallIvfpq%.3f}""")
     }
     log.close()
     spark.stop()

@@ -1536,6 +1536,90 @@ r2 AS (
 SELECT query_id, neighbor_id, dist, "rank" FROM r2
 WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
+  /** q110: ADC-retrieve + exact re-rank — q83's IVFPQ CTEs widened to
+    * top-20 candidates, then a true-vector exact-cosine re-rank to the
+    * final top-5 (q33's cos parity: decimal dots, sqrt norms, one IEEE
+    * division; ties to neighbor_id). */
+  private val q110 = ivfAssignCtes + """,
+probes AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE vec_id < 8 AND rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+sub AS (SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS s, i, x FROM e2),
+n2sub AS (
+  SELECT vec_id, s, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM sub GROUP BY 1, 2),
+pcent AS (
+  SELECT vec_id AS cvec,
+    CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+pcb AS (
+  SELECT c.code, sb.s, sb.i, sb.x FROM pcent c JOIN sub sb ON sb.vec_id = c.cvec),
+pcn2 AS (
+  SELECT s, code, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM pcb GROUP BY 1, 2),
+edots AS (
+  SELECT a.vec_id, b.s, b.code,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM sub a JOIN pcb b ON b.s = a.s AND b.i = a.i
+  GROUP BY 1, 2, 3),
+edist AS (
+  SELECT d.vec_id, d.s, d.code, (na.n2 + nc.n2 - 2 * d.dot) AS dist
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN pcn2 nc ON nc.s = d.s AND nc.code = d.code),
+eranked AS (
+  SELECT vec_id, s, code,
+    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+  FROM edist),
+codes AS (SELECT vec_id, s, code FROM eranked WHERE rn = 1),
+lut AS (
+  SELECT d.vec_id, d.s, d.code,
+    CAST(na.n2 AS DECIMAL(30,12)) + CAST(nc.n2 AS DECIMAL(30,12))
+      - CAST(d.dot AS DECIMAL(30,12)) - CAST(d.dot AS DECIMAL(30,12)) AS dd
+  FROM edots d
+  JOIN n2sub na ON na.vec_id = d.vec_id AND na.s = d.s
+  JOIN pcn2 nc ON nc.s = d.s AND nc.code = d.code
+  WHERE d.vec_id < 8),
+adc AS (
+  SELECT c.query_id, cd.vec_id AS neighbor_id, SUM(l.dd) AS dist_dec
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN lut l ON l.vec_id = c.query_id AND l.s = cd.s AND l.code = cd.code
+  GROUP BY 1, 2),
+r2 AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+        ORDER BY dist_dec, neighbor_id) AS rn
+  FROM adc),
+cand20 AS (SELECT query_id, neighbor_id FROM r2 WHERE rn <= 20),
+rnorms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+rdots AS (
+  SELECT c.query_id, c.neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand20 c
+  JOIN e2 a ON a.vec_id = c.query_id
+  JOIN e2 b ON b.vec_id = c.neighbor_id AND b.i = a.i
+  GROUP BY 1, 2),
+rcos AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM rdots
+  JOIN rnorms nq ON nq.vec_id = query_id
+  JOIN rnorms nn ON nn.vec_id = neighbor_id),
+rr AS (
+  SELECT query_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS "rank"
+  FROM rcos)
+SELECT query_id, neighbor_id, cos, "rank" FROM rr
+WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -2543,6 +2627,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q107_cluster_sample" -> q107,
     "q108_bigram_lm" -> q108,
     "q109_pq_recall_clustered" -> q109,
+    "q110_ivfpq_rerank" -> q110,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1165,6 +1165,25 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  private def q110_ivfpq_rerank(s: SparkSession, dir: String): DataFrame = {
+    // ADC-retrieve + exact re-rank (the production ANN tail): q83's
+    // IVFPQ retrieves top-20 candidates per query, true vectors re-rank
+    // to the final top-5. This is the fix for PQ's within-cluster tie
+    // collapse (SCALE.md round 9: ADC finds the right cluster but
+    // co-members share codes, so fine ordering needs true vectors);
+    // re-rank pays candidate-set cost, never a corpus scan.
+    import graft.analyze.{Ivf, Pq}
+    val emb = t(s, dir, "embeddings")
+    val ivf = Ivf.buildSampled(emb, "vec_id", "embedding", nlist = 16)
+    val cb = Pq.buildSampled(emb, "vec_id", "embedding", m = 4, ks = 16)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") < 8)
+    val cand = Pq.ivfpqTopK(ivf, cb, codes, queries, "vec_id", "embedding",
+      k = 20, nprobe = 4)
+    Similarity.rerankExact(cand, emb, queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1491,6 +1510,7 @@ object SparkEntry {
     "q107_cluster_sample" -> (q107_cluster_sample _),
     "q108_bigram_lm" -> (q108_bigram_lm _),
     "q109_pq_recall_clustered" -> (q109_pq_recall_clustered _),
+    "q110_ivfpq_rerank" -> (q110_ivfpq_rerank _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

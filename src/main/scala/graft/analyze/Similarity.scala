@@ -131,6 +131,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Exact re-rank of approximate candidates — the standard production
+    * tail behind a compressed retriever (retrieve wide with ADC, order
+    * fine with true vectors). Takes (query_id, neighbor_id) candidate
+    * pairs, fetches both true vectors, scores exact-decimal cosine, and
+    * keeps the top `k` per query (ties to neighbor_id).
+    *
+    * Why it exists (measured, SCALE.md round 9): on strongly clustered
+    * corpora PQ/ADC retrieves the RIGHT cluster but cannot order within
+    * it — co-members quantize to the same codes, ADC distances tie, and
+    * rank falls to the id tie-break, collapsing recall@10 to ~0 against
+    * exact ordering even though every hit is a true near neighbor.
+    * Re-ranking the retriever's top-k' restores exact order at
+    * candidate-set cost (k' vectors per query), never a corpus scan.
+    *
+    * Scale shape: candidates are ids-only; the corpus joins by neighbor
+    * id (hash join ships only candidate vectors), queries broadcast.
+    * Candidates per query are bounded by the retriever's k', so the
+    * single-level window applies (see [[topKPerQuery]]'s applicability
+    * note). */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    // exact-decimal dot/norms (the q33 parity policy), so the re-ranked
+    // order — and the emitted cos — is bitwise-reproducible and
+    // SQL-oracle-verifiable; the plain double fold would drift in the
+    // last ulps and flip near-ties
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      dotExact(col(vecCol), col(vecCol)).as("qn2"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      dotExact(col(vecCol), col(vecCol)).as("cn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates.select("query_id", "neighbor_id")
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        when(sqrt(col("qn2")) * sqrt(col("cn2")) > 0,
+          dotExact(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))).otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Deterministic md5-derived hyperplane weights (reproducible in any
     * engine with md5 — see the DuckDB oracle). Delegates to LshWeights. */
   def md5Hyperplane(bit: Int, dim: Int): Array[Double] =

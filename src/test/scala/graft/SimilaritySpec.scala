@@ -43,6 +43,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerankExact restores exact order over a candidate set and never invents candidates") {
+    val df = vecs.toDF("id", "v")
+    val lookup = vecs.toMap
+    // candidate sets chosen to EXCLUDE some true top neighbors: the
+    // re-rank must return the exact-cosine order RESTRICTED to the
+    // candidates, not the global top (that's the retriever's job)
+    val candidateIds = vecs.map(_._1).filter(i => i % 3 != 0 && i >= 2)
+    val cands = (for (q <- Seq(0L, 1L); n <- candidateIds)
+      yield (q, n)).toDF("query_id", "neighbor_id")
+    val got = Similarity.rerankExact(cands, df, df.filter($"id" < 2L),
+        "id", "v", k = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for (q <- Seq(0L, 1L)) {
+      val expected = candidateIds.filter(_ != q)
+        .map(i => (i, naiveCos(lookup(q), lookup(i))))
+        .sortBy { case (i, c) => (-c, i) }.take(4).map(_._1)
+      assert(got(q) == expected, s"query $q")
+      assert(got(q).forall(candidateIds.contains), s"query $q invented a row")
+    }
+  }
+
   test("topKPerQuery == single global rank, across partitionings and ties") {
     // The two-level rank must be IDENTICAL to the naive one-window form
     // for any input partitioning — including tied scores, where only the

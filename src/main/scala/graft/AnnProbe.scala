@@ -66,6 +66,11 @@ object AnnProbe {
     // test of "PQ recalls correctly on structured data" (PqSpec proves
     // it at toy size; the hash fixture floor is 0.13–0.16).
     val mode = if (args.length > 2) args(2) else "hash"
+    // fail fast on a typo: an unknown mode would silently fall through
+    // to hash vectors while every JSON line carries the typo'd label —
+    // a hash-vector curve masquerading as a clustered one
+    require(mode == "hash" || mode == "clustered",
+      s"corpus mode must be 'hash' or 'clustered'; got '$mode'")
     // fourth arg: re-rank candidate width as a multiple of K (default
     // 10·K). The re-rank can only reorder what ADC retrieved, and ADC
     // breaks within-cluster ties by id — so recall after re-rank is

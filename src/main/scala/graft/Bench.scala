@@ -134,13 +134,16 @@ object Bench {
     // fixture: 10× lineitem ≈ 6M rows at sf0.1; rid = deterministic row
     // identity (drives the retry-safe salt); 50 % of rows on hot key 0,
     // the rest uniform over 100k keys — the dim side (100k rows) is
-    // replicable ×32 but represents one too big to broadcast
+    // replicable ×32 but represents one too big to broadcast.
+    // shiftright(rid,1) before the modulus: hotness consumed the parity
+    // bit, so pmod(rid, 100000) over the odd remainder would yield only
+    // the 50k odd residues and half the dim side would never match
     val li = graft.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"))
     li.withColumn("rep", explode(lit((0 until 10).toArray)))
       .withColumn("rid", xxhash64(col("l_orderkey"), col("l_linenumber"), col("rep")))
       .withColumn("k", when(pmod(col("rid"), lit(2L)) === 0, lit(0L))
-        .otherwise(pmod(col("rid"), lit(100000L))))
+        .otherwise(pmod(shiftright(col("rid"), 1), lit(100000L))))
       // 16-byte payload: heavy enough that rows materialize through the
       // shuffle, light enough that the hot reducer's SORT (rows), not
       // shuffle I/O (bytes), is what the skew variants differ on

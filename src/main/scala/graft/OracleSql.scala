@@ -1595,9 +1595,6 @@ r2 AS (
         ORDER BY dist_dec, neighbor_id) AS rn
   FROM adc),
 cand20 AS (SELECT query_id, neighbor_id FROM r2 WHERE rn <= 20),
-rnorms AS (
-  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
-  FROM e2 GROUP BY 1),
 rdots AS (
   SELECT c.query_id, c.neighbor_id,
     CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
@@ -1610,8 +1607,8 @@ rcos AS (
     CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
          THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
   FROM rdots
-  JOIN rnorms nq ON nq.vec_id = query_id
-  JOIN rnorms nn ON nn.vec_id = neighbor_id),
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id),
 rr AS (
   SELECT query_id, neighbor_id, cos,
     CAST(row_number() OVER (PARTITION BY query_id

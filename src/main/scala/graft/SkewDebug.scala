@@ -44,8 +44,10 @@ object SkewDebug {
       .select(col("l_orderkey"), col("l_linenumber"))
     li.withColumn("rep", explode(lit((0 until 10).toArray)))
       .withColumn("rid", xxhash64(col("l_orderkey"), col("l_linenumber"), col("rep")))
+      // shiftright strips the parity bit hotness consumed — without it
+      // only the 50k odd residues appear (see Bench.skewStress)
       .withColumn("k", when(pmod(col("rid"), lit(2L)) === 0, lit(0L))
-        .otherwise(pmod(col("rid"), lit(100000L))))
+        .otherwise(pmod(shiftright(col("rid"), 1), lit(100000L))))
       .select(col("k"), col("rid"),
         substring(md5(col("rid").cast("string")), 1, 16).as("payload"))
       .repartition(32)
@@ -60,13 +62,28 @@ object SkewDebug {
 
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // task-end events arrive on the async listener bus; without waiting
+    // for it to drain, prime-run events land after the reset (inflating
+    // maxTask) and the timed run's straggler — the one task this probe
+    // exists to see — can be read before its event arrives
+    def quiesce(): Unit = {
+      var prev = -1; var same = 0
+      while (same < 3) {
+        val cur = listener.synchronized(nTasks)
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+        Thread.sleep(100)
+      }
+    }
     def run(name: String)(f: => Unit): Unit = {
       f // prime
       System.gc()
-      maxTaskMs = 0; sumTaskMs = 0; nTasks = 0
+      quiesce()
+      listener.synchronized { maxTaskMs = 0; sumTaskMs = 0; nTasks = 0 }
       val t0 = System.nanoTime(); f
       val wall = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[skewdbg] $name%-28s wall=$wall%6.2fs maxTask=${maxTaskMs / 1000.0}%6.2fs sumTask=${sumTaskMs / 1000.0}%7.2fs tasks=$nTasks")
+      quiesce()
+      val (mx, sm, n) = listener.synchronized((maxTaskMs, sumTaskMs, nTasks))
+      System.err.println(f"[skewdbg] $name%-28s wall=$wall%6.2fs maxTask=${mx / 1000.0}%6.2fs sumTask=${sm / 1000.0}%7.2fs tasks=$n")
     }
 
     val ord = Seq(col("rid").desc, col("payload").desc)

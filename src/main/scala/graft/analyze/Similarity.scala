@@ -164,7 +164,11 @@ object Similarity {
       dotExact(col(vecCol), col(vecCol)).as("cn2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.select("query_id", "neighbor_id")
+    // distinct: merged candidate sets (two retrievers unioned) repeat
+    // (query, neighbor) pairs; without dedup a repeat occupies two top-k
+    // slots and silently evicts the k-th real neighbor (same hazard
+    // annRecall guards its pair projections against)
+    candidates.select("query_id", "neighbor_id").distinct()
       .join(c, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",

@@ -81,12 +81,15 @@ object Skew {
     * hot key — whose distribution dominates the global quantiles — splits
     * evenly. Nulls in `rangeOn` sort the way Spark windows sort them
     * (asc = nulls first, desc = nulls last) and land in the matching edge
-    * bucket. `out` must not collide with an existing column. */
+    * bucket. Null values in `keys` form their own group (the offsets
+    * join is null-safe), matching `Window.partitionBy` semantics.
+    * `out` must not collide with an existing column. */
   def saltedRowNumber(df: DataFrame, keys: Seq[String], rangeOn: Column,
                       descending: Boolean, tieBreakers: Seq[Column],
                       buckets: Int, out: String = "rn"): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1; got $buckets")
-    val tmp = Seq("__srn_v", "__srn_bkt", "__srn_lrn", "__srn_cnt", "__srn_off")
+    val tmp = Seq("__srn_v", "__srn_bkt", "__srn_lrn", "__srn_cnt", "__srn_off") ++
+      (keys :+ "__srn_bkt").map(c => s"__srn_r_$c")
     val clash = (tmp :+ out).filter(df.columns.contains)
     require(clash.isEmpty,
       s"saltedRowNumber: column(s) ${clash.mkString(", ")} already exist in input")
@@ -117,7 +120,15 @@ object Skew {
     val offs = counts
       .withColumn("__srn_off", coalesce(sum("__srn_cnt").over(wOff), lit(0L)))
       .drop("__srn_cnt")
-    local.join(offs, keys :+ "__srn_bkt")
+    // null-safe join: windows/groupBy treat a null key as its own group,
+    // so the offsets join must too — a plain USING join would drop every
+    // null-key row (null = null is null), breaking the "rank attached to
+    // EVERY row" contract for nullable keys
+    val joinCols = keys :+ "__srn_bkt"
+    val offsR = joinCols.foldLeft(offs)((d, c) =>
+      d.withColumnRenamed(c, s"__srn_r_$c"))
+    val cond = joinCols.map(c => local(c) <=> offsR(s"__srn_r_$c")).reduce(_ && _)
+    local.join(offsR, cond)
       .withColumn(out,
         (col("__srn_lrn").cast("long") + col("__srn_off")).cast("int"))
       .select(df.columns.map(col) :+ col(out): _*)

@@ -73,6 +73,12 @@ object Dedup extends graft.core.Logging {
   def latestPerKeySalted(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
                          saltExpr: Column, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1; got $salts")
+    // same guard as Skew.saltedRowNumber / Similarity.topKPerQuery:
+    // withColumn would silently replace a caller's column of the same
+    // name and the final drop would destroy it
+    val clash = Seq("__salt", "__rn").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"latestPerKeySalted: column(s) ${clash.mkString(", ")} already exist in input")
     val salted = df.withColumn("__salt",
       coalesce(pmod(saltExpr.cast("long"), lit(salts.toLong)), lit(0L)))
     val w1 = Window.partitionBy((keys :+ "__salt").map(col): _*).orderBy(orderBy: _*)

@@ -125,9 +125,14 @@ class PropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     // skewed: ~half the rows on key 0, rest over 20 keys; duplicate order
     // values (v = small range) force tie-breaking through the boundary
-    // logic; some null order values exercise edge-bucket routing
+    // logic; null order values exercise edge-bucket routing; null KEY
+    // values exercise the null-safe offsets join (a plain USING join
+    // would drop every null-key row — windows group nulls together)
     val rows = (0 until 5000).map { i =>
-      val k = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(20)
+      val k: java.lang.Integer =
+        if (rnd.nextInt(40) == 0) null
+        else if (rnd.nextBoolean()) Integer.valueOf(0)
+        else Integer.valueOf(1 + rnd.nextInt(20))
       val v: java.lang.Long =
         if (rnd.nextInt(50) == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
       (k, v, i)
@@ -139,11 +144,12 @@ class PropertySpec extends SparkSpec {
       val plain = df.withColumn("rn",
           row_number().over(Window.partitionBy(col("k")).orderBy(ord: _*)))
         .select("k", "id", "rn").collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
       val salted = graft.core.Skew.saltedRowNumber(df, Seq("k"), col("v"),
           descending = desc, tieBreakers = Seq(col("id").asc), buckets = buckets)
         .select("k", "id", "rn").collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(plain.size == rows.size, s"plain dropped rows: desc=$desc buckets=$buckets")
       assert(plain == salted, s"desc=$desc buckets=$buckets")
     }
   }

@@ -1617,6 +1617,23 @@ rr AS (
 SELECT query_id, neighbor_id, cos, "rank" FROM rr
 WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
+  /** q111: the salted range-bucket row_number must equal the PLAIN
+    * per-key window — this oracle IS that plain window, so any boundary
+    * or offset error in the rewrite hash-mismatches. */
+  private val q111 = """
+SELECT o_custkey, o_orderkey,
+  CAST(row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+FROM orders ORDER BY o_custkey, rn"""
+
+  /** q112: two-stage salted latest-per-key ≡ the plain q09 window. */
+  private val q112 = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+WHERE rn = 1 ORDER BY o_custkey"""
+
   /** q76: PII audit + redaction over deterministically planted PII.
     * Patterns live in the Java∩RE2-identical regex subset (classes,
     * bounded repeats, \b) so Spark's Java regex and DuckDB's RE2 agree;
@@ -2625,6 +2642,8 @@ FROM f ORDER BY media_id, frame_no"""
     "q108_bigram_lm" -> q108,
     "q109_pq_recall_clustered" -> q109,
     "q110_ivfpq_rerank" -> q110,
+    "q111_salted_rank" -> q111,
+    "q112_latest_salted" -> q112,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

@@ -1184,6 +1184,34 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def q111_salted_rank(s: SparkSession, dir: String): DataFrame = {
+    // Skew-mitigation rewrite, oracle-verified semantics-preserving (the
+    // q91 pattern, window form): the range-bucket salted row_number must
+    // assign the EXACT rank a plain per-key window would — the oracle IS
+    // that plain window. Spend rank per customer, ties to order id;
+    // integer output, so parity needs no decimal policy.
+    val o = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.core.Skew.saltedRowNumber(o, Seq("o_custkey"),
+        col("o_totalprice"), descending = true,
+        tieBreakers = Seq(col("o_orderkey").asc), buckets = 8)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def q112_latest_salted(s: SparkSession, dir: String): DataFrame = {
+    // Two-stage salted latest-per-key ≡ the plain q09 window (the
+    // oracle): stage 1 ranks within (key, salt), stage 2 ranks the
+    // ≤ salts survivors — output must be bit-identical for any
+    // deterministic row-identity salt.
+    val o = t(s, dir, "orders")
+    Dedup.latestPerKeySalted(o, Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        saltExpr = xxhash64(col("o_orderkey")), salts = 8)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1511,6 +1539,8 @@ object SparkEntry {
     "q108_bigram_lm" -> (q108_bigram_lm _),
     "q109_pq_recall_clustered" -> (q109_pq_recall_clustered _),
     "q110_ivfpq_rerank" -> (q110_ivfpq_rerank _),
+    "q111_salted_rank" -> (q111_salted_rank _),
+    "q112_latest_salted" -> (q112_latest_salted _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -299,4 +299,55 @@ class PlanSpec extends SparkSpec {
     // sole non-agg exchange by checking no sort-merge join appears.
     assert(!s.contains("SortMergeJoin"), s)
   }
+
+  test("q111 salted rank: every full-data window is bucket-salted; offsets ride a broadcast") {
+    val s = planString(q("q111_salted_rank"))
+    // the point of saltedRowNumber: the row_number window over the FULL
+    // input partitions by (key, bucket) — never by the key alone, which
+    // would put the whole hot key back in one task
+    val rnWindows = s.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rnWindows.nonEmpty, s)
+    assert(rnWindows.forall(_.contains("__srn_bkt")),
+      s"row_number window not bucket-salted:\n$s")
+    // per-(key,bucket) counts combine map-side before their exchange
+    assert(s.contains("partial_count"), s)
+    // the offsets relation is ≤ buckets rows per key: its cumulative-sum
+    // window runs over the aggregated counts and joins back as a
+    // broadcast, not a second full-data shuffle
+    assert(s.contains("sum(__srn_cnt"), s)
+    assert(s.contains("BroadcastHashJoin") && s.contains("__srn_r_"), s)
+  }
+
+  test("q112 salted latest-per-key: stage-1 shuffles on (key, salt); both stages prune map-side") {
+    val s = planString(q("q112_latest_salted"))
+    // stage 1's rank window partitions by (key, salt) and its exchange
+    // carries the salt — the hot key spreads across `salts` reducers
+    assert(s.linesIterator.exists(l =>
+      l.contains("row_number() windowspecdefinition") && l.contains("__salt")), s)
+    assert(s.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__salt")), s)
+    // InferWindowGroupLimit turns rn=1 into top-1 prunes BEFORE each
+    // exchange (the reason the scaladoc steers Spark 4 users to the
+    // plain form: the engine already de-skews this shape)
+    val partials = s.linesIterator.count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partials >= 2, s"expected map-side WindowGroupLimit in both stages:\n$s")
+  }
+
+  test("q110 exact re-rank: shortlist joins broadcast, no cartesian, final top-k prunes") {
+    val s = planString(q("q110_ivfpq_rerank"))
+    // candidate fetch joins the tiny (queries × width) shortlist against
+    // the corpus by id — must broadcast the shortlist, never SMJ or
+    // cartesian the corpus
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the exact re-rank's k=5 window carries a WindowGroupLimit prune
+    assert(s.contains("row_number(), 5"), s)
+    // the only nested-loop joins are the documented 1-row metadata
+    // broadcasts (centroid/codebook matrices)
+    assert(s.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).forall(_.contains("Cross")), s)
+  }
 }

@@ -131,16 +131,21 @@ object Bench {
     import graft.core.Skew
     import graft.dedup.Dedup
     val dir = "file:/tmp/graft_skew_bench"
-    // fixture: 10× lineitem ≈ 6M rows at sf0.1; rid = deterministic row
-    // identity (drives the retry-safe salt); 50 % of rows on hot key 0,
-    // the rest uniform over 100k keys — the dim side (100k rows) is
-    // replicable ×32 but represents one too big to broadcast.
+    // fixture: GRAFT_SKEW_REP× lineitem (default 10× ≈ 6M rows at sf0.1 —
+    // the driver-run configuration; the env knob exists so the skew GAP
+    // can be measured as a TREND across fixture sizes, not one point);
+    // rid = deterministic row identity (drives the retry-safe salt); 50 %
+    // of rows on hot key 0, the rest uniform over 100k keys — the dim
+    // side (100k rows) is replicable ×32 but represents one too big to
+    // broadcast.
     // shiftright(rid,1) before the modulus: hotness consumed the parity
     // bit, so pmod(rid, 100000) over the odd remainder would yield only
     // the 50k odd residues and half the dim side would never match
+    val rep = sys.env.getOrElse("GRAFT_SKEW_REP", "10").toInt
+    require(rep >= 1, s"GRAFT_SKEW_REP must be >= 1; got $rep")
     val li = graft.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"))
-    li.withColumn("rep", explode(lit((0 until 10).toArray)))
+    li.withColumn("rep", explode(lit((0 until rep).toArray)))
       .withColumn("rid", xxhash64(col("l_orderkey"), col("l_linenumber"), col("rep")))
       .withColumn("k", when(pmod(col("rid"), lit(2L)) === 0, lit(0L))
         .otherwise(pmod(shiftright(col("rid"), 1), lit(100000L))))

@@ -489,12 +489,14 @@ object Dedup extends graft.core.Logging {
     * Gram keys are md5-low64 hashes (8-byte shuffle rows, oracle-gated
     * on both engines — see [[kGramPositions]]). */
   def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
-                             k: Int = 5, minDocs: Int = 2): DataFrame = {
+                             k: Int = 5, minDocs: Int = 2,
+                             gramHash: String = "md5"): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
     val toks = docs
       .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-    val occ = sharedGramPositions(docs, idCol, textCol, k, minDocs)
+    val occ = sharedGramPositions(docs, idCol, textCol, k, minDocs,
+      gramHash = gramHash)
     val nds = occ.groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
     val covered = occ
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
@@ -522,8 +524,24 @@ object Dedup extends graft.core.Logging {
     * ~0.03 expected collisions corpus-wide, each costing at most one
     * spurious k-token span); both engines hash identically, so parity
     * is unaffected either way. */
+  /** Gram-key hash selection for the span family. "md5" (default) =
+    * [[graft.analyze.KmvDistinct.md5Low64]] — engine-portable, what the
+    * q79/q103–q106 DuckDB oracles replay, but allocation-heavy (hex
+    * string + radix conv per gram). "xxhash64" = Spark's native codegen'd
+    * 64-bit hash — same 8-byte shuffle keys and identical plan, measurably
+    * cheaper map CPU, for production corpora where cross-engine replay of
+    * the keys isn't needed. Same collision math either way (≈ n²/2⁶⁵
+    * spurious-merge probability). */
+  private def gramHashCol(gramHash: String, gram: Column): Column =
+    gramHash match {
+      case "md5"      => graft.analyze.KmvDistinct.md5Low64(gram)
+      case "xxhash64" => xxhash64(gram)
+      case other => throw new IllegalArgumentException(
+        s"gramHash must be 'md5' or 'xxhash64'; got '$other'")
+    }
+
   private def kGramPositions(docs: DataFrame, idCol: String, textCol: String,
-                             k: Int): DataFrame =
+                             k: Int, gramHash: String = "md5"): DataFrame =
     docs.select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
       .select(col(idCol), posexplode(
           when(size(col("toks")) >= k,
@@ -532,7 +550,7 @@ object Dedup extends graft.core.Logging {
             .otherwise(array()))
           .as(Seq("pos0", "gram")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
-        graft.analyze.KmvDistinct.md5Low64(col("gram")).as("gram"))
+        gramHashCol(gramHash, col("gram")).as("gram"))
 
   /** Start positions whose k-gram occurs in ≥ `minDocs` DISTINCT
     * documents: the anchor set for cross-document exact-substring dedup.
@@ -540,8 +558,9 @@ object Dedup extends graft.core.Logging {
     * back — text never shuffles twice. */
   private def sharedGramPositions(docs: DataFrame, idCol: String,
                                   textCol: String, k: Int, minDocs: Int,
-                                  keepGram: Boolean = false): DataFrame = {
-    val spans = kGramPositions(docs, idCol, textCol, k)
+                                  keepGram: Boolean = false,
+                                  gramHash: String = "md5"): DataFrame = {
+    val spans = kGramPositions(docs, idCol, textCol, k, gramHash)
     val dupGrams = spans.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -571,9 +590,11 @@ object Dedup extends graft.core.Logging {
     * is computed inside the window pass, no extra shuffle. Span count is
     * bounded by anchor count; nothing quadratic. */
   def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 5, minDocs: Int = 2): DataFrame = {
+                    k: Int = 5, minDocs: Int = 2,
+                    gramHash: String = "md5"): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
-    val marked = sharedGramPositions(docs, idCol, textCol, k, minDocs)
+    val marked = sharedGramPositions(docs, idCol, textCol, k, minDocs,
+      gramHash = gramHash)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     marked
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -596,10 +617,12 @@ object Dedup extends graft.core.Logging {
     * as the tokenization array itself — then the strip is a narrow
     * per-row array filter; no driver collection, one join. */
   def stripCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 5, minDocs: Int = 2): DataFrame = {
+                         k: Int = 5, minDocs: Int = 2,
+                         gramHash: String = "md5"): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
     stripPositions(docs, idCol, textCol,
-      coveredPositions(sharedGramPositions(docs, idCol, textCol, k, minDocs),
+      coveredPositions(sharedGramPositions(docs, idCol, textCol, k, minDocs,
+          gramHash = gramHash),
         idCol, k))
   }
 
@@ -652,11 +675,11 @@ object Dedup extends graft.core.Logging {
     * nowhere. */
   def stripSpansSharedWith(corpus: DataFrame, probes: DataFrame,
                            idCol: String, textCol: String,
-                           k: Int = 5): DataFrame = {
+                           k: Int = 5, gramHash: String = "md5"): DataFrame = {
     require(k >= 1, s"need k >= 1; got $k")
-    val probeGrams = kGramPositions(probes, idCol, textCol, k)
+    val probeGrams = kGramPositions(probes, idCol, textCol, k, gramHash)
       .select("gram").distinct()
-    val anchors = kGramPositions(corpus, idCol, textCol, k)
+    val anchors = kGramPositions(corpus, idCol, textCol, k, gramHash)
       .join(probeGrams, Seq("gram"), "left_semi")
     stripPositions(corpus, idCol, textCol,
       coveredPositions(anchors, idCol, k))
@@ -682,10 +705,11 @@ object Dedup extends graft.core.Logging {
     * and an anchor-level join against it; covered/protected position
     * sets stay bounded by per-doc token counts. */
   def keepFirstCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
-                             k: Int = 5, minDocs: Int = 2): DataFrame = {
+                             k: Int = 5, minDocs: Int = 2,
+                             gramHash: String = "md5"): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1, minDocs >= 2; got $k, $minDocs")
     val occ = sharedGramPositions(docs, idCol, textCol, k, minDocs,
-      keepGram = true)
+      keepGram = true, gramHash = gramHash)
     // canonical copy per gram: the (doc, pos)-minimal occurrence
     val owner = occ.groupBy(col("gram"))
       .agg(min(struct(col(idCol).as("odoc"), col("pos").as("opos"))).as("__o"))

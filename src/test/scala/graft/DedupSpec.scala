@@ -157,6 +157,28 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((6L, 0L, "totally different words only here now")))
   }
 
+  test("span family: xxhash64 gram keys produce results identical to md5") {
+    // the production-path hash (native codegen'd long) must be a pure
+    // key-width/CPU swap: same spans, same stripped text, on a real
+    // corpus (sf0.001 documents) where gram structure is rich
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    def spanSet(h: String) =
+      Dedup.crossDocSpans(docs, "doc_id", "text", k = 5, minDocs = 2,
+        gramHash = h).as[(Long, Long, Long, Long)].collect().toSet
+    val md5Spans = spanSet("md5")
+    assert(md5Spans.nonEmpty, "fixture has no shared spans — test is vacuous")
+    assert(spanSet("xxhash64") == md5Spans)
+    def stripped(h: String) =
+      Dedup.stripCrossDocSpans(docs, "doc_id", "text", k = 5, minDocs = 2,
+        gramHash = h).as[(Long, Long, Long, String)].collect().toSet
+    assert(stripped("xxhash64") == stripped("md5"))
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.crossDocSpans(docs, "doc_id", "text", gramHash = "fnv")
+    }
+    assert(bad.getMessage.contains("gramHash"))
+  }
+
   test("stripSpansSharedWith removes exactly the eval-leaked spans from train") {
     // train doc 2 embeds eval doc 1's benchmark question verbatim; train
     // doc 4 is clean. Only the leaked run is stripped — and an overlap

@@ -55,15 +55,19 @@ object Dedup extends graft.core.Logging {
     * keeps one survivor per (key, salt). Stage 2 ranks the at-most-`salts`
     * survivors per key globally.
     *
-    * MEASURED CAVEAT (SCALE.md skew table, round 9): on Spark 3.5+ the
-    * plain [[latestPerKey]] is already skew-proof for this shape —
-    * `InferWindowGroupLimit` turns the rn=1 filter into a map-side group
-    * limit, so the hot key ships ≤1 row per map task and this rewrite's
-    * second shuffle is pure overhead (0.98 s vs 0.60 s on the 50 %-hot-key
-    * fixture). Use the plain form (or [[latestPerKeyAgg]], fastest) on
-    * Spark 4; this form is for engines/plan shapes without group-limit
-    * inference. For windows whose FULL output is needed (no rank filter —
-    * the shape group-limit cannot prune), see
+    * MEASURED CAVEAT (SCALE.md skew table + trend, round 9): on Spark
+    * 3.5+ the plain [[latestPerKey]] is already skew-proof for this
+    * shape — `InferWindowGroupLimit` turns the rn=1 filter into a
+    * map-side group limit, so the hot key ships ≤1 row per map task and
+    * this rewrite's second shuffle is overhead at moderate sizes
+    * (0.98 s vs 0.60 s on the 50 %-hot-key fixture; at 4× that fixture
+    * the ordering flips — 2.61 s vs 3.26 s — because both forms are
+    * dominated by the per-task partial sort and (key, salt) partitions
+    * sort smaller runs). Either way [[latestPerKeyAgg]] beats both at
+    * every measured size (exponent 0.30); prefer it for scale, the
+    * plain form for convenience, and this form for engines/plan shapes
+    * without group-limit inference. For windows whose FULL output is
+    * needed (no rank filter — the shape group-limit cannot prune), see
     * [[graft.core.Skew.saltedRowNumber]].
     *
     * `saltExpr` must be independent of `keys` and deterministic per row

@@ -116,13 +116,33 @@ object Dedup extends graft.core.Logging {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Shared gram-hash selector for every token-gram kernel in this file
+    * (the span family's `gramHash` contract generalized): "xxhash64" =
+    * chained token xxhash64 — the fast production default for the
+    * shingle/minhash/jaccard/contamination family, no per-gram string
+    * allocation; "md5" = md5-low64 of the literal space-joined gram —
+    * allocation-heavier but cross-engine reproducible (DuckDB:
+    * ('0x'||substr(md5(gram),1,16))::UBIGINT), which is what lets an
+    * external engine replay the gram KEYS themselves. Both yield 8-byte
+    * keys with the same collision math (≈ n²/2⁶⁵ spurious gram merges);
+    * set-level results (Jaccard values, shared-gram counts) are
+    * hash-independent because gram equality ⇔ key equality either way. */
+  private def md5GramFlag(gramHash: String): Boolean = gramHash match {
+    case "md5"      => true
+    case "xxhash64" => false
+    case other => throw new IllegalArgumentException(
+      s"gramHash must be 'md5' or 'xxhash64'; got '$other'")
+  }
+
   /** Word n-gram shingles of normalized text as a deduped array of 64-bit
     * hashes — a native expression (graft.functions.ShingleHashExpr): one
-    * imperative pass per row, no per-gram string concatenation. */
-  def shingles(c: Column, n: Int): Column =
+    * imperative pass per row, no per-gram string concatenation on the
+    * default xxhash64 path (see [[md5GramFlag]] for the hash choice). */
+  def shingles(c: Column, n: Int, gramHash: String = "xxhash64"): Column =
     // split(trim, \s+) ≡ split-on-space of collapse-whitespace, one regex
     // pass instead of two over the document
-    graft.functions.HashFunctions.shingleHashes(split(trim(lower(c)), "\\s+"), n)
+    graft.functions.HashFunctions.shingleHashes(split(trim(lower(c)), "\\s+"), n,
+      md5GramFlag(gramHash))
 
   /** MinHash signature of a shingle-hash array: k reseeded hash-mins,
     * computed in one imperative pass per row (narrow, no shuffle). */
@@ -160,11 +180,12 @@ object Dedup extends graft.core.Logging {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                      bands: Int = 16, threshold: Double = 0.8,
+                      gramHash: String = "xxhash64"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val base = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
+        shingles(col(textCol), shingleN, gramHash).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = base
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
@@ -199,11 +220,13 @@ object Dedup extends graft.core.Logging {
     * contract and parameters as [[minhashNearDups]]. */
   def crossNearDups(left: DataFrame, right: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3, numHashes: Int = 64,
-                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                    bands: Int = 16, threshold: Double = 0.8,
+                    gramHash: String = "xxhash64"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     def prep(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"id_$side"), shingles(col(textCol), shingleN).as(s"sh_$side"))
+      df.select(col(idCol).as(s"id_$side"),
+          shingles(col(textCol), shingleN, gramHash).as(s"sh_$side"))
         .filter(size(col(s"sh_$side")) > 0)
     def banded(base: DataFrame, side: String) = base
       .withColumn("sig", minhashSignature(col(s"sh_$side"), numHashes))
@@ -295,13 +318,29 @@ object Dedup extends graft.core.Logging {
 
   private def simhashChunkJoin(df: DataFrame, idCol: String, textCol: String,
                                maxHamming: Int, nChunks: Int,
-                               md5Compat: Boolean): DataFrame = {
+                               md5Compat: Boolean): DataFrame =
+    hammingPairsFromSigs(
+      df.select(col(idCol).as("id"),
+        simhash(split(normalizeText(col(textCol)), " "), md5Compat).as("sig")),
+      maxHamming, nChunks)
+
+  /** Hamming-radius pair search over ANY 64-bit signature table
+    * (`id`, `sig`) — the chunk-blocking machinery behind
+    * [[simhashNearDups]]/[[simhashNearDupsBanded]], factored out so other
+    * 64-bit sketches (perceptual image hashes — [[imageNearDups]]) reuse
+    * it. Blocks on `nChunks` bit-chunks of the signature: exact for
+    * `nChunks >= maxHamming + 1` (pigeonhole), banded-approximate below
+    * that (a pair surfaces iff at least one chunk is error-free).
+    * Returns (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+                           nChunks: Int): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 64, s"nChunks must be in [1, 64], got $nChunks")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val widths = Array.tabulate(nChunks)(i =>
       64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(split(normalizeText(col(textCol)), " "), md5Compat).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until nChunks).map { i =>
         struct(lit(i).as("chunk"),
@@ -325,14 +364,39 @@ object Dedup extends graft.core.Logging {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Perceptual-hash IMAGE near-duplicate pairs — the multimodal-corpus
+    * dedup step (re-encodes, resizes, and small edits of the same image
+    * survive byte-level exact dedup): decode each blob to a pooled
+    * grayscale raster, compute a 64-bit perceptual hash
+    * ([[graft.multimodal.MultiModal.dHash64]] gradient-sign by default,
+    * `hashKind = "ahash"` for the mean-threshold variant), then find
+    * Hamming-radius pairs with the SAME chunk-blocking machinery the text
+    * simhash family uses ([[hammingPairsFromSigs]]): exact by pigeonhole
+    * at `nChunks = maxHamming + 1` (the default), banded-approximate for
+    * smaller `nChunks` at corpus scale.
+    *
+    * Scale shape: the decode+hash pass is partition-local (mapPartitions,
+    * one pass per blob, memory bounded by the largest image); everything
+    * after shuffles 16-byte (id, chunk-key) rows — image bytes never
+    * shuffle. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDups(media: DataFrame, idCol: String, bytesCol: String,
+                    maxHamming: Int = 4, hashKind: String = "dhash",
+                    nChunks: Int = 0): DataFrame = {
+    val chunks = if (nChunks == 0) maxHamming + 1 else nChunks
+    val sigs = graft.multimodal.MultiModal
+      .perceptualHashes(media, idCol, bytesCol, hashKind)
+    hammingPairsFromSigs(sigs, maxHamming, chunks)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) of normalized
     * text: md5-hashed word n-grams, per-window unsigned minima, distinct.
     * The standard robust document sketch: any shared run of n+w-1 tokens
     * yields a shared fingerprint, and sketch size is ~2/(w+1) of the gram
     * count — a tunable, bounded summary per document. */
-  def winnowFingerprints(textCol: Column, n: Int = 3, w: Int = 4): Column =
+  def winnowFingerprints(textCol: Column, n: Int = 3, w: Int = 4,
+                         gramHash: String = "md5"): Column =
     graft.functions.HashFunctions.winnowFingerprints(
-      split(normalizeText(textCol), " "), n, w)
+      split(normalizeText(textCol), " "), n, w, md5GramFlag(gramHash))
 
   /** Document pairs sharing at least `minShared` winnowed fingerprints.
     * Candidates come from an (fp, id) explode + self-join — the shuffle
@@ -340,9 +404,10 @@ object Dedup extends graft.core.Logging {
     * Fingerprints are rare by construction (window minima), so fp buckets
     * stay small and the join volume is near-linear in corpus size. */
   def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, w: Int = 4, minShared: Int = 3): DataFrame = {
+                    n: Int = 3, w: Int = 4, minShared: Int = 3,
+                    gramHash: String = "md5"): DataFrame = {
     val fps = df.select(col(idCol).as("id"),
-        explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+        explode(winnowFingerprints(col(textCol), n, w, gramHash)).as("fp"))
     val l = fps.select(col("fp"), col("id").as("id_a"))
     val r = fps.select(col("fp"), col("id").as("id_b"))
     l.join(r, Seq("fp"))
@@ -466,11 +531,14 @@ object Dedup extends graft.core.Logging {
     * (gram-hash, probe-id) only — text never shuffles, and the output is
     * probe-sized. Returns (probe id, n_hit_grams). */
   def contamination(corpus: DataFrame, probes: DataFrame, idCol: String,
-                    textCol: String, n: Int = 3, minShared: Int = 1): DataFrame = {
-    val cg = corpus.select(explode(shingles(col(textCol), n)).as("g")).distinct()
+                    textCol: String, n: Int = 3, minShared: Int = 1,
+                    gramHash: String = "xxhash64"): DataFrame = {
+    val cg = corpus.select(explode(shingles(col(textCol), n, gramHash)).as("g"))
+      .distinct()
     // shingles() already dedups within a document, so rows are distinct
     // (probe, gram) pairs and the count below is distinct shared grams
-    val pg = probes.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+    val pg = probes.select(col(idCol),
+      explode(shingles(col(textCol), n, gramHash)).as("g"))
     pg.join(cg, Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_grams"))
@@ -759,8 +827,10 @@ object Dedup extends graft.core.Logging {
     * Shuffle payload: (shingle, id) prefix rows — linear in corpus size
     * for a fixed threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        gramHash: String = "xxhash64"): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN, gramHash).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))

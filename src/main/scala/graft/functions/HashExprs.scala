@@ -118,11 +118,17 @@ case class MinHashSigExpr(child: Expression, k: Int)
     copy(child = c)
 }
 
-/** Distinct, SORTED hashes of word n-gram shingles of a token array:
-  * each gram's hash chains its tokens' hashes (order-sensitive), with no
-  * intermediate string concatenation. Sorted output lets set ops run as
-  * merge scans (SortedIntersectSizeExpr). Fewer than n tokens → empty. */
-case class ShingleHashExpr(child: Expression, n: Int)
+/** Distinct, SORTED hashes of word n-gram shingles of a token array.
+  * Default (fast, production) path: each gram's hash chains its tokens'
+  * xxhash64 hashes (order-sensitive), with no intermediate string
+  * concatenation. `md5Gram = true` instead hashes the literal
+  * space-joined gram string with md5-low64 — allocation-heavier, but the
+  * gram keys become cross-engine reproducible (DuckDB:
+  * ('0x'||substr(md5(gram),1,16))::UBIGINT), the same md5/xxhash64 trade
+  * the span family's `gramHash` option makes (graft.dedup.Dedup).
+  * Sorted output lets set ops run as merge scans
+  * (SortedIntersectSizeExpr). Fewer than n tokens → empty. */
+case class ShingleHashExpr(child: Expression, n: Int, md5Gram: Boolean = false)
     extends UnaryExpression with UnaryKernelCodegen {
   require(n >= 1)
   override protected def resultJava: String =
@@ -139,23 +145,42 @@ case class ShingleHashExpr(child: Expression, n: Int)
     val arr = v.asInstanceOf[ArrayData]
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    // per-token hashes once, then rolling chain per window
-    val th = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      th(i) = if (arr.isNullAt(i)) 0L
-        else TokenHash.hash(arr.getUTF8String(i), TokenHash.Seed)
-      i += 1
-    }
     val seen = new mutable.HashSet[Long]
     val out = new mutable.ArrayBuffer[Long](m - n + 1)
-    i = 0
-    while (i <= m - n) {
-      var acc = TokenHash.Seed
-      var j = 0
-      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
-      if (seen.add(acc)) out += acc
-      i += 1
+    var i = 0
+    if (md5Gram) {
+      // gram-string md5 path: same construction as WinnowExpr — nulls
+      // contribute an empty token, single-space separators
+      val sb = new java.lang.StringBuilder()
+      while (i <= m - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        val h = TokenHash.md5Low64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        if (seen.add(h)) out += h
+        i += 1
+      }
+    } else {
+      // per-token hashes once, then rolling chain per window
+      val th = new Array[Long](m)
+      while (i < m) {
+        th(i) = if (arr.isNullAt(i)) 0L
+          else TokenHash.hash(arr.getUTF8String(i), TokenHash.Seed)
+        i += 1
+      }
+      i = 0
+      while (i <= m - n) {
+        var acc = TokenHash.Seed
+        var j = 0
+        while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+        if (seen.add(acc)) out += acc
+        i += 1
+      }
     }
     val res = out.toArray
     java.util.Arrays.sort(res)
@@ -166,15 +191,22 @@ case class ShingleHashExpr(child: Expression, n: Int)
 }
 
 /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) of a
-  * token array: hash every word n-gram (md5-low64 — cross-engine
-  * reproducible), slide a window of `w` consecutive gram hashes, keep the
-  * minimum of each window (UNSIGNED comparison, matching engines whose
-  * 64-bit min is unsigned), return the DISTINCT selected values sorted.
-  * Guarantees: any shared token run of length >= n + w - 1 contributes at
-  * least one shared fingerprint — the local-algorithm property that makes
-  * winnowed sets comparable across documents. Fewer than n tokens → empty.
+  * token array: hash every word n-gram (md5-low64 by default —
+  * cross-engine reproducible), slide a window of `w` consecutive gram
+  * hashes, keep the minimum of each window (UNSIGNED comparison, matching
+  * engines whose 64-bit min is unsigned), return the DISTINCT selected
+  * values sorted. Guarantees: any shared token run of length >= n + w - 1
+  * contributes at least one shared fingerprint — the local-algorithm
+  * property that makes winnowed sets comparable across documents; it
+  * holds for ANY gram hash, so `md5Gram = false` swaps in the chained
+  * xxhash64 gram hash (ShingleHashExpr's fast path: per-token hashes
+  * once, no per-gram string allocation) for production corpora where
+  * cross-engine replay of the fingerprints isn't needed. The selected
+  * POSITIONS differ between the two hashes (different grams win the
+  * window minima), but both are valid winnowing sketches with the same
+  * density (~2/(w+1)) and guarantee. Fewer than n tokens → empty.
   */
-case class WinnowExpr(child: Expression, n: Int, w: Int)
+case class WinnowExpr(child: Expression, n: Int, w: Int, md5Gram: Boolean = true)
     extends UnaryExpression with UnaryKernelCodegen {
   require(n >= 1 && w >= 1)
   override protected def resultJava: String =
@@ -193,19 +225,38 @@ case class WinnowExpr(child: Expression, n: Int, w: Int)
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val nGrams = m - n + 1
     val gh = new Array[Long](nGrams)
-    val sb = new java.lang.StringBuilder()
     var i = 0
-    while (i < nGrams) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
-        j += 1
+    if (md5Gram) {
+      val sb = new java.lang.StringBuilder()
+      while (i < nGrams) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        gh(i) = TokenHash.md5Low64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        i += 1
       }
-      gh(i) = TokenHash.md5Low64(
-        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
-      i += 1
+    } else {
+      // chained-xxhash64 gram keys, same construction as ShingleHashExpr's
+      // fast path: per-token hashes once, rolling chain per window
+      val th = new Array[Long](m)
+      while (i < m) {
+        th(i) = if (arr.isNullAt(i)) 0L
+          else TokenHash.hash(arr.getUTF8String(i), TokenHash.Seed)
+        i += 1
+      }
+      i = 0
+      while (i < nGrams) {
+        var acc = TokenHash.Seed
+        var j = 0
+        while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+        gh(i) = acc
+        i += 1
+      }
     }
     val seen = new mutable.HashSet[Long]
     val out = new mutable.ArrayBuffer[Long]()
@@ -274,10 +325,11 @@ object HashFunctions {
     wrap(SimHash64Expr(exprOf(tokens), md5Based))
   def minhashSig(shingleHashes: Column, k: Int): Column =
     wrap(MinHashSigExpr(exprOf(shingleHashes), k))
-  def shingleHashes(tokens: Column, n: Int): Column =
-    wrap(ShingleHashExpr(exprOf(tokens), n))
-  def winnowFingerprints(tokens: Column, n: Int, w: Int): Column =
-    wrap(WinnowExpr(exprOf(tokens), n, w))
+  def shingleHashes(tokens: Column, n: Int, md5Gram: Boolean = false): Column =
+    wrap(ShingleHashExpr(exprOf(tokens), n, md5Gram))
+  def winnowFingerprints(tokens: Column, n: Int, w: Int,
+                         md5Gram: Boolean = true): Column =
+    wrap(WinnowExpr(exprOf(tokens), n, w, md5Gram))
   def sortedIntersectSize(a: Column, b: Column): Column =
     wrap(SortedIntersectSizeExpr(exprOf(a), exprOf(b)))
 }

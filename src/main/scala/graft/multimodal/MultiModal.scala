@@ -85,6 +85,192 @@ object MultiModal {
     out.toByteArray
   }
 
+  // ==================== perceptual image hashing ====================
+
+  /** Grayscale raster of a media blob: real images decode via ImageIO
+    * (integer ITU-R 601 luminance (299r+587g+114b)/1000 — exact for the
+    * gray PNGs the fixtures write, where r=g=b); fake-header blobs map
+    * their payload bytes row-major as gray values (cycled), so synthetic
+    * fixtures flow through the same raster pipeline. */
+  private def grayRaster(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (isFakeHeader(bytes)) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.getInt()
+      val w = bb.getInt(); val h = bb.getInt(); bb.getInt()
+      require(w > 0 && h > 0, s"fake image with non-positive dims ${w}x$h")
+      val payload = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xFF
+        i += 1
+      }
+      (w, h, px)
+    } else {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes (no registered reader)")
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          px(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /** Average-pool a raster to tw×th with integer box boundaries
+    * (x ∈ [i·w/tw, (i+1)·w/tw), never empty) — deterministic integer
+    * means, so pooled values are exactly reproducible. A raster already
+    * at tw×th pools to itself. */
+  private def poolGray(w: Int, h: Int, px: Array[Int],
+                       tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var j = 0
+    while (j < th) {
+      val y0 = j * h / th; val y1 = math.max(y0 + 1, (j + 1) * h / th)
+      var i = 0
+      while (i < tw) {
+        val x0 = i * w / tw; val x1 = math.max(x0 + 1, (i + 1) * w / tw)
+        var s = 0L; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { s += px(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        out(j * tw + i) = if (n == 0) 0 else (s / n).toInt
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash): pool to 9×8 grayscale, bit
+    * (y·8 + x) = 1 iff p(x+1,y) > p(x,y). Gradient SIGNS survive
+    * re-encoding, scaling, and small-amplitude noise, which is what makes
+    * equal-or-near hashes a near-duplicate signal; distance is Hamming
+    * over the 64 bits (fed to [[graft.dedup.Dedup.imageNearDups]]). */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val (w, h, px) = grayRaster(bytes)
+    val p = poolGray(w, h, px, 9, 8)
+    var sig = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (p(y * 9 + x + 1) > p(y * 9 + x)) sig |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** 64-bit average hash (aHash): pool to 8×8, bit = 1 iff the cell
+    * exceeds the global mean (exact integer comparison p·64 > Σp — no
+    * division rounding). Cruder than dHash (global-brightness sensitive)
+    * but cheaper and the standard second opinion. */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val (w, h, px) = grayRaster(bytes)
+    val p = poolGray(w, h, px, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += p(i); i += 1 }
+    var sig = 0L
+    i = 0
+    while (i < 64) { if (p(i) * 64L > sum) sig |= 1L << i; i += 1 }
+    sig
+  }
+
+  /** Perceptual-hash pass over a media table: (id, sig) with one decode +
+    * hash per blob, partition-local (the mapPartitions shape — image
+    * bytes never leave their input partition; only 16-byte (id, sig)
+    * rows flow on). `hashKind`: "dhash" (default) or "ahash". */
+  def perceptualHashes(media: DataFrame, idCol: String, bytesCol: String,
+                       hashKind: String = "dhash"): DataFrame = {
+    val hashFn: Array[Byte] => Long = hashKind match {
+      case "dhash" => dHash64
+      case "ahash" => aHash64
+      case other => throw new IllegalArgumentException(
+        s"hashKind must be 'dhash' or 'ahash'; got '$other'")
+    }
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val rdd = media.select(idCol, bytesCol).rdd.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), hashFn(r.getAs[Array[Byte]](1))))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** 8-bit column-direction patterns with pairwise Hamming distance ≥ 4:
+    * a group's image ascends/descends in x wherever its pattern bit is
+    * set/clear, so two groups' dHashes differ by ≥ 4·8 = 32 bits while
+    * same-group images hash IDENTICALLY (noise stays under the gradient
+    * step). That separation is what makes the q113 pair set predictable
+    * arithmetic (same group ⇔ pair, hamming 0). */
+  private val groupPatterns = Array(0x00, 0xFF, 0x0F, 0xF0, 0x33, 0xCC)
+
+  /** Gray PNG encode of a 9×8 pixel function — real ImageIO bytes. */
+  private def encodePngGray(w: Int, h: Int, p: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = p(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthesize a REAL-PNG image table from the documents fixture for
+    * perceptual-hash dedup (the q96 arithmetic-oracle pattern applied to
+    * rasters): doc_id % `groups` picks an 8-bit column-direction pattern;
+    * the 9×8 gray image walks ±8 per column along that pattern, plus a
+    * per-(doc, pixel) noise term in [-2, 2] — large enough that every
+    * image's BYTES differ, small enough that no dHash gradient sign ever
+    * flips (|Δ| = 8 ± 4 ≥ 4 > 0). Result: same-group images share an
+    * identical dHash; cross-group dHashes differ by ≥ 32 bits — the
+    * expected pair set is pure doc_id arithmetic, SQL-recomputable. */
+  def synthesizeImagesFromDocs(docs: DataFrame, groups: Int = 5): DataFrame = {
+    require(groups >= 1 && groups <= groupPatterns.length,
+      s"groups must be in [1, ${groupPatterns.length}]; got $groups")
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id").rdd.map { r =>
+      val id = r.getLong(0)
+      val pat = groupPatterns((id % groups).toInt)
+      val base = new Array[Int](9)
+      base(0) = 128
+      var x = 0
+      while (x < 8) {
+        base(x + 1) = base(x) + (if (((pat >> x) & 1) == 1) 8 else -8)
+        x += 1
+      }
+      def noise(x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 5).toInt - 2
+      val content = encodePngGray(9, 8, (x, y) => base(x) + noise(x, y))
+      Row(id, "image", content,
+        Row("image/png", s"mem://img/$id", content.length.toLong))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   case class AudioInfo(sampleRate: Int, channels: Int,
                        bitsPerSample: Int, nFrames: Long)
 

@@ -14,13 +14,34 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // unless read as raw long; convert to microsecond timestamps (the
-      // same truncation DuckDB applies when reading TIMESTAMP_NS).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, s"$sfDir/events.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** The testdata generator has shipped `events.ts` under several parquet
+    * encodings over time — TIMESTAMP(NANOS) (rejected by Spark's reader
+    * unless read as raw long), TIMESTAMP_NTZ micros, and adjusted-to-UTC
+    * TIMESTAMP — so branch on the schema actually present rather than
+    * assuming one. All branches normalize to session-TZ TimestampType
+    * (the session TZ is UTC everywhere in this repo, so NTZ ≡ UTC instant
+    * and the oracle's naive micros compare equal).
+    */
+  private def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        // TIMESTAMP(NANOS) fails schema conversion; retry as raw long.
+        case _: Exception =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to micros like DuckDB does
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

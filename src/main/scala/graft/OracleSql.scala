@@ -2571,6 +2571,18 @@ SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
   CAST(3 AS INTEGER) AS channels
 FROM f ORDER BY media_id, frame_no"""
 
+  /** q113: perceptual image dedup. The image table is synthesized so that
+    * dHash equality is doc_id % 5 arithmetic BY CONSTRUCTION (same group →
+    * identical dHash, cross-group → Hamming ≥ 32 ≫ the radius-4 gate; see
+    * MultiModal.synthesizeImagesFromDocs) — so the oracle recomputes the
+    * pair set without any raster math. A hash match proves the whole
+    * decode→pool→dHash→chunk-join pipeline reproduces that arithmetic. */
+  private val q113 = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2644,6 +2656,7 @@ FROM f ORDER BY media_id, frame_no"""
     "q110_ivfpq_rerank" -> q110,
     "q111_salted_rank" -> q111,
     "q112_latest_salted" -> q112,
+    "q113_image_neardups" -> q113,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

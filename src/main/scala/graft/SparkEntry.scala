@@ -1212,6 +1212,23 @@ object SparkEntry {
       .orderBy("o_custkey")
   }
 
+  private def q113_image_neardups(s: SparkSession, dir: String): DataFrame = {
+    // Perceptual-hash image dedup under the oracle gate (q96's
+    // arithmetic-oracle pattern applied to rasters): synthesize REAL gray
+    // PNGs whose dHash group is doc_id % 5 by construction — per-image
+    // noise makes every blob's BYTES unique (so byte-exact dedup finds
+    // nothing) while never flipping a dHash gradient sign. The expected
+    // pair set is therefore pure doc_id arithmetic (same group ⇔ pair,
+    // hamming 0), and a hash match proves the PNG encode, ImageIO decode,
+    // 9×8 pooling, dHash bit order, and the chunk-blocked Hamming join
+    // end-to-end.
+    import graft.multimodal.MultiModal
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val imgs = MultiModal.synthesizeImagesFromDocs(docs, groups = 5)
+    Dedup.imageNearDups(imgs, "media_id", "content", maxHamming = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1541,6 +1558,7 @@ object SparkEntry {
     "q110_ivfpq_rerank" -> (q110_ivfpq_rerank _),
     "q111_salted_rank" -> (q111_salted_rank _),
     "q112_latest_salted" -> (q112_latest_salted _),
+    "q113_image_neardups" -> (q113_image_neardups _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -263,7 +263,18 @@ object MultiModal {
         base(x + 1) = base(x) + (if (((pat >> x) & 1) == 1) 8 else -8)
         x += 1
       }
-      def noise(x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 5).toInt - 2
+      // Avalanche-mixed per-(doc, pixel) noise: a LINEAR id term (e.g.
+      // id*31 % 5) is constant within a dHash group (ids ≡ mod `groups`),
+      // which made same-group images byte-IDENTICAL — defeating the
+      // "bytes differ, only the perceptual hash pairs them" premise. The
+      // splitmix64 finalizer decorrelates (id, x, y) fully, so any two
+      // docs agree on the whole 9×8 grid with probability ~5^-72.
+      def noise(x: Int, y: Int): Int = {
+        var z = id * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+          y * 0x165667B19E3779F9L
+        z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
+        java.lang.Math.floorMod(z, 5L).toInt - 2
+      }
       val content = encodePngGray(9, 8, (x, y) => base(x) + noise(x, y))
       Row(id, "image", content,
         Row("image/png", s"mem://img/$id", content.length.toLong))

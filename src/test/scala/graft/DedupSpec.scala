@@ -358,4 +358,47 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double)].head()
     assert(r2 == ((0L, 3L, 0L, 0.0, 0.0)))
   }
+
+  test("hammingPairsFromSigs: exact by pigeonhole within radius, beyond-radius excluded") {
+    // sig 1 ↔ 2 differ in 2 bits; 1 ↔ 3 in 4 bits; 2 ↔ 3 in 6 bits
+    val sigs = Seq(
+      (1L, 0L),
+      (2L, 3L),                 // bits 0,1
+      (3L, 0xF0L)               // bits 4..7
+    ).toDF("id", "sig")
+    val got = Dedup.hammingPairsFromSigs(sigs, maxHamming = 4, nChunks = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 2), (1L, 3L, 4)))
+    // radius 0 = exact-equality blocking only
+    val eq = Dedup.hammingPairsFromSigs(
+      Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("id", "sig"),
+      maxHamming = 0, nChunks = 1).as[(Long, Long, Int)].collect().toSet
+    assert(eq == Set((1L, 2L, 0)))
+  }
+
+  test("imageNearDups: planted same-group dups pair at hamming 0, cross-group negatives excluded") {
+    import graft.multimodal.MultiModal
+    // 10 docs over 5 dHash groups (doc_id % 5): the pair set must be
+    // exactly {(i, i+5)} at hamming 0 even though every blob's PNG bytes
+    // are unique (per-doc noise term) — the q113 fixture in miniature.
+    val docs = (0L until 10L).toDF("doc_id")
+    val imgs = MultiModal.synthesizeImagesFromDocs(docs, groups = 5)
+    // bytes all differ → byte-exact dedup finds nothing...
+    assert(imgs.select("content").as[Array[Byte]].collect().map(_.toSeq).distinct.length == 10)
+    // ...but the perceptual hash pairs every same-group couple at distance 0
+    val pairs = Dedup.imageNearDups(imgs, "media_id", "content", maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 5L, 0)).toSet)
+    // cross-group signatures are far outside the radius (≥ 32 bits apart)
+    val sigs = MultiModal.perceptualHashes(imgs, "media_id", "content")
+      .as[(Long, Long)].collect().toMap
+    for (a <- 0L until 5L; b <- (a + 1) until 5L)
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) >= 32,
+        s"groups $a,$b too close")
+    // ahash variant runs the same plumbing; unknown kinds are rejected
+    assert(MultiModal.perceptualHashes(imgs, "media_id", "content", "ahash").count() == 10)
+    intercept[IllegalArgumentException] {
+      MultiModal.perceptualHashes(imgs, "media_id", "content", "phash-nope")
+    }
+  }
 }

@@ -80,7 +80,7 @@ object Bench {
     // normal-looking JSON line with skew {}
     val skew =
       if (only.nonEmpty && !skewOnly) "{}"
-      else try skewStress(spark, sfDir, time) catch {
+      else try skewStress(spark, sfDir, time, serial = skewOnly) catch {
         case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] skewStress failed: ${t.getMessage}")
           "{}"
@@ -127,7 +127,8 @@ object Bench {
     * write so every payload row materializes (a count() would let Spark
     * prune the join payload and undersell the skew). */
   private def skewStress(spark: SparkSession, sfDir: String,
-                         time: (=> Unit) => Double): String = {
+                         time: (=> Unit) => Double,
+                         serial: Boolean): String = {
     import graft.core.Skew
     import graft.dedup.Dedup
     val dir = "file:/tmp/graft_skew_bench"
@@ -226,7 +227,12 @@ object Bench {
         Skew.saltedRowNumber(big, Seq("k"), col("rid"), descending = true,
           tieBreakers = Seq(col("payload").desc), buckets = 32))) }
     )
-    results.map { case (k, v) => "\"" + k + "\":" + v }
+    // "serial" distinguishes trustworthy measurements from the driver's
+    // full-suite run, where the fixture executes in the SAME JVM right
+    // after 113×3 query executions: heap/cleaner/JIT state inflates the
+    // variants non-uniformly (observed 3-9×). Serial numbers (the
+    // GRAFT_SKEW_ONLY path, quiet JVM) are the ones SCALE.md records.
+    (("\"serial\":" + serial) +: results.map { case (k, v) => "\"" + k + "\":" + v })
       .mkString("{", ",", "}")
   }
 }

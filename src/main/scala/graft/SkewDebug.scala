@@ -106,6 +106,19 @@ object SkewDebug {
         .partitionBy(col("k")).orderBy(ord: _*)))
     run("window_full_hot")(sink(fullRank(big)))
     run("window_full_uniform")(sink(fullRank(uni)))
+    // degenerate edge: CONSTANT order column — every row tied, so the
+    // quantile pass collapses and bucketing must fall back to the
+    // tie-breaker composite key (Skew.saltedRowNumber round-11 fallback).
+    // Without it the salted form degrades to the naive single-task sort.
+    val tied = big.withColumn("cts",
+      lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00")))
+    def fullRankTied(df: DataFrame): DataFrame = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("cts").desc, col("rid").desc)))
+    run("tied_window_full_hot")(sink(fullRankTied(tied)))
+    run("tied_salted_rank_hot")(sink(graft.core.Skew.saltedRowNumber(
+      tied, Seq("k"), col("cts"), descending = true,
+      tieBreakers = Seq(col("rid").desc), buckets = 32)))
     // stage-1 survivors of the salted form (decorrelated salt)
     val s1 = big.withColumn("__salt", pmod(xxhash64(col("rid")), lit(8L)))
     val w1 = org.apache.spark.sql.expressions.Window

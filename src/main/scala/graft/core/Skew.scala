@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** Skew utilities (SURVEY §7 "100 TB posture"). AQE's skew-join handling
   * covers sort-merge joins automatically; explicit salting remains the
@@ -83,7 +84,18 @@ object Skew {
     * (asc = nulls first, desc = nulls last) and land in the matching edge
     * bucket. Null values in `keys` form their own group (the offsets
     * join is null-safe), matching `Window.partitionBy` semantics.
-    * `out` must not collide with an existing column. */
+    * `out` must not collide with an existing column.
+    *
+    * Degenerate edge (rows TIED on the range value): a constant order
+    * column — or one whose quantiles collapse onto a dominant value, or
+    * an all-null/uncastable one — would put the tied mass in ONE bucket
+    * and silently lose the mitigation. Tied spans are detected from the
+    * raw quantile array and sub-bucketed by quantiles of the FIRST
+    * tie-breaker (a composite (v, tb) boundary is still aligned with the
+    * lexicographic sort order, so the rank stays exact — property-tested
+    * ≡ the plain window on all-equal order values). If the first
+    * tie-breaker is itself uncastable/constant the fallback degrades
+    * gracefully to the previous single-bucket behavior. */
   def saltedRowNumber(df: DataFrame, keys: Seq[String], rangeOn: Column,
                       descending: Boolean, tieBreakers: Seq[Column],
                       buckets: Int, out: String = "rn"): DataFrame = {
@@ -96,20 +108,67 @@ object Skew {
     import org.apache.spark.sql.expressions.Window
     val vcol = rangeOn.cast("double")
     // quantile pass: metadata-sized driver result (buckets-1 doubles)
-    val bounds =
+    val rawBounds =
       if (buckets == 1) Array.empty[Double]
       else df.select(vcol.as("__srn_v")).na.drop
         .stat.approxQuantile("__srn_v",
           (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-        .distinct.sorted
+    val bounds = rawBounds.distinct.sorted
     // bucket index = #boundaries strictly below v (ascending); a null v
     // contributes 0 to every term → edge bucket matching null-sort order
     val idxAsc = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(vcol > lit(b), 1).otherwise(0)
     }
     val idx = if (descending) lit(bounds.length) - idxAsc else idxAsc
+    // ---- degenerate-edge fallback: tie-breaker composite bucket key ----
+    // A quantile value repeated k+1 times in the RAW boundary array means
+    // ≥ ~k/buckets of the rows are TIED at that exact order value — a
+    // constant order column is the extreme (every boundary equal; one
+    // bucket), and an all-null/uncastable one leaves no boundary at all.
+    // Either way the tied span's sort lands in ONE task and the mitigation
+    // this function exists for silently vanishes. Rows tied on the range
+    // value are totally ordered by the tie-breakers, so a boundary on the
+    // FIRST tie-breaker is a composite (v, tb) boundary — still aligned
+    // with the window's lexicographic sort order, hence still exact. Each
+    // tied span is sub-bucketed by tie-breaker quantiles (one extra
+    // metadata-sized driver pass per fat span; zero extra work on the
+    // normal path, where the bucket column stays the plain major index).
+    val fatSpans: Seq[(Option[Double], Int)] =
+      if (buckets > 1 && bounds.isEmpty) Seq((None, buckets - 1)) // all tied
+      else rawBounds.groupBy(identity).toSeq.sortBy(_._1)
+        .collect { case (v, arr) if arr.length >= 2 => (Some(v), arr.length) }
+    val bkt: Column =
+      if (fatSpans.isEmpty || tieBreakers.isEmpty) idx
+      else {
+        val (tbCol, tbDesc) = sortChildOf(tieBreakers.head)
+        val tbv = tbCol.cast("double")
+        // Default minor for rows NOT in a tied span: a span's rows are the
+        // LAST of their major bucket when the major order is ascending
+        // (v = c is the top of its (prev, c] segment) but the FIRST when
+        // descending — so same-major non-span rows sit at minor 0 (asc)
+        // or at the maximum (desc) to keep bucket order aligned with the
+        // window's sort order. Sharing the edge sub-bucket is safe: equal
+        // buckets only defer to the local sort.
+        val minorDefault = if (descending) lit(buckets - 1) else lit(0)
+        val minor = fatSpans.foldLeft(minorDefault) { case (acc, (vOpt, m)) =>
+          val span = vOpt.map(v => df.filter(vcol === lit(v))).getOrElse(df)
+          val sub = span.select(tbv.as("__srn_v")).na.drop
+            .stat.approxQuantile("__srn_v",
+              (1 to m).map(_.toDouble / (m + 1)).toArray, 0.01)
+            .distinct.sorted
+          val subAsc = sub.foldLeft(lit(0)) { (a, b) =>
+            a + when(tbv > lit(b), 1).otherwise(0)
+          }
+          val subOrd = if (tbDesc) lit(sub.length) - subAsc else subAsc
+          when(vOpt.map(v => vcol === lit(v)).getOrElse(lit(true)), subOrd)
+            .otherwise(acc)
+        }
+        // minor ≤ buckets-1 < buckets, so major*buckets + minor preserves
+        // lexicographic (major, minor) order in a single int
+        idx * lit(buckets) + minor
+      }
     val ord = (if (descending) rangeOn.desc else rangeOn.asc) +: tieBreakers
-    val withB = df.withColumn("__srn_bkt", idx)
+    val withB = df.withColumn("__srn_bkt", bkt)
     val keyCols = keys.map(col)
     val w1 = Window.partitionBy(keyCols :+ col("__srn_bkt"): _*).orderBy(ord: _*)
     val local = withB.withColumn("__srn_lrn", row_number().over(w1))
@@ -133,6 +192,12 @@ object Skew {
         (col("__srn_lrn").cast("long") + col("__srn_off")).cast("int"))
       .select(df.columns.map(col) :+ col(out): _*)
   }
+
+  /** A sort column's underlying value column + direction (ColumnNode
+    * unwrap via the bridge; a bare Column defaults to ascending,
+    * matching `orderBy` semantics). */
+  private def sortChildOf(c: Column): (Column, Boolean) =
+    ColumnBridge.sortOrder(c)
 
   /** Hot-key diagnosis: per-key counts above a threshold — run on a
     * sample before choosing between AQE, salting, or broadcast. */

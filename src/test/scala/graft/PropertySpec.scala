@@ -154,6 +154,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedRowNumber degenerate edge: all-equal and all-null order values stay exact") {
+    // The quantile pass collapses when every row is TIED on the order
+    // value (constant timestamp) or the cast yields only nulls — the
+    // composite fallback must sub-bucket by the first tie-breaker and
+    // still reproduce the plain window's rank bit-for-bit, in every
+    // (major direction × tie-breaker direction) combination.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map { i =>
+      val k: java.lang.Integer =
+        if (rnd.nextInt(40) == 0) null
+        else if (rnd.nextBoolean()) Integer.valueOf(0)
+        else Integer.valueOf(1 + rnd.nextInt(10))
+      (k, i)
+    }
+    val base = rows.toDF("k", "id")
+    import org.apache.spark.sql.expressions.Window
+    for ((vcol, label) <- Seq(
+           (lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00")), "constant-ts"),
+           (lit(null).cast("timestamp"), "all-null"));
+         desc <- Seq(true, false); tbDesc <- Seq(true, false)) {
+      val df = base.withColumn("v", vcol)
+      val tb = if (tbDesc) col("id").desc else col("id").asc
+      val ord = (if (desc) col("v").desc else col("v").asc) +: Seq(tb)
+      val plain = df.withColumn("rn",
+          row_number().over(Window.partitionBy(col("k")).orderBy(ord: _*)))
+        .select("k", "id", "rn").collect()
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
+      val salted = graft.core.Skew.saltedRowNumber(df, Seq("k"), col("v"),
+          descending = desc, tieBreakers = Seq(tb), buckets = 8)
+        .select("k", "id", "rn").collect()
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(plain == salted, s"$label desc=$desc tbDesc=$tbDesc")
+    }
+  }
+
+  test("saltedJoinBy property: ≡ plain inner join (null keys, negative/null salts, 1/7/32 salts)") {
+    // Whatever the caller passes as a salt expression — signed 32-bit
+    // hash, negative arithmetic, even a constant null — the normalized
+    // salt must never drop or duplicate a row: the result is the plain
+    // inner join's multiset exactly. Null join keys drop in BOTH forms
+    // (null = null is null), which the row-count delta asserts.
+    val keyGen: Gen[java.lang.Long] = Gen.frequency(
+      1 -> Gen.const(null.asInstanceOf[java.lang.Long]),
+      9 -> Gen.chooseNum(0L, 30L).map(java.lang.Long.valueOf))
+    val bigRows = samples(keyGen, 400).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+    val big = bigRows.toDF("k", "rid")
+    // every OTHER key present: unmatched big rows must vanish identically
+    val small = (0L to 30L by 2).map(kk => (kk, s"dim_$kk")).toDF("k", "dim")
+    val plain = big.join(small, "k")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(plain.nonEmpty)
+    val saltExprs = Seq(
+      "hash32" -> hash(col("rid")),              // signed, negative half the time
+      "xxhash64" -> xxhash64(col("rid")),
+      "negative" -> (col("rid") * -3 - 7),
+      "null" -> lit(null).cast("long"))
+    for ((label, saltExpr) <- saltExprs; salts <- Seq(1, 7, 32)) {
+      val got = graft.core.Skew.saltedJoinBy(big, small, "k", saltExpr, salts)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(got == plain, s"salt=$label salts=$salts")
+    }
+  }
+
   test("unscaled12 fast path ≡ BigDecimal reference (fuzz + adversarial boundaries)") {
     import graft.functions.ExactDecimal
     val rnd = new scala.util.Random(99)

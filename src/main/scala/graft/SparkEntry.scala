@@ -34,6 +34,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Bench-only gram-hash override (the driver NEVER sets it, so the
+    * oracle gate always runs each query's cross-engine default):
+    * `GRAFT_GRAMHASH=xxhash64|md5` flips the token-gram kernel across the
+    * shingle/minhash/jaccard/contamination/span family so BOTH variants
+    * can be timed on identical plans — the md5 path pays a per-gram
+    * string allocation + digest; xxhash64 is the production default where
+    * the oracle doesn't need to replay gram keys. */
+  private def gramHashOr(default: String): String =
+    sys.env.getOrElse("GRAFT_GRAMHASH", default)
+
   /** decimal(12,2) view of a money/quantity double (TPC-H-scale safe). */
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   /** decimal(6,4) view of a rate double (discount/tax in [0,1]). */
@@ -562,7 +572,8 @@ object SparkEntry {
 
   private def q40_minhash_neardups(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 32, threshold = 0.3)
+        shingleN = 3, numHashes = 64, bands = 32, threshold = 0.3,
+        gramHash = gramHashOr("xxhash64"))
       .orderBy("id_a", "id_b")
 
   private def q41_simhash_neardups(s: SparkSession, dir: String): DataFrame =
@@ -618,7 +629,7 @@ object SparkEntry {
 
   private def q42_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, threshold = 0.4)
+        shingleN = 3, threshold = 0.4, gramHash = gramHashOr("xxhash64"))
       .orderBy("id_a", "id_b")
 
   private def q43_lsh_topk(s: SparkSession, dir: String): DataFrame = {
@@ -739,7 +750,8 @@ object SparkEntry {
     Dedup.contamination(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", n = 3, minShared = 1)
+        "doc_id", "text", n = 3, minShared = 1,
+        gramHash = gramHashOr("xxhash64"))
       .orderBy("doc_id")
   }
 
@@ -1323,7 +1335,7 @@ object SparkEntry {
     // removal pass consumes. Where q79 summarizes coverage, this emits
     // the spans themselves.
     Dedup.crossDocSpans(t(s, dir, "documents"), "doc_id", "text",
-        k = 5, minDocs = 2)
+        k = 5, minDocs = 2, gramHash = gramHashOr("md5"))
       .orderBy("doc_id", "span_start")
 
   private def q105_crossdoc_keepfirst(s: SparkSession, dir: String): DataFrame =
@@ -1331,7 +1343,7 @@ object SparkEntry {
     // substring survives corpus-wide (the (doc,pos)-minimal one); q104
     // is the remove-all C4 policy over the same anchors.
     Dedup.keepFirstCrossDocSpans(t(s, dir, "documents"), "doc_id", "text",
-        k = 5, minDocs = 2)
+        k = 5, minDocs = 2, gramHash = gramHashOr("md5"))
       .orderBy("doc_id")
 
   private def q106_span_decontamination(s: SparkSession, dir: String): DataFrame = {
@@ -1344,7 +1356,7 @@ object SparkEntry {
     Dedup.stripSpansSharedWith(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", k = 5)
+        "doc_id", "text", k = 5, gramHash = gramHashOr("md5"))
       .orderBy("doc_id")
   }
 
@@ -1353,7 +1365,7 @@ object SparkEntry {
     // dropped from the normalized token stream (all occurrences — the
     // C4-style boilerplate strip), surviving tokens re-joined.
     Dedup.stripCrossDocSpans(t(s, dir, "documents"), "doc_id", "text",
-        k = 5, minDocs = 2)
+        k = 5, minDocs = 2, gramHash = gramHashOr("md5"))
       .orderBy("doc_id")
 
   private def q93_chunk_pack(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The events loader must adapt to whatever ts encoding the testdata
+  * generator ships (it has changed across regenerations — TIMESTAMP(NANOS)
+  * through round 9, timestamp[us] NTZ from round 11). These cases pin the
+  * two branch behaviors that can be synthesized without a nanos writer:
+  * raw-long nanos (what nanosAsLong reading yields) and TIMESTAMP_NTZ. */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_tables").toString
+
+  test("events loader: raw nanos-long ts converts to micros timestamps") {
+    val dir = tmpDir()
+    // 2024-01-01 10:00:00 UTC in nanos, plus sub-micro residue that the
+    // DIV 1000 truncation must drop (DuckDB's TIMESTAMP_NS read truncates
+    // identically, which is what keeps the oracle aligned)
+    val nanos = 1704103200L * 1000000000L + 123456789L
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.load(spark, dir, "events")
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val ts = got.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].head()
+    assert(ts == "2024-01-01 10:00:00.123456")
+  }
+
+  test("events loader: TIMESTAMP_NTZ ts casts to the same UTC instant") {
+    val dir = tmpDir()
+    Seq(1L).toDF("event_id")
+      .withColumn("ts", to_timestamp_ntz(lit("2024-01-01 10:00:00.123456")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // confirm the fixture really wrote NTZ (no timezone in the footer)
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = Tables.load(spark, dir, "events")
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val ts = got.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].head()
+    // session TZ is UTC, so the NTZ wall-clock IS the UTC instant
+    assert(ts == "2024-01-01 10:00:00.123456")
+  }
+
+  test("events loader: already-TIMESTAMP ts passes through unchanged") {
+    val dir = tmpDir()
+    Seq(1L).toDF("event_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00.123456")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.load(spark, dir, "events")
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val ts = got.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].head()
+    assert(ts == "2024-01-01 10:00:00.123456")
+  }
+}

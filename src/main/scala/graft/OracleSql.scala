@@ -2583,6 +2583,15 @@ FROM documents a JOIN documents b
   ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b"""
 
+  /** q114: perceptual audio dedup — q113's oracle on the third modality
+    * (same-group ⇔ doc_id % 5, envelope hashes identical by
+    * construction; see MultiModal.synthesizeAudioFromDocs). */
+  private val q114 = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2657,6 +2666,7 @@ ORDER BY id_a, id_b"""
     "q111_salted_rank" -> q111,
     "q112_latest_salted" -> q112,
     "q113_image_neardups" -> q113,
+    "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,
     "q27_text_stats" -> q27,

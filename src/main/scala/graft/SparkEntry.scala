@@ -1241,6 +1241,20 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  private def q114_audio_neardups(s: SparkSession, dir: String): DataFrame = {
+    // q113's construction on the THIRD modality: real WAV blobs whose
+    // envelope-hash group is doc_id % 5 by construction (per-sample
+    // avalanche noise makes every blob's bytes unique; no envelope
+    // gradient sign ever flips). A hash match proves WAV encode, JDK
+    // decode, integer frame-mean envelope, hash bit order, and the
+    // chunk-blocked Hamming join end-to-end.
+    import graft.multimodal.MultiModal
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val auds = MultiModal.synthesizeAudioFromDocs(docs, groups = 5)
+    Dedup.audioNearDups(auds, "media_id", "content", maxHamming = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1571,6 +1585,7 @@ object SparkEntry {
     "q111_salted_rank" -> (q111_salted_rank _),
     "q112_latest_salted" -> (q112_latest_salted _),
     "q113_image_neardups" -> (q113_image_neardups _),
+    "q114_audio_neardups" -> (q114_audio_neardups _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

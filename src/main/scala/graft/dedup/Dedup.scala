@@ -388,6 +388,28 @@ object Dedup extends graft.core.Logging {
     hammingPairsFromSigs(sigs, maxHamming, chunks)
   }
 
+  /** Perceptual-hash AUDIO near-duplicate pairs — the audio twin of
+    * [[imageNearDups]] (re-encodes, level changes, and low-amplitude
+    * noise survive byte-level exact dedup): decode each WAV/PCM blob,
+    * compute the 64-bit envelope hash
+    * ([[graft.multimodal.MultiModal.audioEnvelopeHash64]] — gradient
+    * signs of the 65-frame energy envelope, gain-invariant), then find
+    * Hamming-radius pairs with the shared chunk-blocking machinery
+    * ([[hammingPairsFromSigs]]): exact by pigeonhole at
+    * `nChunks = maxHamming + 1` (the default), banded-approximate below.
+    *
+    * Scale shape: identical to the image path — decode+hash is
+    * partition-local (one pass per blob, memory bounded by the largest
+    * blob); only 16-byte (id, chunk-key) rows shuffle, audio bytes never
+    * do. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def audioNearDups(media: DataFrame, idCol: String, bytesCol: String,
+                    maxHamming: Int = 4, nChunks: Int = 0): DataFrame = {
+    val chunks = if (nChunks == 0) maxHamming + 1 else nChunks
+    val sigs = graft.multimodal.MultiModal
+      .audioPerceptualHashes(media, idCol, bytesCol)
+    hammingPairsFromSigs(sigs, maxHamming, chunks)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) of normalized
     * text: md5-hashed word n-grams, per-window unsigned minima, distinct.
     * The standard robust document sketch: any shared run of n+w-1 tokens

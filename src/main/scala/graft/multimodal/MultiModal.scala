@@ -282,6 +282,114 @@ object MultiModal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  // ==================== audio perceptual hashing ====================
+
+  /** 64-bit audio envelope hash — the dHash idea applied to the
+    * time-domain energy envelope: decode 16-bit PCM, split the sample
+    * stream into 65 integer-boundary frames, per-frame integer mean
+    * |sample|, bit f = 1 iff env(f+1) > env(f). Gain-invariant (uniform
+    * level scaling preserves every comparison) and robust to additive
+    * noise below half the envelope step, which makes equal-or-near
+    * hashes a re-encode/re-level near-duplicate signal — the audio
+    * member of the perceptual-hash family (dHash64 for images, simhash
+    * for text); distance is Hamming over the 64 bits, fed to
+    * [[graft.dedup.Dedup.audioNearDups]]. Zero-dep: the same base-JDK
+    * `javax.sound.sampled` WAV path as [[extractAudioFeatures]].
+    * Frame-mean comparison is exact integer cross-multiplication (no
+    * division rounding); sums stay within Long below ~10 h of 44.1 kHz
+    * audio per blob. */
+  def audioEnvelopeHash64(bytes: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16,
+        s"only 16-bit PCM supported; got ${f.getSampleSizeInBits}")
+      val pcm = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(
+        if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = pcm.length / 2
+      require(n >= 65, s"need >= 65 samples for a 64-bit envelope hash; got $n")
+      val env = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort.toInt
+        val fi = (i.toLong * 65 / n).toInt
+        env(fi) += math.abs(s); cnt(fi) += 1
+        i += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) {
+        if (env(k + 1) * cnt(k) > env(k) * cnt(k + 1)) sig |= 1L << k
+        k += 1
+      }
+      sig
+    } finally in.close()
+  }
+
+  /** Envelope-hash pass over an audio table: (id, sig), one decode +
+    * hash per blob, partition-local (same mapPartitions shape as
+    * [[perceptualHashes]] — audio bytes never leave their input
+    * partition; only 16-byte (id, sig) rows flow on). */
+  def audioPerceptualHashes(media: DataFrame, idCol: String,
+                            bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val rdd = media.select(idCol, bytesCol).rdd.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), audioEnvelopeHash64(r.getAs[Array[Byte]](1))))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize a REAL-WAV audio table from the documents fixture for
+    * envelope-hash dedup (the q113 construction, third modality):
+    * doc_id % `groups` picks an 8-bit pattern; the 65-frame envelope
+    * walks ±50 per frame along that pattern (each pattern bit drives 8
+    * consecutive frames), base 4000, with avalanche-mixed per-(doc,
+    * sample) noise in [-2, 2] — every blob's BYTES are unique while no
+    * envelope gradient sign ever flips (|Δ| = 50 ∓ 4 > 0). Same-group
+    * docs hash IDENTICALLY; cross-group hashes differ by ≥ 32 bits
+    * (pattern Hamming ≥ 4 × 8 frames) — the expected pair set is pure
+    * doc_id arithmetic, SQL-recomputable (q114). 65×64 samples at
+    * 16 kHz mono 16-bit ≈ 8 KB per doc. */
+  def synthesizeAudioFromDocs(docs: DataFrame, groups: Int = 5): DataFrame = {
+    require(groups >= 1 && groups <= groupPatterns.length,
+      s"groups must be in [1, ${groupPatterns.length}]; got $groups")
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id").rdd.map { r =>
+      val id = r.getLong(0)
+      val pat = groupPatterns((id % groups).toInt)
+      val env = new Array[Int](65)
+      env(0) = 4000
+      var fr = 0
+      while (fr < 64) {
+        env(fr + 1) = env(fr) + (if (((pat >> (fr / 8)) & 1) == 1) 50 else -50)
+        fr += 1
+      }
+      val samples = new Array[Short](65 * 64)
+      var i = 0
+      while (i < samples.length) {
+        var z = id * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+        z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
+        val noise = java.lang.Math.floorMod(z, 5L).toInt - 2
+        val mag = env(i / 64) + noise
+        // alternate sign so the waveform is audio-shaped; the hash
+        // consumes |sample|, so magnitudes carry the envelope exactly
+        samples(i) = (if (i % 2 == 0) mag else -mag).toShort
+        i += 1
+      }
+      val content = encodeWav(16000, samples)
+      Row(id, "audio", content,
+        Row("audio/wav", s"mem://aud/$id", content.length.toLong))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   case class AudioInfo(sampleRate: Int, channels: Int,
                        bitsPerSample: Int, nFrames: Long)
 

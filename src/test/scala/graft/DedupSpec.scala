@@ -401,4 +401,33 @@ class DedupSpec extends SparkSpec {
       MultiModal.perceptualHashes(imgs, "media_id", "content", "phash-nope")
     }
   }
+
+  test("audioNearDups: planted same-group dups pair at hamming 0; envelope hash is gain-invariant") {
+    import graft.multimodal.MultiModal
+    val docs = (0L until 10L).toDF("doc_id")
+    val auds = MultiModal.synthesizeAudioFromDocs(docs, groups = 5)
+    // every WAV's bytes are unique (avalanche noise) → exact dedup blind...
+    assert(auds.select("content").as[Array[Byte]].collect().map(_.toSeq).distinct.length == 10)
+    // ...but the envelope hash pairs every same-group couple at distance 0
+    val pairs = Dedup.audioNearDups(auds, "media_id", "content", maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 5L, 0)).toSet)
+    // cross-group signatures sit far outside the radius (≥ 32 bits)
+    val sigs = MultiModal.audioPerceptualHashes(auds, "media_id", "content")
+      .as[(Long, Long)].collect().toMap
+    for (a <- 0L until 5L; b <- (a + 1) until 5L)
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) >= 32,
+        s"groups $a,$b too close")
+    // gain invariance: halving every sample (a re-level) keeps the hash —
+    // uniform scaling preserves all envelope comparisons
+    val w = MultiModal.encodeWav(16000,
+      Array.tabulate(65 * 64)(i => ((i / 64 + 1) * 100 * (if (i % 2 == 0) 1 else -1)).toShort))
+    val wHalf = MultiModal.encodeWav(16000,
+      Array.tabulate(65 * 64)(i => ((i / 64 + 1) * 50 * (if (i % 2 == 0) 1 else -1)).toShort))
+    assert(MultiModal.audioEnvelopeHash64(w) == MultiModal.audioEnvelopeHash64(wHalf))
+    // too-short audio fails loudly rather than hashing garbage
+    intercept[IllegalArgumentException] {
+      MultiModal.audioEnvelopeHash64(MultiModal.encodeWav(16000, Array.fill(10)(1.toShort)))
+    }
+  }
 }

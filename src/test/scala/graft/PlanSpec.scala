@@ -350,4 +350,18 @@ class PlanSpec extends SparkSpec {
     assert(s.linesIterator
       .filter(_.contains("BroadcastNestedLoopJoin")).forall(_.contains("Cross")), s)
   }
+
+  test("q113/q114 perceptual dedup: blobs decode ONCE — chunk join reuses the signature exchange") {
+    // The Hamming chunk join references the (id, sig) table on both
+    // sides. If the plans diverged, every image/audio blob would decode
+    // and hash TWICE (the signature source is an RDD scan, not a
+    // cacheable file scan) — the contract is one Scan ExistingRDD with
+    // the second side a ReusedExchange of the first's shuffle.
+    for (name <- Seq("q113_image_neardups", "q114_audio_neardups")) {
+      val s = planString(q(name))
+      val rddScans = s.linesIterator.count(_.contains("Scan ExistingRDD"))
+      assert(rddScans == 1, s"$name: expected the decode+hash RDD scanned once, plan:\n$s")
+      assert(s.contains("ReusedExchange"), s"$name: chunk join must reuse the signature exchange:\n$s")
+    }
+  }
 }

@@ -2581,6 +2581,7 @@ FROM f ORDER BY media_id, frame_no"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
 FROM documents a JOIN documents b
   ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+WHERE a.doc_id < 1000 AND b.doc_id < 1000
 ORDER BY id_a, id_b"""
 
   /** q114: perceptual audio dedup — q113's oracle on the third modality
@@ -2590,6 +2591,7 @@ ORDER BY id_a, id_b"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
 FROM documents a JOIN documents b
   ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+WHERE a.doc_id < 1000 AND b.doc_id < 1000
 ORDER BY id_a, id_b"""
 
   val all: Map[String, String] = Map(

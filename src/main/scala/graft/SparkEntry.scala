@@ -1233,9 +1233,14 @@ object SparkEntry {
     // pair set is therefore pure doc_id arithmetic (same group ⇔ pair,
     // hamming 0), and a hash match proves the PNG encode, ImageIO decode,
     // 9×8 pooling, dHash bit order, and the chunk-blocked Hamming join
-    // end-to-end.
+    // end-to-end. The census caps at 1000 docs (a no-op at the sf0.01
+    // gate): the fixture's pair OUTPUT is quadratic in group size by
+    // design — uncapped at sf0.1 the row times 2.5M-pair
+    // materialization, not the operator; the family's scale posture is
+    // the simhash exponents (SCALE.md), not this gate.
     import graft.multimodal.MultiModal
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 1000).select(col("doc_id"))
     val imgs = MultiModal.synthesizeImagesFromDocs(docs, groups = 5)
     Dedup.imageNearDups(imgs, "media_id", "content", maxHamming = 4)
       .orderBy("id_a", "id_b")
@@ -1247,9 +1252,11 @@ object SparkEntry {
     // avalanche noise makes every blob's bytes unique; no envelope
     // gradient sign ever flips). A hash match proves WAV encode, JDK
     // decode, integer frame-mean envelope, hash bit order, and the
-    // chunk-blocked Hamming join end-to-end.
+    // chunk-blocked Hamming join end-to-end. Same 1000-doc census cap as
+    // q113 (quadratic pair output by design; no-op at the sf0.01 gate).
     import graft.multimodal.MultiModal
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 1000).select(col("doc_id"))
     val auds = MultiModal.synthesizeAudioFromDocs(docs, groups = 5)
     Dedup.audioNearDups(auds, "media_id", "content", maxHamming = 4)
       .orderBy("id_a", "id_b")

@@ -31,8 +31,14 @@ object Tables {
     val raw =
       try spark.read.parquet(path)
       catch {
-        // TIMESTAMP(NANOS) fails schema conversion; retry as raw long.
-        case _: Exception =>
+        // ONLY the TIMESTAMP(NANOS) schema-conversion failure gets the
+        // nanosAsLong retry — a broad catch would mask unrelated errors
+        // (missing path, corrupt footer) behind a pointless second read
+        // AND leak the legacy flag into the whole session, silently
+        // turning any other table's genuine NANOS column into raw longs.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+              e.getMessage.contains("Illegal Parquet type") =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(path)
       }

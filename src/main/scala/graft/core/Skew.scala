@@ -87,15 +87,20 @@ object Skew {
     * `out` must not collide with an existing column.
     *
     * Degenerate edge (rows TIED on the range value): a constant order
-    * column — or one whose quantiles collapse onto a dominant value, or
-    * an all-null/uncastable one — would put the tied mass in ONE bucket
-    * and silently lose the mitigation. Tied spans are detected from the
-    * raw quantile array and sub-bucketed by quantiles of the FIRST
-    * tie-breaker (a composite (v, tb) boundary is still aligned with the
-    * lexicographic sort order, so the rank stays exact — property-tested
-    * ≡ the plain window on all-equal order values). If the first
-    * tie-breaker is itself uncastable/constant the fallback degrades
-    * gracefully to the previous single-bucket behavior. */
+    * column — or one with a dominant value, or a large/total null mass —
+    * would put the tied rows in ONE bucket and silently lose the
+    * mitigation. Tied spans are detected from the raw quantile array
+    * (a value repeated ≥ max(2, buckets/8) times) and from the counted
+    * null mass (≥ 1/buckets of rows), then sub-bucketed by quantiles of
+    * the FIRST tie-breaker via one shared grouped-percentile job — a
+    * composite (v, tb) boundary stays aligned with the lexicographic
+    * sort order, so the rank stays exact (property-tested ≡ the plain
+    * window on constant, all-null, and half-null order values). The
+    * fallback only engages when the tie-breaker's cast-to-double order
+    * provably matches its sort order (numeric/date/timestamp/boolean,
+    * default null ordering); otherwise — string tie-breakers, custom
+    * NULLS FIRST/LAST — it degrades to the previous single-bucket
+    * behavior rather than risk mis-bucketing. */
   def saltedRowNumber(df: DataFrame, keys: Seq[String], rangeOn: Column,
                       descending: Boolean, tieBreakers: Seq[Column],
                       buckets: Int, out: String = "rn"): DataFrame = {
@@ -107,12 +112,24 @@ object Skew {
       s"saltedRowNumber: column(s) ${clash.mkString(", ")} already exist in input")
     import org.apache.spark.sql.expressions.Window
     val vcol = rangeOn.cast("double")
-    // quantile pass: metadata-sized driver result (buckets-1 doubles)
-    val rawBounds =
-      if (buckets == 1) Array.empty[Double]
-      else df.select(vcol.as("__srn_v")).na.drop
-        .stat.approxQuantile("__srn_v",
-          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+    // Stats pass: the same single job the plain quantile pass always was,
+    // now also counting rows/nulls (metadata-sized driver result) so the
+    // degenerate-edge detection below needs no extra scan. accuracy 100 ≡
+    // the previous approxQuantile relativeError 0.01.
+    val (rawBounds, totalRows, nonNullRows) =
+      if (buckets == 1) (Array.empty[Double], 0L, 0L)
+      else {
+        val r = df.select(
+            percentile_approx(vcol,
+              typedLit((1 until buckets).map(_.toDouble / buckets)),
+              lit(100)).as("q"),
+            count(lit(1)).as("n"), count(vcol).as("nn"))
+          .head()
+        val bs = Option(r.getSeq[Any](0)).map(_.collect {
+          case d: java.lang.Double => d.doubleValue }.toArray)
+          .getOrElse(Array.empty[Double])
+        (bs, r.getLong(1), r.getLong(2))
+      }
     val bounds = rawBounds.distinct.sorted
     // bucket index = #boundaries strictly below v (ascending); a null v
     // contributes 0 to every term → edge bucket matching null-sort order
@@ -121,51 +138,100 @@ object Skew {
     }
     val idx = if (descending) lit(bounds.length) - idxAsc else idxAsc
     // ---- degenerate-edge fallback: tie-breaker composite bucket key ----
-    // A quantile value repeated k+1 times in the RAW boundary array means
-    // ≥ ~k/buckets of the rows are TIED at that exact order value — a
+    // A tied span — rows sharing one exact order value, or sharing NULL —
+    // sorts in ONE task no matter how the quantile boundaries fall: a
     // constant order column is the extreme (every boundary equal; one
-    // bucket), and an all-null/uncastable one leaves no boundary at all.
-    // Either way the tied span's sort lands in ONE task and the mitigation
-    // this function exists for silently vanishes. Rows tied on the range
-    // value are totally ordered by the tie-breakers, so a boundary on the
-    // FIRST tie-breaker is a composite (v, tb) boundary — still aligned
-    // with the window's lexicographic sort order, hence still exact. Each
-    // tied span is sub-bucketed by tie-breaker quantiles (one extra
-    // metadata-sized driver pass per fat span; zero extra work on the
-    // normal path, where the bucket column stays the plain major index).
-    val fatSpans: Seq[(Option[Double], Int)] =
-      if (buckets > 1 && bounds.isEmpty) Seq((None, buckets - 1)) // all tied
-      else rawBounds.groupBy(identity).toSeq.sortBy(_._1)
-        .collect { case (v, arr) if arr.length >= 2 => (Some(v), arr.length) }
+    // bucket), a 50%-null column the sneaky variant (clean boundaries,
+    // but the null mass piles into the edge bucket). Rows tied on the
+    // range value are totally ordered by the tie-breakers, so a boundary
+    // on the FIRST tie-breaker is a composite (v, tb) boundary — still
+    // aligned with the window's lexicographic sort order, hence exact.
+    // Detection: a boundary value repeated k times in the raw quantile
+    // array ties ≥ ~(k-1)/buckets of the rows (threshold ≥ max(2, b/8):
+    // sub-bucketing below ~an eighth of the data isn't worth the pass);
+    // the null span triggers on the counted null mass directly. All
+    // detected spans share ONE grouped percentile job; the normal path
+    // (no spans) adds nothing.
+    // The fallback only fires when the first tie-breaker's cast-to-double
+    // order provably agrees with its sort order (numeric/date/timestamp/
+    // boolean) and its null ordering is the direction default — e.g. a
+    // STRING tie-breaker sorts "10" < "9" lexicographically but casts to
+    // 10.0 > 9.0, which would mis-bucket, so it degrades to the plain
+    // single-bucket behavior instead.
+    val repeatThreshold = math.max(2, buckets / 8)
+    val fatValues: Seq[Double] = rawBounds.groupBy(identity).toSeq.sortBy(_._1)
+      .collect { case (v, arr) if arr.length >= repeatThreshold => v }
+    val nullRows = totalRows - nonNullRows
+    val nullSpan = buckets > 1 && nullRows > 0 &&
+      (nullRows >= totalRows / buckets || nonNullRows == 0)
+    val tbSafe = tieBreakers.nonEmpty && {
+      val (tbCol, _, defaultNulls) = sortChildOf(tieBreakers.head)
+      import org.apache.spark.sql.types._
+      defaultNulls && (df.select(tbCol).schema.head.dataType match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType |
+             BooleanType => true
+        case _ => false
+      })
+    }
     val bkt: Column =
-      if (fatSpans.isEmpty || tieBreakers.isEmpty) idx
+      if ((fatValues.isEmpty && !nullSpan) || !tbSafe) idx
       else {
-        val (tbCol, tbDesc) = sortChildOf(tieBreakers.head)
+        val (tbCol, tbDesc, _) = sortChildOf(tieBreakers.head)
         val tbv = tbCol.cast("double")
-        // Default minor for rows NOT in a tied span: a span's rows are the
-        // LAST of their major bucket when the major order is ascending
-        // (v = c is the top of its (prev, c] segment) but the FIRST when
-        // descending — so same-major non-span rows sit at minor 0 (asc)
-        // or at the maximum (desc) to keep bucket order aligned with the
-        // window's sort order. Sharing the edge sub-bucket is safe: equal
-        // buckets only defer to the local sort.
-        val minorDefault = if (descending) lit(buckets - 1) else lit(0)
-        val minor = fatSpans.foldLeft(minorDefault) { case (acc, (vOpt, m)) =>
-          val span = vOpt.map(v => df.filter(vcol === lit(v))).getOrElse(df)
-          val sub = span.select(tbv.as("__srn_v")).na.drop
-            .stat.approxQuantile("__srn_v",
-              (1 to m).map(_.toDouble / (m + 1)).toArray, 0.01)
-            .distinct.sorted
-          val subAsc = sub.foldLeft(lit(0)) { (a, b) =>
-            a + when(tbv > lit(b), 1).otherwise(0)
+        // every span gets the full sub-boundary grid (finer than its
+        // mass strictly needs is harmless: minor stays < buckets)
+        val fracs = (1 to (buckets - 1)).map(_.toDouble / buckets)
+        val spanPreds: Seq[(Boolean, Column)] =
+          fatValues.map(v => (false, vcol === lit(v))) ++
+            (if (nullSpan) Seq((true, vcol.isNull)) else Nil)
+        val spanIdx = spanPreds.zipWithIndex
+          .foldLeft(lit(null).cast("int")) { case (acc, ((_, p), i)) =>
+            when(p, lit(i)).otherwise(acc)
           }
-          val subOrd = if (tbDesc) lit(sub.length) - subAsc else subAsc
-          when(vOpt.map(v => vcol === lit(v)).getOrElse(lit(true)), subOrd)
-            .otherwise(acc)
-        }
-        // minor ≤ buckets-1 < buckets, so major*buckets + minor preserves
+        // ONE grouped percentile job covering every span (driver result:
+        // ≤ buckets rows × buckets-1 doubles)
+        val subBounds: Map[Int, Array[Double]] =
+          df.select(spanIdx.as("__srn_span"), tbv.as("__srn_tb"))
+            .filter(col("__srn_span").isNotNull)
+            .groupBy("__srn_span")
+            .agg(percentile_approx(col("__srn_tb"), typedLit(fracs), lit(100)).as("q"))
+            .collect()
+            .map(r => r.getInt(0) -> Option(r.getSeq[Any](1))
+              .map(_.collect { case d: java.lang.Double => d.doubleValue }
+                .toArray.distinct.sorted)
+              .getOrElse(Array.empty[Double]))
+            .toMap
+        // Default minor for rows NOT in a tied span: a fat value's rows
+        // are the LAST of their major bucket when the major order is
+        // ascending (v = c is the top of its (prev, c] segment) but the
+        // FIRST when descending — so same-major non-span rows sit at
+        // minor 0 (asc) or the maximum (desc) to keep bucket order
+        // aligned with the sort order. Sharing the edge sub-bucket is
+        // safe: equal buckets only defer to the local sort.
+        val minorDefault = if (descending) lit(buckets - 1) else lit(0)
+        val bktFallback = spanPreds.zipWithIndex
+          .foldLeft(idx * lit(buckets) + minorDefault) {
+            case (acc, ((isNull, p), i)) =>
+              val sb = subBounds.getOrElse(i, Array.empty[Double])
+              val subAsc = sb.foldLeft(lit(0)) { (a, b) =>
+                a + when(tbv > lit(b), 1).otherwise(0)
+              }
+              val subOrd = if (tbDesc) lit(sb.length) - subAsc else subAsc
+              // the null span needs its OWN major: nulls sort before
+              // (asc) / after (desc) every non-null value, but share the
+              // edge idx with the lowest/highest non-null segment — an
+              // overridden major strictly outside [0, len]·buckets keeps
+              // them separated while their minors spread the sort
+              val major =
+                if (isNull)
+                  if (descending) lit((bounds.length + 1) * buckets)
+                  else lit(-buckets)
+                else idx * lit(buckets)
+              when(p, major + subOrd).otherwise(acc)
+          }
+        // minor ≤ buckets-1 < buckets, so major·buckets + minor preserves
         // lexicographic (major, minor) order in a single int
-        idx * lit(buckets) + minor
+        bktFallback
       }
     val ord = (if (descending) rangeOn.desc else rangeOn.asc) +: tieBreakers
     val withB = df.withColumn("__srn_bkt", bkt)
@@ -193,10 +259,11 @@ object Skew {
       .select(df.columns.map(col) :+ col(out): _*)
   }
 
-  /** A sort column's underlying value column + direction (ColumnNode
-    * unwrap via the bridge; a bare Column defaults to ascending,
-    * matching `orderBy` semantics). */
-  private def sortChildOf(c: Column): (Column, Boolean) =
+  /** A sort column's underlying value column + direction + whether its
+    * null ordering is the direction default (ColumnNode unwrap via the
+    * bridge; a bare Column defaults to ascending/nulls-first, matching
+    * `orderBy` semantics). */
+  private def sortChildOf(c: Column): (Column, Boolean, Boolean) =
     ColumnBridge.sortOrder(c)
 
   /** Hot-key diagnosis: per-key counts above a threshold — run on a

@@ -213,6 +213,20 @@ object MultiModal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Avalanche-mixed fixture noise in [-2, 2] (splitmix64 finalizer over
+    * a seed folded from (id, position)): both planted-duplicate fixture
+    * synthesizers ([[synthesizeImagesFromDocs]], [[synthesizeAudioFromDocs]])
+    * need per-(doc, position) noise that (a) makes every blob's bytes
+    * unique — any LINEAR id term is constant within a dup group (ids ≡
+    * mod `groups`), which made same-group blobs byte-identical — and
+    * (b) stays small enough that no gradient sign ever flips. Shared so
+    * the two fixtures' no-sign-flip reasoning can't silently diverge. */
+  private def avalancheNoise(id: Long, pos: Long): Int = {
+    var z = id * 0x9E3779B97F4A7C15L + pos * 0xC2B2AE3D27D4EB4FL
+    z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
+    java.lang.Math.floorMod(z, 5L).toInt - 2
+  }
+
   /** 8-bit column-direction patterns with pairwise Hamming distance ≥ 4:
     * a group's image ascends/descends in x wherever its pattern bit is
     * set/clear, so two groups' dHashes differ by ≥ 4·8 = 32 bits while
@@ -263,18 +277,10 @@ object MultiModal {
         base(x + 1) = base(x) + (if (((pat >> x) & 1) == 1) 8 else -8)
         x += 1
       }
-      // Avalanche-mixed per-(doc, pixel) noise: a LINEAR id term (e.g.
-      // id*31 % 5) is constant within a dHash group (ids ≡ mod `groups`),
-      // which made same-group images byte-IDENTICAL — defeating the
-      // "bytes differ, only the perceptual hash pairs them" premise. The
-      // splitmix64 finalizer decorrelates (id, x, y) fully, so any two
-      // docs agree on the whole 9×8 grid with probability ~5^-72.
-      def noise(x: Int, y: Int): Int = {
-        var z = id * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
-          y * 0x165667B19E3779F9L
-        z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
-        java.lang.Math.floorMod(z, 5L).toInt - 2
-      }
+      // per-(doc, pixel) noise — see avalancheNoise for why it must be
+      // avalanche-mixed, not linear in id (any two docs agree on the
+      // whole 9×8 grid with probability ~5^-72)
+      def noise(x: Int, y: Int): Int = avalancheNoise(id, y * 9L + x)
       val content = encodePngGray(9, 8, (x, y) => base(x) + noise(x, y))
       Row(id, "image", content,
         Row("image/png", s"mem://img/$id", content.length.toLong))
@@ -295,9 +301,9 @@ object MultiModal {
     * for text); distance is Hamming over the 64 bits, fed to
     * [[graft.dedup.Dedup.audioNearDups]]. Zero-dep: the same base-JDK
     * `javax.sound.sampled` WAV path as [[extractAudioFeatures]].
-    * Frame-mean comparison is exact integer cross-multiplication (no
-    * division rounding); sums stay within Long below ~10 h of 44.1 kHz
-    * audio per blob. */
+    * Frame-mean comparison is exact cross-multiplication in 128-bit
+    * integer arithmetic (no division rounding, no overflow at any blob
+    * length). */
   def audioEnvelopeHash64(bytes: Array[Byte]): Long = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -323,7 +329,16 @@ object MultiModal {
       var sig = 0L
       var k = 0
       while (k < 64) {
-        if (env(k + 1) * cnt(k) > env(k) * cnt(k + 1)) sig |= 1L << k
+        // exact cross-multiplied mean compare in 128 bits: env·cnt can
+        // exceed Long for multi-hour blobs (env ≤ 32767·n/65, cnt ≈ n/65
+        // → overflow near n ≈ 1.1e9, ~7 h at 44.1 kHz), which would
+        // silently flip comparison signs; 64 BigInteger products per
+        // blob are noise next to the decode
+        val l = java.math.BigInteger.valueOf(env(k + 1))
+          .multiply(java.math.BigInteger.valueOf(cnt(k)))
+        val r = java.math.BigInteger.valueOf(env(k))
+          .multiply(java.math.BigInteger.valueOf(cnt(k + 1)))
+        if (l.compareTo(r) > 0) sig |= 1L << k
         k += 1
       }
       sig
@@ -374,10 +389,7 @@ object MultiModal {
       val samples = new Array[Short](65 * 64)
       var i = 0
       while (i < samples.length) {
-        var z = id * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
-        z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
-        val noise = java.lang.Math.floorMod(z, 5L).toInt - 2
-        val mag = env(i / 64) + noise
+        val mag = env(i / 64) + avalancheNoise(id, i.toLong)
         // alternate sign so the waveform is audio-shaped; the hash
         // consumes |sample|, so magnitudes carry the envelope exactly
         samples(i) = (if (i % 2 == 0) mag else -mag).toShort

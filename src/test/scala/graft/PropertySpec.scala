@@ -170,9 +170,16 @@ class PropertySpec extends SparkSpec {
     }
     val base = rows.toDF("k", "id")
     import org.apache.spark.sql.expressions.Window
+    val constTs = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
     for ((vcol, label) <- Seq(
-           (lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00")), "constant-ts"),
-           (lit(null).cast("timestamp"), "all-null"));
+           (lit(constTs), "constant-ts"),
+           (lit(null).cast("timestamp"), "all-null"),
+           // nulls + one dominant value: BOTH span kinds fire at once
+           (when(col("id") % 2 === 0, lit(constTs)).otherwise(lit(null)), "half-null-half-const"),
+           // null-heavy but clean non-null quantiles: only the null span
+           (when(col("id") % 3 === 0, lit(null).cast("timestamp"))
+             .otherwise(timestamp_seconds(lit(1704067200L) + col("id"))),
+             "third-null-spread"));
          desc <- Seq(true, false); tbDesc <- Seq(true, false)) {
       val df = base.withColumn("v", vcol)
       val tb = if (tbDesc) col("id").desc else col("id").asc
@@ -186,6 +193,26 @@ class PropertySpec extends SparkSpec {
         .select("k", "id", "rn").collect()
         .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
       assert(plain == salted, s"$label desc=$desc tbDesc=$tbDesc")
+    }
+    // unsafe tie-breakers must DISABLE the fallback, never mis-bucket:
+    // a string tb sorts "10" < "9" while casting to 10.0 > 9.0, and a
+    // non-default null ordering breaks the direction-derived null edge —
+    // both still rank exactly (plain single-bucket path)
+    val dfS = base.withColumn("v", lit(constTs))
+      .withColumn("sid", concat(lit(""), col("id")))
+    for ((tb, label) <- Seq(
+           (col("sid").asc, "string-tb"),
+           (col("id").asc_nulls_last, "nulls-last-tb"))) {
+      val ord = Seq(col("v").asc, tb)
+      val plain = dfS.withColumn("rn",
+          row_number().over(Window.partitionBy(col("k")).orderBy(ord: _*)))
+        .select("k", "id", "rn").collect()
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
+      val salted = graft.core.Skew.saltedRowNumber(dfS, Seq("k"), col("v"),
+          descending = false, tieBreakers = Seq(tb), buckets = 8)
+        .select("k", "id", "rn").collect()
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(plain == salted, label)
     }
   }
 

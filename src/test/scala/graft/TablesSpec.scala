@@ -46,6 +46,31 @@ class TablesSpec extends SparkSpec {
     assert(ts == "2024-01-01 10:00:00.123456")
   }
 
+  test("events loader: real TIMESTAMP(NANOS) parquet takes the narrowed retry path") {
+    // A genuine nanos file (committed fixture — Spark cannot write one):
+    // the plain read throws AnalysisException [PARQUET_TYPE_ILLEGAL], the
+    // loader retries under nanosAsLong, and the value truncates to micros
+    // exactly like DuckDB's TIMESTAMP_NS read. Pins the catch matcher —
+    // a message change in a Spark upgrade should fail HERE, not in prod.
+    val dir = getClass.getResource("/nanos_events").getPath
+    val got = Tables.load(spark, dir, "events")
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val ts = got.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].head()
+    assert(ts == "2024-01-01 10:00:00.123456")
+  }
+
+  test("events loader: unrelated read failures are NOT retried or masked") {
+    // missing path: the narrowed catch must let the original error
+    // propagate instead of burning a second read and leaking the
+    // legacy nanos flag into the session
+    val e = intercept[Exception] {
+      Tables.load(spark, "/tmp/graft_definitely_missing_dir", "events").collect()
+    }
+    assert(!e.getMessage.contains("PARQUET_TYPE_ILLEGAL"), e.getMessage)
+  }
+
   test("events loader: already-TIMESTAMP ts passes through unchanged") {
     val dir = tmpDir()
     Seq(1L).toDF("event_id")

@@ -179,7 +179,14 @@ class PropertySpec extends SparkSpec {
            // null-heavy but clean non-null quantiles: only the null span
            (when(col("id") % 3 === 0, lit(null).cast("timestamp"))
              .otherwise(timestamp_seconds(lit(1704067200L) + col("id"))),
-             "third-null-spread"));
+             "third-null-spread"),
+           // TWO dominant values (40% each) + a 20% spread tail: multiple
+           // fat spans sub-bucket independently in one pass
+           (when(col("id") % 5 < 2, lit(constTs))
+             .otherwise(when(col("id") % 5 < 4,
+               lit(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")))
+               .otherwise(timestamp_seconds(lit(1704067200L) + col("id")))),
+             "two-fat-values"));
          desc <- Seq(true, false); tbDesc <- Seq(true, false)) {
       val df = base.withColumn("v", vcol)
       val tb = if (tbDesc) col("id").desc else col("id").asc

@@ -1125,16 +1125,19 @@ SELECT media_id, width, height, channels,
   CAST(ceil(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS target_h
 FROM d ORDER BY media_id"""
 
-  /** q60: trailing-hour RANGE frame over epoch seconds; null values sum
-    * to NULL in both engines unless absent — decimal-exact rounding per
-    * the parity policy. */
+  /** q60: trailing-hour RANGE frame over exact integer MICROSECONDS
+    * (epoch_us ≡ Spark unix_micros — epoch seconds are a trap: epoch()
+    * keeps fractional micros while Spark's unix_timestamp floors, so
+    * boundary rows framed differently; caught at sf0.1, round 11); null
+    * values sum to NULL in both engines unless absent — decimal-exact
+    * rounding per the parity policy. */
   private val q60 = """
 SELECT event_id, user_id, ts,
   COUNT(*) OVER w AS n_last_hour,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS value_last_hour
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
   /** q61: column profile — one UNION ALL branch per column. */

@@ -1008,11 +1008,16 @@ object SparkEntry {
 
   private def q60_range_frame(s: SparkSession, dir: String): DataFrame = {
     // RANGE frame: per user, events and value-sum within the trailing
-    // hour (inclusive) — ordered by epoch seconds so both engines frame
-    // identically; value summed decimal-exact per the parity policy.
+    // hour (inclusive) — ordered by exact integer MICROSECONDS
+    // (unix_micros ≡ DuckDB epoch_us) so both engines frame identically.
+    // Epoch SECONDS looked equivalent but was not: unix_timestamp floors
+    // to the second while DuckDB's epoch() keeps fractional micros, so a
+    // pair exactly 1h + a few µs apart framed differently — invisible at
+    // sf0.01, caught by the sf0.1 cross-check (round 11). Value summed
+    // decimal-exact per the parity policy.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_timestamp(col("ts")))
-      .rangeBetween(-3600L, 0L)
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"),
         count(lit(1)).over(w).as("n_last_hour"),

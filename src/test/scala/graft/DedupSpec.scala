@@ -402,6 +402,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dHash64 is invariant under nearest-neighbor upscaling (the resize near-dup case)") {
+    // The claim behind perceptual image dedup is that RESIZES of one
+    // image hash together: integer box pooling over exact 2×/4× upscales
+    // reproduces the source raster bit-for-bit, so the dHash is equal —
+    // while a genuinely different image lands far outside the radius.
+    import graft.multimodal.MultiModal
+    def gray(w: Int, h: Int, p: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = p(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def pat(x: Int, y: Int): Int = (x * 23 + y * 11 + ((x + y) % 3) * 40) % 256
+    val h0 = MultiModal.dHash64(gray(9, 8, pat))
+    assert(MultiModal.dHash64(gray(18, 16, (x, y) => pat(x / 2, y / 2))) == h0)
+    assert(MultiModal.dHash64(gray(36, 32, (x, y) => pat(x / 4, y / 4))) == h0)
+    // brightness inversion flips gradient signs → far outside any radius
+    val inv = MultiModal.dHash64(gray(9, 8, (x, y) => 255 - pat(x, y)))
+    assert(java.lang.Long.bitCount(inv ^ h0) > 16)
+  }
+
   test("audioNearDups: planted same-group dups pair at hamming 0; envelope hash is gain-invariant") {
     import graft.multimodal.MultiModal
     val docs = (0L until 10L).toDF("doc_id")

@@ -455,5 +455,13 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MultiModal.audioEnvelopeHash64(MultiModal.encodeWav(16000, Array.fill(10)(1.toShort)))
     }
+    // resample invariance (the audio twin of dHash's resize case): a 2×
+    // sample-duplicated rendition — same audio at twice the rate — keeps
+    // every integer-boundary frame mean, so the hash is identical
+    val src = Array.tabulate(65 * 64)(i =>
+      (((i / 64 + 1) * 37 % 400 + 100) * (if (i % 2 == 0) 1 else -1)).toShort)
+    val twice = src.flatMap(s => Array(s, s))
+    assert(MultiModal.audioEnvelopeHash64(MultiModal.encodeWav(16000, src)) ==
+      MultiModal.audioEnvelopeHash64(MultiModal.encodeWav(32000, twice)))
   }
 }

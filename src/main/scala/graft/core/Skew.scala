@@ -100,24 +100,46 @@ object Skew {
     * provably matches its sort order (numeric/date/timestamp/boolean,
     * default null ordering); otherwise — string tie-breakers, custom
     * NULLS FIRST/LAST — it degrades to the previous single-bucket
-    * behavior rather than risk mis-bucketing. */
+    * behavior rather than risk mis-bucketing. Two further cast guards:
+    * the range column itself must be a cast-monotone dtype (same list)
+    * or bucketing is skipped entirely, and a detected "tied" span whose
+    * rows hold >1 DISTINCT typed range value (a lossy-cast collision —
+    * int64 beyond 2^53 collapsing to one double — not a true tie) is
+    * left un-sub-bucketed, since ordering collided values by tie-breaker
+    * would contradict the true (v, tb) order. */
   def saltedRowNumber(df: DataFrame, keys: Seq[String], rangeOn: Column,
                       descending: Boolean, tieBreakers: Seq[Column],
                       buckets: Int, out: String = "rn"): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1; got $buckets")
-    val tmp = Seq("__srn_v", "__srn_bkt", "__srn_lrn", "__srn_cnt", "__srn_off") ++
+    val tmp = Seq("__srn_v", "__srn_bkt", "__srn_lrn", "__srn_cnt", "__srn_off",
+      "__srn_span", "__srn_tb", "__srn_rv") ++
       (keys :+ "__srn_bkt").map(c => s"__srn_r_$c")
     val clash = (tmp :+ out).filter(df.columns.contains)
     require(clash.isEmpty,
       s"saltedRowNumber: column(s) ${clash.mkString(", ")} already exist in input")
     import org.apache.spark.sql.expressions.Window
     val vcol = rangeOn.cast("double")
+    // Bucketing is only sound when cast-to-double is (weakly) MONOTONE
+    // w.r.t. the column's sort order — collisions then merely share a
+    // bucket, where the local sort keeps ranks exact. A string column
+    // fails this ("10" sorts before "9" but casts to 10.0 > 9.0, and
+    // non-numeric strings cast to null while sorting non-null), so a
+    // non-monotone dtype degrades to the plain single-bucket window
+    // rather than risk mis-bucketing.
+    val rangeSafe = {
+      import org.apache.spark.sql.types._
+      df.select(rangeOn).schema.head.dataType match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType |
+             BooleanType => true
+        case _ => false
+      }
+    }
     // Stats pass: the same single job the plain quantile pass always was,
     // now also counting rows/nulls (metadata-sized driver result) so the
     // degenerate-edge detection below needs no extra scan. accuracy 100 ≡
     // the previous approxQuantile relativeError 0.01.
     val (rawBounds, totalRows, nonNullRows) =
-      if (buckets == 1) (Array.empty[Double], 0L, 0L)
+      if (buckets == 1 || !rangeSafe) (Array.empty[Double], 0L, 0L)
       else {
         val r = df.select(
             percentile_approx(vcol,
@@ -189,17 +211,29 @@ object Skew {
             when(p, lit(i)).otherwise(acc)
           }
         // ONE grouped percentile job covering every span (driver result:
-        // ≤ buckets rows × buckets-1 doubles)
-        val subBounds: Map[Int, Array[Double]] =
-          df.select(spanIdx.as("__srn_span"), tbv.as("__srn_tb"))
+        // ≤ buckets rows × buckets-1 doubles). The job also counts the
+        // DISTINCT TYPED range values inside each span: membership is
+        // tested on the double cast (vcol === v), which for a lossy cast
+        // (int64 beyond 2^53, wide decimals) can lump several distinct
+        // typed values into one "span" — rows the sort orders by (v, tb)
+        // but the tb sub-bucketing would interleave. A span whose typed
+        // distinct count > 1 is therefore a CAST COLLISION, not a tie,
+        // and is excluded below (its rows keep the pre-fallback behavior:
+        // one sub-bucket per major, local sort exact). A genuinely tied
+        // span aggregates to distinct count 1 map-side, so the check
+        // costs nothing on the path it protects.
+        val subBounds: Map[Int, (Array[Double], Long)] =
+          df.select(spanIdx.as("__srn_span"), tbv.as("__srn_tb"),
+              rangeOn.as("__srn_rv"))
             .filter(col("__srn_span").isNotNull)
             .groupBy("__srn_span")
-            .agg(percentile_approx(col("__srn_tb"), typedLit(fracs), lit(100)).as("q"))
+            .agg(percentile_approx(col("__srn_tb"), typedLit(fracs), lit(100)).as("q"),
+              count_distinct(col("__srn_rv")).as("nd"))
             .collect()
-            .map(r => r.getInt(0) -> Option(r.getSeq[Any](1))
+            .map(r => r.getInt(0) -> (Option(r.getSeq[Any](1))
               .map(_.collect { case d: java.lang.Double => d.doubleValue }
                 .toArray.distinct.sorted)
-              .getOrElse(Array.empty[Double]))
+              .getOrElse(Array.empty[Double]), r.getLong(2)))
             .toMap
         // Default minor for rows NOT in a tied span: a fat value's rows
         // are the LAST of their major bucket when the major order is
@@ -211,8 +245,16 @@ object Skew {
         val minorDefault = if (descending) lit(buckets - 1) else lit(0)
         val bktFallback = spanPreds.zipWithIndex
           .foldLeft(idx * lit(buckets) + minorDefault) {
+            case (acc, ((isNull, p), i))
+                // cast-collision span (several typed values under one
+                // double): sub-bucketing by tb would contradict the true
+                // (v, tb) order — leave its rows on the default path.
+                // The null span's distinct count is 0 (countDistinct
+                // skips nulls) and is always a true tie.
+                if subBounds.get(i).exists(_._2 > 1L) && !isNull =>
+              acc
             case (acc, ((isNull, p), i)) =>
-              val sb = subBounds.getOrElse(i, Array.empty[Double])
+              val sb = subBounds.get(i).map(_._1).getOrElse(Array.empty[Double])
               val subAsc = sb.foldLeft(lit(0)) { (a, b) =>
                 a + when(tbv > lit(b), 1).otherwise(0)
               }

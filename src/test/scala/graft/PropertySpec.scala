@@ -223,6 +223,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedRowNumber cast guards: 2^53-lossy int64 range and string range stay exact") {
+    // Two ways the double cast can lie about the range column's order:
+    // (1) INJECTIVITY — distinct int64 values beyond 2^53 collapse to one
+    //     double, so the quantile array reads them as one dominant "tied"
+    //     value; sub-bucketing that span by the tie-breaker would
+    //     interleave rows the true (v, tb) sort keeps apart. The span
+    //     must be detected as a cast collision (distinct typed count > 1)
+    //     and left whole.
+    // (2) MONOTONICITY — numeric-LOOKING strings sort "10" < "9" but cast
+    //     to 10.0 > 9.0, so any bucketing on the cast mis-orders; the
+    //     range dtype gate must skip bucketing entirely.
+    val rnd = new scala.util.Random(13)
+    // v1/v2: adjacent longs at 2^60 (ulp there is 2^7, so both cast to
+    // the SAME double); anti-correlated with the tie-breaker so a
+    // tb-sub-bucketed collision span WOULD produce wrong ranks: all v1
+    // rows sort before every v2 row, but v2 rows hold the SMALL ids.
+    val v1 = 1L << 60
+    val v2 = v1 + 1L
+    assert(v1.toDouble == v2.toDouble, "fixture must actually collide")
+    val rows = (0 until 3000).map { i =>
+      val k: java.lang.Integer =
+        if (rnd.nextInt(40) == 0) null
+        else Integer.valueOf(rnd.nextInt(5))
+      val v: java.lang.Long =
+        if (i < 1200) java.lang.Long.valueOf(v2)          // small ids → v2
+        else if (i < 2400) java.lang.Long.valueOf(v1)     // mid ids → v1
+        else if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong())       // spread tail
+      (k, v, i)
+    }
+    val df = rows.toDF("k", "v", "id")
+    import org.apache.spark.sql.expressions.Window
+    for (desc <- Seq(true, false)) {
+      val ord = (if (desc) col("v").desc else col("v").asc) +: Seq(col("id").asc)
+      val plain = df.withColumn("rn",
+          row_number().over(Window.partitionBy(col("k")).orderBy(ord: _*)))
+        .select("k", "id", "rn").collect()
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
+      val salted = graft.core.Skew.saltedRowNumber(df, Seq("k"), col("v"),
+          descending = desc, tieBreakers = Seq(col("id").asc), buckets = 8)
+        .select("k", "id", "rn").collect()
+        .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(plain == salted, s"int64-collision desc=$desc")
+    }
+    // numeric-looking strings: cast order contradicts lexicographic order
+    val dfS = (0 until 2000).map { i =>
+      (i % 7, Seq("9", "10", "100", "2", "25")(i % 5), i)
+    }.toDF("k", "v", "id")
+    val ordS = Seq(col("v").asc, col("id").asc)
+    val plainS = dfS.withColumn("rn",
+        row_number().over(Window.partitionBy(col("k")).orderBy(ordS: _*)))
+      .select("k", "id", "rn").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val saltedS = graft.core.Skew.saltedRowNumber(dfS, Seq("k"), col("v"),
+        descending = false, tieBreakers = Seq(col("id").asc), buckets = 8)
+      .select("k", "id", "rn").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(plainS == saltedS, "string-range")
+  }
+
   test("saltedJoinBy property: ≡ plain inner join (null keys, negative/null salts, 1/7/32 salts)") {
     // Whatever the caller passes as a salt expression — signed 32-bit
     // hash, negative arithmetic, even a constant null — the normalized

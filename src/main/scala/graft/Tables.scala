@@ -33,14 +33,27 @@ object Tables {
       catch {
         // ONLY the TIMESTAMP(NANOS) schema-conversion failure gets the
         // nanosAsLong retry — a broad catch would mask unrelated errors
-        // (missing path, corrupt footer) behind a pointless second read
-        // AND leak the legacy flag into the whole session, silently
-        // turning any other table's genuine NANOS column into raw longs.
+        // (missing path, corrupt footer) behind a pointless second read.
+        // The legacy flag must NOT leak into the session (a later read of
+        // a DIFFERENT table's genuine NANOS column would silently surface
+        // raw longs), but schema inference reads it from the session
+        // SQLConf while task-side footer conversion reads it from the
+        // scan's hadoop conf built at ACTION time — so: set the conf just
+        // for the eager inference read and restore it, and ALSO pass the
+        // flag as a per-relation reader option, which merges on top of
+        // the (restored) session confs into this scan's hadoop conf and
+        // keeps later actions decoding correctly.
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
               e.getMessage.contains("Illegal Parquet type") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try spark.read.option(key, "true").parquet(path)
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
       }
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long: truncate to micros like DuckDB does

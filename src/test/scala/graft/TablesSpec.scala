@@ -59,6 +59,15 @@ class TablesSpec extends SparkSpec {
     val ts = got.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
       .as[String].head()
     assert(ts == "2024-01-01 10:00:00.123456")
+    // the retry must NOT leak the legacy flag into the session: the flag
+    // rides as a per-relation reader option, so a later read of a
+    // different table's genuine NANOS column still fails loudly
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .forall(_ == "false"),
+      "nanosAsLong leaked into the session conf")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(dir + "/events.parquet").collect()
+    }
   }
 
   test("events loader: unrelated read failures are NOT retried or masked") {

@@ -2597,6 +2597,19 @@ FROM documents a JOIN documents b
 WHERE a.doc_id < 1000 AND b.doc_id < 1000
 ORDER BY id_a, id_b"""
 
+  /** q115: perceptual video dedup — q113's oracle on the fourth modality.
+    * Same-group videos (doc_id % 5) hash identically at every probe role
+    * (first/middle/last frame); cross-group videos differ by ≥ 32 bits at
+    * every role (see MultiModal.synthesizeVideoDupsFromDocs), so the
+    * any-role pair set is again pure doc_id arithmetic with min-hamming
+    * 0. */
+  private val q115 = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
+WHERE a.doc_id < 1000 AND b.doc_id < 1000
+ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2671,6 +2684,7 @@ ORDER BY id_a, id_b"""
     "q111_salted_rank" -> q111,
     "q112_latest_salted" -> q112,
     "q113_image_neardups" -> q113,
+    "q115_video_neardups" -> q115,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

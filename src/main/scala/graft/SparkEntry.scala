@@ -1274,6 +1274,24 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  private def q115_video_neardups(s: SparkSession, dir: String): DataFrame = {
+    // q113's construction on the FOURTH modality: real RIFF/AVI blobs of
+    // three 9×8 gray-PNG frames whose dHash group is doc_id % 5 by
+    // construction at every probe role (per-(doc, frame, pixel) avalanche
+    // noise keeps bytes unique; no gradient sign flips; cross-group
+    // separation ≥ 32 bits at EVERY role). A hash match proves AVI encode
+    // → container parse → per-frame ImageIO decode → pooling → dHash →
+    // role-blocked Hamming join end-to-end. Same 1000-doc census cap as
+    // q113/q114 (quadratic pair output by design; no-op at the sf0.01
+    // gate).
+    import graft.multimodal.MultiModal
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 1000).select(col("doc_id"))
+    val vids = MultiModal.synthesizeVideoDupsFromDocs(docs, groups = 5)
+    Dedup.videoNearDups(vids, "media_id", "content", maxHamming = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1605,6 +1623,7 @@ object SparkEntry {
     "q112_latest_salted" -> (q112_latest_salted _),
     "q113_image_neardups" -> (q113_image_neardups _),
     "q114_audio_neardups" -> (q114_audio_neardups _),
+    "q115_video_neardups" -> (q115_video_neardups _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

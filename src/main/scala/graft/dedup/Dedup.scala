@@ -410,6 +410,70 @@ object Dedup extends graft.core.Logging {
     hammingPairsFromSigs(sigs, maxHamming, chunks)
   }
 
+  /** Hamming-radius pair search over a POSITIONED 64-bit signature table
+    * (`id`, `role`, `sig`) — [[hammingPairsFromSigs]] generalized to
+    * entities carrying one signature per role (video probe frames:
+    * first/middle/last). A pair surfaces iff AT LEAST ONE shared role
+    * matches within `maxHamming`; the reported `hamming` is the MINIMUM
+    * over matching roles (deterministic). Blocking is on
+    * (role, chunk, key) so candidates only form within a role — the
+    * same pigeonhole guarantee as the flat variant applies per role:
+    * exact for `nChunks >= maxHamming + 1`. Only (id, role, chunk-key)
+    * rows shuffle. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def hammingPairsFromRoledSigs(sigs: DataFrame, maxHamming: Int,
+                                nChunks: Int): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 64, s"nChunks must be in [1, 64], got $nChunks")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val widths = Array.tabulate(nChunks)(i =>
+      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    val chunked = sigs.select(col("id"), col("role"), col("sig"),
+      explode(array((0 until nChunks).map { i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sig"), offsets(i)).bitwiseAND(mask(widths(i))).as("key"))
+      }: _*)).as("ck"))
+    val l = chunked.select(col("role"), col("ck"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("role"), col("ck"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    // same streaming shape as hammingPairsFromSigs: the Hamming filter
+    // runs before any pair materialization; the min-aggregation then
+    // sees only qualifying (pair, role) rows — a tiny set
+    l.join(r, Seq("role", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("h", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("h") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min(col("h")).cast("int").as("hamming"))
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Perceptual-hash VIDEO near-duplicate pairs — the fourth modality of
+    * the perceptual family (text simhash, image dHash, audio envelope):
+    * probe each video at three positional roles (first/middle/last frame,
+    * [[graft.multimodal.MultiModal.videoPerceptualHashes]]), dHash each
+    * probe frame, and pair videos whose signatures match within
+    * `maxHamming` at ANY shared role ([[hammingPairsFromRoledSigs]]) —
+    * a re-encode/re-mux keeps all three probes, a trim or splice usually
+    * keeps at least one. Exact by pigeonhole per role at
+    * `nChunks = maxHamming + 1` (the default), banded-approximate below.
+    *
+    * Scale shape: container parse + 3 frame decodes per blob,
+    * partition-local (NOT every frame — probe cost is O(1) per video);
+    * only 24-byte (id, role, chunk-key) rows shuffle, video bytes never
+    * do. Returns (id_a, id_b, hamming), id_a < id_b, hamming = min over
+    * matching roles. */
+  def videoNearDups(media: DataFrame, idCol: String, bytesCol: String,
+                    maxHamming: Int = 4, hashKind: String = "dhash",
+                    nChunks: Int = 0): DataFrame = {
+    val chunks = if (nChunks == 0) maxHamming + 1 else nChunks
+    val sigs = graft.multimodal.MultiModal
+      .videoPerceptualHashes(media, idCol, bytesCol, hashKind)
+    hammingPairsFromRoledSigs(sigs, maxHamming, chunks)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) of normalized
     * text: md5-hashed word n-grams, per-window unsigned minima, distinct.
     * The standard robust document sketch: any shared run of n+w-1 tokens

@@ -736,6 +736,91 @@ object MultiModal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-video perceptual signatures — the video member of the
+    * perceptual-hash family (dHash64 for images, envelope hash for
+    * audio): decode the AVI container, dHash the FIRST, MIDDLE, and LAST
+    * frames, and emit one (id, role, sig) row per role (role 0/1/2 =
+    * first/middle/last). A video shorter than 3 frames plays its frames
+    * in multiple roles (a 1-frame video fills all three), so clips of
+    * different lengths still compare positionally. Three probe frames is
+    * the classic cheap video fingerprint: a re-encoded/re-muxed copy
+    * keeps all three; a trim or splice usually keeps at least one, which
+    * is why pairing is on ANY matching role
+    * ([[graft.dedup.Dedup.videoNearDups]]).
+    *
+    * Scale shape: decode is partition-local (one sequential container
+    * parse + 3 frame decodes per blob — NOT every frame; memory bounded
+    * by the largest blob); only 24-byte (id, role, sig) rows flow on,
+    * video bytes never shuffle. */
+  def videoPerceptualHashes(media: DataFrame, idCol: String,
+                            bytesCol: String,
+                            hashKind: String = "dhash"): DataFrame = {
+    val hashFn: Array[Byte] => Long = hashKind match {
+      case "dhash" => dHash64
+      case "ahash" => aHash64
+      case other => throw new IllegalArgumentException(
+        s"hashKind must be 'dhash' or 'ahash'; got '$other'")
+    }
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("role", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val rdd = media.select(idCol, bytesCol).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val (_, frames) = decodeAvi(r.getAs[Array[Byte]](1))
+        require(frames.nonEmpty, s"video $id has no frames")
+        val picks = Array(0, frames.length / 2, frames.length - 1)
+        // hash each DISTINCT picked frame once, then fan out to roles
+        val sigByFrame = picks.distinct.map(i => i -> hashFn(frames(i))).toMap
+        picks.iterator.zipWithIndex.map { case (fi, role) =>
+          Row(id, role, sigByFrame(fi))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthesize a REAL-AVI video table with PLANTED duplicate groups from
+    * the documents fixture (the q113/q114 construction, fourth modality):
+    * doc_id % `groups` picks the base pattern; frame k (k = 0, 1, 2 —
+    * exactly the three probe roles) uses pattern index
+    * (group + k) % patterns, so same-group videos hash IDENTICALLY at
+    * every role while cross-group videos differ by ≥ 32 bits at EVERY
+    * role (distinct pattern indices at each k, pairwise pattern Hamming
+    * ≥ 4). Per-(doc, frame, pixel) avalanche noise keeps every blob's
+    * bytes unique without flipping a gradient sign. The expected pair
+    * set is pure doc_id arithmetic, SQL-recomputable (q115). Frames are
+    * real 9×8 gray PNGs inside a real RIFF/AVI container, so a hash
+    * match proves container encode → parse → per-frame ImageIO decode →
+    * pooling → dHash → role-blocked Hamming join end-to-end. */
+  def synthesizeVideoDupsFromDocs(docs: DataFrame, groups: Int = 5): DataFrame = {
+    require(groups >= 1 && groups <= groupPatterns.length,
+      s"groups must be in [1, ${groupPatterns.length}]; got $groups")
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id").rdd.map { r =>
+      val id = r.getLong(0)
+      val g = (id % groups).toInt
+      val frames = (0 until 3).map { k =>
+        val pat = groupPatterns((g + k) % groupPatterns.length)
+        val base = new Array[Int](9)
+        base(0) = 128
+        var x = 0
+        while (x < 8) {
+          base(x + 1) = base(x) + (if (((pat >> x) & 1) == 1) 8 else -8)
+          x += 1
+        }
+        encodePngGray(9, 8,
+          (x, y) => base(x) + avalancheNoise(id, k * 72L + y * 9L + x))
+      }
+      val content = encodeAvi(frames, 9, 8, fps = 25)
+      Row(id, "video", content,
+        Row("video/x-msvideo", s"mem://viddup/$id", content.length.toLong))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Synthesize a deterministic AVI video table from the documents
     * fixture: per doc, 2 + n_chars%3 fake-header frames whose dims are
     * arithmetic in (n_chars, frame_no) — every decoded feature is

@@ -464,4 +464,60 @@ class DedupSpec extends SparkSpec {
     assert(MultiModal.audioEnvelopeHash64(MultiModal.encodeWav(16000, src)) ==
       MultiModal.audioEnvelopeHash64(MultiModal.encodeWav(32000, twice)))
   }
+
+  test("videoNearDups: planted same-group dups pair at hamming 0; any-role positional semantics") {
+    import graft.multimodal.MultiModal
+    // the q115 fixture in miniature: 10 docs over 5 groups, every AVI's
+    // bytes unique (per-(doc, frame, pixel) noise), same-group videos
+    // hash identically at every probe role
+    val docs = (0L until 10L).toDF("doc_id")
+    val vids = MultiModal.synthesizeVideoDupsFromDocs(docs, groups = 5)
+    assert(vids.select("content").as[Array[Byte]].collect().map(_.toSeq).distinct.length == 10)
+    val pairs = Dedup.videoNearDups(vids, "media_id", "content", maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 5L, 0)).toSet)
+    // cross-group signatures sit far outside the radius at EVERY role
+    val sigs = MultiModal.videoPerceptualHashes(vids, "media_id", "content")
+      .as[(Long, Int, Long)].collect().groupBy(_._2)
+    for (role <- 0 until 3; a <- 0L until 5L; b <- (a + 1) until 5L) {
+      val byId = sigs(role).map(t => t._1 -> t._3).toMap
+      assert(java.lang.Long.bitCount(byId(a) ^ byId(b)) >= 32,
+        s"role $role groups $a,$b too close")
+    }
+    // ---- any-role + positional semantics on hand-built containers ----
+    // a frame whose dHash column signs follow an 8-bit pattern (the
+    // fixture construction, noise-free): pairwise pattern Hamming ≥ 4 →
+    // dHash distance ≥ 32
+    def frame(pat: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8) {
+        var v = 128
+        img.setRGB(0, y, (v << 16) | (v << 8) | v)
+        for (x <- 0 until 8) {
+          v += (if (((pat >> x) & 1) == 1) 8 else -8)
+          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val Seq(a, b, c, d, e, f) =
+      Seq(0x00, 0xFF, 0x0F, 0xF0, 0x33, 0xCC).map(frame)
+    val handVids = Seq(
+      (1L, MultiModal.encodeAvi(Seq(a, b, c), 9, 8)),
+      (2L, MultiModal.encodeAvi(Seq(d, e, c), 9, 8)), // shares ONLY the last frame with 1
+      (3L, MultiModal.encodeAvi(Seq(d, e, f), 9, 8)), // shares first+middle with 2, none with 1
+      (4L, MultiModal.encodeAvi(Seq(a), 9, 8)),       // 1 frame plays every role
+      (5L, MultiModal.encodeAvi(Seq(b, c, a), 9, 8))  // 1's frames ROTATED: no role agrees
+    ).toDF("media_id", "content")
+    val hand = Dedup.videoNearDups(handVids, "media_id", "content", maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // (1,2) match at the last role only; (2,3) at first+middle; (1,4) at
+    // role 0 via the short video's role fan-out; (4,5) at the last role.
+    // (1,5) is the load-bearing NEGATIVE: same frame set, shifted
+    // positions — positional probing must NOT pair it.
+    assert(hand == Set((1L, 2L, 0), (2L, 3L, 0), (1L, 4L, 0), (4L, 5L, 0)))
+  }
 }

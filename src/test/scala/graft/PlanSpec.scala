@@ -357,7 +357,8 @@ class PlanSpec extends SparkSpec {
     // and hash TWICE (the signature source is an RDD scan, not a
     // cacheable file scan) — the contract is one Scan ExistingRDD with
     // the second side a ReusedExchange of the first's shuffle.
-    for (name <- Seq("q113_image_neardups", "q114_audio_neardups")) {
+    for (name <- Seq("q113_image_neardups", "q114_audio_neardups",
+                     "q115_video_neardups")) {
       val s = planString(q(name))
       val rddScans = s.linesIterator.count(_.contains("Scan ExistingRDD"))
       assert(rddScans == 1, s"$name: expected the decode+hash RDD scanned once, plan:\n$s")

@@ -288,6 +288,83 @@ object MultiModal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Lossy JPEG re-encode of any ImageIO-decodable image at an explicit
+    * quality factor in (0, 1] — the transform perceptual image dedup
+    * exists to catch in production (a re-hosted/thumbnailed copy is
+    * almost always a JPEG re-encode of the original). Also the
+    * measurement probe: DedupSpec re-encodes the planted fixture at
+    * q30/50/80 and measures the dHash distance distribution, which is
+    * what pins the recommended operating radius (SCALE.md). Alpha is
+    * dropped (JPEG has none); the JDK encoder is deterministic for a
+    * given input + quality. */
+  def transcodeJpeg(bytes: Array[Byte], quality: Float): Array[Byte] = {
+    require(quality > 0f && quality <= 1f,
+      s"quality must be in (0, 1]; got $quality")
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "undecodable image bytes (no registered reader)")
+    // JPEG writers reject alpha channels; redraw into packed RGB
+    val rgb = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = rgb.createGraphics()
+    try g.drawImage(src, 0, 0, null) finally g.dispose()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Lossy WAV round-trip: nearest-neighbor integer resample to
+    * `targetRate` plus bit-depth quantization to `targetBits` (samples
+    * truncated to the top `targetBits` bits, re-emitted in the 16-bit
+    * container the envelope hash consumes) — the audio analogue of
+    * [[transcodeJpeg]]: a low-bitrate re-encode's two lossy axes
+    * (sample-rate reduction, amplitude quantization) without needing any
+    * non-JDK codec. Used by DedupSpec to measure envelope-hash recall
+    * per transform (SCALE.md operating-radius table). */
+  def transcodeWav(bytes: Array[Byte], targetRate: Int,
+                   targetBits: Int): Array[Byte] = {
+    require(targetRate > 0, s"targetRate must be > 0; got $targetRate")
+    require(targetBits >= 1 && targetBits <= 16,
+      s"targetBits must be in [1, 16]; got $targetBits")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16,
+        s"only 16-bit PCM supported; got ${f.getSampleSizeInBits}")
+      require(f.getChannels == 1, s"only mono supported; got ${f.getChannels}")
+      val pcm = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(
+        if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = pcm.length / 2
+      val src = new Array[Short](n)
+      var i = 0
+      while (i < n) { src(i) = bb.getShort; i += 1 }
+      val srcRate = f.getSampleRate.toDouble
+      val outN = math.max(1, math.round(n * targetRate / srcRate).toInt)
+      val shift = 16 - targetBits
+      val out = new Array[Short](outN)
+      var j = 0
+      while (j < outN) {
+        // nearest-neighbor index map (floor of the exact rational), then
+        // truncate the low bits — the round-trip a naive decimating
+        // re-encoder applies
+        val si = math.min(n - 1, (j.toLong * n / outN).toInt)
+        out(j) = ((src(si) >> shift) << shift).toShort
+        j += 1
+      }
+      encodeWav(targetRate, out)
+    } finally in.close()
+  }
+
   // ==================== audio perceptual hashing ====================
 
   /** 64-bit audio envelope hash — the dHash idea applied to the

@@ -520,4 +520,144 @@ class DedupSpec extends SparkSpec {
     // positions — positional probing must NOT pair it.
     assert(hand == Set((1L, 2L, 0), (2L, 3L, 0), (1L, 4L, 0), (4L, 5L, 0)))
   }
+
+  test("measured recall: dHash/aHash under real JPEG re-encode at quality 30/50/80") {
+    // The perceptual gates prove the MECHANISM on noise/resize
+    // invariances; this pins the OPERATING POINT: re-encode the planted
+    // fixture (at 72×64 — 8×8-pixel cells so JPEG's DCT blocks see real
+    // structure; a 9×8 original is smaller than one DCT block) as JPEG
+    // at quality 0.3/0.5/0.8 and measure the hash distance distribution.
+    // Recall@r = fraction of (original, re-encode) pairs within Hamming
+    // radius r; the cross-group floor guards precision. Measured values
+    // land in SCALE.md's operating-radius table.
+    import graft.multimodal.MultiModal
+    val patterns = Array(0x00, 0xFF, 0x0F, 0xF0, 0x33, 0xCC)
+    def noise(id: Long, pos: Long): Int = {
+      var z = id * 0x9E3779B97F4A7C15L + pos * 0xC2B2AE3D27D4EB4FL
+      z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
+      java.lang.Math.floorMod(z, 5L).toInt - 2
+    }
+    def png(id: Long): Array[Byte] = {
+      val pat = patterns((id % 5).toInt)
+      val base = new Array[Int](9)
+      base(0) = 128
+      for (x <- 0 until 8)
+        base(x + 1) = base(x) + (if (((pat >> x) & 1) == 1) 8 else -8)
+      val img = new java.awt.image.BufferedImage(72, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val v = math.max(0, math.min(255, base(x / 8) + noise(id, y * 72L + x)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val n = 100
+    val pngs = (0L until n.toLong).map(png)
+    for (kind <- Seq("dhash", "ahash")) {
+      val hash: Array[Byte] => Long =
+        if (kind == "dhash") MultiModal.dHash64 else MultiModal.aHash64
+      val origs = pngs.map(hash)
+      for (q <- Seq(0.3f, 0.5f, 0.8f)) {
+        val re = pngs.map(b => hash(MultiModal.transcodeJpeg(b, q)))
+        val d = (0 until n).map(i => java.lang.Long.bitCount(origs(i) ^ re(i)))
+        val r4 = d.count(_ <= 4) * 100 / n
+        val r8 = d.count(_ <= 8) * 100 / n
+        // cross-group floor: worst (original_i, reencode_j) distance over
+        // different groups — precision needs it above the radius
+        val cross = (for (i <- 0 until n; j <- (i + 1) until math.min(i + 11, n)
+                          if i % 5 != j % 5)
+          yield java.lang.Long.bitCount(origs(i) ^ re(j))).min
+        info(f"$kind%s jpeg q$q%.1f: recall@4=$r4%d%% recall@8=$r8%d%% " +
+          f"maxDist=${d.max}%d crossFloor=$cross%d")
+        assert(cross > 8, s"$kind q$q: cross-group floor $cross inside radius 8")
+        // the fixture's block-mean gradients survive JPEG exactly at
+        // every quality — pin it so a pooling/encoder regression shows
+        assert(r4 == 100, s"$kind q$q: recall@4 $r4 < 100")
+      }
+    }
+    // ---- decision boundary: how small a gradient step survives? ----
+    // The fixture's 8-gray-level steps are JPEG-easy. Sweep the step with
+    // DCT-MISALIGNED 9-pixel cells (81×72, boundaries never on an 8×8
+    // block edge — worst case for ringing) and no noise: the measured
+    // minimum surviving step is the real statement about what a JPEG
+    // re-encode can blur before dHash misses at radius 4.
+    def stepPng(step: Int, id: Long): Array[Byte] = {
+      val pat = patterns((id % 5).toInt)
+      val base = new Array[Int](9)
+      base(0) = 128
+      for (x <- 0 until 8)
+        base(x + 1) = base(x) + (if (((pat >> x) & 1) == 1) step else -step)
+      val img = new java.awt.image.BufferedImage(81, 72,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 72; x <- 0 until 81) {
+        val v = math.max(0, math.min(255, base(x / 9)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    for (step <- Seq(8, 4, 2); q <- Seq(0.3f, 0.8f)) {
+      val d = (0L until 25L).map { id =>
+        val b = stepPng(step, id)
+        java.lang.Long.bitCount(MultiModal.dHash64(b) ^
+          MultiModal.dHash64(MultiModal.transcodeJpeg(b, q)))
+      }
+      val r4 = d.count(_ <= 4) * 100 / 25
+      info(f"dhash misaligned step=$step%d q$q%.1f: recall@4=$r4%d%% maxDist=${d.max}%d")
+      // measured boundary: gradients of ≥ 4 gray levels survive JPEG
+      // exactly down to q0.3 even DCT-misaligned; 2-level gradients
+      // degrade at q0.3 but stay within radius 8 — the basis for the
+      // SCALE.md recommendation (radius 4 default, radius 8 for
+      // aggressively recompressed corpora)
+      if (step >= 4) assert(d.max == 0, s"step=$step q$q maxDist ${d.max}")
+      else assert(d.max <= 8, s"step=$step q$q maxDist ${d.max}")
+    }
+  }
+
+  test("measured recall: envelope hash under resample and bit-depth quantization") {
+    // The audio operating point: the fixture's envelope steps are ±50
+    // (16-bit full scale), so quantization to b bits survives while the
+    // quantization step 2^(16-b) stays below the envelope step and
+    // collapses once it exceeds it — the measured table pins where that
+    // happens (12-bit fine, 10-bit marginal, 8-bit destroyed), i.e. the
+    // recommended rule: envelope step must exceed the re-encode's
+    // quantization step. Decimation to 8 kHz (every 2nd sample) keeps
+    // frame means and must stay at distance ~0.
+    import graft.multimodal.MultiModal
+    val n = 100
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val wavs = MultiModal.synthesizeAudioFromDocs(docs, groups = 5)
+      .select("media_id", "content").as[(Long, Array[Byte])]
+      .collect().sortBy(_._1).map(_._2)
+    val origs = wavs.map(MultiModal.audioEnvelopeHash64)
+    for ((rate, bits) <- Seq((8000, 16), (16000, 12), (16000, 10), (16000, 8))) {
+      val re = wavs.map(b =>
+        MultiModal.audioEnvelopeHash64(MultiModal.transcodeWav(b, rate, bits)))
+      val d = (0 until n).map(i => java.lang.Long.bitCount(origs(i) ^ re(i)))
+      val r4 = d.count(_ <= 4) * 100 / n
+      val r8 = d.count(_ <= 8) * 100 / n
+      val cross = (for (i <- 0 until n; j <- (i + 1) until math.min(i + 11, n)
+                        if i % 5 != j % 5)
+        yield java.lang.Long.bitCount(origs(i) ^ re(j))).min
+      info(f"wav ${rate}Hz/${bits}bit: recall@4=$r4%d%% recall@8=$r8%d%% " +
+        f"maxDist=${d.max}%d crossFloor=$cross%d")
+      // pin the measured boundaries (fixture envelope step 50, i.e.
+      // ~0.15% of full scale): decimation and 12-bit (quant step 16)
+      // are lossless for the hash; 10-bit (step 64 > 50) partial but
+      // inside radius 8; 8-bit (step 256) collapses BOTH recall and the
+      // cross-group precision floor — radius tuning cannot rescue it
+      (rate, bits) match {
+        case (8000, 16) => assert(d.max == 0, s"decimation maxDist ${d.max}")
+        case (16000, 12) => assert(r4 == 100, s"12-bit recall@4 $r4")
+        case (16000, 10) => assert(r8 == 100 && r4 >= 50,
+          s"10-bit recall@8 $r8 recall@4 $r4")
+        case (16000, 8) => assert(r8 <= 50 && cross <= 8,
+          s"8-bit should collapse: recall@8 $r8 crossFloor $cross")
+        case _ =>
+      }
+    }
+  }
 }

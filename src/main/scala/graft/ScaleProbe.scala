@@ -44,11 +44,22 @@ object ScaleProbe {
   // across 4×).
   private val SpanProbe = "span_planted"
 
+  // The perceptual families (image/audio/video dedup) are probed on a
+  // DEDICATED hash-diverse media corpus, not the q113/q114/q115 fixtures:
+  // those fixtures put ~N/5 docs in each of 5 signature groups, so their
+  // pair OUTPUT is quadratic by construction and a scale sweep would time
+  // pair materialization, not the operator. The probe corpus instead has
+  // constant-size dup groups (5 consecutive ids share a hash-seeded
+  // raster/envelope, with per-id noise) over otherwise ~uniform 64-bit
+  // signatures — linear expected output, realistic Poisson chunk-key
+  // collision structure.
+  private val PerceptualProbe = "perceptual"
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scale = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
-               else Queries.toSet + SpanProbe
+               else Queries.toSet + SpanProbe + PerceptualProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -192,6 +203,96 @@ object ScaleProbe {
         val tS = best(f(spanOut))
         val exp = math.log(tS / t1) / math.log(scale.toDouble)
         log.println(f"""{"query":"$nm","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f}""")
+      }
+    }
+    if (only.contains(PerceptualProbe)) {
+      import graft.dedup.Dedup
+      import graft.multimodal.MultiModal
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      def smix(a: Long): Long = {
+        var z = a + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      // per-id noise in [-2, 2] — the near-dup perturbation within a group
+      def nz(id: Long, pos: Long): Int =
+        java.lang.Math.floorMod(smix(id * 31 + pos), 5L).toInt - 2
+      def grayPng(p: (Int, Int) => Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val v = math.max(0, math.min(255, p(x, y)))
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        out.toByteArray
+      }
+      // hash-seeded gray value in [64, 192): adjacent-cell differences are
+      // ~triangular over ±128, so the ±2 noise flips a gradient sign on
+      // ~3% of bits — same-group members land ~2 bits apart (inside the
+      // radius-4 gate), cross-group signatures are ~uniform 64-bit
+      def rv(g: Long, k: Long, x: Int, y: Int): Int =
+        64 + java.lang.Math.floorMod(
+          smix(g * 1315423911L + k * 2654435761L + y * 9 + x), 128L).toInt
+      val mediaSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = false)))
+      def writeMedia(n: Long, dir: String, make: Long => Array[Byte]): Unit = {
+        val rdd = spark.range(n).rdd.map(id => Row(id, make(id)))
+        spark.createDataFrame(rdd, mediaSchema)
+          .write.mode("overwrite").parquet(s"file:$dir")
+      }
+      def image(id: Long): Array[Byte] = {
+        val g = id / 5
+        grayPng((x, y) => rv(g, 0, x, y) + nz(id, y * 9L + x))
+      }
+      def audio(id: Long): Array[Byte] = {
+        val g = id / 5
+        // 65 hash-seeded envelope frames in [2000, 6000), 8 samples each:
+        // adjacent-frame differences ≫ the ±2 noise, so same-group hashes
+        // are ~identical while cross-group envelopes are independent
+        val env = Array.tabulate(65)(f =>
+          2000 + java.lang.Math.floorMod(smix(g * 7919 + f), 4000L).toInt)
+        val samples = Array.tabulate(65 * 8) { i =>
+          val mag = env(i / 8) + nz(id, i.toLong)
+          (if (i % 2 == 0) mag else -mag).toShort
+        }
+        MultiModal.encodeWav(16000, samples)
+      }
+      def video(id: Long): Array[Byte] = {
+        val g = id / 5
+        val frames = (0 until 3).map(k =>
+          grayPng((x, y) => rv(g, k, x, y) + nz(id, k * 72L + y * 9L + x)))
+        MultiModal.encodeAvi(frames, 9, 8, fps = 25)
+      }
+      // base sizes: large enough that the hash+join dominates fixed job
+      // overhead at scale 1, small enough that 16x stays /tmp-friendly
+      val probes: Seq[(String, Long, Long => Array[Byte],
+                       DataFrame => DataFrame)] = Seq(
+        ("image_neardups(probe)", 8000L, image,
+          m => Dedup.imageNearDups(m, "id", "content", maxHamming = 4)),
+        ("audio_neardups(probe)", 4000L, audio,
+          m => Dedup.audioNearDups(m, "id", "content", maxHamming = 4)),
+        ("video_neardups(probe)", 6000L, video,
+          m => Dedup.videoNearDups(m, "id", "content", maxHamming = 4)))
+      probes.foreach { case (nm, n1, make, op) =>
+        val tag = nm.takeWhile(_ != '_')
+        val base1 = s"/tmp/graft_media_${tag}_base1"
+        val outS = s"/tmp/graft_media_${tag}_scale$scale"
+        if (!new java.io.File(s"$base1/_SUCCESS").exists())
+          writeMedia(n1, base1, make)
+        else System.err.println(s"[scaleprobe] reusing existing $base1")
+        writeMedia(n1 * scale, outS, make)
+        def run(dir: String): Long =
+          op(spark.read.parquet(s"file:$dir")).count()
+        var p1 = 0L; var pS = 0L
+        val t1 = best { p1 = run(base1) }
+        val tS = best { pS = run(outS) }
+        val exp = math.log(tS / t1) / math.log(scale.toDouble)
+        log.println(f"""{"query":"$nm","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f,"pairs1":$p1,"pairs$scale":$pS}""")
       }
     }
     log.close()

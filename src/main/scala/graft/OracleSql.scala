@@ -2597,6 +2597,51 @@ FROM documents a JOIN documents b
 WHERE a.doc_id < 1000 AND b.doc_id < 1000
 ORDER BY id_a, id_b"""
 
+  /** q116: BPE TRAINING (not just segmentation — q94 replays a frozen
+    * model; this oracles the learning loop itself): 8 serial merges over
+    * the doc_id < 50 mini-corpus, one argmax per round under the repo's
+    * total order (count DESC, l ASC, r ASC — binary collation in both
+    * engines). Each round is a CTE block: pair-count the symbol strings
+    * (list_zip over the split), take the top-1 merge, rewrite with the
+    * q94 double-space trick (leftmost-non-overlapping whole-symbol
+    * replace without lookaround). The Spark side trains with
+    * batchCap = 1, which IS one merge per round, so the two engines run
+    * the identical serial algorithm — a hash match pins tokenization,
+    * pair counting, the tie-break total order, and the rewrite
+    * semantics across 8 chained rounds. */
+  private val q116: String = {
+    val nMerges = 8
+    val rounds = (0 until nMerges).map { k =>
+      s"""
+p$k AS (
+  SELECT unnest(list_zip(ls[1:len(ls)-1], ls[2:len(ls)])) AS pr, cnt
+  FROM (SELECT string_split(syms, ' ') AS ls, cnt FROM r$k)),
+c$k AS (
+  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS n
+  FROM p$k GROUP BY 1, 2),
+m$k AS (SELECT l, r FROM c$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+r${k + 1} AS (
+  SELECT TRIM(regexp_replace(
+    replace(' ' || replace(syms, ' ', '  ') || ' ',
+      (SELECT ' '||l||'  '||r||' ' FROM m$k),
+      (SELECT ' '||l||r||' ' FROM m$k)),
+    ' +', ' ', 'g')) AS syms, cnt
+  FROM r$k)"""
+    }.mkString(",")
+    val unions = (0 until nMerges)
+      .map(k => s"SELECT CAST($k AS INTEGER) AS merge_rank, l, r FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(TRIM(regexp_replace(LOWER("text"), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents WHERE doc_id < 50) WHERE word <> '' GROUP BY 1),
+r0 AS (
+  SELECT TRIM(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS syms, cnt FROM words),
+$rounds
+SELECT * FROM ($unions) ORDER BY merge_rank"""
+  }
+
   /** q115: perceptual video dedup — q113's oracle on the fourth modality.
     * Same-group videos (doc_id % 5) hash identically at every probe role
     * (first/middle/last frame); cross-group videos differ by ≥ 32 bits at
@@ -2685,6 +2730,7 @@ ORDER BY id_a, id_b"""
     "q112_latest_salted" -> q112,
     "q113_image_neardups" -> q113,
     "q115_video_neardups" -> q115,
+    "q116_bpe_train" -> q116,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1292,6 +1292,23 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  private def q116_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    // BPE TRAINING under the oracle gate — closes the one spec-only gap
+    // that CAN be oracled: q94 replays a frozen model; this learns one.
+    // batchCap = 1 forces one merge per Spark round, i.e. the exact
+    // serial Sennrich algorithm the oracle's 8 chained argmax+rewrite
+    // CTE rounds implement. The model is a metadata-sized driver value
+    // by design (merge rules ARE the artifact), emitted as rows for the
+    // gate. 50 docs bound the corpus so the 8-round chain stays cheap at
+    // any sf.
+    import s.implicits._
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+    val merges = TA.bpeTrain(docs, "text", nMerges = 8, batchCap = 1)
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_rank", "l", "r")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1624,6 +1641,7 @@ object SparkEntry {
     "q113_image_neardups" -> (q113_image_neardups _),
     "q114_audio_neardups" -> (q114_audio_neardups _),
     "q115_video_neardups" -> (q115_video_neardups _),
+    "q116_bpe_train" -> (q116_bpe_train _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -51,7 +51,10 @@ object Bench {
     // loop and run ONLY the skew fixture — the fixture's numbers are
     // meaningful only in a quiet JVM (concurrent sbt inflates them 3-4x)
     val skewOnly = sys.env.contains("GRAFT_SKEW_ONLY")
-    val results = (if (skewOnly) Seq.empty else SparkEntry.queries.toSeq).sortBy(_._1)
+    // serial e2e measurement aid (driver never sets it): skip the query
+    // loop and skew fixture, run ONLY the end-to-end job row
+    val e2eOnly = sys.env.contains("GRAFT_E2E_ONLY")
+    val results = (if (skewOnly || e2eOnly) Seq.empty else SparkEntry.queries.toSeq).sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // Nudge the ContextCleaner between queries: in one long-lived JVM
@@ -84,14 +87,117 @@ object Bench {
     // NonFatal only: an OOM/StackOverflow must abort visibly, not emit a
     // normal-looking JSON line with skew {}
     val skew =
-      if (only.nonEmpty && !skewOnly) "{}"
+      if ((only.nonEmpty && !skewOnly) || e2eOnly) "{}"
       else try skewStress(spark, sfDir, time, serial = skewOnly) catch {
         case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] skewStress failed: ${t.getMessage}")
           "{}"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"skew":$skew,"sf":"$sfDir"}""")
+    // job-level row (VERDICT r11 item 7): the per-query loop times OPERATORS;
+    // this times the wired UserProfileJob PIPELINE (bookmark → incremental
+    // read → dedup → mapping projection → sanity → envelope → batched HTTP
+    // egress → audit write → bookmark upsert) against a local HTTP stub, so
+    // job-level regressions (sink batching, observe metrics, bookmark I/O)
+    // surface in BENCH even when every operator row stays flat.
+    val e2e =
+      if ((only.nonEmpty || skewOnly) && !e2eOnly) "{}"
+      else try e2eStress(spark, sfDir, time) catch {
+        case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[bench] e2eStress failed: ${t.getMessage}")
+          "{}"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"skew":$skew,"e2e":$e2e,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end UserProfileJob bench (SCALE.md "e2e" entry): the full
+    * production pipeline shape over a changelog derived from `customer` at
+    * the bench SF — GRAFT_E2E_REP (default 8) deterministic change versions
+    * per customer (~1.2M changelog rows at sf0.1), latest-per-key dedup,
+    * mapping-table projection, sanity type map, JSON envelope, ≤1000-record
+    * POST batches to an in-process HTTP stub (127.0.0.1, JDK HttpServer),
+    * per-batch audit parquet, bookmark upsert.
+    *
+    * Each timed run uses a FRESH job name: the job is incremental by
+    * design, so re-running under one name would read zero rows past the
+    * bookmark and time nothing. Reported: best of two fresh runs after a
+    * cold prime (same convention as the query loop), plus the row/batch
+    * counts so a silently-shrunken fixture can't masquerade as a speedup. */
+  private def e2eStress(spark: SparkSession, sfDir: String,
+                        time: (=> Unit) => Double): String = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.net.InetSocketAddress
+    import graft.jobs.UserProfileJob
+    val root = "file:/tmp/graft_e2e_bench"
+    val rep = sys.env.getOrElse("GRAFT_E2E_REP", "8").toInt
+    require(rep >= 1, s"GRAFT_E2E_REP must be >= 1; got $rep")
+    // changelog fixture: rep change versions per customer, deterministic
+    // (xxhash64) attribute churn; ~5% deletes (filtered by the job), one
+    // intentionally-empty identity per 1000 rows (exercises the invalid
+    // split); _commit_version is the per-key tiebreaker
+    val cust = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    cust.withColumn("rep", explode(lit((0 until rep).toArray)))
+      .select(
+        when(pmod(xxhash64(col("c_custkey"), col("rep"), lit("blank")), lit(1000L)) === 0, "")
+          .otherwise(col("c_custkey").cast("string")).as("customer_id"),
+        concat(lit("98"), lpad(pmod(xxhash64(col("c_custkey"), col("rep")),
+          lit(100000000L)).cast("string"), 8, "0")).as("mobile"),
+        round(col("c_acctbal") + col("rep"), 2).cast("string").as("reward"),
+        date_format(date_add(to_date(lit("1960-01-01")),
+          pmod(xxhash64(col("c_custkey"), lit("dob")), lit(15000L)).cast("int")), "yyyy-MM-dd").as("dob"),
+        when(pmod(xxhash64(col("c_custkey"), col("rep"), lit("del")), lit(20L)) === 0, "delete")
+          .when(col("rep") === 0, "insert").otherwise("update_postimage").as("_change_type"),
+        expr("timestampadd(SECOND, rep, timestamp'2024-01-01 00:00:00')").as("_commit_timestamp"),
+        col("rep").cast("long").as("_commit_version"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$root/changelog")
+    locally { import spark.implicits._
+      Seq(("mobile", true), ("reward", true), ("dob", true), ("unused_col", true))
+        .toDF("property_name", "clevertap")
+        .write.mode("overwrite").parquet(s"$root/mapping") }
+    val nPosts = new java.util.concurrent.atomic.AtomicLong()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        // drain + discard the body (measures real request serialization
+        // without accumulating ~100 MB of payloads in the stub)
+        ex.getRequestBody.readAllBytes()
+        nPosts.incrementAndGet()
+        ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("ok".getBytes); ex.close()
+      }
+    })
+    // pool must be shut down explicitly: server.stop() does NOT stop a
+    // user-provided executor, and its non-daemon threads would keep the
+    // bench JVM alive after main() returns (observed: DestroyJavaVM parked
+    // forever behind 8 idle pool threads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new graft.sink.ClevertapClient(url, "bench", "pass")
+      var runIdx = 0
+      var lastValid = 0L; var lastBatches = 0L
+      def runOnce(): Unit = {
+        runIdx += 1
+        val conf = UserProfileJob.Conf(
+          jobName = s"e2e_bench_$runIdx", changelogPath = s"$root/changelog",
+          bookmarkPath = s"$root/bookmarks_$runIdx", keyCol = "customer_id",
+          tsCol = "_commit_timestamp", tiebreakCol = "_commit_version",
+          platform = "clevertap", mappingPath = s"$root/mapping",
+          typeMap = Map("mobile" -> "mobile_sanity", "reward" -> "modify_reward",
+            "dob" -> "date"),
+          swapKeyMap = Map("customer_id" -> "identity_id"))
+        val res = UserProfileJob.run(spark, conf, b => client.uploadProfiles(b))
+        lastValid = res.validRows; lastBatches = res.batches
+        require(res.okBatches == res.batches,
+          s"e2e bench: ${res.batches - res.okBatches} failed batches (${res.firstError})")
+      }
+      time(runOnce())
+      val secs = math.min(time(runOnce()), time(runOnce()))
+      s"""{"e2e_user_profile":$secs,"valid_rows":$lastValid,"batches":$lastBatches,"posts":${nPosts.get}}"""
+    } finally { server.stop(0); pool.shutdown() }
   }
 
   /** Skew-stress fixture (SCALE.md "skew" entry): every headline number is

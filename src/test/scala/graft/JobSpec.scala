@@ -82,11 +82,21 @@ class JobSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     // auto-skip without the jar: this environment ships none, so the
     // branch above is probe/mock-tested; on a classpath WITH delta-spark
-    // this test exercises the true format("delta") CDF read instead
+    // this test exercises the true format("delta") CDF read instead.
+    // Resolution was attempted and is IMPOSSIBLE here (verified round 12,
+    // do not re-litigate): `find ~/.cache/coursier ~/.ivy2 -iname '*delta*'`
+    // and `ls /opt/spark/jars | grep -i delta` both return nothing, and
+    // COURSIER_MODE=offline + zero egress means a libraryDependencies
+    // entry cannot fetch it. The missing artifact is exactly
+    // io.delta:delta-spark_2.13:4.x (+ io.delta:delta-storage). On any
+    // classpath that carries those two jars (e.g. Databricks, or sbt with
+    // network), this test runs as-is with no code change.
     if (!graft.source.DeltaCdf.available) {
       info("delta-spark not on classpath — live CDF read skipped " +
         "(probe gating and fallback are covered by the previous test)")
-      cancel("delta-spark jar absent in this environment")
+      cancel("missing artifact: io.delta:delta-spark_2.13 (+delta-storage) — " +
+        "absent from /opt/spark/jars and the offline coursier/ivy caches; " +
+        "unfetchable with zero egress. Runs unmodified once those jars are present.")
     }
     val dir = Files.createTempDirectory("graft-delta-live").toString + "/tbl"
     val cdfDefault = "spark.databricks.delta.properties.defaults.enableChangeDataFeed"

@@ -2655,6 +2655,26 @@ FROM documents a JOIN documents b
 WHERE a.doc_id < 1000 AND b.doc_id < 1000
 ORDER BY id_a, id_b"""
 
+  /** q117: EXACT trigram heavy hitters at support 1/20000. The oracle is
+    * the NAIVE full group-count with the same integer-exact threshold
+    * (cnt * 20000 >= total gram count — no doubles on either engine);
+    * the Spark side computes the identical set through the Misra–Gries
+    * sketch prefilter + exact-confirm pass, so a hash match proves the
+    * sketch is a pure prune (superset guarantee + merged-residual cutoff
+    * lose nothing). Gram construction matches q42's. */
+  private val q117 = """
+WITH t AS (
+  SELECT string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+n AS (SELECT count(*) AS n FROM g)
+SELECT gram, count(*) AS cnt
+FROM g, n
+GROUP BY gram, n.n
+HAVING count(*) * 20000 >= n.n
+ORDER BY gram"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2731,6 +2751,7 @@ ORDER BY id_a, id_b"""
     "q113_image_neardups" -> q113,
     "q115_video_neardups" -> q115,
     "q116_bpe_train" -> q116,
+    "q117_heavy_hitters" -> q117,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

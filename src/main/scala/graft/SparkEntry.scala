@@ -1309,6 +1309,24 @@ object SparkEntry {
       .toDF("merge_rank", "l", "r")
   }
 
+  private def q117_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    // EXACT trigram heavy hitters at support 1/20000 via the Misra–Gries
+    // prefilter + exact-confirm pass (TextAnalysis.heavyHitters). The
+    // oracle runs the naive full groupBy with the same integer-exact
+    // threshold (cnt * 20000 >= total grams) — a hash match proves the
+    // sketch's superset guarantee, the merged-residual prune, and the
+    // confirm pass lose nothing. Non-empty at both gate SFs (cnt >= 2 at
+    // sf0.01, cnt >= 14 at sf0.1 against a max trigram count of 25). At
+    // gate scale the per-partition distinct grams stay under D, so the
+    // DECREMENT path never fires here — TextSpec forces it with a small
+    // D against a key space larger than the sketch.
+    val grams = t(s, dir, "documents")
+      .select(explode(TA.gramStrings(col("text"), 3)).as("gram"))
+    TA.heavyHitters(grams, col("gram"), 20000)
+      .select(col("v").as("gram"), col("cnt"))
+      .orderBy("gram")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1642,6 +1660,7 @@ object SparkEntry {
     "q114_audio_neardups" -> (q114_audio_neardups _),
     "q115_video_neardups" -> (q115_video_neardups _),
     "q116_bpe_train" -> (q116_bpe_train _),
+    "q117_heavy_hitters" -> (q117_heavy_hitters _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

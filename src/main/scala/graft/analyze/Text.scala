@@ -25,6 +25,23 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Word n-gram STRINGS of the lowercased whitespace-tokenized text —
+    * the literal-string twin of [[graft.dedup.Dedup.shingles]] (which
+    * emits 64-bit gram hashes): reporting operators like
+    * [[heavyHitters]] need the gram text back, not its key. Documents
+    * with fewer than n tokens yield an empty array (the `when` guard
+    * matters: Spark's `sequence(1, m)` with m <= 0 DESCENDS instead of
+    * returning empty). Narrow codegen'd expression, no shuffle. */
+  def gramStrings(text: Column, n: Int): Column = {
+    require(n >= 1, s"gram size must be >= 1; got $n")
+    val toks = tokens(lower(text))
+    val m = size(toks) - (n - 1)
+    when(m >= 1,
+      transform(sequence(lit(1), m),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   private val defaultStopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
@@ -759,5 +776,90 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
           col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** EXACT φ-heavy hitters (φ = 1/supportDenom) via a Misra–Gries sketch
+    * prefilter plus one exact confirming pass — identical output to
+    * `groupBy(v).count().filter(cnt * D >= N)` (N = total non-null rows,
+    * D = supportDenom), but without ever shuffling the full distinct-key
+    * stream (Misra & Gries 1982; the merge bound is Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012).
+    *
+    * Three stages, one lazy plan:
+    *  1. Per-partition MG summary of size D (`mapPartitions`): any global
+    *     heavy hitter has c_p >= N_p/D in at least one partition
+    *     (pigeonhole over Σc_p >= ΣN_p/D), and MG retains every key whose
+    *     partition count exceeds N_p/(D+1) — so the union of summaries is
+    *     a guaranteed SUPERSET of the heavy hitters. Each partition emits
+    *     <= D (key, residual) rows plus one (null, N_p) marker.
+    *  2. Candidate merge + prune: summed residuals underestimate a true
+    *     count by at most N/(D+1) total, so a real heavy hitter's merged
+    *     residual is >= N/D - N/(D+1) = N/(D(D+1)); candidates below that
+    *     are provably not heavy and are dropped before the expensive pass.
+    *     The compare runs in decimal(38,0) — `est * D * (D+1)` overflows
+    *     Long at corpus scale.
+    *  3. Exact confirm: re-scan values, semi-join to the candidate set
+    *     (AQE broadcasts it when small — the realistic case), exact count,
+    *     integer-exact threshold `cnt * D >= N`.
+    *
+    * 100 TB posture: stage 1's shuffle is <= D rows per upstream
+    * partition regardless of key cardinality; stage 3 aggregates only
+    * candidate-matching rows. The naive plan shuffles every distinct key
+    * with its partial counts — fine for 10^6 keys, not for 10^11 (URL or
+    * n-gram keyspaces). No accuracy trade: the result is exact, the
+    * sketch only PRUNES. Null values are excluded (they are not items).
+    *
+    * The summary is lazily localCheckpoint'ed: totals and candidates both
+    * branch from it, and the checkpoint materializes pass 1 once instead
+    * of re-running it per branch (same convention as [[repetitionGate]]).
+    */
+  def heavyHitters(df: DataFrame, valueCol: Column, supportDenom: Int): DataFrame = {
+    require(supportDenom >= 2 && supportDenom <= 10000000,
+      s"supportDenom must be in [2, 1e7]; got $supportDenom")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = supportDenom
+    val vals = df.select(valueCol.cast("string").as("v")).filter(col("v").isNotNull)
+    val summaries = vals.as[String].mapPartitions { it =>
+      // java.lang.Long values: a missing key must be a null REFERENCE, not
+      // an unboxed 0 (Scala's Long-valued java.util.HashMap would unbox
+      // get()'s null to 0L and corrupt counts)
+      val m = new java.util.HashMap[String, java.lang.Long](d * 2)
+      var n = 0L
+      while (it.hasNext) {
+        val t = it.next(); n += 1
+        val c = m.get(t)
+        if (c != null) m.put(t, c + 1L)
+        else if (m.size < d) m.put(t, 1L)
+        else {
+          // MG decrement round: cancel one occurrence of every tracked key
+          // against the new arrival (which is dropped at implicit count 0).
+          // Amortized O(1) per item: each round consumes d+1 count units.
+          // entrySet iteration supports in-place setValue/remove.
+          val es = m.entrySet().iterator()
+          while (es.hasNext) {
+            val e = es.next()
+            if (e.getValue.longValue == 1L) es.remove()
+            else e.setValue(java.lang.Long.valueOf(e.getValue.longValue - 1L))
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      Iterator.single((null: String, n)) ++
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.longValue))
+    }.toDF("v", "c").localCheckpoint(eager = false)
+    val totals = summaries.filter(col("v").isNull)
+      .agg(coalesce(sum("c"), lit(0L)).as("n"))        // exactly one row
+    val dec = "decimal(38,0)"
+    val cands = summaries.filter(col("v").isNotNull)
+      .groupBy("v").agg(sum("c").as("est"))
+      .crossJoin(broadcast(totals))
+      .filter(col("est").cast(dec) * lit(d.toLong * (d + 1L)) >= col("n").cast(dec))
+      .select("v")
+    vals.join(cands, "v")
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt").cast(dec) * lit(d.toLong) >= col("n").cast(dec))
+      .select(col("v"), col("cnt"))
   }
 }

@@ -400,4 +400,50 @@ class TextSpec extends SparkSpec {
     assert(r(2) == ((3L, 1L, 0.3333)))
     assert(r(3) == ((4L, 0L, 0.0)))
   }
+
+  test("gramStrings: literal n-grams, short-doc empties, q42 tokenization") {
+    val g3 = (s: String) =>
+      Seq(s).toDF("t").select(TextAnalysis.gramStrings(col("t"), 3).as("g"))
+        .as[Seq[String]].head
+    assert(g3("A  b\tc d") == Seq("a b c", "b c d")) // lowercased, ws-normalized
+    assert(g3("a b") == Seq.empty)                   // fewer than n tokens
+    assert(g3("") == Seq.empty)
+    assert(g3("x y z") == Seq("x y z"))
+    val g1 = Seq("Aa bb").toDF("t")
+      .select(TextAnalysis.gramStrings(col("t"), 1).as("g")).as[Seq[String]].head
+    assert(g1 == Seq("aa", "bb"))
+  }
+
+  test("heavyHitters: equals the naive group-count-filter with the sketch under pressure") {
+    // key space (201 distinct) >> sketch size (D = 8) across 7 partitions:
+    // every partition's MG map saturates and the decrement path runs. The
+    // zipf-ish fixture plants heavy keys h0..h2 plus a long uniform tail;
+    // exactness must hold regardless.
+    val rows = (0 until 3).flatMap(h => Seq.fill(400 - 100 * h)(s"h$h")) ++
+      (0 until 2000).map(i => s"t${i % 198}")
+    // deterministic interleave so heavy keys spread over partitions
+    val df = rows.sortBy(_.hashCode).toDF("v").repartition(7)
+    val d = 8
+    val got = TextAnalysis.heavyHitters(df, col("v"), d)
+      .as[(String, Long)].collect().toMap
+    val n = rows.size.toLong
+    val naive = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * d >= n }.toMap
+    assert(naive.nonEmpty && naive.size < 10)  // fixture sanity: selective
+    assert(got == naive)
+  }
+
+  test("heavyHitters: exact-threshold boundary, nulls dropped, empty input") {
+    // N = 12, D = 4 -> threshold cnt*4 >= 12 i.e. cnt >= 3 exactly: "x"
+    // sits ON the boundary (3*4 == 12) and must be included; nulls are
+    // not items and count toward neither N nor the candidates
+    val df = (Seq.fill(3)("x") ++ Seq.fill(7)("y") ++ Seq("a", "b"))
+      .map(Option(_)).padTo(15, None).toDF("v").repartition(3)
+    val got = TextAnalysis.heavyHitters(df, col("v"), 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 3L, "y" -> 7L))
+    val empty = TextAnalysis.heavyHitters(
+      Seq.empty[String].toDF("v"), col("v"), 4).collect()
+    assert(empty.isEmpty)
+  }
 }

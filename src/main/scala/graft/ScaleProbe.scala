@@ -55,11 +55,20 @@ object ScaleProbe {
   // collision structure.
   private val PerceptualProbe = "perceptual"
 
+  // The heavy-hitters family is probed on a DEDICATED wide-keyspace
+  // derivative, not the q117 fixture: documents has only ~16k trigram
+  // types, so the naive plan's distinct-key shuffle there is trivially
+  // small and both plans would time the same scan. The probe regime is
+  // the one the sketch exists for: tail-key CARDINALITY grows with the
+  // corpus (id-keyed), so the naive groupBy's shuffle grows S× while the
+  // Misra–Gries path ships <= D rows per partition + the candidate set.
+  private val HeavyProbe = "heavy_hitters"
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scale = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
-               else Queries.toSet + SpanProbe + PerceptualProbe
+               else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -294,6 +303,80 @@ object ScaleProbe {
         val exp = math.log(tS / t1) / math.log(scale.toDouble)
         log.println(f"""{"query":"$nm","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f,"pairs1":$p1,"pairs$scale":$pS}""")
       }
+    }
+    if (only.contains(HeavyProbe)) {
+      import graft.analyze.TextAnalysis
+      // D = 1000 (support 0.1%). Fixture: 5% of rows spread over 20 heavy
+      // keys (each 0.25% = 2.5x threshold -> all 20 qualify at every
+      // scale); the other 95% over an id-keyed tail of cardinality n/2
+      // (~2 occurrences each -> MG residuals die in decrements, pruned at
+      // the N/(D(D+1)) cutoff). Per-partition distinct keys >> D, so the
+      // decrement path runs hot — the regime TextSpec can only touch.
+      val d = 1000
+      def writeHeavy(s: Int, dir: String): Unit = {
+        val n = 4000000L * s
+        spark.range(n).select(
+          when(pmod(xxhash64(col("id"), lit("hh")), lit(20L)) === 0,
+            concat(lit("H"), pmod(xxhash64(col("id"), lit("pick")), lit(20L))
+              .cast("string")))
+            .otherwise(concat(lit("t"),
+              pmod(xxhash64(col("id"), lit("tail")), lit(n / 2)).cast("string")))
+            .as("v"))
+          .write.mode("overwrite").parquet(s"file:$dir")
+      }
+      val hhBase = "/tmp/graft_hh_base1"
+      val hhOut = s"/tmp/graft_hh_scale$scale"
+      if (!new java.io.File(s"$hhBase/_SUCCESS").exists()) writeHeavy(1, hhBase)
+      else System.err.println(s"[scaleprobe] reusing existing $hhBase")
+      writeHeavy(scale, hhOut)
+      def sketch(dir: String): Long =
+        TextAnalysis.heavyHitters(
+          spark.read.parquet(s"file:$dir"), col("v"), d).count()
+      def naive(dir: String): Long = {
+        val df = spark.read.parquet(s"file:$dir").filter(col("v").isNotNull)
+        df.groupBy("v").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+          .filter(col("cnt") * d >= col("n")).count()
+      }
+      // Shuffle-write accounting: locally shuffles run at RAM speed, so
+      // wall-clock alone undersells the sketch (the naive Tungsten agg
+      // wins CPU-wise up to at least 64M rows in one JVM). On a cluster
+      // the term that matters is bytes crossing the network/disk: the
+      // no-repeat tail defeats map-side combine, so the naive partial agg
+      // ships ~every distinct key, while MG ships <= D rows/partition.
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val mtr = te.taskMetrics
+          if (mtr != null)
+            shuffleBytes.addAndGet(mtr.shuffleWriteMetrics.bytesWritten); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measured(f: => Unit): (Double, Long) = {
+        val t = best(f)                       // timing: best-of-2 after prime
+        // the listener bus drains asynchronously (waitUntilEmpty is
+        // private[spark]); a settle pause before reset and before read
+        // keeps stragglers from the timing runs out of the byte count
+        Thread.sleep(500)
+        shuffleBytes.set(0L)                  // bytes: one clean extra run
+        f
+        Thread.sleep(500)
+        (t, shuffleBytes.get)
+      }
+      var s1 = 0L; var sS = 0L; var n1 = 0L; var nS = 0L
+      val (st1, _) = measured { s1 = sketch(hhBase) }
+      val (stS, sbS) = measured { sS = sketch(hhOut) }
+      val (nt1, _) = measured { n1 = naive(hhBase) }
+      val (ntS, nbS) = measured { nS = naive(hhOut) }
+      spark.sparkContext.removeSparkListener(listener)
+      require(s1 == n1 && sS == nS,
+        s"heavy-hitter sketch/naive disagree: $s1/$n1 at 1x, $sS/$nS at ${scale}x")
+      val sExp = math.log(stS / st1) / math.log(scale.toDouble)
+      val nExp = math.log(ntS / nt1) / math.log(scale.toDouble)
+      log.println(f"""{"query":"heavy_hitters_sketch(probe)","t1":$st1%.3f,"t$scale":$stS%.3f,"ratio":${stS / st1}%.2f,"exponent":$sExp%.2f,"hitters1":$s1,"hitters$scale":$sS,"shuffle_mb_$scale":${sbS / 1e6}%.2f}""")
+      log.println(f"""{"query":"heavy_hitters_naive(probe)","t1":$nt1%.3f,"t$scale":$ntS%.3f,"ratio":${ntS / nt1}%.2f,"exponent":$nExp%.2f,"speedup_at_$scale":${ntS / stS}%.2f,"shuffle_mb_$scale":${nbS / 1e6}%.2f}""")
     }
     log.close()
     spark.stop()

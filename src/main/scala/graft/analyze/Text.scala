@@ -821,32 +821,31 @@ object TextAnalysis {
     val d = supportDenom
     val vals = df.select(valueCol.cast("string").as("v")).filter(col("v").isNotNull)
     val summaries = vals.as[String].mapPartitions { it =>
-      // java.lang.Long values: a missing key must be a null REFERENCE, not
-      // an unboxed 0 (Scala's Long-valued java.util.HashMap would unbox
-      // get()'s null to 0L and corrupt counts)
-      val m = new java.util.HashMap[String, java.lang.Long](d * 2)
+      // mutable long[1] cells, not boxed Longs: the hot path is one hash
+      // lookup + in-place increment per row — a boxed-value map would
+      // allocate a fresh Long per increment (measured ~2x slower on the
+      // 64M-row ScaleProbe fixture); null cell = missing key
+      val m = new java.util.HashMap[String, Array[Long]](d * 2)
       var n = 0L
       while (it.hasNext) {
         val t = it.next(); n += 1
-        val c = m.get(t)
-        if (c != null) m.put(t, c + 1L)
-        else if (m.size < d) m.put(t, 1L)
+        val cell = m.get(t)
+        if (cell != null) cell(0) += 1L
+        else if (m.size < d) m.put(t, Array(1L))
         else {
           // MG decrement round: cancel one occurrence of every tracked key
           // against the new arrival (which is dropped at implicit count 0).
           // Amortized O(1) per item: each round consumes d+1 count units.
-          // entrySet iteration supports in-place setValue/remove.
           val es = m.entrySet().iterator()
           while (es.hasNext) {
             val e = es.next()
-            if (e.getValue.longValue == 1L) es.remove()
-            else e.setValue(java.lang.Long.valueOf(e.getValue.longValue - 1L))
+            if (e.getValue()(0) == 1L) es.remove() else e.getValue()(0) -= 1L
           }
         }
       }
       import scala.jdk.CollectionConverters._
       Iterator.single((null: String, n)) ++
-        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.longValue))
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue()(0)))
     }.toDF("v", "c").localCheckpoint(eager = false)
     val totals = summaries.filter(col("v").isNull)
       .agg(coalesce(sum("c"), lit(0L)).as("n"))        // exactly one row
@@ -856,7 +855,16 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .filter(col("est").cast(dec) * lit(d.toLong * (d + 1L)) >= col("n").cast(dec))
       .select("v")
-    vals.join(cands, "v")
+    // broadcast is EXPLICIT, not left to the planner: the candidate side
+    // descends from a localCheckpoint whose size stats are unknown, so
+    // Spark plans a sort-merge join — which shuffles the entire value
+    // stream and erases the sketch's whole point (measured: 719 MB
+    // shuffled at the 64M-row ScaleProbe fixture, within noise of the
+    // naive plan). The hint is safe by construction: survivors of the
+    // residual prune number <= D(D+1) (each has est >= N/(D(D+1)) and
+    // the residuals sum to <= N), and realistic key distributions leave
+    // far fewer.
+    vals.join(broadcast(cands), "v")
       .groupBy("v").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(totals))
       .filter(col("cnt").cast(dec) * lit(d.toLong) >= col("n").cast(dec))

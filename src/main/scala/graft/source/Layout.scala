@@ -1,6 +1,7 @@
 package graft.source
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout utilities — the 100 TB knobs that live at WRITE time:
   *
@@ -33,4 +34,75 @@ object Layout {
                     buckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  // --- Z-order (Morton) clustering: multi-dimensional data skipping ----
+  //
+  // Directory partitioning prunes ONE low-cardinality column; a plain
+  // sort prunes one high-cardinality column. A selective filter on TWO
+  // high-cardinality columns (user_id × time, key × score) prunes
+  // nothing on either layout: every file's min/max on the second column
+  // spans the whole domain. Z-ordering interleaves the bits of
+  // equi-depth bucket ranks, so curve-adjacent rows are close in EVERY
+  // dimension — each output file covers a small sub-rectangle and
+  // parquet row-group stats prune both dimensions at once. Layout-only:
+  // results never change, only which bytes are read (the same trade
+  // Delta OPTIMIZE ZORDER BY makes).
+
+  /** Equi-depth bucket rank of `c` against precomputed ascending
+    * boundaries (from [[zorderBoundaries]]): the count of boundaries
+    * strictly below the value, evaluated with a constant-size
+    * `aggregate` over an array literal (a 255-term when-chain would blow
+    * up codegen). Equi-depth, not min/max linear scaling: one outlier
+    * would otherwise collapse every real value into one bucket and the
+    * curve into a line. Nulls rank 0 (they sort together; layout-only
+    * so correctness is unaffected). The cast to double is layout-only
+    * too: a lossy cast (int64 > 2^53) can only merge adjacent buckets
+    * and cost pruning efficiency, never rows. */
+  def zorderBucket(c: Column, boundaries: Array[Double]): Column =
+    aggregate(
+      lit(boundaries),
+      lit(0),
+      (acc, b) => acc + when(c.cast("double") > b, 1).otherwise(0))
+
+  /** Interleave the low `bits` bits of the given bucket ranks into one
+    * Morton key: result bit (i*n + j) = bit i of column j. Bounded by
+    * 63 total bits (LongType). */
+  def zorderKey(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    require(n >= 1, "zorderKey needs at least one column")
+    require(bits >= 1 && n * bits <= 63,
+      s"bits-per-column $bits x $n columns must stay within a Long")
+    val terms = for (j <- 0 until n; i <- 0 until bits) yield
+      shiftleft(
+        shiftright(buckets(j).cast("long"), i).bitwiseAND(lit(1L)),
+        i * n + j)
+    terms.reduce(_ + _)  // disjoint bit positions: + is bitwise-or here
+  }
+
+  /** Driver-side equi-depth boundaries for each column: 2^bits - 1
+    * approximate quantiles (metadata-sized — the same legitimate-collect
+    * class as Skew's range boundaries). */
+  def zorderBoundaries(df: DataFrame, cols: Seq[String], bits: Int)
+      : Seq[Array[Double]] = {
+    val fracs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    cols.map(c =>
+      df.select(col(c).cast("double").as("__zq"))
+        .stat.approxQuantile("__zq", fracs, 0.001))
+  }
+
+  /** Z-order-cluster `df` by `cols` into `files` parquet files at
+    * `path`: equi-depth bucket each column (2^bits buckets), interleave
+    * into the Morton key, range-repartition + sort by it, drop the
+    * helper, write. One shuffle; the key never lands in the files. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    files: Int, bits: Int = 8): Unit = {
+    val bounds = zorderBoundaries(df, cols, bits)
+    val zk = zorderKey(
+      cols.zip(bounds).map { case (c, b) => zorderBucket(col(c), b) }, bits)
+    df.withColumn("__zkey", zk)
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -213,6 +213,71 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS customer_b")
   }
 
+  test("zorderKey interleaves bucket bits into a Morton key (vs software reference)") {
+    import spark.implicits._
+    def ref(bs: Seq[Long], bits: Int): Long = {
+      var k = 0L
+      for (j <- bs.indices; i <- 0 until bits)
+        k |= ((bs(j) >> i) & 1L) << (i * bs.size + j)
+      k
+    }
+    val rows = Seq((5L, 3L), (0L, 0L), (255L, 1L), (170L, 85L), (63L, 64L))
+    val got = rows.toDF("a", "b")
+      .select(graft.source.Layout.zorderKey(Seq(col("a"), col("b")), 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == rows.map { case (a, b) => ref(Seq(a, b), 8) })
+    // 3 columns x 4 bits also fits and matches
+    val got3 = Seq((9L, 6L, 15L)).toDF("a", "b", "c")
+      .select(graft.source.Layout.zorderKey(
+        Seq(col("a"), col("b"), col("c")), 4).as("z")).as[Long].head()
+    assert(got3 == ref(Seq(9L, 6L, 15L), 4))
+  }
+
+  test("zorderBucket: equi-depth ranks against boundaries; nulls rank 0") {
+    import spark.implicits._
+    val bounds = Array(10.0, 20.0, 30.0)
+    val got = Seq(Some(5L), Some(10L), Some(11L), Some(25L), Some(35L), None)
+      .toDF("v")
+      .select(graft.source.Layout.zorderBucket(col("v"), bounds).as("b"))
+      .as[Int].collect().toSeq
+    // strictly-greater count: 10 stays in bucket 0 (boundary inclusive
+    // below), nulls fail every > and land at rank 0
+    assert(got == Seq(0, 0, 1, 2, 3, 0))
+  }
+
+  test("writeZOrdered: files cover small sub-rectangles; reads are layout-invariant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val n = 200000L
+    val dom = 100000L
+    val df = spark.range(n).select(
+      col("id"),
+      pmod(xxhash64(col("id"), lit("x")), lit(dom)).as("x"),
+      pmod(xxhash64(col("id"), lit("y")), lit(dom)).as("y"))
+    graft.source.Layout.writeZOrdered(df, s"$dir/z", Seq("x", "y"),
+      files = 16, bits = 6)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == n)
+    // layout-only: a selective 2-D filter aggregates identically
+    def probe(c: org.apache.spark.sql.DataFrame) =
+      c.filter(col("x") < dom / 10 && col("y") < dom / 10)
+        .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L)))
+        .as[(Long, Long)].head()
+    assert(probe(back) == probe(df))
+    // locality: mean per-file bounding-box area fraction is far below the
+    // ~1.0 an unsorted layout shows (each unsorted file spans both domains)
+    def meanArea(c: org.apache.spark.sql.DataFrame): Double =
+      c.groupBy(input_file_name()).agg(
+          (((max("x") - min("x")).cast("double") / dom) *
+            ((max("y") - min("y")).cast("double") / dom)).as("a"))
+        .agg(avg("a")).as[Double].head()
+    val zArea = meanArea(back)
+    df.repartition(16).write.mode("overwrite").parquet(s"$dir/u")
+    val uArea = meanArea(spark.read.parquet(s"$dir/u"))
+    assert(zArea < 0.3, s"z-ordered files not localized: mean area $zArea")
+    assert(uArea > 0.8, s"unsorted control unexpectedly localized: $uArea")
+  }
+
   test("repetition/PII curation maps are shuffle-free (no Exchange in the plan)") {
     // Per-document metrics must never shuffle the corpus: the sorted-run
     // fold and the regex scrub are pure maps over the scan (the gate

@@ -2675,6 +2675,49 @@ GROUP BY gram, n.n
 HAVING count(*) * 20000 >= n.n
 ORDER BY gram"""
 
+  /** q118: ordered funnel as a chain of min-after-min LEFT JOINs — the
+    * declarative twin of the Spark side's per-user sorted fold. Strict
+    * `>` at every hop; a missing earlier step null-propagates through
+    * the join condition, so later steps stay null exactly like the
+    * fold's prefix-filled slots. */
+  private val q118 = """
+WITH s1 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+  FROM events GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY 1, 2),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1, 2, 3)
+SELECT 0 AS step, 'view' AS event_type, count(t1) AS n_entities FROM s3
+UNION ALL
+SELECT 1, 'click', count(t2) FROM s3
+UNION ALL
+SELECT 2, 'purchase', count(t3) FROM s3
+ORDER BY step"""
+
+  /** q119: weekly cohort retention. Monday week truncation on both
+    * engines; offsets are exact multiples of 7 days (week-aligned
+    * dates), so the integer division is collision-free. */
+  private val q119 = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset,
+       count(*) AS n_entities
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2752,6 +2795,8 @@ ORDER BY gram"""
     "q115_video_neardups" -> q115,
     "q116_bpe_train" -> q116,
     "q117_heavy_hitters" -> q117,
+    "q118_funnel" -> q118,
+    "q119_retention" -> q119,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1327,6 +1327,29 @@ object SparkEntry {
       .orderBy("gram")
   }
 
+  private def q118_funnel(s: SparkSession, dir: String): DataFrame = {
+    // Ordered view→click→purchase funnel: step i = earliest event of its
+    // type STRICTLY after step i-1's timestamp, per user, one shuffle
+    // (sorted-fold, Relational.funnelSteps scaladoc). The oracle chains
+    // the equivalent min-after-min LEFT JOINs — a hash match pins the
+    // fold against the declarative strict-> chain, including the
+    // no-earlier-step null propagation.
+    graft.relational.Relational.funnelCounts(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("step")
+  }
+
+  private def q119_retention(s: SparkSession, dir: String): DataFrame = {
+    // Weekly cohort retention: Monday-truncated first-event cohort ×
+    // week offset × distinct active users. Both engines truncate weeks
+    // to Monday and the offsets divide exactly (week-aligned dates), so
+    // the comparison is integer-exact.
+    graft.relational.Relational.weeklyRetention(
+      t(s, dir, "events"), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1661,6 +1684,8 @@ object SparkEntry {
     "q115_video_neardups" -> (q115_video_neardups _),
     "q116_bpe_train" -> (q116_bpe_train _),
     "q117_heavy_hitters" -> (q117_heavy_hitters _),
+    "q118_funnel" -> (q118_funnel _),
+    "q119_retention" -> (q119_retention _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

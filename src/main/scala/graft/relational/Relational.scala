@@ -185,4 +185,82 @@ object Relational {
     facts.join(broadcast(bins),
       col(valueCol) >= col(lo) && (col(hi).isNull || col(valueCol) < col(hi)),
       "left")
+
+  /** Per-entity k-step ORDERED funnel timestamps: for each entity, step
+    * i's timestamp is the earliest event of `steps(i)` STRICTLY after
+    * step i-1's (step 0 = earliest of `steps(0)` overall) — the product
+    * analytics "view → click → purchase" chain. Returns one row per
+    * entity with a `step_ts` array (null-padded past the last reached
+    * step).
+    *
+    * ONE shuffle: events fold per entity via
+    * sort_array(collect_list) + a k-slot `aggregate` accumulator — not
+    * k sequential conditional-min aggregations (k shuffles) and not k-1
+    * self-joins. Slots fill prefix-wise, so the current step is just the
+    * filled-count, and the strict `>` mirrors the SQL min-chain
+    * semantics on timestamp ties. Per-entity state is the event list:
+    * at 100 TB cap pathological entities upstream (bot accounts with
+    * 10^7 events) the same way the dedup family salts them — the fold
+    * itself only ever keeps k timestamps. */
+  def funnelSteps(events: DataFrame, entityCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"),
+      col(typeCol).as("et"))))
+    val folded = aggregate(
+      evs,
+      array_repeat(lit(null).cast("timestamp"), k),
+      (acc, e) => {
+        val filled = aggregate(acc, lit(0),
+          (c, v) => c + when(v.isNotNull, 1).otherwise(0))
+        // greatest(filled, 1): element_at is 1-based and REJECTS index 0
+        // outright — SQL booleans don't promise short-circuit, so the
+        // filled === 0 alternative can't protect a raw element_at(acc, 0)
+        transform(acc, (v, i) =>
+          when(i === filled &&
+            e.getField("et") === element_at(stepArr, filled + 1) &&
+            (filled === 0 ||
+              e.getField("ts") > element_at(acc, greatest(filled, lit(1)))),
+            e.getField("ts")).otherwise(v))
+      })
+    events.groupBy(col(entityCol))
+      .agg(folded.as("step_ts"))
+  }
+
+  /** Funnel conversion summary: how many entities reached each step.
+    * One row per step, in order. */
+  def funnelCounts(events: DataFrame, entityCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    val per = funnelSteps(events, entityCol, tsCol, typeCol, steps)
+    val aggs = steps.indices.map(i =>
+      count(element_at(col("step_ts"), i + 1)).as(s"n$i"))
+    val counts = per.agg(aggs.head, aggs.tail: _*)
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step"), lit(s).as("event_type"), col(s"n$i").as("n_entities"))
+    }
+    counts.select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_entities"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of the
+    * entity's FIRST event; one output row per (cohort_week, week_offset)
+    * with the distinct entities active that week. Two narrow aggs on the
+    * entity hash partitioning (first-event + distinct activity weeks)
+    * and one co-partitioned join — no window, no collect. */
+  def weeklyRetention(events: DataFrame, entityCol: String,
+                      tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(entityCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val active = events.select(col(entityCol),
+      to_date(date_trunc("week", col(tsCol))).as("active_week")).distinct()
+    active.join(firsts, entityCol)
+      .select(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"),
+        col(entityCol))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
 }

@@ -769,6 +769,72 @@ class ExtraSpec extends SparkSpec {
       assert(streamed == batch && streamed.size == 5)
     } finally q.stop()
   }
+
+  test("funnelSteps: strict ordering, skipped prerequisites, tie semantics") {
+    import graft.relational.Relational
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: purchase BEFORE click -> purchase must not count
+      (2L, ts("2024-01-02 10:00:00"), "view"),
+      (2L, ts("2024-01-02 10:30:00"), "purchase"),
+      (2L, ts("2024-01-02 11:00:00"), "click"),
+      // u3: click with NO view -> nothing counts
+      (3L, ts("2024-01-03 09:00:00"), "click"),
+      (3L, ts("2024-01-03 10:00:00"), "purchase"),
+      // u4: click at EXACTLY the view timestamp -> strict > rejects it,
+      // the later click is the step-2 time
+      (4L, ts("2024-01-04 09:00:00"), "view"),
+      (4L, ts("2024-01-04 09:00:00"), "click"),
+      (4L, ts("2024-01-04 09:05:00"), "click"),
+      // u5: earliest view wins even after other events
+      (5L, ts("2024-01-05 08:00:00"), "click"),
+      (5L, ts("2024-01-05 09:00:00"), "view"),
+      (5L, ts("2024-01-05 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Relational.funnelSteps(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Seq[Option[Timestamp]])].collect().toMap
+    assert(got(1L) == Seq(Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), Some(ts("2024-01-01 12:00:00"))))
+    assert(got(2L) == Seq(Some(ts("2024-01-02 10:00:00")),
+      Some(ts("2024-01-02 11:00:00")), None))
+    assert(got(3L) == Seq(None, None, None))
+    assert(got(4L) == Seq(Some(ts("2024-01-04 09:00:00")),
+      Some(ts("2024-01-04 09:05:00")), None))
+    assert(got(5L) == Seq(Some(ts("2024-01-05 09:00:00")),
+      Some(ts("2024-01-05 10:00:00")), None))
+    val counts = Relational.funnelCounts(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(counts == Seq((0, "view", 4L), (1, "click", 4L), (2, "purchase", 1L)))
+  }
+
+  test("weeklyRetention: Monday cohorts, exact week offsets, distinct users") {
+    import graft.relational.Relational
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 first in wk0, active wk0+wk2 (twice in
+    // wk2 -> still one); u2 first in wk1 (via a SUNDAY event -> cohort is
+    // that week's Monday 2024-01-08), active wk1 only
+    val ev = Seq(
+      (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (1L, ts("2024-01-17 10:00:00")),
+      (2L, ts("2024-01-14 23:59:59"))
+    ).toDF("user_id", "ts")
+    val got = Relational.weeklyRetention(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(java.sql.Date, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0, 1L),
+      (java.sql.Date.valueOf("2024-01-01"), 2, 1L),
+      (java.sql.Date.valueOf("2024-01-08"), 0, 1L)))
+  }
 }
 
 /** JVM-static capture for the egress-replay spec: executor-side `send`

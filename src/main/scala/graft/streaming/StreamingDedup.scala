@@ -57,6 +57,46 @@ object StreamingDedup {
       }
   }
 
+  case class FunnelEvent(user: Long, ts: java.sql.Timestamp, etype: String)
+  case class FunnelState(stepTs: Seq[Option[java.sql.Timestamp]])
+
+  /** Streaming twin of [[graft.relational.Relational.funnelSteps]]:
+    * per-entity k-slot funnel state updated each micro-batch and emitted
+    * on every change. State is k timestamps per entity — O(k), never the
+    * event history — so a continuously-running funnel stays bounded by
+    * the entity domain, like [[latestPerKeyStream]].
+    *
+    * Equality with the batch fold holds when each entity's events arrive
+    * in event-time order ACROSS micro-batches (within a batch, events
+    * are sorted by (ts, type) first — same tie order as the batch
+    * sort_array fold). A prerequisite that arrives in a LATER batch than
+    * its dependent step cannot resurrect it: the dependent event is gone
+    * (bounded state means no replay). ExtraSpec pins both the equality
+    * and this documented divergence. */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[(Long, Seq[Option[java.sql.Timestamp]])] = {
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events.groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val slots = state.getOption.map(_.stepTs.toArray)
+            .getOrElse(Array.fill(k)(Option.empty[java.sql.Timestamp]))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.etype)).foreach { e =>
+            val filled = slots.indexWhere(_.isEmpty) match {
+              case -1 => k
+              case i  => i
+            }
+            if (filled < k && e.etype == steps(filled) &&
+                (filled == 0 ||
+                  slots(filled - 1).exists(p => e.ts.getTime > p.getTime)))
+              slots(filled) = Some(e.ts)
+          }
+          state.update(FunnelState(slots.toSeq))
+          user -> slots.toSeq
+      }
+  }
+
   /** Windowed aggregation over the event stream: tumbling-window counts
     * per event type with a watermark (the standard streaming agg shape). */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

@@ -835,6 +835,57 @@ class ExtraSpec extends SparkSpec {
       (java.sql.Date.valueOf("2024-01-01"), 2, 1L),
       (java.sql.Date.valueOf("2024-01-08"), 0, 1L)))
   }
+
+  test("streaming: funnel state equals the batch fold on ordered arrivals; bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.FunnelEvent
+    import graft.relational.Relational
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val batch1 = Seq(
+      FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+      FunnelEvent(1L, ts("2024-01-01 11:00:00"), "click"),
+      FunnelEvent(2L, ts("2024-01-01 09:00:00"), "view"),
+      // u3's click arrives BEFORE its view ever does (next batch): the
+      // documented divergence — bounded state can't resurrect it
+      FunnelEvent(3L, ts("2024-01-01 08:00:00"), "click"))
+    val batch2 = Seq(
+      FunnelEvent(1L, ts("2024-01-01 12:00:00"), "purchase"),
+      FunnelEvent(2L, ts("2024-01-01 09:30:00"), "click"),
+      FunnelEvent(3L, ts("2024-01-01 07:00:00"), "view"))
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingDedup.funnelStream(mem.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // memory sink in update mode appends every emission; latest per user wins
+      val rows = spark.table("funnel_state")
+        .as[(Long, Seq[Option[Timestamp]])].collect()
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      // u1 and u2 arrived in event-time order across batches -> equal to
+      // the batch fold over the union
+      val all = (batch1 ++ batch2).map(e => (e.user, e.ts, e.etype))
+        .toDF("user_id", "ts", "event_type")
+      val batchGot = Relational.funnelSteps(all, "user_id", "ts", "event_type", steps)
+        .as[(Long, Seq[Option[Timestamp]])].collect().toMap
+      assert(latest(1L) == batchGot(1L) && latest(1L).forall(_.isDefined))
+      assert(latest(2L) == batchGot(2L))
+      assert(latest(2L) == Seq(Some(ts("2024-01-01 09:00:00")),
+        Some(ts("2024-01-01 09:30:00")), None))
+      // u3: batch fold sees view@07 then click@08 -> both steps; the
+      // stream processed the click in a batch BEFORE its prerequisite
+      // existed, so only the late view lands (documented divergence)
+      assert(batchGot(3L) == Seq(Some(ts("2024-01-01 07:00:00")),
+        Some(ts("2024-01-01 08:00:00")), None))
+      assert(latest(3L) == Seq(Some(ts("2024-01-01 07:00:00")), None, None))
+    } finally q.stop()
+  }
 }
 
 /** JVM-static capture for the egress-replay spec: executor-side `send`

@@ -2718,6 +2718,52 @@ FROM a JOIN f USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  /** Interval overlap join ground truth: the naive theta join the
+    * grid-blocked operator must reproduce pair-for-pair. Endpoints are
+    * exact integer epoch days in both engines. */
+  private val q120 = """
+WITH o AS (
+  SELECT o_orderkey,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0
+  FROM orders),
+l AS (
+  SELECT o_orderkey AS l_key, d0 AS l_start,
+         d0 + o_orderkey % 20 + 1 AS l_end
+  FROM o WHERE o_orderkey % 97 = 0),
+r AS (
+  SELECT o_orderkey AS r_key, d0 AS r_start,
+         d0 + o_orderkey % 15 + 1 AS r_end
+  FROM o WHERE o_orderkey % 89 = 0)
+SELECT l_key, r_key,
+       least(l_end, r_end) - greatest(l_start, r_start) + 1 AS overlap_days
+FROM l JOIN r ON l_start <= r_end AND r_start <= l_end"""
+
+  /** Gaps-and-islands merge ground truth: the same linear-scan windows
+    * (running max end over preceding rows, running island counter). */
+  private val q121 = """
+WITH iv AS (
+  SELECT l_suppkey,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS w_start,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           + CAST(l_quantity AS BIGINT) % 10 + 2 AS w_end
+  FROM lineitem WHERE l_partkey % 13 = 0),
+flagged AS (
+  SELECT l_suppkey, w_start, w_end,
+         CASE WHEN max(w_end) OVER (PARTITION BY l_suppkey ORDER BY w_start, w_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR w_start > max(w_end) OVER (PARTITION BY l_suppkey ORDER BY w_start, w_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv),
+islands AS (
+  SELECT l_suppkey, w_start, w_end,
+         sum(is_new) OVER (PARTITION BY l_suppkey ORDER BY w_start, w_end
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT l_suppkey, min(w_start) AS island_start, max(w_end) AS island_end,
+       count(*) AS n_intervals
+FROM islands GROUP BY l_suppkey, island"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2797,6 +2843,8 @@ ORDER BY 1, 2"""
     "q117_heavy_hitters" -> q117,
     "q118_funnel" -> q118,
     "q119_retention" -> q119,
+    "q120_interval_join" -> q120,
+    "q121_interval_merge" -> q121,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1350,6 +1350,38 @@ object SparkEntry {
       .orderBy("cohort_week", "week_offset")
   }
 
+  private def q120_interval_join(s: SparkSession, dir: String): DataFrame = {
+    // Grid-blocked interval overlap join: two order-derived busy-window
+    // sets; every overlapping pair exactly once via the
+    // max-start-bucket trick — an EQUI join on bucket, never the
+    // cartesian a naive theta join plans to. Endpoints are exact epoch
+    // days (integer datediff), identical arithmetic in the oracle.
+    val o = t(s, dir, "orders")
+      .withColumn("d0", datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+    val l = o.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("l_key"), col("d0").as("l_start"),
+        (col("d0") + col("o_orderkey") % 20 + 1).as("l_end"))
+    val r = o.filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("r_key"), col("d0").as("r_start"),
+        (col("d0") + col("o_orderkey") % 15 + 1).as("r_end"))
+    graft.relational.Relational.intervalJoin(
+        l, r, "l_start", "l_end", "r_start", "r_end", bucketWidth = 16L)
+      .select(col("l_key"), col("r_key"),
+        (least(col("l_end"), col("r_end")) -
+          greatest(col("l_start"), col("r_start")) + 1).as("overlap_days"))
+  }
+
+  private def q121_interval_merge(s: SparkSession, dir: String): DataFrame = {
+    // Gaps-and-islands: merge overlapping supplier busy windows
+    // (shipdate + quantity-derived span) into islands — single
+    // window-shuffle linear merge, no self-join.
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") % 13 === 0)
+      .withColumn("d0", datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long"))
+      .select(col("l_suppkey"), col("d0").as("w_start"),
+        (col("d0") + (col("l_quantity").cast("long") % 10) + 2).as("w_end"))
+    graft.relational.Relational.intervalMerge(li, "l_suppkey", "w_start", "w_end")
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1686,6 +1718,8 @@ object SparkEntry {
     "q117_heavy_hitters" -> (q117_heavy_hitters _),
     "q118_funnel" -> (q118_funnel _),
     "q119_retention" -> (q119_retention _),
+    "q120_interval_join" -> (q120_interval_join _),
+    "q121_interval_merge" -> (q121_interval_merge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

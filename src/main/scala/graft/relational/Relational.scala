@@ -244,6 +244,82 @@ object Relational {
       .select(col("r.step"), col("r.event_type"), col("r.n_entities"))
   }
 
+  /** Exact floor-division of a long column by a positive constant —
+    * never routes through double (a cast loses exactness above 2^53,
+    * the lossy-cast hazard class the skew fallback guards against).
+    * `((c % w) + w) % w` is the positive residue in exact long
+    * arithmetic; subtracting it leaves an exact multiple of `w`, so the
+    * built-in integral `div` (truncating) equals floor division. */
+  private def floorDiv(c: Column, w: Long): Column = {
+    val ww = lit(w)
+    call_function("div", c - (((c % ww) + ww) % ww), ww)
+  }
+
+  /** Grid-blocked interval overlap join: every (left, right) pair whose
+    * closed integer intervals `[lStart, lEnd]` × `[rStart, rEnd]`
+    * overlap, emitted EXACTLY once. The naive form — a theta join on
+    * `lS <= rE AND rS <= lE` — plans as a cartesian product
+    * (BroadcastNestedLoopJoin at best), quadratic in rows: the classic
+    * 100 TB killer for interval analytics.
+    *
+    * Here each interval replicates to the grid buckets of width
+    * `bucketWidth` it touches (`sequence` + `explode` — narrow, no
+    * shuffle yet), the join is an EQUI join on bucket (hash shuffle,
+    * AQE-splittable), and the overlap predicate filters within the
+    * bucket. If a pair overlaps, `max(lStart, rStart)` lies in both
+    * intervals, so both sides replicated into ITS bucket — emitting
+    * only where `bucket == floorDiv(greatest(lStart, rStart))`
+    * yields each pair exactly once with no distinct pass.
+    *
+    * Work is Σ_b |L_b|·|R_b| — pick `bucketWidth` near the typical
+    * interval span so replication (span/width + 1 copies) and bucket
+    * density balance. Endpoints are exact longs throughout (epoch days,
+    * seconds, micros — any unit at any magnitude). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+        .withColumn("__gb",
+          explode(sequence(floorDiv(col(s), bucketWidth),
+            floorDiv(col(e), bucketWidth))))
+    val lb = buckets(left, lStart, lEnd)
+    val rb = buckets(right, rStart, rEnd).withColumnRenamed("__gb", "__gb_r")
+    lb.join(rb,
+        col("__gb") === col("__gb_r") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          col("__gb") === floorDiv(greatest(col(lStart), col(rStart)), bucketWidth))
+      .drop("__gb", "__gb_r")
+  }
+
+  /** Merge overlapping closed integer intervals per key into islands
+    * (gaps-and-islands): intervals merge when the next start is <= the
+    * running max end seen so far (shared endpoints merge; a gap of 1
+    * starts a new island). One row per island with its extent and
+    * member count. ONE shuffle — the per-key window; the running-max /
+    * running-sum pair is the linear-scan merge, never a self-join.
+    * Deterministic under (start, end) ties: a tied row always lands in
+    * the same island regardless of scan order among its ties. */
+  def intervalMerge(df: DataFrame, keyCol: String, startCol: String,
+                    endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMax.isNull || col(startCol) > prevMax, 1).otherwise(0)
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn("__island",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
   /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of the
     * entity's FIRST event; one output row per (cohort_week, week_offset)
     * with the distinct entities active that week. Two narrow aggs on the

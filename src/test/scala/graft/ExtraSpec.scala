@@ -886,6 +886,73 @@ class ExtraSpec extends SparkSpec {
       assert(latest(3L) == Seq(Some(ts("2024-01-01 07:00:00")), None, None))
     } finally q.stop()
   }
+
+  test("intervalJoin: matches brute-force overlap on random intervals, each pair once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // mixed spans (0-width to 40-long) including negatives and bucket
+    // boundary hits; widths far from and equal to interval spans
+    val ls = (0 until 300).map { i =>
+      val s = rnd.nextInt(800) - 100L; (i.toLong, s, s + rnd.nextInt(40))
+    }
+    val rs = (0 until 250).map { i =>
+      val s = rnd.nextInt(800) - 100L; (i.toLong, s, s + rnd.nextInt(25))
+    }
+    val expected = (for {
+      (li, lsv, lev) <- ls; (ri, rsv, rev) <- rs
+      if lsv <= rev && rsv <= lev
+    } yield (li, ri)).toSet
+    for (w <- Seq(1L, 7L, 16L, 1000L)) {
+      val got = graft.relational.Relational.intervalJoin(
+          ls.toDF("l_id", "l_s", "l_e"), rs.toDF("r_id", "r_s", "r_e"),
+          "l_s", "l_e", "r_s", "r_e", w)
+        .select("l_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"width $w emitted a pair twice")
+      assert(got.toSet == expected, s"width $w wrong pair set")
+    }
+  }
+
+  test("intervalJoin: exact at magnitudes where a double cast is lossy") {
+    import spark.implicits._
+    // 2^60-range epoch-like endpoints: (c - posmod)/w via integral div,
+    // never a double — a float path would collapse distinct buckets
+    val base = (1L << 60) + 123456789L
+    val l = Seq((1L, base, base + 10L), (2L, base + 100L, base + 120L))
+    val r = Seq((10L, base + 5L, base + 6L),   // overlaps 1
+      (11L, base + 119L, base + 200L),          // overlaps 2
+      (12L, base + 30L, base + 40L))            // overlaps none
+    val got = graft.relational.Relational.intervalJoin(
+        l.toDF("l_id", "l_s", "l_e"), r.toDF("r_id", "r_s", "r_e"),
+        "l_s", "l_e", "r_s", "r_e", 16L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("intervalMerge: islands equal a sequential reference merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val iv = (0 until 500).map { _ =>
+      val k = rnd.nextInt(5).toLong
+      val s = rnd.nextInt(300).toLong
+      (k, s, s + rnd.nextInt(12))
+    }
+    // sequential reference: sort per key, linear merge (start <= maxEnd)
+    val expected = iv.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sorted
+      val islands = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for ((s, e) <- sorted) {
+        if (islands.nonEmpty && s <= islands.last._2)
+          islands(islands.size - 1) = (islands.last._1,
+            math.max(islands.last._2, e), islands.last._3 + 1)
+        else islands += ((s, e, 1L))
+      }
+      islands.map(i => (k, i._1, i._2, i._3))
+    }.toSet
+    val got = graft.relational.Relational.intervalMerge(
+        iv.toDF("k", "s", "e"), "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }
 
 /** JVM-static capture for the egress-replay spec: executor-side `send`

@@ -2764,6 +2764,44 @@ SELECT l_suppkey, min(w_start) AS island_start, max(w_end) AS island_end,
        count(*) AS n_intervals
 FROM islands GROUP BY l_suppkey, island"""
 
+  /** One unrolled fixed-point PageRank step: the same integer
+    * recurrence GraphOps.pageRankFixedPoint runs ((15·10^12)//(100·N) +
+    * (85·(in_sum + dangling//N))//100), floor-div (`//`) on positive
+    * longs ≡ Spark's integral `div`. Unrolled because the recursive
+    * aggregation is fixed-depth anyway and this keeps the oracle plain
+    * ANSI-ish SQL. */
+  private def q122Iter(k: Int): String = s"""
+i$k AS (
+  SELECT nd.node,
+         (15000000000000 // (100 * (SELECT cnt FROM nn)))
+         + ((85 * (COALESCE(s.in_sum, 0) +
+             ((SELECT CAST(COALESCE(sum(r.rank_fp), 0) AS BIGINT) FROM i${k - 1} r
+               WHERE r.node NOT IN (SELECT src FROM ow))
+              // (SELECT cnt FROM nn)))) // 100) AS rank_fp
+  FROM n nd
+  LEFT JOIN (SELECT e.dst AS nd2,
+                    CAST(sum((r.rank_fp * e.w) // e.ow) AS BIGINT) AS in_sum
+             FROM i${k - 1} r JOIN e2 e ON r.node = e.src
+             GROUP BY e.dst) s ON nd.node = s.nd2)"""
+
+  private val q122 = s"""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+e2 AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)),
+n AS (SELECT n_nationkey AS node FROM nation),
+nn AS (SELECT count(*) AS cnt FROM n),
+i0 AS (SELECT node, 1000000000000 // (SELECT cnt FROM nn) AS rank_fp FROM n),
+${(1 to 5).map(q122Iter).mkString(",")}
+SELECT node, rank_fp,
+       CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+FROM i5"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2845,6 +2883,7 @@ FROM islands GROUP BY l_suppkey, island"""
     "q119_retention" -> q119,
     "q120_interval_join" -> q120,
     "q121_interval_merge" -> q121,
+    "q122_pagerank" -> q122,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1382,6 +1382,26 @@ object SparkEntry {
     graft.relational.Relational.intervalMerge(li, "l_suppkey", "w_start", "w_end")
   }
 
+  private def q122_pagerank(s: SparkSession, dir: String): DataFrame = {
+    // Link authority over the nation-level trade graph (customer nation
+    // -> supplier nation, weighted by lineitem count), 5 fixed-point
+    // PageRank steps. Integer fixed-point arithmetic end-to-end makes
+    // the iterate bit-exact under any partitioning — the oracle unrolls
+    // the identical integer recurrence.
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
+    graft.analyze.GraphOps.pageRankFixedPoint(nodes, edges, iterations = 5)
+  }
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1720,6 +1740,7 @@ object SparkEntry {
     "q119_retention" -> (q119_retention _),
     "q120_interval_join" -> (q120_interval_join _),
     "q121_interval_merge" -> (q121_interval_merge _),
+    "q122_pagerank" -> (q122_pagerank _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

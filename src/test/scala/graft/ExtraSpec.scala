@@ -928,6 +928,41 @@ class ExtraSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("pageRankFixedPoint: equals the integer reference recurrence; dangling + isolated + multi-edge") {
+    import spark.implicits._
+    val SCALE = 1000000000000L
+    val nodeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    // 3 and 4 dangling (no out-edges); (0,1) appears twice -> summed
+    val rawEdges = Seq((0L, 1L, 1L), (0L, 1L, 2L), (0L, 2L, 2L),
+      (1L, 2L, 1L), (2L, 0L, 3L))
+    def reference(iters: Int): Map[Long, Long] = {
+      val ew = rawEdges.groupBy(e => (e._1, e._2))
+        .map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+      val ow = ew.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      var rank = nodeIds.map(_ -> SCALE / nodeIds.size).toMap
+      for (_ <- 0 until iters) {
+        val dang = nodeIds.filterNot(ow.contains).map(rank).sum
+        val in = ew.groupBy(_._2).map { case (d, es) =>
+          d -> es.map(e => rank(e._1) * e._3 / ow(e._1)).sum
+        }
+        rank = nodeIds.map(v => v ->
+          (15L * SCALE / (100L * nodeIds.size) +
+            85L * (in.getOrElse(v, 0L) + dang / nodeIds.size) / 100L)).toMap
+      }
+      rank
+    }
+    for (iters <- Seq(0, 1, 5)) {
+      val got = graft.analyze.GraphOps.pageRankFixedPoint(
+          nodeIds.toDF("node"), rawEdges.toDF("src", "dst", "w"), iters)
+        .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+      assert(got == reference(iters), s"iters=$iters")
+    }
+    // truncation drift stays microscopic: total mass within iters*(N+2)
+    // units of SCALE after 5 rounds
+    val total = reference(5).values.sum
+    assert(math.abs(total - SCALE) <= 5L * (nodeIds.size + 2))
+  }
+
   test("intervalMerge: islands equal a sequential reference merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

@@ -2802,6 +2802,54 @@ SELECT node, rank_fp,
        CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
 FROM i5"""
 
+  /** Centered integer normal equations, BIGINT-exact; the final doubles
+    * come from identical integers in both engines, and the closed-form
+    * expression shapes mirror Stats.fitLinearInt verbatim. */
+  private val q123 = """
+WITH d AS (
+  SELECT CAST(LENGTH("text") AS BIGINT) AS x,
+         CAST(CASE WHEN LENGTH(TRIM("text")) = 0 THEN 0
+              ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+              END AS BIGINT) AS y
+  FROM documents WHERE "text" IS NOT NULL),
+p1 AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy FROM d),
+c AS (SELECT n, sx // n AS cx, sy // n AS cy FROM p1),
+p2 AS (SELECT (SELECT n FROM c) AS n,
+              CAST(sum(x - (SELECT cx FROM c)) AS BIGINT) AS s1,
+              CAST(sum(y - (SELECT cy FROM c)) AS BIGINT) AS s2,
+              CAST(sum((x - (SELECT cx FROM c)) * (x - (SELECT cx FROM c))) AS BIGINT) AS sxx,
+              CAST(sum((x - (SELECT cx FROM c)) * (y - (SELECT cy FROM c))) AS BIGINT) AS sxy,
+              CAST(sum((y - (SELECT cy FROM c)) * (y - (SELECT cy FROM c))) AS BIGINT) AS syy
+       FROM d),
+m AS (SELECT n, s1, s2, n*sxy - s1*s2 AS num, n*sxx - s1*s1 AS den,
+             n*syy - s2*s2 AS deny FROM p2),
+sl AS (SELECT *, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope FROM m)
+SELECT n, slope,
+       (CAST(s2 AS DOUBLE) - slope * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)
+         + CAST((SELECT cy FROM c) AS DOUBLE)
+         - slope * CAST((SELECT cx FROM c) AS DOUBLE) AS intercept,
+       (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+         (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
+FROM sl"""
+
+  /** Median/MAD outlier rule with DISCRETE medians (quantile_disc ≡
+    * full-retention percentile_approx, the q97 equivalence) — medians
+    * are actual data values, so |v−med| and the single-multiply
+    * threshold compare bit-exactly. */
+  private val q124 = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, quantile_disc(value, 0.5) AS med FROM v GROUP BY 1),
+dev AS (SELECT v.event_type, v.value, m.med FROM v JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_disc(abs(value - med), 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT d.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN abs(d.value - d.med) > 4.4478 * a.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       max(d.med) AS med, max(a.mad) AS mad
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2884,6 +2932,8 @@ FROM i5"""
     "q120_interval_join" -> q120,
     "q121_interval_merge" -> q121,
     "q122_pagerank" -> q122,
+    "q123_linear_fit" -> q123,
+    "q124_mad_outliers" -> q124,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

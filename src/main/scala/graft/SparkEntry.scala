@@ -1402,6 +1402,28 @@ object SparkEntry {
     graft.analyze.GraphOps.pageRankFixedPoint(nodes, edges, iterations = 5)
   }
 
+  private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
+    // Exact regression of token count on char length: integer centered
+    // moments (order-free decimal sums), closed form in fixed-shape
+    // double arithmetic — the oracle replays identical integers.
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(length(col("text")).cast("long").as("x"),
+        TA.tokenCount(col("text")).cast("long").as("y"))
+    graft.analyze.Stats.fitLinearInt(d, "x", "y")
+  }
+
+  private def q124_mad_outliers(s: SparkSession, dir: String): DataFrame =
+    // Median/MAD robust outlier gate per event type; discrete medians
+    // (actual data values) keep the rule bit-exact cross-engine.
+    graft.analyze.Stats.madOutliers(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"))
+      .orderBy("event_type")
+
   private def q88_bigram_fluency(s: SparkSession, dir: String): DataFrame = {
     // Corpus-LM fluency proxy: mean corpus frequency of each document's
     // bigrams (integer-exact LM counts; one final IEEE division) — the
@@ -1741,6 +1763,8 @@ object SparkEntry {
     "q120_interval_join" -> (q120_interval_join _),
     "q121_interval_merge" -> (q121_interval_merge _),
     "q122_pagerank" -> (q122_pagerank _),
+    "q123_linear_fit" -> (q123_linear_fit _),
+    "q124_mad_outliers" -> (q124_mad_outliers _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

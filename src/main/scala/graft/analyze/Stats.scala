@@ -1,0 +1,87 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators: exact regression fits and robust
+  * outlier detection over quality signals. Same determinism policy as
+  * `GraphOps`: the moment accumulation is INTEGER-exact (order-free),
+  * and doubles appear only in final, fixed-shape expressions — so a
+  * replay on any partitioning, or in another engine, reproduces the
+  * result bit-for-bit. (Double-moment regression at 100 TB is also
+  * numerically rotten: Σx² of raw magnitudes cancels catastrophically;
+  * centering first fixes conditioning, integers fix determinism.)
+  */
+object Stats {
+
+  /** Exact simple linear regression y ~ slope·x + intercept over
+    * integral feature columns, via centered normal equations.
+    *
+    * Two passes: (1) count + exact sums → integer floor-div centers
+    * (translation invariance makes ANY integer center exact, so the
+    * floor-mean is both deterministic and well-conditioned);
+    * (2) centered second moments as DECIMAL(38,0) sums — map-side
+    * combined, order-independent, exact. The closed form then runs in
+    * fixed-shape double arithmetic on metadata-sized scalars.
+    *
+    * Exactness bound: |centered value| up to ~3·10⁹ keeps squares in
+    * int64 range per row; decimal(38,0) accumulation then holds to
+    * ~10³⁸ total. Returns one row: (n, slope, intercept, r2). */
+  def fitLinearInt(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val p1 = d.agg(count(lit(1)), sum(dec(col("__x"))), sum(dec(col("__y")))).head()
+    val n = p1.getLong(0)
+    require(n > 0, "fitLinearInt needs at least one row")
+    val sx = p1.getDecimal(1).toBigInteger.longValueExact()
+    val sy = p1.getDecimal(2).toBigInteger.longValueExact()
+    val cx = Math.floorDiv(sx, n)
+    val cy = Math.floorDiv(sy, n)
+    val xc = dec(col("__x") - lit(cx))
+    val yc = dec(col("__y") - lit(cy))
+    val p2 = d.agg(sum(xc).as("s1"), sum(yc).as("s2"),
+      sum(xc * xc).as("sxx"), sum(xc * yc).as("sxy"), sum(yc * yc).as("syy"))
+    val nDec = lit(n).cast("decimal(38,0)")
+    val num = nDec * col("sxy") - col("s1") * col("s2")
+    val den = nDec * col("sxx") - col("s1") * col("s1")
+    val deny = nDec * col("syy") - col("s2") * col("s2")
+    val slope = num.cast("double") / den.cast("double")
+    // fixed expression shape, mirrored verbatim by any replaying engine
+    val intercept = (col("s2").cast("double") - slope * col("s1").cast("double")) /
+      lit(n.toDouble) + lit(cy.toDouble) - slope * lit(cx.toDouble)
+    val r2 = (num.cast("double") * num.cast("double")) /
+      (den.cast("double") * deny.cast("double"))
+    p2.select(lit(n).as("n"), slope.as("slope"),
+      intercept.as("intercept"), r2.as("r2"))
+  }
+
+  /** Robust per-group outlier flags via the median/MAD rule: a value is
+    * an outlier when |v − median| > k·MAD (k defaults to 4.4478 ≈
+    * 3·1.4826, the "3 robust sigmas" convention — kept as ONE literal so
+    * the comparison is a single fixed-shape multiply).
+    *
+    * Medians are DISCRETE (the value at rank ⌈n/2⌉): full-retention
+    * `percentile_approx` — an actual data value, no interpolation, so
+    * the result is bit-exact and replayable (interpolated medians mix
+    * engine-specific FP expression shapes; q97 established the
+    * discrete ≡ quantile_disc equivalence). Two grouped aggs (median,
+    * then MAD of deviations) + two broadcast joins of metadata-sized
+    * per-group scalars — the value stream itself shuffles only into
+    * the two apply-side group aggs; at 100 TB the group cardinality is
+    * the broadcast bound, exactly like the stratified-sample rate
+    * tables. Returns the input plus (med, mad, is_outlier). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 4.4478, accuracy: Int = 100000000): DataFrame = {
+    val v = df.filter(col(valueCol).isNotNull)
+    val med = v.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as("med"))
+    val withMed = v.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile_approx(abs(col(valueCol) - col("med")), lit(0.5),
+        lit(accuracy)).as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analyze.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fitLinearInt: exact line recovers slope/intercept with r2 = 1") {
+    val d = (0L to 100L).map(x => (x, 3L * x + 7L)).toDF("x", "y")
+    val r = Stats.fitLinearInt(d, "x", "y").head()
+    assert(r.getLong(0) == 101L)
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 7.0)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("fitLinearInt: matches a BigInt reference on noisy data, any center") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 400).map { _ =>
+      val x = rnd.nextInt(5000).toLong + 100000L // large offset: centering matters
+      (x, 2L * x - 50L + rnd.nextInt(200) - 100L)
+    }
+    val r = Stats.fitLinearInt(pts.toDF("x", "y"), "x", "y").head()
+    // reference: exact rational normal equations via BigInt
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slopeRef = num.toDouble / den.toDouble
+    // centered integer path must agree to fp noise of the final ops
+    assert(math.abs(r.getDouble(1) - slopeRef) < 1e-9)
+    val interceptRef = (sy.toDouble - slopeRef * sx.toDouble) / n.toDouble
+    assert(math.abs(r.getDouble(2) - interceptRef) < 1e-6)
+    assert(r.getDouble(3) > 0.99 && r.getDouble(3) <= 1.0)
+  }
+
+  test("fitLinearInt: nulls dropped, single-row requires no variance blowup") {
+    val d = Seq((Some(1L), Some(5L)), (None, Some(9L)), (Some(3L), None),
+      (Some(2L), Some(7L))).toDF("x", "y")
+    val r = Stats.fitLinearInt(d, "x", "y").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 2.0) // (1,5),(2,7)
+    assert(r.getDouble(2) == 3.0)
+  }
+
+  test("madOutliers: discrete medians, planted outlier flagged, tight cluster kept") {
+    val vals = Seq.tabulate(21)(i => ("a", 10.0 + i * 0.1)) :+ (("a", 500.0))
+    val out = Stats.madOutliers(vals.toDF("g", "v"), "g", "v")
+      .select("v", "med", "mad", "is_outlier")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    // med/mad must be ACTUAL data values (discrete, no interpolation)
+    val med = out.head._2
+    assert(vals.map(_._2).contains(med))
+    val devs = vals.map(v => math.abs(v._2 - med))
+    assert(devs.contains(out.head._3))
+    assert(out.filter(_._4).map(_._1).toSeq == Seq(500.0))
+    assert(out.count(!_._4) == 21)
+  }
+
+  test("madOutliers: all-equal group has mad 0 and no outliers") {
+    val d = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("g", "v")
+    val out = Stats.madOutliers(d, "g", "v").collect()
+    assert(out.forall(!_.getAs[Boolean]("is_outlier")))
+    assert(out.forall(_.getAs[Double]("mad") == 0.0))
+  }
+}

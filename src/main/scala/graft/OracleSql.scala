@@ -2850,6 +2850,25 @@ SELECT d.event_type, count(*) AS n,
 FROM dev d JOIN mad a USING (event_type)
 GROUP BY 1 ORDER BY 1"""
 
+  /** Unicode normalization parity: the combining acute is injected via
+    * a Scala escape so the SQL carries the DECOMPOSED sequence
+    * byte-identically to the Spark side; nfc_normalize must recompose,
+    * strip_accents must restore the original text. */
+  private val q125 = {
+    val comb = "\u0301"
+    s"""
+WITH a AS (
+  SELECT doc_id, regexp_replace("text", 'a', 'a$comb', 'g') AS acc
+  FROM documents WHERE "text" IS NOT NULL)
+SELECT doc_id,
+       CAST(LENGTH(acc) AS BIGINT) AS len_acc,
+       CAST(LENGTH(nfc_normalize(acc)) AS BIGINT) AS len_nfc,
+       CAST(LENGTH(strip_accents(acc)) AS BIGINT) AS len_stripped,
+       md5(nfc_normalize(acc)) AS h_nfc,
+       md5(strip_accents(acc)) AS h_stripped
+FROM a"""
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2934,6 +2953,7 @@ GROUP BY 1 ORDER BY 1"""
     "q122_pagerank" -> q122,
     "q123_linear_fit" -> q123,
     "q124_mad_outliers" -> q124,
+    "q125_unicode_normalize" -> q125,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1412,6 +1412,23 @@ object SparkEntry {
     graft.analyze.Stats.fitLinearInt(d, "x", "y")
   }
 
+  private def q125_unicode_normalize(s: SparkSession, dir: String): DataFrame = {
+    // Native NFC + accent-strip expressions over adversarially
+    // decomposed text (every 'a' -> 'a' + COMBINING ACUTE): NFC must
+    // recompose (shorter codepoint length), strip must restore the
+    // original text (hash equality with md5(text) is implied by
+    // construction and checked in the oracle by replaying both).
+    import graft.functions.TextFunctions
+    val acc = regexp_replace(col("text"), "a", "a\u0301")
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        length(acc).cast("long").as("len_acc"),
+        length(TextFunctions.nfcNormalize(acc)).cast("long").as("len_nfc"),
+        length(TextFunctions.stripAccents(acc)).cast("long").as("len_stripped"),
+        md5(TextFunctions.nfcNormalize(acc).cast("binary")).as("h_nfc"),
+        md5(TextFunctions.stripAccents(acc).cast("binary")).as("h_stripped"))
+  }
+
   private def q124_mad_outliers(s: SparkSession, dir: String): DataFrame =
     // Median/MAD robust outlier gate per event type; discrete medians
     // (actual data values) keep the rule bit-exact cross-engine.
@@ -1765,6 +1782,7 @@ object SparkEntry {
     "q122_pagerank" -> (q122_pagerank _),
     "q123_linear_fit" -> (q123_linear_fit _),
     "q124_mad_outliers" -> (q124_mad_outliers _),
+    "q125_unicode_normalize" -> (q125_unicode_normalize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -57,8 +57,82 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = c)
 }
 
+/** Unicode canonical normalization (NFC): composes decomposed
+  * sequences to their canonical precomposed forms — the first step of
+  * any dedup/fingerprint pipeline over multi-source web text, where the
+  * same word arrives both ways and would otherwise hash differently.
+  * Spark has no built-in; a native expression keeps it inside
+  * whole-stage codegen (`java.text.Normalizer` is the JDK's ICU-free
+  * Unicode implementation; DuckDB's `nfc_normalize` is the replay
+  * twin). ASCII fast path: scan-and-skip, no allocation — the dominant
+  * case for web corpora. */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  override protected def resultJava: String =
+    "org.apache.spark.unsafe.types.UTF8String"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nfc_normalize expects string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    if (u.isFullAscii) u // ASCII is NFC-invariant; skip the transcode
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(child = c)
+}
+
+/** Accent stripping with DuckDB-`strip_accents` semantics: canonical
+  * decomposition (NFD), then drop every combining mark (Unicode
+  * category M*), NO recomposition — é→e, Å→A, ç→c, while non-mark
+  * letters like ø/đ/ß pass through (they don't decompose to base +
+  * mark; parity probed against DuckDB on precomposed, decomposed,
+  * multi-mark, and non-decomposable inputs). */
+case class StripAccentsExpr(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+  override protected def resultJava: String =
+    "org.apache.spark.unsafe.types.UTF8String"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"strip_accents expects string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    if (u.isFullAscii) u // no marks to strip
+    else {
+      val nfd = java.text.Normalizer.normalize(u.toString,
+        java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val cp = nfd.codePointAt(i)
+        val t = Character.getType(cp)
+        if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK)
+          sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): StripAccentsExpr =
+    copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def langId(tokens: Column, markers: Map[String, Seq[String]]): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(tokens), markers.toSeq))
+  def nfcNormalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(s)))
+  def stripAccents(s: Column): Column =
+    ColumnBridge.column(StripAccentsExpr(ColumnBridge.expression(s)))
 }

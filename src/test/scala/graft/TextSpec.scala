@@ -446,4 +446,47 @@ class TextSpec extends SparkSpec {
       Seq.empty[String].toDF("v"), col("v"), 4).collect()
     assert(empty.isEmpty)
   }
+
+  test("nfcNormalize: recomposes decomposed sequences; ASCII and precomposed pass through") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "Cafe\u0301",            // decomposed -> precomposed \u00e9
+      "Caf\u00e9",             // already NFC: unchanged
+      "plain ascii",
+      "A\u030angstro\u0308m", // ring + diaeresis decomposed
+      "")
+    val got = rows.toDF("s")
+      .select(TextFunctions.nfcNormalize(col("s"))).as[String].collect()
+    val exp = rows.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == exp)
+    assert(got(0) == "Caf\u00e9" && got(0).length == 4)
+    assert(got(3) == "\u00c5ngstr\u00f6m")
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(TextFunctions.nfcNormalize(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("stripAccents: removes all mark categories, keeps non-decomposable letters") {
+    import graft.functions.TextFunctions
+    val in = Seq(
+      "Caf\u00e9",             // precomposed
+      "Cafe\u0301",            // decomposed
+      "\u00fcber", "ni\u00f1o",
+      "s\u00f8t",              // \u00f8 has no decomposition: kept
+      "\u0111en",              // \u0111 kept
+      "stra\u00dfe",           // \u00df kept
+      "e\u0308\u0301x",       // stacked marks both stripped
+      "ascii only", "")
+    val exp = Seq("Cafe", "Cafe", "uber", "nino",
+      "s\u00f8t", "\u0111en", "stra\u00dfe", "ex", "ascii only", "")
+    val got = in.toDF("s")
+      .select(TextFunctions.stripAccents(col("s"))).as[String].collect()
+    assert(got.toSeq == exp)
+    // representation-independent: strip(nfc(x)) == strip(x)
+    val both = in.toDF("s").select(
+      TextFunctions.stripAccents(col("s")),
+      TextFunctions.stripAccents(TextFunctions.nfcNormalize(col("s"))))
+      .collect()
+    assert(both.forall(r => r.getString(0) == r.getString(1)))
+  }
 }

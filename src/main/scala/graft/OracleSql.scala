@@ -2869,6 +2869,16 @@ SELECT doc_id,
 FROM a"""
   }
 
+  /** Quadratic ground truth for the SymSpell-blocked join: every pair
+    * within levenshtein ≤ 1, id-ordered. */
+  private val q126 = """
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey % 3 = 0)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.id < b.id
+WHERE levenshtein(a.nm, b.nm) <= 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2954,6 +2964,7 @@ FROM a"""
     "q123_linear_fit" -> q123,
     "q124_mad_outliers" -> q124,
     "q125_unicode_normalize" -> q125,
+    "q126_editdist_join" -> q126,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

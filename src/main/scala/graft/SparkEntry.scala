@@ -1429,6 +1429,14 @@ object SparkEntry {
         md5(TextFunctions.stripAccents(acc).cast("binary")).as("h_stripped"))
   }
 
+  private def q126_editdist_join(s: SparkSession, dir: String): DataFrame =
+    // SymSpell-blocked edit-distance self-join over customer names:
+    // candidates from deletion-variant hash buckets (ids-only shuffle),
+    // exact levenshtein verify — equals the oracle's quadratic filter.
+    graft.dedup.Dedup.editDistancePairs(
+      t(s, dir, "customer").filter(col("c_custkey") % 3 === 0),
+      "c_custkey", "c_name", maxDist = 1)
+
   private def q124_mad_outliers(s: SparkSession, dir: String): DataFrame =
     // Median/MAD robust outlier gate per event type; discrete medians
     // (actual data values) keep the rule bit-exact cross-engine.
@@ -1783,6 +1791,7 @@ object SparkEntry {
     "q123_linear_fit" -> (q123_linear_fit _),
     "q124_mad_outliers" -> (q124_mad_outliers _),
     "q125_unicode_normalize" -> (q125_unicode_normalize _),
+    "q126_editdist_join" -> (q126_editdist_join _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -975,4 +975,41 @@ object Dedup extends graft.core.Logging {
           col("n_both").cast("double") / col("n_ref").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Edit-distance self-join (record linkage / near-key dedup): all
+    * id pairs whose strings are within Levenshtein distance
+    * `maxDist` (≤ 2). SymSpell deletion-neighborhood blocking: each
+    * string expands to its ≤d-deletion variants (a native expression;
+    * C(n,d)-ish variants per row), candidates come from an equi-join
+    * on the variants' 8-byte hashes — (hash, id) pairs are ALL that
+    * shuffles, never the strings — and the exact `levenshtein` verify
+    * runs only on the deduped candidate id pairs after joining the two
+    * strings back by id. Complete by the SymSpell property (any
+    * distance-d pair shares a ≤d-deletion variant: substitutions
+    * delete on both sides, insertions on one); hash collisions and
+    * shared-variant non-matches are killed by the verify, so the
+    * result EXACTLY equals the quadratic all-pairs filter the oracle
+    * runs. The 100 TB posture is the MinHash shape: candidate volume
+    * scales with variant-bucket density, not corpus². */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2, s"maxDist in [0,2], got $maxDist")
+    import graft.functions.TextFunctions
+    val base = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val variants = base.select(col("__id"),
+        explode(TextFunctions.deletionNeighborhood(col("__s"), maxDist)).as("__v"))
+      .select(col("__id"), xxhash64(col("__v")).as("__h"))
+    val cand = variants.as("a")
+      .join(variants.as("b"), col("a.__h") === col("b.__h") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -127,6 +127,63 @@ case class StripAccentsExpr(child: Expression)
     copy(child = c)
 }
 
+/** Deletion neighborhood for SymSpell-style edit-distance blocking: all
+  * DISTINCT strings reachable by deleting up to `maxDeletes` codepoints
+  * (including the original, = 0 deletions). Two strings within
+  * Levenshtein distance d always share a member when both expand with
+  * maxDeletes = d (a substitution is a deletion on each side; an
+  * insertion is a deletion on one), so joining on neighborhood members
+  * is a complete candidate generator — |neighborhood| is C(n,d)-ish
+  * per row instead of the all-pairs cross product. Codepoint-aware
+  * (surrogate pairs delete atomically); d ≤ 2 enforced — beyond that
+  * the neighborhood explodes and a different blocking wins. */
+case class DeletionNeighborhoodExpr(child: Expression, maxDeletes: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+  require(maxDeletes >= 0 && maxDeletes <= 2,
+    s"deletion neighborhood supports d in [0,2], got $maxDeletes")
+  override protected def resultJava: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"deletion_neighborhood expects string, got $t")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(s)
+    def deleteOne(from: Array[Int]): Unit = {
+      var i = 0
+      while (i < from.length) {
+        val out = new Array[Int](from.length - 1)
+        System.arraycopy(from, 0, out, 0, i)
+        System.arraycopy(from, i + 1, out, i, from.length - 1 - i)
+        seen.add(new String(out, 0, out.length))
+        i += 1
+      }
+    }
+    if (maxDeletes >= 1) deleteOne(cps)
+    if (maxDeletes >= 2 && cps.length >= 1) {
+      var i = 0
+      while (i < cps.length) {
+        val once = new Array[Int](cps.length - 1)
+        System.arraycopy(cps, 0, once, 0, i)
+        System.arraycopy(cps, i + 1, once, i, cps.length - 1 - i)
+        deleteOne(once)
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): DeletionNeighborhoodExpr =
+    copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def langId(tokens: Column, markers: Map[String, Seq[String]]): Column =
@@ -135,4 +192,6 @@ object TextFunctions {
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(s)))
   def stripAccents(s: Column): Column =
     ColumnBridge.column(StripAccentsExpr(ColumnBridge.expression(s)))
+  def deletionNeighborhood(s: Column, maxDeletes: Int): Column =
+    ColumnBridge.column(DeletionNeighborhoodExpr(ColumnBridge.expression(s), maxDeletes))
 }

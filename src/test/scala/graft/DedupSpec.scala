@@ -660,4 +660,53 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("editDistancePairs equals the brute-force levenshtein filter at d=1 and d=2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    val alpha = "abc" // tiny alphabet: dense near-matches
+    val strs = (0 until 120).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(5)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(identity)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(0, 1, 2)) {
+      val expected = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib && lev(sa, sb) <= d
+      } yield (ia, ib, lev(sa, sb).toLong)).toSet
+      val got = graft.dedup.Dedup.editDistancePairs(df, "id", "s", d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"d=$d: ${got.size} vs ${expected.size}")
+    }
+  }
+
+  test("deletionNeighborhood: distinct variants incl original; surrogate pairs atomic") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def nbh(s: String, d: Int): Set[String] =
+      Seq(s).toDF("s").select(TextFunctions.deletionNeighborhood(col("s"), d))
+        .as[Seq[String]].head().toSet
+    assert(nbh("ab", 1) == Set("ab", "a", "b"))
+    assert(nbh("aa", 1) == Set("aa", "a"))            // dedup of equal variants
+    assert(nbh("abc", 2) == Set("abc", "ab", "ac", "bc", "a", "b", "c"))
+    assert(nbh("", 2) == Set(""))
+    assert(nbh("x", 1) == Set("x", ""))
+    // U+1F600 is a surrogate pair: deleting it removes BOTH chars
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(nbh(s"a$emoji", 1) == Set(s"a$emoji", "a", emoji))
+  }
 }

@@ -64,6 +64,17 @@ object ScaleProbe {
   // Misra–Gries path ships <= D rows per partition + the candidate set.
   private val HeavyProbe = "heavy_hitters"
 
+  // Interval-join probe: the grid-blocked overlap join vs the naive
+  // theta join (which plans as a nested-loop product). Density is held
+  // constant (the time domain grows with the corpus — the realistic
+  // regime: more data covers more wall-clock), so pair output grows
+  // ~S× and the null hypothesis for the grid join is ~linear. The
+  // naive plan is timed only at a REDUCED size — it is quadratic by
+  // construction and would not finish at the probe sizes; the speedup
+  // figure is reported at the common reduced size, the exponent from
+  // the grid join's own 1×/S× pair.
+  private val IntervalProbe = "interval_join"
+
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
   // three physical layouts of the same table: unsorted, sorted by x,
@@ -77,7 +88,7 @@ object ScaleProbe {
     val scale = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
-                 LayoutProbe
+                 LayoutProbe + IntervalProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -386,6 +397,49 @@ object ScaleProbe {
       val nExp = math.log(ntS / nt1) / math.log(scale.toDouble)
       log.println(f"""{"query":"heavy_hitters_sketch(probe)","t1":$st1%.3f,"t$scale":$stS%.3f,"ratio":${stS / st1}%.2f,"exponent":$sExp%.2f,"hitters1":$s1,"hitters$scale":$sS,"shuffle_mb_$scale":${sbS / 1e6}%.2f}""")
       log.println(f"""{"query":"heavy_hitters_naive(probe)","t1":$nt1%.3f,"t$scale":$ntS%.3f,"ratio":${ntS / nt1}%.2f,"exponent":$nExp%.2f,"speedup_at_$scale":${ntS / stS}%.2f,"shuffle_mb_$scale":${nbS / 1e6}%.2f}""")
+    }
+    if (only.contains(IntervalProbe)) {
+      import graft.relational.Relational
+      // synthesized on the fly (deterministic in (side, id)): starts
+      // hash-uniform over a domain that scales with n, spans 1..40 —
+      // ~4 expected overlaps per left interval at every scale
+      val nBase = 200000L
+      def mk(n: Long, domain: Long, side: String): DataFrame =
+        spark.range(n).select(
+          col("id"),
+          pmod(xxhash64(col("id"), lit(side)), lit(domain)).as("st"))
+          .select(col("id").as(s"${side}_id"), col("st").as(s"${side}_s"),
+            (col("st") + pmod(xxhash64(col("id"), lit(side + "len")), lit(40L)) + 1)
+              .as(s"${side}_e"))
+      def grid(n: Long, domain: Long): Long =
+        Relational.intervalJoin(mk(n, domain, "l"), mk(n, domain, "r"),
+          "l_s", "l_e", "r_s", "r_e", bucketWidth = 32L).count()
+      def naive(n: Long, domain: Long): Long =
+        mk(n, domain, "l").join(mk(n, domain, "r"),
+          col("l_s") <= col("r_e") && col("r_s") <= col("l_e")).count()
+      val dom1 = 2000000L
+      var c1 = 0L; var cS = 0L
+      val t1 = best { c1 = grid(nBase, dom1) }
+      val tS = best { cS = grid(nBase * scale, dom1 * scale) }
+      val exp = math.log(tS / t1) / math.log(scale.toDouble)
+      // reduced-size head-to-head at TWO sizes: counts must agree (the
+      // naive theta join IS the ground truth) and each plan gets its
+      // own measured exponent on the same inputs — the naive product's
+      // quadratic term shows up between the two points even where
+      // absolute times still look harmless
+      val nSmall = 20000L; val domSmall = dom1 / 10
+      var g1 = 0L; var g4 = 0L; var nv1 = 0L; var nv4 = 0L
+      val tg1 = best { g1 = grid(nSmall, domSmall) }
+      val tn1 = best { nv1 = naive(nSmall, domSmall) }
+      val tg4 = best { g4 = grid(nSmall * scale, domSmall * scale) }
+      val tn4 = best { nv4 = naive(nSmall * scale, domSmall * scale) }
+      require(g1 == nv1 && g4 == nv4,
+        s"interval grid/naive disagree: $g1/$nv1 at 1x, $g4/$nv4 at ${scale}x")
+      val gExp = math.log(tg4 / tg1) / math.log(scale.toDouble)
+      val nExp = math.log(tn4 / tn1) / math.log(scale.toDouble)
+      log.println(f"""{"query":"interval_grid(probe)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f,"pairs1":$c1,"pairs$scale":$cS}""")
+      log.println(f"""{"query":"interval_grid_head2head(probe)","t1":$tg1%.3f,"t$scale":$tg4%.3f,"exponent":$gExp%.2f,"n_side":$nSmall,"pairs$scale":$g4}""")
+      log.println(f"""{"query":"interval_naive_head2head(probe)","t1":$tn1%.3f,"t$scale":$tn4%.3f,"exponent":$nExp%.2f,"speedup_at_$scale":${tn4 / tg4}%.2f}""")
     }
     if (only.contains(LayoutProbe)) {
       import graft.source.Layout

@@ -2879,6 +2879,30 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM c a JOIN c b ON a.id < b.id
 WHERE levenshtein(a.nm, b.nm) <= 1"""
 
+  /** Priority-sample twin: identical md5-high-32 key, one double
+    * division (correctly rounded in both engines), id tie-break. */
+  private val q127 = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, n_chars FROM keyed
+ORDER BY CAST(h AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id
+LIMIT 100"""
+
+  /** Per-group quota twin: same priority, ROW_NUMBER window. */
+  private val q128 = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY CAST(h AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id) AS rn
+  FROM keyed)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 10"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2965,6 +2989,8 @@ WHERE levenshtein(a.nm, b.nm) <= 1"""
     "q124_mad_outliers" -> q124,
     "q125_unicode_normalize" -> q125,
     "q126_editdist_join" -> q126,
+    "q127_weighted_sample" -> q127,
+    "q128_group_sample" -> q128,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1437,6 +1437,21 @@ object SparkEntry {
       t(s, dir, "customer").filter(col("c_custkey") % 3 === 0),
       "c_custkey", "c_name", maxDist = 1)
 
+  private def q127_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    // Priority sample weighted by document length: k smallest
+    // hash(id)/weight priorities, TakeOrdered plan (no global sort).
+    TA.weightedPrioritySample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+      .orderBy("doc_id")
+
+  private def q128_group_sample(s: SparkSession, dir: String): DataFrame =
+    // Per-source length-weighted quota: 10 docs per source by priority
+    // (binds at BOTH gate SFs: 25 docs/source at sf0.01, 250 at sf0.1).
+    TA.weightedPrioritySamplePerGroup(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", "source", kPerGroup = 10)
+
   private def q124_mad_outliers(s: SparkSession, dir: String): DataFrame =
     // Median/MAD robust outlier gate per event type; discrete medians
     // (actual data values) keep the rule bit-exact cross-engine.
@@ -1792,6 +1807,8 @@ object SparkEntry {
     "q124_mad_outliers" -> (q124_mad_outliers _),
     "q125_unicode_normalize" -> (q125_unicode_normalize _),
     "q126_editdist_join" -> (q126_editdist_join _),
+    "q127_weighted_sample" -> (q127_weighted_sample _),
+    "q128_group_sample" -> (q128_group_sample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

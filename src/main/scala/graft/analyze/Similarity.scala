@@ -268,13 +268,21 @@ object Similarity {
     * a fixed order; round is half-away-from-zero in both engines).
     * Degenerate span keeps the original value. */
   def quantizeDequantize(vec: Column): Column = {
-    val mn = array_min(vec).cast("double")
-    val mx = array_max(vec).cast("double")
-    val span = mx - mn
-    transform(vec, x =>
-      when(span > 0,
-        mn + (round(((x.cast("double") - mn) / span) * 255.0, 0) * span) / 255.0)
-        .otherwise(x.cast("double")))
+    val mnE = array_min(vec).cast("double")
+    val spanE = array_max(vec).cast("double") - mnE
+    // bind (mn, span) ONCE via a 1-element array + transform — inside a
+    // HOF lambda an outer sub-expression re-evaluates on every access
+    // (no CSE across the lambda boundary), so the direct form re-ran
+    // array_min/array_max per vector ELEMENT: O(d²) per row (same bug
+    // class as gramStrings' re-tokenization, fixed round 12)
+    element_at(transform(array(struct(mnE.as("mn"), spanE.as("span"))), s => {
+      val mn = s.getField("mn")
+      val span = s.getField("span")
+      transform(vec, x =>
+        when(span > 0,
+          mn + (round(((x.cast("double") - mn) / span) * 255.0, 0) * span) / 255.0)
+          .otherwise(x.cast("double")))
+    }), 1)
   }
 
   /** Recall@k of an approximate top-k result against the exact one —

@@ -447,6 +447,47 @@ class TextSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("weightedPrioritySample: exact reference order, weight monotone, edge cases") {
+    import spark.implicits._
+    def h32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val rows = (1L to 300L).map(i => (i, (i % 7 + 1) * 10L))
+    val expected = rows
+      .sortBy { case (id, w) => (h32(id).toDouble / w.toDouble, id) }
+      .take(50).map(_._1).toSet
+    val got = TextAnalysis.weightedPrioritySample(
+        rows.toDF("id", "w"), "id", "w", 50)
+      .select("id").as[Long].collect()
+    assert(got.toSet == expected)
+    // a dominant weight forces inclusion (priority ~ h/1e9 ≈ 0)
+    val withGiant = rows :+ ((1000L, 1000000000L))
+    val top10 = TextAnalysis.weightedPrioritySample(
+        withGiant.toDF("id", "w"), "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(top10.contains(1000L))
+    // k >= n returns every positive-weight row; null/zero/negative drop
+    val messy = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)),
+      (4L, Some(-2L)), (5L, Some(1L))).toDF("id", "w")
+    val all = TextAnalysis.weightedPrioritySample(messy, "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 5L))
+    assert(TextAnalysis.weightedPrioritySample(messy, "id", "w", 0).count() == 0)
+    // per-group quota: exact reference within each group
+    val grouped = (1L to 200L).map(i => (i, (i % 5 + 1) * 10L, s"g${i % 3}"))
+    val perRef = grouped.groupBy(_._3).flatMap { case (_, rows) =>
+      rows.sortBy { case (id, w, _) => (h32(id).toDouble / w.toDouble, id) }
+        .take(7).map(_._1)
+    }.toSet
+    val perGot = TextAnalysis.weightedPrioritySamplePerGroup(
+        grouped.toDF("id", "w", "g"), "id", "w", "g", 7)
+      .select("id").as[Long].collect()
+    assert(perGot.length == 21 && perGot.toSet == perRef)
+  }
+
   test("nfcNormalize: recomposes decomposed sequences; ASCII and precomposed pass through") {
     import graft.functions.TextFunctions
     val rows = Seq(

@@ -73,7 +73,7 @@ object GraphOps {
     // single semi-join + sum over the current ranks
     val danglingNodes = n.join(outW, n("node") === outW("src"), "left_anti")
       .select(col("node")).persist()
-    danglingNodes.count()
+    val nDangling = danglingNodes.count()
 
     val oneMinusD = 100L - dampingNum
     val baseTerm = lit(oneMinusD * scale) // div (100 * N) below
@@ -83,8 +83,12 @@ object GraphOps {
       idiv(lit(scale), lit(nCount)).as("rank_fp")).localCheckpoint()
     for (_ <- 0 until iterations) {
       val prev = ranks
-      val dangling = prev.join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
+      // the per-iteration mass collect is a driver job — skip all of
+      // them when the vertex set has no dangling nodes at all
+      val dangling =
+        if (nDangling == 0) 0L
+        else prev.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
       val inSums = prev.join(edgesN, prev("node") === edgesN("src"))
         .groupBy(col("dst"))
         .agg(sum(idiv(col("rank_fp") * col("w"), col("ow"))).as("in_sum"))

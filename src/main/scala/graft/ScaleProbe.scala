@@ -75,6 +75,12 @@ object ScaleProbe {
   // the grid join's own 1×/S× pair.
   private val IntervalProbe = "interval_join"
 
+  // Edit-distance-join probe: SymSpell deletion blocking vs the
+  // quadratic cross-join + levenshtein filter. Corpus: name-like
+  // strings over a keyspace that grows with n (constant match density
+  // — each string has a handful of distance-1 neighbors), d = 1.
+  private val EditDistProbe = "editdist_join"
+
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
   // three physical layouts of the same table: unsorted, sorted by x,
@@ -88,7 +94,7 @@ object ScaleProbe {
     val scale = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
-                 LayoutProbe + IntervalProbe
+                 LayoutProbe + IntervalProbe + EditDistProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -440,6 +446,43 @@ object ScaleProbe {
       log.println(f"""{"query":"interval_grid(probe)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f,"pairs1":$c1,"pairs$scale":$cS}""")
       log.println(f"""{"query":"interval_grid_head2head(probe)","t1":$tg1%.3f,"t$scale":$tg4%.3f,"exponent":$gExp%.2f,"n_side":$nSmall,"pairs$scale":$g4}""")
       log.println(f"""{"query":"interval_naive_head2head(probe)","t1":$tn1%.3f,"t$scale":$tn4%.3f,"exponent":$nExp%.2f,"speedup_at_$scale":${tn4 / tg4}%.2f}""")
+    }
+    if (only.contains(EditDistProbe)) {
+      import graft.dedup.Dedup
+      // "Customer#NNNNNNN"-shaped strings over a number space 10× the
+      // row count: duplicates and 1-digit-apart neighbors occur at a
+      // constant per-row rate at every scale (match density fixed)
+      def corpus(n: Long): DataFrame =
+        spark.range(n).select(col("id"),
+          concat(lit("Name#"), lpad(pmod(xxhash64(col("id"), lit("ed")),
+            lit(n * 10)).cast("string"), 8, "0")).as("nm"))
+      def blocked(n: Long): Long =
+        Dedup.editDistancePairs(corpus(n), "id", "nm", 1).count()
+      def naive(n: Long): Long = {
+        val a = corpus(n)
+        val b = corpus(n).withColumnRenamed("id", "id_b")
+          .withColumnRenamed("nm", "nm_b")
+        a.join(b, col("id") < col("id_b") &&
+          levenshtein(col("nm"), col("nm_b")) <= 1).count()
+      }
+      val nProbe = 50000L
+      var b1 = 0L; var bS = 0L
+      val tb1 = best { b1 = blocked(nProbe) }
+      val tbS = best { bS = blocked(nProbe * scale) }
+      val bExp = math.log(tbS / tb1) / math.log(scale.toDouble)
+      // naive head-to-head at a reduced size (quadratic by construction)
+      val nSmall = 10000L
+      var bh1 = 0L; var bhS = 0L; var nv1 = 0L; var nvS = 0L
+      val tbh1 = best { bh1 = blocked(nSmall) }
+      val tnv1 = best { nv1 = naive(nSmall) }
+      val tbhS = best { bhS = blocked(nSmall * scale) }
+      val tnvS = best { nvS = naive(nSmall * scale) }
+      require(bh1 == nv1 && bhS == nvS,
+        s"editdist blocked/naive disagree: $bh1/$nv1 at 1x, $bhS/$nvS at ${scale}x")
+      val bhExp = math.log(tbhS / tbh1) / math.log(scale.toDouble)
+      val nvExp = math.log(tnvS / tnv1) / math.log(scale.toDouble)
+      log.println(f"""{"query":"editdist_blocked(probe)","t1":$tb1%.3f,"t$scale":$tbS%.3f,"ratio":${tbS / tb1}%.2f,"exponent":$bExp%.2f,"pairs1":$b1,"pairs$scale":$bS}""")
+      log.println(f"""{"query":"editdist_head2head(probe)","blocked_exp":$bhExp%.2f,"naive_exp":$nvExp%.2f,"speedup_at_$scale":${tnvS / tbhS}%.2f,"n_side":$nSmall,"pairs$scale":$bhS}""")
     }
     if (only.contains(LayoutProbe)) {
       import graft.source.Layout

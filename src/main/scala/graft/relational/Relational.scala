@@ -294,6 +294,27 @@ object Relational {
       .drop("__gb", "__gb_r")
   }
 
+  /** intervalJoin with the bucket width chosen from the data: the
+    * median span of BOTH sides combined (discrete percentile — an
+    * actual span value, deterministic), floored at 1. Correctness is
+    * width-independent (the spec pins pair-set equality across widths);
+    * the width only tunes replication (span/width + 1 copies) against
+    * bucket density, and the median span keeps typical replication ≈ 2
+    * without the caller having to know the data. The probe pass is one
+    * metadata-sized aggregate over the two span columns. */
+  def intervalJoinAutoWidth(left: DataFrame, right: DataFrame,
+                            lStart: String, lEnd: String,
+                            rStart: String, rEnd: String): DataFrame = {
+    val spans = left.select((col(lEnd) - col(lStart) + 1).as("__span"))
+      .unionByName(right.select((col(rEnd) - col(rStart) + 1).as("__span")))
+      .filter(col("__span") >= 1)
+    val medRow = spans
+      .agg(percentile_approx(col("__span"), lit(0.5), lit(100000)))
+      .head()
+    val width = if (medRow.isNullAt(0)) 1L else math.max(1L, medRow.getLong(0))
+    intervalJoin(left, right, lStart, lEnd, rStart, rEnd, width)
+  }
+
   /** Merge overlapping closed integer intervals per key into islands
     * (gaps-and-islands): intervals merge when the next start is <= the
     * running max end seen so far (shared endpoints merge; a gap of 1

@@ -912,6 +912,28 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoinAutoWidth: same pair set as any manual width; empty input safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val ls = (0 until 150).map { i =>
+      val s = rnd.nextInt(500).toLong; (i.toLong, s, s + rnd.nextInt(30)) }
+    val rs = (0 until 150).map { i =>
+      val s = rnd.nextInt(500).toLong; (i.toLong, s, s + rnd.nextInt(18)) }
+    val manual = graft.relational.Relational.intervalJoin(
+        ls.toDF("l_id", "l_s", "l_e"), rs.toDF("r_id", "r_s", "r_e"),
+        "l_s", "l_e", "r_s", "r_e", 16L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val auto = graft.relational.Relational.intervalJoinAutoWidth(
+        ls.toDF("l_id", "l_s", "l_e"), rs.toDF("r_id", "r_s", "r_e"),
+        "l_s", "l_e", "r_s", "r_e")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(auto == manual)
+    val empty = Seq.empty[(Long, Long, Long)].toDF("l_id", "l_s", "l_e")
+    assert(graft.relational.Relational.intervalJoinAutoWidth(
+      empty, rs.toDF("r_id", "r_s", "r_e"),
+      "l_s", "l_e", "r_s", "r_e").count() >= 0)
+  }
+
   test("intervalJoin: exact at magnitudes where a double cast is lossy") {
     import spark.implicits._
     // 2^60-range epoch-like endpoints: (c - posmod)/w via integral div,

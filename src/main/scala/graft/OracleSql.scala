@@ -2903,6 +2903,49 @@ ranked AS (
   FROM keyed)
 SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 10"""
 
+  /** Correlation-matrix twin: BIGINT centered moments, three UNION ALL
+    * pair rows, sqrt (IEEE-correctly-rounded) in both engines. */
+  private val q129 = """
+WITH d AS (
+  SELECT CAST(LENGTH("text") AS BIGINT) AS chars,
+         CAST(CASE WHEN LENGTH(TRIM("text")) = 0 THEN 0
+              ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+              END AS BIGINT) AS toks,
+         CAST(len(regexp_extract_all("text", '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish
+  FROM documents WHERE "text" IS NOT NULL),
+p1 AS (SELECT count(*) AS n, CAST(sum(chars) AS BIGINT) AS sc,
+              CAST(sum(toks) AS BIGINT) AS st,
+              CAST(sum(bpeish) AS BIGINT) AS sb FROM d),
+c AS (SELECT n, sc // n AS cc, st // n AS ct, sb // n AS cb FROM p1),
+p2 AS (SELECT (SELECT n FROM c) AS n,
+  CAST(sum(chars  - (SELECT cc FROM c)) AS BIGINT) AS s0,
+  CAST(sum(toks   - (SELECT ct FROM c)) AS BIGINT) AS s1,
+  CAST(sum(bpeish - (SELECT cb FROM c)) AS BIGINT) AS s2,
+  CAST(sum((chars  - (SELECT cc FROM c)) * (chars  - (SELECT cc FROM c))) AS BIGINT) AS m00,
+  CAST(sum((toks   - (SELECT ct FROM c)) * (toks   - (SELECT ct FROM c))) AS BIGINT) AS m11,
+  CAST(sum((bpeish - (SELECT cb FROM c)) * (bpeish - (SELECT cb FROM c))) AS BIGINT) AS m22,
+  CAST(sum((chars  - (SELECT cc FROM c)) * (toks   - (SELECT ct FROM c))) AS BIGINT) AS m01,
+  CAST(sum((chars  - (SELECT cc FROM c)) * (bpeish - (SELECT cb FROM c))) AS BIGINT) AS m02,
+  CAST(sum((toks   - (SELECT ct FROM c)) * (bpeish - (SELECT cb FROM c))) AS BIGINT) AS m12
+ FROM d)
+SELECT n, 'chars' AS col_a, 'toks' AS col_b,
+  CASE WHEN sqrt(CAST(n*m00 - s0*s0 AS DOUBLE) * CAST(n*m11 - s1*s1 AS DOUBLE)) > 0
+       THEN CAST(n*m01 - s0*s1 AS DOUBLE) /
+            sqrt(CAST(n*m00 - s0*s0 AS DOUBLE) * CAST(n*m11 - s1*s1 AS DOUBLE))
+       END AS corr FROM p2
+UNION ALL
+SELECT n, 'chars', 'bpeish',
+  CASE WHEN sqrt(CAST(n*m00 - s0*s0 AS DOUBLE) * CAST(n*m22 - s2*s2 AS DOUBLE)) > 0
+       THEN CAST(n*m02 - s0*s2 AS DOUBLE) /
+            sqrt(CAST(n*m00 - s0*s0 AS DOUBLE) * CAST(n*m22 - s2*s2 AS DOUBLE))
+       END FROM p2
+UNION ALL
+SELECT n, 'toks', 'bpeish',
+  CASE WHEN sqrt(CAST(n*m11 - s1*s1 AS DOUBLE) * CAST(n*m22 - s2*s2 AS DOUBLE)) > 0
+       THEN CAST(n*m12 - s1*s2 AS DOUBLE) /
+            sqrt(CAST(n*m11 - s1*s1 AS DOUBLE) * CAST(n*m22 - s2*s2 AS DOUBLE))
+       END FROM p2"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -2991,6 +3034,7 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 10"""
     "q126_editdist_join" -> q126,
     "q127_weighted_sample" -> q127,
     "q128_group_sample" -> q128,
+    "q129_corr_matrix" -> q129,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1452,6 +1452,16 @@ object SparkEntry {
       t(s, dir, "documents").select("doc_id", "source", "n_chars"),
       "doc_id", "n_chars", "source", kPerGroup = 10)
 
+  private def q129_corr_matrix(s: SparkSession, dir: String): DataFrame = {
+    // Exact Pearson correlations between three integer text features —
+    // two passes for all pairs, integer moments, sqrt-exact doubles.
+    val feats = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(length(col("text")).cast("long").as("chars"),
+        TA.tokenCount(col("text")).cast("long").as("toks"),
+        TA.bpeishTokenCount(col("text")).cast("long").as("bpeish"))
+    graft.analyze.Stats.corrMatrixInt(feats, Seq("chars", "toks", "bpeish"))
+  }
+
   private def q124_mad_outliers(s: SparkSession, dir: String): DataFrame =
     // Median/MAD robust outlier gate per event type; discrete medians
     // (actual data values) keep the rule bit-exact cross-engine.
@@ -1809,6 +1819,7 @@ object SparkEntry {
     "q126_editdist_join" -> (q126_editdist_join _),
     "q127_weighted_sample" -> (q127_weighted_sample _),
     "q128_group_sample" -> (q128_group_sample _),
+    "q129_corr_matrix" -> (q129_corr_matrix _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

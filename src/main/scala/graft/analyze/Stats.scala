@@ -56,6 +56,47 @@ object Stats {
       intercept.as("intercept"), r2.as("r2"))
   }
 
+  /** Pairwise Pearson correlation matrix over integral feature columns
+    * — `fitLinearInt`'s exactness generalized to p features: TWO passes
+    * total regardless of p (one agg for counts+sums → floor-mean
+    * centers; one agg for ALL p + p(p+1)/2 centered moments as
+    * DECIMAL(38,0) sums), then each r = (n·Mij − SiSj) /
+    * √((n·Mii − Si²)(n·Mjj − Sj²)) in fixed-shape double ops — `sqrt`
+    * is IEEE-correctly-rounded, so the doubles replay exactly from the
+    * exact integers in any engine. One row per unordered pair (i < j in
+    * `cols` order). Degenerate (zero-variance) columns yield null r. */
+  def corrMatrixInt(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrixInt needs at least two columns")
+    val d = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast("long").as(c)): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val sumAggs = cols.map(c => sum(dec(col(c))))
+    val p1 = d.agg(count(lit(1)), sumAggs: _*).head()
+    val n = p1.getLong(0)
+    require(n > 0, "corrMatrixInt needs at least one row")
+    val centers = cols.indices.map(i =>
+      Math.floorDiv(p1.getDecimal(i + 1).toBigInteger.longValueExact(), n))
+    val cCol = cols.zip(centers).map { case (c, ctr) => dec(col(c) - lit(ctr)) }
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i <= j
+    } yield (i, j)
+    val momentAggs =
+      cols.indices.map(i => sum(cCol(i)).as(s"s$i")) ++
+        pairs.map { case (i, j) => sum(cCol(i) * cCol(j)).as(s"m${i}_$j") }
+    val p2 = d.agg(momentAggs.head, momentAggs.tail: _*)
+    val nDec = lit(n).cast("decimal(38,0)")
+    def denom(i: Int) =
+      (nDec * col(s"m${i}_$i") - col(s"s$i") * col(s"s$i")).cast("double")
+    val pairRows = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val num = (nDec * col(s"m${i}_$j") - col(s"s$i") * col(s"s$j")).cast("double")
+      val den = sqrt(denom(i) * denom(j))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        when(den > 0, num / den).otherwise(lit(null).cast("double")).as("corr"))
+    }
+    p2.select(explode(array(pairRows: _*)).as("r"))
+      .select(lit(n).as("n"), col("r.col_a"), col("r.col_b"), col("r.corr"))
+  }
+
   /** Robust per-group outlier flags via the median/MAD rule: a value is
     * an outlier when |v − median| > k·MAD (k defaults to 4.4478 ≈
     * 3·1.4826, the "3 robust sigmas" convention — kept as ONE literal so

@@ -47,6 +47,34 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(2) == 3.0)
   }
 
+  test("corrMatrixInt: exact extremes, BigInt reference, zero-variance null") {
+    val lin = (1L to 50L).map(x => (x, 2 * x + 3, -3 * x + 7, 5L))
+      .toDF("a", "b", "c", "konst")
+    val got = Stats.corrMatrixInt(lin, Seq("a", "b", "c", "konst"))
+      .collect().map(r => ((r.getString(1), r.getString(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(("a", "b")).contains(1.0))
+    assert(got(("a", "c")).contains(-1.0))
+    assert(got(("b", "c")).contains(-1.0))
+    assert(got(("a", "konst")).isEmpty) // zero variance -> null
+    assert(got.size == 6)
+    // noisy reference
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 300).map(_ => {
+      val x = rnd.nextInt(1000).toLong
+      (x, x + rnd.nextInt(200).toLong)
+    })
+    val r = Stats.corrMatrixInt(pts.toDF("x", "y"), Seq("x", "y")).head()
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum; val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val ref = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(math.abs(r.getDouble(3) - ref) < 1e-12)
+  }
+
   test("madOutliers: discrete medians, planted outlier flagged, tight cluster kept") {
     val vals = Seq.tabulate(21)(i => ("a", 10.0 + i * 0.1)) :+ (("a", 500.0))
     val out = Stats.madOutliers(vals.toDF("g", "v"), "g", "v")

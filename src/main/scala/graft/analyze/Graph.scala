@@ -53,10 +53,18 @@ object GraphOps {
     * bookmark. Returns (node, rank_fp, rank) — `rank_fp` is the exact
     * fixed-point long; `rank` its double rendering (same division in
     * any replaying engine).
+    *
+    * `tolFp`: optional early stop — when the exact L1 iterate delta
+    * (Σ|Δrank_fp|, an integer) drops to ≤ tolFp, remaining iterations
+    * are skipped. Because the delta is integer-exact the stopping
+    * decision is itself deterministic (a double-residual test could
+    * flip on partitioning); the fixed-`iterations` form stays the
+    * oracle-replayable contract.
     */
   def pageRankFixedPoint(nodes: DataFrame, edges: DataFrame,
                          iterations: Int, dampingNum: Long = 85L,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         scale: Long = 1000000000000L,
+                         tolFp: Option[Long] = None): DataFrame = {
     require(iterations >= 0 && dampingNum >= 0 && dampingNum <= 100 &&
       scale > 0, "bad pageRank parameters")
     val n = nodes.select(col("node")).distinct().persist()
@@ -81,7 +89,9 @@ object GraphOps {
     // and no cache pins outlive the call
     var ranks = n.select(col("node"),
       idiv(lit(scale), lit(nCount)).as("rank_fp")).localCheckpoint()
-    for (_ <- 0 until iterations) {
+    var iter = 0
+    var converged = false
+    while (iter < iterations && !converged) {
       val prev = ranks
       // the per-iteration mass collect is a driver job — skip all of
       // them when the vertex set has no dangling nodes at all
@@ -99,6 +109,14 @@ object GraphOps {
               (coalesce(col("in_sum"), lit(0L)) + idiv(lit(dangling), lit(nCount))),
               lit(100L))).as("rank_fp"))
         .localCheckpoint()
+      tolFp.foreach { tol =>
+        val delta = prev.select(col("node"), col("rank_fp").as("__r0"))
+          .join(ranks.select(col("node"), col("rank_fp").as("__r1")), "node")
+          .agg(coalesce(sum(abs(col("__r0") - col("__r1"))), lit(0L)))
+          .head().getLong(0)
+        if (delta <= tol) converged = true
+      }
+      iter += 1
     }
     val out = ranks.select(col("node"),
       col("rank_fp"),

@@ -60,6 +60,41 @@ object StreamingDedup {
   case class FunnelEvent(user: Long, ts: java.sql.Timestamp, etype: String)
   case class FunnelState(stepTs: Seq[Option[java.sql.Timestamp]])
 
+  case class IvInterval(key: Long, s: Long, e: Long)
+  case class IslandRec(s: Long, e: Long, n: Long)
+  case class IslandsState(islands: Seq[IslandRec])
+
+  /** Streaming twin of [[graft.relational.Relational.intervalMerge]]:
+    * per-key islands maintained across micro-batches. Each arrival
+    * merges with EVERY island it overlaps (shared endpoints merge, gap
+    * of 1 stays separate — the batch semantics), so the fixpoint is the
+    * maximal overlap-chain unions and therefore ORDER-INDEPENDENT:
+    * unlike the funnel twin, equality with the batch scan holds under
+    * ANY arrival order across batches (an island split can never be
+    * needed — merging only ever coarsens). State is O(islands per key)
+    * — bounded by the coverage structure, not the arrival count; a key
+    * whose intervals chain into one session holds ONE record no matter
+    * how many intervals arrived. Emits the key's current islands each
+    * time the group changes (update semantics). */
+  def intervalMergeStream(iv: Dataset[IvInterval])
+      : Dataset[(Long, Seq[IslandRec])] = {
+    import iv.sparkSession.implicits._
+    iv.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[IvInterval], state: GroupState[IslandsState]) =>
+          var islands = state.getOption.map(_.islands.toVector)
+            .getOrElse(Vector.empty[IslandRec])
+          rows.toSeq.filter(r => r.s <= r.e).sortBy(r => (r.s, r.e)).foreach { r =>
+            val (hit, miss) = islands.partition(i => i.s <= r.e && r.s <= i.e)
+            val merged = IslandRec((r.s +: hit.map(_.s)).min,
+              (r.e +: hit.map(_.e)).max, hit.map(_.n).sum + 1L)
+            islands = (miss :+ merged).sortBy(i => (i.s, i.e))
+          }
+          state.update(IslandsState(islands))
+          key -> islands
+      }
+  }
+
   /** Streaming twin of [[graft.relational.Relational.funnelSteps]]:
     * per-entity k-slot funnel state updated each micro-batch and emitted
     * on every change. State is k timestamps per entity — O(k), never the

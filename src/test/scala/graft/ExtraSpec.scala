@@ -983,6 +983,58 @@ class ExtraSpec extends SparkSpec {
     // units of SCALE after 5 rounds
     val total = reference(5).values.sum
     assert(math.abs(total - SCALE) <= 5L * (nodeIds.size + 2))
+    // early stop: with a loose integer tolerance the iterate freezes at
+    // some k <= 50 and equals reference(k) for that k EXACTLY — find k
+    // by checking successive reference deltas with the same rule
+    val tol = 1000000L
+    val early = graft.analyze.GraphOps.pageRankFixedPoint(
+        nodeIds.toDF("node"), rawEdges.toDF("src", "dst", "w"),
+        iterations = 50, tolFp = Some(tol))
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    val kStop = (1 to 50).find { k =>
+      val a = reference(k - 1); val b = reference(k)
+      nodeIds.map(v => math.abs(a(v) - b(v))).sum <= tol
+    }.getOrElse(50)
+    assert(early == reference(kStop), s"stopped at k=$kStop")
+  }
+
+  test("streaming intervalMergeStream == batch intervalMerge under shuffled cross-batch arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(4113)
+    val iv = (0 until 300).map { _ =>
+      val k = rnd.nextInt(4).toLong
+      val s = rnd.nextInt(200).toLong
+      StreamingDedup.IvInterval(k, s, s + rnd.nextInt(10))
+    }
+    val shuffled = rnd.shuffle(iv)
+    val (b1, b2) = shuffled.splitAt(150)
+    val mem = MemoryStream[StreamingDedup.IvInterval]
+    val q = StreamingDedup.intervalMergeStream(mem.toDS())
+      .toDF("key", "islands")
+      .writeStream.format("memory").queryName("islands_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // last emission per key is the final state (memory-sink rows are
+      // appended in processing order; pick per key by arrival index)
+      val fin = spark.table("islands_stream")
+        .withColumn("__seq", monotonically_increasing_id())
+        .select("key", "islands", "__seq")
+        .as[(Long, Seq[(Long, Long, Long)], Long)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._3)._2 }
+      val batch = graft.relational.Relational.intervalMerge(
+          iv.toDF("key", "s", "e"), "key", "s", "e")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rows) =>
+          k -> rows.map(r => (r._2, r._3, r._4)).sortBy(i => (i._1, i._2)).toSeq
+        }
+      assert(fin.keySet == batch.keySet)
+      fin.foreach { case (k, islands) =>
+        assert(islands == batch(k), s"key $k") }
+    } finally q.stop()
   }
 
   test("intervalMerge: islands equal a sequential reference merge") {

@@ -2946,6 +2946,44 @@ SELECT n, 'toks', 'bpeish',
             sqrt(CAST(n*m11 - s1*s1 AS DOUBLE) * CAST(n*m22 - s2*s2 AS DOUBLE))
        END FROM p2"""
 
+  /** Personalized-PageRank step: the q122 recurrence with the base
+    * term, dangling share, and initial mass gated by the teleport flag
+    * `tf` (0/1), |T| in place of N. */
+  private def q130Iter(k: Int): String = s"""
+i$k AS (
+  SELECT nd.node, nd.tf,
+         nd.tf * (15000000000000 // (100 * (SELECT c FROM tc)))
+         + ((85 * (COALESCE(s.in_sum, 0) +
+             nd.tf * ((SELECT CAST(COALESCE(sum(r.rank_fp), 0) AS BIGINT) FROM i${k - 1} r
+               WHERE r.node NOT IN (SELECT src FROM ow))
+              // (SELECT c FROM tc)))) // 100) AS rank_fp
+  FROM t nd
+  LEFT JOIN (SELECT e.dst AS nd2,
+                    CAST(sum((r.rank_fp * e.w) // e.ow) AS BIGINT) AS in_sum
+             FROM i${k - 1} r JOIN e2 e ON r.node = e.src
+             GROUP BY e.dst) s ON nd.node = s.nd2)"""
+
+  private val q130 = s"""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+e2 AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)),
+t AS (SELECT n_nationkey AS node,
+             CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS tf
+      FROM nation),
+tc AS (SELECT CAST(sum(tf) AS BIGINT) AS c FROM t),
+i0 AS (SELECT node, tf,
+              tf * (1000000000000 // (SELECT c FROM tc)) AS rank_fp FROM t),
+${(1 to 5).map(q130Iter).mkString(",")}
+SELECT node, rank_fp,
+       CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+FROM i5"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3035,6 +3073,7 @@ SELECT n, 'toks', 'bpeish',
     "q127_weighted_sample" -> q127,
     "q128_group_sample" -> q128,
     "q129_corr_matrix" -> q129,
+    "q130_trustrank" -> q130,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1402,6 +1402,27 @@ object SparkEntry {
     graft.analyze.GraphOps.pageRankFixedPoint(nodes, edges, iterations = 5)
   }
 
+  private def q130_trustrank(s: SparkSession, dir: String): DataFrame = {
+    // Personalized PageRank: teleport restricted to region-0 nations
+    // (trusted seeds); scores measure link-proximity to the seed set.
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nation = t(s, dir, "nation")
+    val nodes = nation.select(col("n_nationkey").as("node"))
+    val seeds = nation.filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("node"))
+    graft.analyze.GraphOps.personalizedPageRank(nodes, edges, seeds,
+      iterations = 5)
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1820,6 +1841,7 @@ object SparkEntry {
     "q127_weighted_sample" -> (q127_weighted_sample _),
     "q128_group_sample" -> (q128_group_sample _),
     "q129_corr_matrix" -> (q129_corr_matrix _),
+    "q130_trustrank" -> (q130_trustrank _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -64,12 +64,40 @@ object GraphOps {
   def pageRankFixedPoint(nodes: DataFrame, edges: DataFrame,
                          iterations: Int, dampingNum: Long = 85L,
                          scale: Long = 1000000000000L,
-                         tolFp: Option[Long] = None): DataFrame = {
+                         tolFp: Option[Long] = None): DataFrame =
+    prImpl(nodes, edges, iterations, dampingNum, scale, tolFp, None)
+
+  /** Personalized PageRank (TrustRank-shaped): teleport mass lands ONLY
+    * on the `seeds` node set — scores measure proximity to trusted
+    * sources through the link structure, the standard seed-propagation
+    * quality signal for web corpora (curated domains as seeds). Same
+    * fixed-point integer iterate; the base term, dangling
+    * redistribution, and the initial mass are restricted to seeds
+    * (init = scale div |seeds| on seeds, 0 elsewhere). Reduces exactly
+    * to [[pageRankFixedPoint]] when seeds = all nodes. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iterations: Int,
+                           dampingNum: Long = 85L,
+                           scale: Long = 1000000000000L,
+                           tolFp: Option[Long] = None): DataFrame =
+    prImpl(nodes, edges, iterations, dampingNum, scale, tolFp, Some(seeds))
+
+  private def prImpl(nodes: DataFrame, edges: DataFrame,
+                     iterations: Int, dampingNum: Long,
+                     scale: Long, tolFp: Option[Long],
+                     teleport: Option[DataFrame]): DataFrame = {
     require(iterations >= 0 && dampingNum >= 0 && dampingNum <= 100 &&
       scale > 0, "bad pageRank parameters")
-    val n = nodes.select(col("node")).distinct().persist()
+    val n0 = nodes.select(col("node")).distinct()
+    val tSet = teleport.map(_.select(col("node")).distinct()).getOrElse(n0)
+    // teleport flag resolved once; __t is 0/1 as a long so every term
+    // stays integer ("seeds" outside the vertex set are ignored)
+    val n = n0.join(tSet.withColumn("__t", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("__t")).persist()
     val nCount = n.count()
     require(nCount > 0, "pageRank needs at least one node")
+    val tCount = n.filter(col("__t") === 1L).count()
+    require(tCount > 0, "pageRank needs at least one teleport/seed node")
     val ew = edges.groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w"))
     val outW = ew.groupBy(col("src")).agg(sum(col("w")).as("ow"))
@@ -84,11 +112,11 @@ object GraphOps {
     val nDangling = danglingNodes.count()
 
     val oneMinusD = 100L - dampingNum
-    val baseTerm = lit(oneMinusD * scale) // div (100 * N) below
+    val baseTerm = lit(oneMinusD * scale) // div (100 * |T|) below
     // localCheckpoint each iterate: lineage stays O(1) across the loop
     // and no cache pins outlive the call
     var ranks = n.select(col("node"),
-      idiv(lit(scale), lit(nCount)).as("rank_fp")).localCheckpoint()
+      (col("__t") * idiv(lit(scale), lit(tCount))).as("rank_fp")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < iterations && !converged) {
@@ -104,9 +132,10 @@ object GraphOps {
         .agg(sum(idiv(col("rank_fp") * col("w"), col("ow"))).as("in_sum"))
       ranks = n.join(inSums, n("node") === inSums("dst"), "left")
         .select(n("node"),
-          (idiv(baseTerm, lit(100L * nCount)) +
+          (n("__t") * idiv(baseTerm, lit(100L * tCount)) +
             idiv(lit(dampingNum) *
-              (coalesce(col("in_sum"), lit(0L)) + idiv(lit(dangling), lit(nCount))),
+              (coalesce(col("in_sum"), lit(0L)) +
+                n("__t") * idiv(lit(dangling), lit(tCount))),
               lit(100L))).as("rank_fp"))
         .localCheckpoint()
       tolFp.foreach { tol =>

@@ -996,6 +996,38 @@ class ExtraSpec extends SparkSpec {
       nodeIds.map(v => math.abs(a(v) - b(v))).sum <= tol
     }.getOrElse(50)
     assert(early == reference(kStop), s"stopped at k=$kStop")
+    // personalized: teleport on {0, 3} — integer reference with gated
+    // base/dangling/init terms
+    val seeds = Seq(0L, 3L)
+    def pref(iters: Int): Map[Long, Long] = {
+      val ew = rawEdges.groupBy(e => (e._1, e._2))
+        .map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+      val ow = ew.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val tc = seeds.size
+      def tf(v: Long) = if (seeds.contains(v)) 1L else 0L
+      var rank = nodeIds.map(v => v -> tf(v) * (SCALE / tc)).toMap
+      for (_ <- 0 until iters) {
+        val dang = nodeIds.filterNot(ow.contains).map(rank).sum
+        val in = ew.groupBy(_._2).map { case (d2, es) =>
+          d2 -> es.map(e => rank(e._1) * e._3 / ow(e._1)).sum
+        }
+        rank = nodeIds.map(v => v ->
+          (tf(v) * (15L * SCALE / (100L * tc)) +
+            85L * (in.getOrElse(v, 0L) + tf(v) * (dang / tc)) / 100L)).toMap
+      }
+      rank
+    }
+    val pgot = graft.analyze.GraphOps.personalizedPageRank(
+        nodeIds.toDF("node"), rawEdges.toDF("src", "dst", "w"),
+        seeds.toDF("node"), 5)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(pgot == pref(5))
+    // seeds = all nodes reduces exactly to the uniform form
+    val allSeeds = graft.analyze.GraphOps.personalizedPageRank(
+        nodeIds.toDF("node"), rawEdges.toDF("src", "dst", "w"),
+        nodeIds.toDF("node"), 3)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(allSeeds == reference(3))
   }
 
   test("streaming intervalMergeStream == batch intervalMerge under shuffled cross-batch arrival") {

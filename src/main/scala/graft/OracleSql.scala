@@ -2984,6 +2984,37 @@ SELECT node, rank_fp,
        CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
 FROM i5"""
 
+  /** Synchronous LPA step: weighted neighbor-label counts, argmax via
+    * (cnt desc, lab asc) row_number — the same integer tie-break as the
+    * struct-max in GraphOps.labelPropagation. */
+  private def q131Iter(k: Int): String = s"""
+c$k AS (SELECT u.node, r.lab, CAST(sum(u.w) AS BIGINT) AS cnt
+        FROM und u JOIN l${k - 1} r ON u.nb = r.node GROUP BY u.node, r.lab),
+p$k AS (SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn
+        FROM c$k),
+l$k AS (SELECT n.node, COALESCE(p.lab, n.node) AS lab
+        FROM n LEFT JOIN (SELECT node, lab FROM p$k WHERE rn = 1) p USING (node))"""
+
+  private val q131 = s"""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+thr AS (SELECT CAST(count(*) * 12 // 6250 AS BIGINT) AS v FROM lineitem),
+ef AS (SELECT src, dst, w FROM e WHERE w >= (SELECT v FROM thr)),
+und AS (SELECT node, nb, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src AS node, dst AS nb, w FROM ef
+    UNION ALL SELECT dst AS node, src AS nb, w FROM ef)
+  GROUP BY node, nb),
+n AS (SELECT n_nationkey AS node FROM nation),
+l0 AS (SELECT node, node AS lab FROM n),
+${(1 to 4).map(q131Iter).mkString(",")}
+SELECT node, lab FROM l4"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3074,6 +3105,7 @@ FROM i5"""
     "q128_group_sample" -> q128,
     "q129_corr_matrix" -> q129,
     "q130_trustrank" -> q130,
+    "q131_label_propagation" -> q131,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

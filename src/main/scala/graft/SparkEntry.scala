@@ -1423,6 +1423,28 @@ object SparkEntry {
       iterations = 5)
   }
 
+  private def q131_label_propagation(s: SparkSession, dir: String): DataFrame = {
+    // Deterministic synchronous LPA over the trade graph thresholded to
+    // its heavier edges (structure survives; the dense graph would
+    // collapse to one community in a step). 4 fixed iterations.
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nAll = t(s, dir, "lineitem").count()
+    // threshold at 1.2x the mean pair weight (625 possible pairs)
+    val thr = nAll * 12L / (625L * 10L)
+    val nodes = t(s, dir, "nation").select(col("n_nationkey").as("node"))
+    graft.analyze.GraphOps.labelPropagation(
+      nodes, edges.filter(col("w") >= thr), iterations = 4)
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1842,6 +1864,7 @@ object SparkEntry {
     "q128_group_sample" -> (q128_group_sample _),
     "q129_corr_matrix" -> (q129_corr_matrix _),
     "q130_trustrank" -> (q130_trustrank _),
+    "q131_label_propagation" -> (q131_label_propagation _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

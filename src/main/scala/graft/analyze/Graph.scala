@@ -82,6 +82,52 @@ object GraphOps {
                            tolFp: Option[Long] = None): DataFrame =
     prImpl(nodes, edges, iterations, dampingNum, scale, tolFp, Some(seeds))
 
+  /** Synchronous label propagation (community detection): labels start
+    * as the node ids; each step every node adopts the label with the
+    * greatest total incident edge weight in its (undirected) neighbor
+    * set, ties to the SMALLEST label — an integer argmax, so each step
+    * is deterministic under any partitioning and the fixed-`iterations`
+    * run is oracle-replayable (asynchronous/randomized LPA variants are
+    * not). Isolated nodes keep their own label. Self-loops count their
+    * own label with weight 2w (both directions of the undirected
+    * expansion — the replaying engine mirrors the same convention).
+    *
+    * Scale posture: the undirected edge list is materialized once; each
+    * step is one join of (node,label) pairs into it + two aggs on node
+    * — labels are 16 bytes/vertex and the edge relation never
+    * re-shuffles; localCheckpoint bounds lineage. Sync LPA can
+    * oscillate on bipartite structures — fixed iterations make that a
+    * defined (and still deterministic) outcome, exactly like the
+    * fixed-iteration PageRank contract. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val ew = edges.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val und = ew.select(col("src").as("node"), col("dst").as("nb"), col("w"))
+      .unionByName(ew.select(col("dst").as("node"), col("src").as("nb"), col("w")))
+      .groupBy(col("node"), col("nb")).agg(sum(col("w")).as("w")).persist()
+    und.count()
+    val n = nodes.select(col("node")).distinct().persist()
+    n.count()
+    var labs = n.select(col("node"), col("node").as("lab")).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val cand = und
+        .join(labs.select(col("node").as("nb"), col("lab")), "nb")
+        .groupBy(col("node"), col("lab")).agg(sum(col("w")).as("cnt"))
+      // argmax (cnt desc, lab asc) via lexicographic struct max — the
+      // negated label turns "smallest label" into the max order
+      val pick = cand.groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lab"))
+      labs = n.join(pick, Seq("node"), "left")
+        .select(n("node"), coalesce(col("lab"), n("node")).as("lab"))
+        .localCheckpoint()
+    }
+    n.unpersist()
+    und.unpersist()
+    labs
+  }
+
   private def prImpl(nodes: DataFrame, edges: DataFrame,
                      iterations: Int, dampingNum: Long,
                      scale: Long, tolFp: Option[Long],

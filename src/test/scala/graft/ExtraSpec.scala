@@ -1030,6 +1030,40 @@ class ExtraSpec extends SparkSpec {
     assert(allSeeds == reference(3))
   }
 
+  test("labelPropagation: two triangles converge to their min labels; reference equality; isolated node") {
+    import spark.implicits._
+    // triangles {0,1,2} and {10,11,12} bridged by one weak edge; 99 isolated
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 5L), (0L, 2L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L), (2L, 10L, 1L))
+    val nodeIds = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L)
+    def reference(iters: Int): Map[Long, Long] = {
+      val und = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+        .groupBy(e => (e._1, e._2)).map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }
+      var lab = nodeIds.map(v => v -> v).toMap
+      for (_ <- 0 until iters) {
+        lab = nodeIds.map { v =>
+          val counts = und.filter(_._1 == v)
+            .groupBy(e => lab(e._2)).map { case (l, es) => l -> es.map(_._3).sum }
+          v -> (if (counts.isEmpty) lab(v)
+                else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+        }.toMap
+      }
+      lab
+    }
+    for (iters <- Seq(0, 1, 4)) {
+      val got = graft.analyze.GraphOps.labelPropagation(
+          nodeIds.toDF("node"), edges.toDF("src", "dst", "w"), iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(iters), s"iters=$iters")
+    }
+    val fin = graft.analyze.GraphOps.labelPropagation(
+        nodeIds.toDF("node"), edges.toDF("src", "dst", "w"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L).map(fin).toSet == Set(0L))
+    assert(Seq(10L, 11L, 12L).map(fin).toSet == Set(10L))
+    assert(fin(99L) == 99L)
+  }
+
   test("streaming intervalMergeStream == batch intervalMerge under shuffled cross-batch arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

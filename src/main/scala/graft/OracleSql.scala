@@ -3015,6 +3015,29 @@ l0 AS (SELECT node, node AS lab FROM n),
 ${(1 to 4).map(q131Iter).mkString(",")}
 SELECT node, lab FROM l4"""
 
+  /** Triangle ground truth by a DIFFERENT algorithm (canonical a<b<c
+    * three-way join) — a stronger check than replaying the orientation
+    * trick. */
+  private val q132 = """
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+thr AS (SELECT CAST(count(*) * 12 // 6250 AS BIGINT) AS v FROM lineitem),
+ef AS (SELECT src, dst FROM e WHERE w >= (SELECT v FROM thr)),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ef WHERE src <> dst),
+deg AS (SELECT n FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY n)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM und) AS n_edges,
+       (SELECT count(*)
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3106,6 +3129,7 @@ SELECT node, lab FROM l4"""
     "q129_corr_matrix" -> q129,
     "q130_trustrank" -> q130,
     "q131_label_propagation" -> q131,
+    "q132_triangles" -> q132,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1445,6 +1445,23 @@ object SparkEntry {
       nodes, edges.filter(col("w") >= thr), iterations = 4)
   }
 
+  private def q132_triangles(s: SparkSession, dir: String): DataFrame = {
+    // Exact triangle count of the thresholded trade graph via
+    // degree-ordered orientation (O(m^1.5) wedge bound).
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val thr = t(s, dir, "lineitem").count() * 12L / 6250L
+    graft.analyze.GraphOps.triangleCount(edges.filter(col("w") >= thr))
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1865,6 +1882,7 @@ object SparkEntry {
     "q129_corr_matrix" -> (q129_corr_matrix _),
     "q130_trustrank" -> (q130_trustrank _),
     "q131_label_propagation" -> (q131_label_propagation _),
+    "q132_triangles" -> (q132_triangles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

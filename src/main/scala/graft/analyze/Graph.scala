@@ -128,6 +128,56 @@ object GraphOps {
     labs
   }
 
+  /** Exact global triangle count via degree-ordered edge orientation
+    * (the MapReduce-classic formulation): undirected-ize + dedupe +
+    * drop self-loops, orient every edge from its (degree, id)-smaller
+    * endpoint to the larger, then count wedges (u→v, u→w with
+    * (dv,v) ≺ (dw,w)) closed by an oriented (v→w) edge. Orientation
+    * bounds the wedge join: every node's oriented out-degree is
+    * O(√m) on any graph, so the wedge relation is O(m^1.5) worst-case
+    * instead of Σd² — the difference between feasible and not on a
+    * power-law web graph whose max degree is millions. Degrees ride
+    * along as columns (no global rank/window needed). Integer-only,
+    * deterministic, join-shaped — replayable in plain SQL. Returns one
+    * row: (n_nodes, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
+    val x = oriented.select(col("u"), col("v"), col("dv"))
+    val y = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    // left_semi keeps each wedge ROW (it never dedupes the left side),
+    // and the oriented (v,w) edge is unique, so every closed wedge
+    // counts exactly once
+    val closed = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
+      "left_semi")
+    val nT = closed.count()
+    val nE = und.count()
+    val nN = deg.count()
+    oriented.unpersist()
+    import edges.sparkSession.implicits._
+    Seq((nN, nE, nT)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
   private def prImpl(nodes: DataFrame, edges: DataFrame,
                      iterations: Int, dampingNum: Long,
                      scale: Long, tolFp: Option[Long],

@@ -1030,6 +1030,35 @@ class ExtraSpec extends SparkSpec {
     assert(allSeeds == reference(3))
   }
 
+  test("triangleCount: known graphs and a random brute-force reference") {
+    import spark.implicits._
+    def tc(edges: Seq[(Long, Long, Long)]): (Long, Long, Long) =
+      graft.analyze.GraphOps.triangleCount(edges.toDF("src", "dst", "w"))
+        .as[(Long, Long, Long)].head()
+    // one triangle; self-loops and multi/reverse edges ignored
+    assert(tc(Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L),
+      (1L, 0L, 9L), (2L, 2L, 1L))) == ((3L, 3L, 1L)))
+    // K4 has 4 triangles
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j, 1L)
+    assert(tc(k4) == ((4L, 6L, 4L)))
+    // square without diagonals: 0
+    assert(tc(Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 0L, 1L)))
+      == ((4L, 4L, 0L)))
+    // random graph vs brute force
+    val rnd = new scala.util.Random(5)
+    val re = (0 until 200).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, 1L))
+    val undSet = re.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes2 = undSet.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      a <- nodes2; b <- nodes2 if a < b; c <- nodes2 if b < c
+      if undSet((a, b)) && undSet((b, c)) && undSet((a, c))
+    } yield 1).size.toLong
+    val got = tc(re)
+    assert(got._3 == brute && got._2 == undSet.size.toLong)
+  }
+
   test("labelPropagation: two triangles converge to their min labels; reference equality; isolated node") {
     import spark.implicits._
     // triangles {0,1,2} and {10,11,12} bridged by one weak edge; 99 isolated

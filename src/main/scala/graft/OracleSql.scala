@@ -3038,6 +3038,28 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
         FROM und e1 JOIN und e2 ON e1.b = e2.a
         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""
 
+  /** Temperature-mixture twin: sqrt weight (correctly rounded in both
+    * engines), 6-dp decimal total (order-free), the same left-assoc
+    * probability expression, 32-bit md5 key threshold. */
+  private val q133 = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+wts AS (SELECT lang, n,
+               CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        FROM counts),
+rates AS (SELECT lang,
+                 least(1.0,
+                   CAST(w AS DOUBLE) * 150.0
+                     / CAST((SELECT sum(w) FROM wts) AS DOUBLE)
+                     / CAST(n AS DOUBLE)) AS p
+          FROM wts),
+keyed AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS h
+  FROM documents)
+SELECT k.doc_id, k.lang
+FROM keyed k JOIN rates r USING (lang)
+WHERE CAST(k.h AS DOUBLE) / 4294967296.0 < r.p"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3130,6 +3152,7 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
     "q130_trustrank" -> q130,
     "q131_label_propagation" -> q131,
     "q132_triangles" -> q132,
+    "q133_temperature_mixture" -> q133,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1462,6 +1462,15 @@ object SparkEntry {
     graft.analyze.GraphOps.triangleCount(edges.filter(col("w") >= thr))
   }
 
+  private def q133_temperature_mixture(s: SparkSession, dir: String): DataFrame =
+    // α=0.5 temperature mixture over languages (rare langs up-weighted),
+    // target 150 rows; keep decision a pure function of (doc_id, lang
+    // counts) — sqrt-chain weights, decimal-exact total, broadcast rates.
+    TA.temperatureSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", alphaQuarters = 2, targetRows = 150)
+      .select("doc_id", "lang")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1883,6 +1892,7 @@ object SparkEntry {
     "q130_trustrank" -> (q130_trustrank _),
     "q131_label_propagation" -> (q131_label_propagation _),
     "q132_triangles" -> (q132_triangles _),
+    "q133_temperature_mixture" -> (q133_temperature_mixture _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -67,6 +67,7 @@ object Stats {
     * `cols` order). Degenerate (zero-variance) columns yield null r. */
   def corrMatrixInt(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrixInt needs at least two columns")
+    require(cols.distinct.size == cols.size, "corrMatrixInt columns must be distinct")
     val d = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(cols.map(c => col(c).cast("long").as(c)): _*)
     def dec(c: Column) = c.cast("decimal(38,0)")

@@ -376,6 +376,49 @@ object TextAnalysis {
       .drop("__wp")
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * α-smoothing: sample stratum s with probability ∝ n_s^α, α<1
+    * up-weighting rare strata — mBERT/XLM's exponent convention,
+    * α expressed in quarters so the weight computes as a chain of
+    * IEEE-correctly-rounded sqrts, never `pow`, whose libm results
+    * differ across engines). Per-row keep probability
+    * p_s = min(1, targetRows·w_s / (Σw · n_s)) with w_s = n_s^(q/4)
+    * rounded to 6 dp and totalled as an exact decimal (order-free);
+    * the keep test compares the 32-bit md5 id key against p_s — the
+    * whole decision is a pure function of (id, stratum counts), so the
+    * mixture is retry-stable and replayable. Two aggs + a broadcast
+    * rate table; the corpus itself never shuffles. Realized stratum
+    * sizes are binomial around the target (exact quotas would need the
+    * per-group rank form — `weightedPrioritySamplePerGroup`). */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        alphaQuarters: Int, targetRows: Long): DataFrame = {
+    require(alphaQuarters >= 0 && alphaQuarters <= 4,
+      s"alphaQuarters in [0,4] (α = q/4), got $alphaQuarters")
+    require(targetRows >= 0, "targetRows must be >= 0")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
+    val sq = sqrt(nD)
+    val qq = sqrt(sq)
+    val w = alphaQuarters match {
+      case 0 => lit(1.0)
+      case 1 => qq
+      case 2 => sq
+      case 3 => sq * qq
+      case 4 => nD
+    }
+    val weights = counts.select(col(strataCol), col("__n"),
+      round(w, 6).cast("decimal(18,6)").as("__w"))
+    val totD = weights.agg(sum(col("__w"))).head().getDecimal(0).doubleValue()
+    val rates = weights.select(col(strataCol),
+      least(lit(1.0),
+        col("__w").cast("double") * lit(targetRows.toDouble) / lit(totD) /
+          col("__n").cast("double")).as("__p"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashSampleKey(col(idCol)).cast("double") / lit(4294967296.0) <
+        col("__p"))
+      .drop("__p")
+  }
+
   /** Per-group weighted priority sample: the k-smallest-priority rows
     * WITHIN each group (the per-source / per-language quota form of
     * `weightedPrioritySample` — "keep 1000 length-weighted docs per

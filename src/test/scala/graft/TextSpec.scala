@@ -488,6 +488,54 @@ class TextSpec extends SparkSpec {
     assert(perGot.length == 21 && perGot.toSet == perRef)
   }
 
+  test("temperatureSample: exact reference keep-set, rare-stratum up-weighting, alpha edges") {
+    import spark.implicits._
+    def h32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    // skewed strata: 300 "big", 40 "mid", 12 "rare"
+    val rows = ((1L to 300L).map(i => (i, "big")) ++
+      (301L to 340L).map(i => (i, "mid")) ++
+      (341L to 352L).map(i => (i, "rare")))
+    def reference(q: Int, target: Long): Set[Long] = {
+      val byS = rows.groupBy(_._2).map { case (s, rs) => s -> rs.size.toLong }
+      def w(n: Long): java.math.BigDecimal = {
+        val nd = n.toDouble
+        val sq = math.sqrt(nd); val qq = math.sqrt(sq)
+        val v = q match {
+          case 0 => 1.0; case 1 => qq; case 2 => sq; case 3 => sq * qq
+          case 4 => nd
+        }
+        new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+      val tot = byS.values.map(w).reduce(_.add(_)).doubleValue()
+      val p = byS.map { case (s, n) =>
+        s -> math.min(1.0, w(n).doubleValue() * target.toDouble / tot / n.toDouble)
+      }
+      rows.filter { case (id, s) => h32(id).toDouble / 4294967296.0 < p(s) }
+        .map(_._1).toSet
+    }
+    for (q <- Seq(0, 1, 2, 3, 4); target <- Seq(0L, 60L, 100000L)) {
+      val got = TextAnalysis.temperatureSample(
+          rows.toDF("id", "s"), "id", "s", q, target)
+        .select("id").as[Long].collect()
+      assert(got.length == got.toSet.size)
+      assert(got.toSet == reference(q, target), s"q=$q target=$target")
+    }
+    // α=0: expected rows EQUAL per stratum -> rare keeps a much larger
+    // fraction than big (up-weighting), and huge targets keep everything
+    val a0 = TextAnalysis.temperatureSample(rows.toDF("id", "s"), "id", "s", 0, 60L)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    val fracBig = a0.getOrElse("big", 0L).toDouble / 300.0
+    val fracRare = a0.getOrElse("rare", 0L).toDouble / 12.0
+    assert(fracRare > fracBig)
+    assert(TextAnalysis.temperatureSample(
+      rows.toDF("id", "s"), "id", "s", 2, 100000L).count() == 352L)
+  }
+
   test("nfcNormalize: recomposes decomposed sequences; ASCII and precomposed pass through") {
     import graft.functions.TextFunctions
     val rows = Seq(

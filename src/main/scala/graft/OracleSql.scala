@@ -3060,6 +3060,26 @@ SELECT k.doc_id, k.lang
 FROM keyed k JOIN rates r USING (lang)
 WHERE CAST(k.h AS DOUBLE) / 4294967296.0 < r.p"""
 
+  /** Weighted-median twin: same cumulative-weight window, same integer
+    * threshold; min(val) ≡ the min-struct pick because the cumulative
+    * sum is monotone along the (val, id) scan order. */
+  private val q134 = """
+WITH v AS (
+  SELECT l_returnflag AS g, l_extendedprice AS val,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey * 10 + l_linenumber AS id
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity > 0),
+cum AS (
+  SELECT g, val, w,
+         CAST(sum(w) OVER (PARTITION BY g ORDER BY val, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+  FROM v)
+SELECT g AS l_returnflag, min(val) AS weighted_median,
+       max(tot) AS total_weight
+FROM cum WHERE c * 2 >= tot GROUP BY g"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3153,6 +3173,7 @@ WHERE CAST(k.h AS DOUBLE) / 4294967296.0 < r.p"""
     "q131_label_propagation" -> q131,
     "q132_triangles" -> q132,
     "q133_temperature_mixture" -> q133,
+    "q134_weighted_median" -> q134,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

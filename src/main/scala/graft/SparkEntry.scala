@@ -1471,6 +1471,16 @@ object SparkEntry {
         "doc_id", "lang", alphaQuarters = 2, targetRows = 150)
       .select("doc_id", "lang")
 
+  private def q134_weighted_median(s: SparkSession, dir: String): DataFrame =
+    // Exact discrete weighted median of price, weighted by quantity,
+    // per return flag — integer threshold (2·cum ≥ W), no interpolation.
+    graft.analyze.Stats.weightedMedian(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("long").as("w"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid")),
+      "l_returnflag", "l_extendedprice", "w", "rid")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1893,6 +1903,7 @@ object SparkEntry {
     "q131_label_propagation" -> (q131_label_propagation _),
     "q132_triangles" -> (q132_triangles _),
     "q133_temperature_mixture" -> (q133_temperature_mixture _),
+    "q134_weighted_median" -> (q134_weighted_median _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

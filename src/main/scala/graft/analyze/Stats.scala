@@ -98,6 +98,35 @@ object Stats {
       .select(lit(n).as("n"), col("r.col_a"), col("r.col_b"), col("r.corr"))
   }
 
+  /** Exact discrete weighted median per group: the smallest value whose
+    * cumulative integer weight reaches half the group total (2·cum ≥ W
+    * — pure integer compare, no p·W double, no interpolation; the
+    * result is an actual data value). The weighted generalization of
+    * the discrete-median policy `madOutliers` uses: train-data use
+    * cases weight documents by token count, so "the median document"
+    * should mean the token-mass midpoint, not the doc-count midpoint.
+    * ONE window shuffle (cumulative weight ordered by (value, id)) +
+    * a min-struct agg; ties deterministic via the id tiebreak. Null
+    * values/weights and non-positive weights are excluded. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, idCol: String): DataFrame = {
+    val v = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+      col(weightCol) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    v.withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .withColumn("__tot", sum(col(weightCol).cast("long")).over(tot))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(struct(col(valueCol).as("v"), col(idCol).as("id"))).as("m"),
+        max(col("__tot")).as("total_weight"))
+      .select(col(groupCol), col("m.v").as("weighted_median"),
+        col("total_weight"))
+  }
+
   /** Robust per-group outlier flags via the median/MAD rule: a value is
     * an outlier when |v − median| > k·MAD (k defaults to 4.4478 ≈
     * 3·1.4826, the "3 robust sigmas" convention — kept as ONE literal so

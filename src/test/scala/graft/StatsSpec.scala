@@ -75,6 +75,36 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - ref) < 1e-12)
   }
 
+  test("weightedMedian: hand cases, heavy-weight pull, reference on random data") {
+    def wm(rows: Seq[(String, Double, Long)]): Map[String, (Double, Long)] =
+      graft.analyze.Stats.weightedMedian(
+          rows.zipWithIndex.map { case ((g, v, w), i) => (g, v, w, i.toLong) }
+            .toDF("g", "v", "w", "id"),
+          "g", "v", "w", "id")
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    // uniform weights: the lower midpoint (discrete convention)
+    assert(wm((1 to 5).map(i => ("a", i.toDouble, 1L)))("a") == ((3.0, 5L)))
+    assert(wm((1 to 4).map(i => ("a", i.toDouble, 1L)))("a") == ((2.0, 4L)))
+    // one heavy value dominates the mass midpoint
+    val heavy = (1 to 9).map(i => ("h", i.toDouble, 1L)) :+ (("h", 10.0, 100L))
+    assert(wm(heavy)("h")._1 == 10.0)
+    // zero/negative weights excluded
+    assert(wm(Seq(("z", 1.0, 0L), ("z", 2.0, -5L), ("z", 3.0, 1L)))("z") == ((3.0, 1L)))
+    // random vs sequential reference
+    val rnd = new scala.util.Random(42)
+    val data = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(50).toDouble, rnd.nextInt(9).toLong + 1))
+    val got = wm(data)
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+      assert(got(g) == ((med, tot)), s"group $g")
+    }
+  }
+
   test("madOutliers: discrete medians, planted outlier flagged, tight cluster kept") {
     val vals = Seq.tabulate(21)(i => ("a", 10.0 + i * 0.1)) :+ (("a", 500.0))
     val out = Stats.madOutliers(vals.toDF("g", "v"), "g", "v")

@@ -81,6 +81,13 @@ object ScaleProbe {
   // — each string has a handful of distance-1 neighbors), d = 1.
   private val EditDistProbe = "editdist_join"
 
+  // Graph-family probe: PageRank (5 iters), label propagation (4
+  // iters), and triangle counting on a synthesized graph with a 10%
+  // hub (every 10th edge points at node 0 — the power-law stand-in
+  // that stresses the wedge bound and the per-iteration aggs). Edges
+  // grow S×, nodes with them (constant average degree ~10).
+  private val GraphProbe = "graph"
+
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
   // three physical layouts of the same table: unsorted, sorted by x,
@@ -94,7 +101,7 @@ object ScaleProbe {
     val scale = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
-                 LayoutProbe + IntervalProbe + EditDistProbe
+                 LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -483,6 +490,39 @@ object ScaleProbe {
       val nvExp = math.log(tnvS / tnv1) / math.log(scale.toDouble)
       log.println(f"""{"query":"editdist_blocked(probe)","t1":$tb1%.3f,"t$scale":$tbS%.3f,"ratio":${tbS / tb1}%.2f,"exponent":$bExp%.2f,"pairs1":$b1,"pairs$scale":$bS}""")
       log.println(f"""{"query":"editdist_head2head(probe)","blocked_exp":$bhExp%.2f,"naive_exp":$nvExp%.2f,"speedup_at_$scale":${tnvS / tbhS}%.2f,"n_side":$nSmall,"pairs$scale":$bhS}""")
+    }
+    if (only.contains(GraphProbe)) {
+      import graft.analyze.GraphOps
+      val mBase = 1000000L
+      def graph(m: Long): (DataFrame, DataFrame) = {
+        val nNodes = m / 10
+        val edges = spark.range(m).select(
+          pmod(xxhash64(col("id"), lit("gs")), lit(nNodes)).as("src"),
+          when(col("id") % 10 === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id"), lit("gd")), lit(nNodes))).as("dst"),
+          (pmod(xxhash64(col("id"), lit("gw")), lit(9L)) + 1).as("w"))
+        (spark.range(nNodes).select(col("id").as("node")), edges)
+      }
+      def pr(m: Long): Long = {
+        val (n, e) = graph(m)
+        GraphOps.pageRankFixedPoint(n, e, iterations = 5).count()
+      }
+      def lpa(m: Long): Long = {
+        val (n, e) = graph(m)
+        GraphOps.labelPropagation(n, e, iterations = 4).count()
+      }
+      def tri(m: Long): Long = {
+        val (_, e) = graph(m)
+        GraphOps.triangleCount(e).head().getLong(2)
+      }
+      for ((tag, f) <- Seq[(String, Long => Long)](
+          ("pagerank_5it", pr), ("lpa_4it", lpa), ("triangles", tri))) {
+        var r1 = 0L; var rS = 0L
+        val t1 = best { r1 = f(mBase) }
+        val tS = best { rS = f(mBase * scale) }
+        val exp = math.log(tS / t1) / math.log(scale.toDouble)
+        log.println(f"""{"query":"graph_$tag(probe)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f,"out1":$r1,"out$scale":$rS}""")
+      }
     }
     if (only.contains(LayoutProbe)) {
       import graft.source.Layout

@@ -981,10 +981,13 @@ object Dedup extends graft.core.Logging {
     * `maxDist` (≤ 2). SymSpell deletion-neighborhood blocking: each
     * string expands to its ≤d-deletion variants (a native expression;
     * C(n,d)-ish variants per row), candidates come from an equi-join
-    * on the variants' 8-byte hashes — (hash, id) pairs are ALL that
-    * shuffles, never the strings — and the exact `levenshtein` verify
-    * runs only on the deduped candidate id pairs after joining the two
-    * strings back by id. Complete by the SymSpell property (any
+    * on the variants' 8-byte hashes — the candidate-generation shuffle
+    * carries only (hash, id) pairs, never the strings (PlanSpec-
+    * asserted) — and the exact `levenshtein` verify runs only on the
+    * deduped candidate id pairs after joining the two strings back by
+    * id (a broadcast of the candidate ids while they fit; beyond that
+    * the string re-join shuffles (id, string) pairs once — linear in
+    * matched rows, not in the corpus). Complete by the SymSpell property (any
     * distance-d pair shares a ≤d-deletion variant: substitutions
     * delete on both sides, insertions on one); hash collisions and
     * shared-variant non-matches are killed by the verify, so the

@@ -430,4 +430,27 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("ReusedExchange"), s"$name: chunk join must reuse the signature exchange:\n$s")
     }
   }
+
+  test("q120 interval join plans an EQUI join on the grid bucket, never a nested-loop product") {
+    val s = planString(q("q120_interval_join"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"grid join degenerated to a product plan:\n$s")
+    assert(s.contains("HashJoin"), s)
+  }
+
+  test("q127 priority sample plans TakeOrdered (per-partition heaps), not a global sort") {
+    val s = planString(q("q127_weighted_sample"))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("q126 edit-distance join shuffles only hashes and ids, never the strings") {
+    val s = planString(q("q126_editdist_join"))
+    // every exchange's output column list must avoid the raw string
+    // column __s — candidates travel as (__h, __id); strings re-join
+    // by id only after the candidate pairs are deduped
+    val exchanges = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s)
+    val bad = exchanges.filter(_.contains("__s"))
+    assert(bad.isEmpty, s"string column crossed a shuffle:\n${bad.mkString("\n")}")
+  }
 }

@@ -141,10 +141,13 @@ object GraphOps {
     * deterministic, join-shaped — replayable in plain SQL. Returns one
     * row: (n_nodes, n_edges, n_triangles). */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // persisted: deg, oriented, and the nE count all derive from und —
+    // without the cache each would re-scan and re-distinct the raw
+    // edge input (the dominant cost at web-graph scale)
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct().persist()
     val deg = und.select(col("a").as("n"))
       .unionByName(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -170,10 +173,11 @@ object GraphOps {
     val closed = wedges.join(
       oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
       "left_semi")
+    val nE = und.count() // materializes the cache before the joins
     val nT = closed.count()
-    val nE = und.count()
     val nN = deg.count()
     oriented.unpersist()
+    und.unpersist()
     import edges.sparkSession.implicits._
     Seq((nN, nE, nT)).toDF("n_nodes", "n_edges", "n_triangles")
   }

@@ -27,6 +27,16 @@ object Stats {
     * Exactness bound: |centered value| up to ~3·10⁹ keeps squares in
     * int64 range per row; decimal(38,0) accumulation then holds to
     * ~10³⁸ total. Returns one row: (n, slope, intercept, r2). */
+  /** Floor division of an exact decimal sum by the row count WITHOUT
+    * collapsing the sum to a long first: at 10^10 rows × 10^9 values
+    * the sum exceeds int64 even though the decimal holds it exactly —
+    * only the mean must fit a long (it's a mean of longs, so it does). */
+  private def floorMean(sum: java.math.BigDecimal, n: Long): Long = {
+    val s = sum.toBigInteger
+    val nB = java.math.BigInteger.valueOf(n)
+    s.subtract(s.mod(nB)).divide(nB).longValueExact() // mod is nonneg → floor
+  }
+
   def fitLinearInt(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val d = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
@@ -34,10 +44,8 @@ object Stats {
     val p1 = d.agg(count(lit(1)), sum(dec(col("__x"))), sum(dec(col("__y")))).head()
     val n = p1.getLong(0)
     require(n > 0, "fitLinearInt needs at least one row")
-    val sx = p1.getDecimal(1).toBigInteger.longValueExact()
-    val sy = p1.getDecimal(2).toBigInteger.longValueExact()
-    val cx = Math.floorDiv(sx, n)
-    val cy = Math.floorDiv(sy, n)
+    val cx = floorMean(p1.getDecimal(1), n)
+    val cy = floorMean(p1.getDecimal(2), n)
     val xc = dec(col("__x") - lit(cx))
     val yc = dec(col("__y") - lit(cy))
     val p2 = d.agg(sum(xc).as("s1"), sum(yc).as("s2"),
@@ -52,8 +60,15 @@ object Stats {
       lit(n.toDouble) + lit(cy.toDouble) - slope * lit(cx.toDouble)
     val r2 = (num.cast("double") * num.cast("double")) /
       (den.cast("double") * deny.cast("double"))
-    p2.select(lit(n).as("n"), slope.as("slope"),
-      intercept.as("intercept"), r2.as("r2"))
+    // zero variance → null, matching corrMatrixInt's degenerate
+    // convention (not a silent NaN row); r2 also needs y-variance
+    val zero = lit(0).cast("decimal(38,0)")
+    def guarded(cond: Column, c: Column) =
+      when(cond, c).otherwise(lit(null).cast("double"))
+    p2.select(lit(n).as("n"),
+      guarded(den =!= zero, slope).as("slope"),
+      guarded(den =!= zero, intercept).as("intercept"),
+      guarded(den =!= zero && deny =!= zero, r2).as("r2"))
   }
 
   /** Pairwise Pearson correlation matrix over integral feature columns
@@ -75,8 +90,7 @@ object Stats {
     val p1 = d.agg(count(lit(1)), sumAggs: _*).head()
     val n = p1.getLong(0)
     require(n > 0, "corrMatrixInt needs at least one row")
-    val centers = cols.indices.map(i =>
-      Math.floorDiv(p1.getDecimal(i + 1).toBigInteger.longValueExact(), n))
+    val centers = cols.indices.map(i => floorMean(p1.getDecimal(i + 1), n))
     val cCol = cols.zip(centers).map { case (c, ctr) => dec(col(c) - lit(ctr)) }
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i <= j
@@ -141,7 +155,12 @@ object Stats {
     * per-group scalars — the value stream itself shuffles only into
     * the two apply-side group aggs; at 100 TB the group cardinality is
     * the broadcast bound, exactly like the stratified-sample rate
-    * tables. Returns the input plus (med, mad, is_outlier). */
+    * tables. EXACTNESS BOUND: the discrete guarantee holds while each
+    * group's row count stays ≤ `accuracy` (full retention); beyond
+    * that percentile_approx compresses and the median is approximate —
+    * raise `accuracy` (memory-linear) or switch to the
+    * `weightedMedian` machinery (weight 1, exact at any size for one
+    * extra shuffle). Returns the input plus (med, mad, is_outlier). */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 4.4478, accuracy: Int = 100000000): DataFrame = {
     val v = df.filter(col(valueCol).isNotNull)

@@ -280,6 +280,12 @@ object Relational {
                    rStart: String, rEnd: String,
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // output is left.* ++ right.*, so shared names would be ambiguous
+    // in the join condition AND duplicated in the result — fail loudly
+    // (self-joins rename one side first)
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalJoin requires disjoint column names; shared: ${shared.mkString(", ")}")
     def buckets(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
         .withColumn("__gb",
@@ -305,8 +311,11 @@ object Relational {
   def intervalJoinAutoWidth(left: DataFrame, right: DataFrame,
                             lStart: String, lEnd: String,
                             rStart: String, rEnd: String): DataFrame = {
-    val spans = left.select((col(lEnd) - col(lStart) + 1).as("__span"))
-      .unionByName(right.select((col(rEnd) - col(rStart) + 1).as("__span")))
+    // cast to long up front: percentile_approx returns its INPUT type,
+    // so int start/end columns (epoch days) would otherwise surface an
+    // Integer here and break the long extraction
+    val spans = left.select((col(lEnd) - col(lStart) + 1).cast("long").as("__span"))
+      .unionByName(right.select((col(rEnd) - col(rStart) + 1).cast("long").as("__span")))
       .filter(col("__span") >= 1)
     val medRow = spans
       .agg(percentile_approx(col("__span"), lit(0.5), lit(100000)))

@@ -932,6 +932,22 @@ class ExtraSpec extends SparkSpec {
     assert(graft.relational.Relational.intervalJoinAutoWidth(
       empty, rs.toDF("r_id", "r_s", "r_e"),
       "l_s", "l_e", "r_s", "r_e").count() >= 0)
+    // INT endpoint columns (epoch days from datediff are ints): the
+    // width probe must not assume long
+    val li = ls.map(t => (t._1, t._2.toInt, t._3.toInt))
+      .toDF("l_id", "l_s", "l_e")
+    val ri = rs.map(t => (t._1, t._2.toInt, t._3.toInt))
+      .toDF("r_id", "r_s", "r_e")
+    val autoInt = graft.relational.Relational.intervalJoinAutoWidth(
+        li, ri, "l_s", "l_e", "r_s", "r_e")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(autoInt == manual)
+    // shared column names across sides are rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.relational.Relational.intervalJoin(
+        ls.toDF("id", "s", "e"), rs.toDF("id", "s", "e"),
+        "s", "e", "s", "e", 16L)
+    }
   }
 
   test("intervalJoin: exact at magnitudes where a double cast is lossy") {

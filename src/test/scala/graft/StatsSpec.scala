@@ -38,6 +38,15 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.99 && r.getDouble(3) <= 1.0)
   }
 
+  test("fitLinearInt: zero x-variance yields null fit, constant y nulls r2 only") {
+    val flat = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val r = Stats.fitLinearInt(flat, "x", "y").head()
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    val constY = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    val rc = Stats.fitLinearInt(constY, "x", "y").head()
+    assert(rc.getDouble(1) == 0.0 && rc.getDouble(2) == 7.0 && rc.isNullAt(3))
+  }
+
   test("fitLinearInt: nulls dropped, single-row requires no variance blowup") {
     val d = Seq((Some(1L), Some(5L)), (None, Some(9L)), (Some(3L), None),
       (Some(2L), Some(7L))).toDF("x", "y")

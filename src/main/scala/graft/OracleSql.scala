@@ -3080,6 +3080,16 @@ SELECT g AS l_returnflag, min(val) AS weighted_median,
        max(tot) AS total_weight
 FROM cum WHERE c * 2 >= tot GROUP BY g"""
 
+  /** Histogram twin: the same floor((v-lo)/(hi-lo)*n) + clamp double
+    * expression, so boundary values bucket identically. */
+  private val q135 = """
+SELECT event_type,
+       CAST(least(19.0, greatest(0.0,
+         floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 20.0))) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3174,6 +3184,7 @@ FROM cum WHERE c * 2 >= tot GROUP BY g"""
     "q132_triangles" -> q132,
     "q133_temperature_mixture" -> q133,
     "q134_weighted_median" -> q134,
+    "q135_histogram" -> q135,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1481,6 +1481,14 @@ object SparkEntry {
           (col("l_orderkey") * 10 + col("l_linenumber")).as("rid")),
       "l_returnflag", "l_extendedprice", "w", "rid")
 
+  private def q135_histogram(s: SparkSession, dir: String): DataFrame =
+    // 20-bucket equi-width value histogram per event type over [0, 500)
+    // — one fixed-shape bucket expression, boundary-identical in the
+    // oracle's replay.
+    graft.analyze.Stats.histogram(
+        t(s, dir, "events"), "event_type", "value", 0.0, 500.0, 20)
+      .orderBy("event_type", "bucket")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1904,6 +1912,7 @@ object SparkEntry {
     "q132_triangles" -> (q132_triangles _),
     "q133_temperature_mixture" -> (q133_temperature_mixture _),
     "q134_weighted_median" -> (q134_weighted_median _),
+    "q135_histogram" -> (q135_histogram _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -141,6 +141,27 @@ object Stats {
         col("total_weight"))
   }
 
+  /** Fixed-range equi-width histogram per group: bucket i covers
+    * [lo + i·(hi−lo)/n, lo + (i+1)·(hi−lo)/n), indices clamped to
+    * [0, n−1] (under/overflow lands in the edge buckets — callers that
+    * need them separate filter first). The bucket index is ONE
+    * fixed-shape double expression — floor((v−lo)/(hi−lo)·n), clamp —
+    * so boundary values bucket identically in any replaying engine;
+    * one partial-aggregating groupBy, empty buckets absent (sparse).
+    * The profiling companion to `columnProfile`: distributions, not
+    * just counts. */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need nBuckets > 0 and hi > lo")
+    val raw = floor((col(valueCol).cast("double") - lit(lo)) /
+      lit(hi - lo) * lit(nBuckets.toDouble))
+    val bucket = least(lit(nBuckets - 1).cast("double"),
+      greatest(lit(0.0), raw)).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Robust per-group outlier flags via the median/MAD rule: a value is
     * an outlier when |v − median| > k·MAD (k defaults to 4.4478 ≈
     * 3·1.4826, the "3 robust sigmas" convention — kept as ONE literal so

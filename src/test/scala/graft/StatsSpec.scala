@@ -114,6 +114,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("histogram: half-open buckets, boundary values, clamped under/overflow, nulls dropped") {
+    val d = Seq(("a", Some(0.0)), ("a", Some(24.999)), ("a", Some(25.0)),
+      ("a", Some(499.999)), ("a", Some(500.0)), ("a", Some(-3.0)),
+      ("a", None), ("b", Some(250.0))).toDF("g", "v")
+    val got = Stats.histogram(d, "g", "v", 0.0, 500.0, 20)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", 0L)) == 3L)  // 0.0, 24.999, and -3.0 clamped up
+    assert(got(("a", 1L)) == 1L)  // 25.0 lands in the NEXT bucket (half-open)
+    assert(got(("a", 19L)) == 2L) // 499.999 + 500.0 clamped down
+    assert(got(("b", 10L)) == 1L)
+    assert(got.values.sum == 7L)  // the null contributed nowhere
+  }
+
   test("madOutliers: discrete medians, planted outlier flagged, tight cluster kept") {
     val vals = Seq.tabulate(21)(i => ("a", 10.0 + i * 0.1)) :+ (("a", 500.0))
     val out = Stats.madOutliers(vals.toDF("g", "v"), "g", "v")

@@ -3090,6 +3090,32 @@ SELECT event_type,
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Gini twin: exact BIGINT squares summed (cast back from HUGEINT),
+    * one double division with the same expression shape. */
+  private val q136 = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n,
+       count(*) AS n_categories,
+       1.0 - CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE) /
+             CAST(CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT) AS DOUBLE) AS gini
+FROM counts GROUP BY source ORDER BY source"""
+
+  /** Mode twin: (count desc, value asc) argmax via row_number. */
+  private val q137 = """
+WITH counts AS (
+  SELECT user_id % 10 AS bucket, event_type, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+ranked AS (
+  SELECT bucket, event_type, c,
+         row_number() OVER (PARTITION BY bucket
+           ORDER BY c DESC, event_type ASC) AS rn
+  FROM counts)
+SELECT bucket, event_type AS mode, CAST(c AS BIGINT) AS n_mode
+FROM ranked WHERE rn = 1 ORDER BY bucket"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3185,6 +3211,8 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     "q133_temperature_mixture" -> q133,
     "q134_weighted_median" -> q134,
     "q135_histogram" -> q135,
+    "q136_gini_diversity" -> q136,
+    "q137_mode" -> q137,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

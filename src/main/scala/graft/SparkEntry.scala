@@ -1489,6 +1489,21 @@ object SparkEntry {
         t(s, dir, "events"), "event_type", "value", 0.0, 500.0, 20)
       .orderBy("event_type", "bucket")
 
+  private def q136_gini_diversity(s: SparkSession, dir: String): DataFrame =
+    // Language-mix diversity per source: Gini impurity (rational — no
+    // libm entropy), exact integer squares, one double division.
+    graft.analyze.Stats.giniDiversity(
+        t(s, dir, "documents"), "source", "lang")
+      .orderBy("source")
+
+  private def q137_mode(s: SparkSession, dir: String): DataFrame =
+    // Most frequent event type per user bucket, ties to the smallest
+    // type string — integer argmax, fully deterministic.
+    graft.analyze.Stats.modePerGroup(
+        t(s, dir, "events").withColumn("bucket", col("user_id") % 10),
+        "bucket", "event_type")
+      .orderBy("bucket")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1913,6 +1928,8 @@ object SparkEntry {
     "q133_temperature_mixture" -> (q133_temperature_mixture _),
     "q134_weighted_median" -> (q134_weighted_median _),
     "q135_histogram" -> (q135_histogram _),
+    "q136_gini_diversity" -> (q136_gini_diversity _),
+    "q137_mode" -> (q137_mode _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

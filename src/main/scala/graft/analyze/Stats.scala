@@ -162,6 +162,40 @@ object Stats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group categorical diversity as GINI IMPURITY, 1 − Σ(nᵢ/N)²:
+    * the rational diversity measure — Shannon entropy needs libm `log`,
+    * whose last-ulp behavior differs across engines, while Gini is one
+    * double division of exact integers (Σnᵢ² as DECIMAL(38,0), N²) —
+    * replayable bit-for-bit. The corpus-balance profiling signal:
+    * "how mixed are this source's languages?" Two partial-aggregating
+    * groupBys, no window. */
+  def giniDiversity(df: DataFrame, groupCol: String,
+                    catCol: String): DataFrame = {
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol)).agg(count(lit(1)).as("__c"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("n_categories"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__ss"))
+      .select(col(groupCol), col("n"), col("n_categories"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (dec(col("n")) * dec(col("n"))).cast("double")).as("gini"))
+  }
+
+  /** Per-group exact MODE: the most frequent value, ties to the
+    * smallest value (deterministic) — the same integer argmax shape as
+    * label propagation's pick. Two partial-aggregating groupBys. */
+  def modePerGroup(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(groupCol))
+      .agg(min(struct((-col("__c")).as("nc"), col(valueCol).as("v"))).as("__m"))
+      .select(col(groupCol), col("__m.v").as("mode"),
+        (-col("__m.nc")).as("n_mode"))
+  }
+
   /** Robust per-group outlier flags via the median/MAD rule: a value is
     * an outlier when |v − median| > k·MAD (k defaults to 4.4478 ≈
     * 3·1.4826, the "3 robust sigmas" convention — kept as ONE literal so

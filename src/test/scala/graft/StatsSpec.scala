@@ -128,6 +128,25 @@ class StatsSpec extends SparkSpec {
     assert(got.values.sum == 7L)  // the null contributed nowhere
   }
 
+  test("giniDiversity: hand values; modePerGroup: deterministic tie to smallest") {
+    val d = Seq(("s1", "en"), ("s1", "en"), ("s1", "fr"), ("s1", "fr"),
+      ("s2", "en"), ("s2", "en"), ("s2", "en"),
+      ("s3", "en"), ("s3", "de"), ("s3", "fr"), ("s3", null))
+      .toDF("src", "lang")
+    val g = Stats.giniDiversity(d, "src", "lang")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(g("s1") == (("s1", 4L, 2L, 0.5)))       // 1 - (4+4)/16
+    assert(g("s2") == (("s2", 3L, 1L, 0.0)))       // pure
+    assert(math.abs(g("s3")._4 - (1.0 - 3.0 / 9.0)) < 1e-15)
+    assert(g("s3")._2 == 3L)                       // null category dropped
+    val m = Stats.modePerGroup(
+        Seq((1L, "b"), (1L, "b"), (1L, "a"), (1L, "a"), (1L, "c"),
+          (2L, "z")).toDF("g", "v"), "g", "v")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == (("a", 2L)))  // a/b tied at 2 -> smallest value wins
+    assert(m(2L) == (("z", 1L)))
+  }
+
   test("madOutliers: discrete medians, planted outlier flagged, tight cluster kept") {
     val vals = Seq.tabulate(21)(i => ("a", 10.0 + i * 0.1)) :+ (("a", 500.0))
     val out = Stats.madOutliers(vals.toDF("g", "v"), "g", "v")

@@ -3116,6 +3116,107 @@ ranked AS (
 SELECT bucket, event_type AS mode, CAST(c AS BIGINT) AS n_mode
 FROM ranked WHERE rn = 1 ORDER BY bucket"""
 
+  /** Token-budget temperature mixture twin (q138): stratum mass =
+    * Σ whitespace token counts; w = m^(3/4) via the same
+    * sqrt(m)·sqrt(sqrt(m)) chain (one IEEE multiply), round 6 dp,
+    * DECIMAL(28,6) exact total; keep iff md5-key/2^32 < p. */
+  private val q138 = """
+WITH d AS (
+  SELECT doc_id, lang,
+    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+    END AS BIGINT) AS n_tok
+  FROM documents),
+live AS (SELECT * FROM d WHERE n_tok > 0),
+masses AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS m FROM live GROUP BY lang),
+wts AS (SELECT lang, m,
+        CAST(round(sqrt(CAST(m AS DOUBLE)) * sqrt(sqrt(CAST(m AS DOUBLE))), 6)
+             AS DECIMAL(28,6)) AS w
+        FROM masses),
+rates AS (SELECT lang,
+    least(1.0, CAST(w AS DOUBLE) * 8000.0
+      / CAST((SELECT sum(w) FROM wts) AS DOUBLE)
+      / CAST(m AS DOUBLE)) AS p
+  FROM wts),
+keyed AS (
+  SELECT doc_id, lang, n_tok,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS h
+  FROM live)
+SELECT k.doc_id, k.lang, k.n_tok
+FROM keyed k JOIN rates r USING (lang)
+WHERE CAST(k.h AS DOUBLE) / 4294967296.0 < r.p"""
+
+  /** Host-graph twin (q139): rebuilds the same messy URLs, replays the
+    * full normalization in DuckDB string ops (fragment strip, scheme
+    * strip, authority split, lowercase, www./root-dot strip, default-
+    * port drop, trailing-slash strip, query sort), then aggregates
+    * host-level edges + distinct canonical source URLs. Every regex is
+    * anchored-or-suffix (matches at most once), so first-match
+    * regexp_replace ≡ Spark's replace-all. */
+  private val q139 = """
+WITH links AS (
+  SELECT a.doc_id AS aid, a.source AS asrc, a.lang AS alang,
+         b.doc_id AS bid, b.source AS bsrc, b.lang AS blang
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7),
+urls AS (
+  SELECT
+    (CASE WHEN aid % 3 = 0 THEN 'HTTPS://' WHEN aid % 3 = 1 THEN 'https://' ELSE 'HTTP://' END ||
+     CASE WHEN aid % 2 = 0 THEN 'WWW.' || upper(asrc) ELSE asrc END || '.example.org' ||
+     CASE WHEN aid % 3 = 0 THEN ':443' WHEN aid % 3 = 2 THEN ':8080' ELSE '' END ||
+     '/' || alang ||
+     CASE WHEN aid % 5 = 0 THEN '/' ELSE '' END ||
+     CASE WHEN aid % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END ||
+     CASE WHEN aid % 7 = 0 THEN '#frag' ELSE '' END) AS src_url,
+    (CASE WHEN bid % 3 = 0 THEN 'HTTPS://' WHEN bid % 3 = 1 THEN 'https://' ELSE 'HTTP://' END ||
+     CASE WHEN bid % 2 = 0 THEN 'WWW.' || upper(bsrc) ELSE bsrc END || '.example.org' ||
+     CASE WHEN bid % 3 = 0 THEN ':443' WHEN bid % 3 = 2 THEN ':8080' ELSE '' END ||
+     '/' || blang ||
+     CASE WHEN bid % 5 = 0 THEN '/' ELSE '' END ||
+     CASE WHEN bid % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END ||
+     CASE WHEN bid % 7 = 0 THEN '#frag' ELSE '' END) AS dst_url
+  FROM links),
+parts AS (
+  SELECT
+    regexp_replace(regexp_replace(trim(src_url), '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS srest,
+    lower(regexp_extract(regexp_replace(trim(src_url), '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS sscheme,
+    regexp_replace(regexp_replace(trim(dst_url), '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS drest
+  FROM urls),
+pieces AS (
+  SELECT sscheme,
+    regexp_replace(regexp_replace(lower(regexp_extract(regexp_extract(srest, '^([^/?]*)', 1), '^([^:]*)', 1)), '^www\.', ''), '\.$', '') AS src,
+    regexp_extract(regexp_extract(srest, '^([^/?]*)', 1), ':([0-9]+)$', 1) AS sport,
+    regexp_replace(regexp_extract(regexp_replace(srest, '^[^/?]*', ''), '^([^?]*)', 1), '/+$', '') AS spath,
+    regexp_extract(regexp_replace(srest, '^[^/?]*', ''), '\?(.*)$', 1) AS squery,
+    regexp_replace(regexp_replace(lower(regexp_extract(regexp_extract(drest, '^([^/?]*)', 1), '^([^:]*)', 1)), '^www\.', ''), '\.$', '') AS dst
+  FROM parts),
+canon AS (
+  SELECT src, dst,
+    sscheme || '://' || src ||
+    (CASE WHEN sport = '' OR (sscheme = 'http' AND sport = '80')
+               OR (sscheme = 'https' AND sport = '443')
+          THEN '' ELSE ':' || sport END) ||
+    spath ||
+    (CASE WHEN length(array_to_string(list_sort(list_filter(string_split(squery, '&'), x -> len(x) > 0)), '&')) > 0
+          THEN '?' || array_to_string(list_sort(list_filter(string_split(squery, '&'), x -> len(x) > 0)), '&')
+          ELSE '' END) AS c
+  FROM pieces
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND src <> '' AND dst <> '' AND src <> dst)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_canon
+FROM canon GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Paginated top-k twin (q140): the literal ORDER BY … LIMIT/OFFSET
+    * as a rank filter; ranks are exact on both sides so the page and
+    * the attached global rank match bitwise. */
+  private val q140 = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn > 1000 AND rn <= 1050"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3213,6 +3314,9 @@ FROM ranked WHERE rn = 1 ORDER BY bucket"""
     "q135_histogram" -> q135,
     "q136_gini_diversity" -> q136,
     "q137_mode" -> q137,
+    "q138_token_temperature" -> q138,
+    "q139_host_graph" -> q139,
+    "q140_topk_offset" -> q140,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -87,6 +87,7 @@ object ScaleProbe {
   // that stresses the wedge bound and the per-iteration aggs). Edges
   // grow S×, nodes with them (constant average degree ~10).
   private val GraphProbe = "graph"
+  private val PageProbe = "pagination"
 
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
@@ -101,7 +102,8 @@ object ScaleProbe {
     val scale = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
-                 LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe
+                 LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
+                 PageProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -522,6 +524,35 @@ object ScaleProbe {
         val tS = best { rS = f(mBase * scale) }
         val exp = math.log(tS / t1) / math.log(scale.toDouble)
         log.println(f"""{"query":"graph_$tag(probe)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f,"out1":$r1,"out$scale":$rS}""")
+      }
+    }
+    if (only.contains(PageProbe)) {
+      import graft.relational.Relational
+      // pagination probe: page (k=100) latency as the OFFSET moves deep
+      // into an n-row table, bucketed operator vs the literal
+      // sort-offset-limit plan. The bucketed page must stay ~flat in m
+      // (only the intersecting buckets sort); the literal plan's cost
+      // grows with m (it materializes the global order up to m+k).
+      val nRows = 2000000L * scale
+      def tbl(n: Long): DataFrame = spark.range(n).select(
+        col("id"), xxhash64(col("id"), lit("pg")).as("v"))
+      val k = 100
+      def page(n: Long, m: Long): Seq[Long] =
+        Relational.topKWithOffset(tbl(n), col("v"), descending = true,
+          tieBreakers = Seq(col("id").asc), k = k, offset = m, buckets = 64)
+          .orderBy("rn").select("id")
+          .collect().map(_.getLong(0)).toSeq
+      def naive(n: Long, m: Long): Seq[Long] =
+        tbl(n).orderBy(col("v").desc, col("id").asc)
+          .offset(m.toInt).limit(k).select("id")
+          .collect().map(_.getLong(0)).toSeq
+      for (m <- Seq(1000L, nRows / 2, nRows - 2 * k)) {
+        var pIds: Seq[Long] = Nil; var nIds: Seq[Long] = Nil
+        val tp = best { pIds = page(nRows, m) }
+        val tn = best { nIds = naive(nRows, m) }
+        require(pIds == nIds,
+          s"pagination page/naive disagree at offset $m: ${pIds.take(3)} vs ${nIds.take(3)}")
+        log.println(f"""{"query":"pagination_offset_${m}(probe)","n":$nRows,"bucketed":$tp%.3f,"naive":$tn%.3f,"speedup":${tn / tp}%.2f}""")
       }
     }
     if (only.contains(LayoutProbe)) {

@@ -1504,6 +1504,65 @@ object SparkEntry {
         "bucket", "event_type")
       .orderBy("bucket")
 
+  private def q138_token_temperature(s: SparkSession, dir: String): DataFrame =
+    // Token-budget temperature mixture (α=0.75): stratum mass = Σ token
+    // counts, not doc counts — the budget unit real LLM mixtures use.
+    // Same sqrt-chain weights / decimal-exact total / md5-key decision
+    // as q133, so the keep set is a pure function of (doc_id, masses).
+    TA.temperatureSampleByTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "lang", "n_tok", alphaQuarters = 3, targetTokens = 8000)
+      .select("doc_id", "lang", "n_tok")
+
+  private def q139_host_graph(s: SparkSession, dir: String): DataFrame = {
+    // URL canonicalization → host-level link graph: messy crawl-style
+    // URLs (mixed-case scheme/host, www., default+explicit ports,
+    // trailing slashes, unordered query params, fragments) are built
+    // deterministically from documents, each doc "links" to doc_id+7;
+    // hostEdges canonicalizes endpoints and aggregates link weight,
+    // and n_canon counts DISTINCT fully-normalized source URLs per
+    // edge so the whole urlNormalize pipeline (port drop, slash strip,
+    // query sort, fragment drop) is oracle-gated, not just the host.
+    import graft.functions.UrlFunctions.{urlHost, urlNormalize}
+    val d = t(s, dir, "documents").select("doc_id", "source", "lang")
+    def url(id: Column, src: Column, lang: Column): Column = concat(
+      when(id % 3 === 0, lit("HTTPS://")).when(id % 3 === 1, lit("https://"))
+        .otherwise(lit("HTTP://")),
+      when(id % 2 === 0, concat(lit("WWW."), upper(src))).otherwise(src),
+      lit(".example.org"),
+      when(id % 3 === 0, lit(":443")).when(id % 3 === 2, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/"), lang,
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, lit("?b=2&a=1")).otherwise(lit("?a=1&b=2")),
+      when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+    val links = d.alias("a")
+      .join(d.alias("b"), col("b.doc_id") === col("a.doc_id") + 7)
+      .select(
+        url(col("a.doc_id"), col("a.source"), col("a.lang")).as("src_url"),
+        url(col("b.doc_id"), col("b.source"), col("b.lang")).as("dst_url"))
+    val edges = graft.analyze.GraphOps.hostEdges(links, "src_url", "dst_url")
+    val canon = links.select(urlHost(col("src_url")).as("src"),
+        urlHost(col("dst_url")).as("dst"),
+        urlNormalize(col("src_url")).as("c"))
+      .filter(length(col("src")) > 0 && length(col("dst")) > 0 &&
+        col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(countDistinct(col("c")).as("n_canon"))
+    edges.join(canon, Seq("src", "dst")).orderBy("src", "dst")
+  }
+
+  private def q140_topk_offset(s: SparkSession, dir: String): DataFrame =
+    // Paginated exact global top-k (LIMIT 50 OFFSET 1000 by price desc):
+    // quantile buckets + exact per-bucket counts prune to the page's
+    // buckets before any sort — no global range sort, no single-reducer
+    // funnel at large offsets.
+    graft.relational.Relational.topKWithOffset(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      col("o_totalprice"), descending = true,
+      tieBreakers = Seq(col("o_orderkey").asc), k = 50, offset = 1000)
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1930,6 +1989,9 @@ object SparkEntry {
     "q135_histogram" -> (q135_histogram _),
     "q136_gini_diversity" -> (q136_gini_diversity _),
     "q137_mode" -> (q137_mode _),
+    "q138_token_temperature" -> (q138_token_temperature _),
+    "q139_host_graph" -> (q139_host_graph _),
+    "q140_topk_offset" -> (q140_topk_offset _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -82,6 +82,34 @@ object GraphOps {
                            tolFp: Option[Long] = None): DataFrame =
     prImpl(nodes, edges, iterations, dampingNum, scale, tolFp, Some(seeds))
 
+  /** Host-level link-graph extraction — the step that PRODUCES the
+    * (src, dst, w) edge relation the rank operators above consume from
+    * a raw crawl link table: canonicalize both URL endpoints
+    * ([[graft.functions.UrlFunctions.urlHost]] — lowercase, `www.`
+    * strip, port/path/fragment off), drop rows where either host is
+    * missing, drop intra-host self-loops (they carry no cross-site
+    * endorsement and would only dilute the teleport signal), and
+    * aggregate link multiplicity into the edge weight.
+    *
+    * Scale posture: canonicalization is a narrow per-row regex map; the
+    * ONE shuffle is the (src, dst) groupBy whose map-side partial
+    * combine collapses each partition's duplicate host pairs before
+    * anything moves — at web scale the shuffle carries host-pair
+    * cardinality, not link cardinality. Node ids stay strings here;
+    * the rank operators join on them as-is (their integer arithmetic is
+    * on the rank column, never the node id). */
+  def hostEdges(links: DataFrame, srcUrlCol: String,
+                dstUrlCol: String): DataFrame = {
+    import graft.functions.UrlFunctions.urlHost
+    links.select(urlHost(col(srcUrlCol)).as("src"),
+        urlHost(col(dstUrlCol)).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        length(col("src")) > 0 && length(col("dst")) > 0 &&
+        col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Synchronous label propagation (community detection): labels start
     * as the node ids; each step every node adopts the label with the
     * greatest total incident edge weight in its (undirected) neighbor
@@ -203,7 +231,16 @@ object GraphOps {
     val outW = ew.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // edge ⋈ out-weight, resolved once; reused every iteration
     val edgesN = ew.join(outW, "src").persist()
-    edgesN.count()
+    // materialize AND enforce the documented overflow precondition in one
+    // pass: rank_fp ≤ total mass = scale, so rank_fp * w wraps int64 when
+    // w > Long.MaxValue / scale (~9.2e6 at scale=1e12). Enforced at
+    // runtime — a silent wrap would corrupt every downstream rank with no
+    // error (ADVICE r12).
+    val maxW = edgesN.agg(coalesce(max(col("w")), lit(0L))).head().getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"pageRank integer overflow: max aggregated edge weight $maxW exceeds " +
+        s"Long.MaxValue/scale = ${Long.MaxValue / scale}; lower `scale` or " +
+        "pre-normalize edge weights")
 
     // dangling vertex set resolved once; per-iteration mass is then a
     // single semi-join + sum over the current ranks

@@ -124,8 +124,12 @@ object Stats {
     * values/weights and non-positive weights are excluded. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String, idCol: String): DataFrame = {
+    // filter on the SAME cast-long weight the cumulative sum accumulates:
+    // filtering the original type would let fractional weights in (0,1)
+    // pass yet contribute zero mass — a group whose weights all truncate
+    // to 0 would get tot=0 and silently return its minimum (ADVICE r12)
     val v = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
-      col(weightCol) > 0)
+      col(weightCol).cast("long") > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col(valueCol).asc, col(idCol).asc)

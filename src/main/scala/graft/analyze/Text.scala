@@ -408,12 +408,70 @@ object TextAnalysis {
     }
     val weights = counts.select(col(strataCol), col("__n"),
       round(w, 6).cast("decimal(18,6)").as("__w"))
-    val totD = weights.agg(sum(col("__w"))).head().getDecimal(0).doubleValue()
+    // empty input → the sum aggregate is SQL NULL; return an empty frame
+    // with the input schema instead of NPE-ing on getDecimal (ADVICE r12)
+    val totRow = weights.agg(sum(col("__w"))).head()
+    if (totRow.isNullAt(0)) return df.limit(0)
+    val totD = totRow.getDecimal(0).doubleValue()
     val rates = weights.select(col(strataCol),
       least(lit(1.0),
         col("__w").cast("double") * lit(targetRows.toDouble) / lit(totD) /
           col("__n").cast("double")).as("__p"))
     df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashSampleKey(col(idCol)).cast("double") / lit(4294967296.0) <
+        col("__p"))
+      .drop("__p")
+  }
+
+  /** Token-budget temperature mixture: [[temperatureSample]] weights
+    * strata by DOC counts, but LLM training mixtures budget TOKENS — a
+    * stratum of few huge documents must count by its token mass, not
+    * its row count (the q68 packer's unit). Stratum mass
+    * m_s = Σ tokenCol (rows whose token count is null or non-positive
+    * are excluded — they carry no budget and would divide by zero);
+    * smoothing weight w_s = m_s^(α/4) via the same
+    * IEEE-exact sqrt chain (α in quarters, rounded to 6 dp, totalled
+    * as an exact decimal — DECIMAL(28,6): token masses reach 10^13+ at
+    * corpus scale, beyond the doc-count variant's (18,6) headroom).
+    * Per-row keep probability p_s = min(1, targetTokens·w_s / (Σw·m_s)),
+    * so stratum s contributes m_s·p_s ≈ targetTokens·w_s/Σw tokens in
+    * expectation and the realized corpus totals ≈ targetTokens. The
+    * keep decision stays a pure function of (id, stratum masses) —
+    * retry-stable, replayable. Two aggs + a broadcast rate table; the
+    * corpus never shuffles (the groupBy moves (stratum, count) pairs,
+    * not documents). */
+  def temperatureSampleByTokens(df: DataFrame, idCol: String,
+                                strataCol: String, tokenCol: String,
+                                alphaQuarters: Int,
+                                targetTokens: Long): DataFrame = {
+    require(alphaQuarters >= 0 && alphaQuarters <= 4,
+      s"alphaQuarters in [0,4] (α = q/4), got $alphaQuarters")
+    require(targetTokens >= 0, "targetTokens must be >= 0")
+    val rows = df.filter(col(tokenCol).isNotNull && col(tokenCol).cast("long") > 0)
+    val masses = rows.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__m"))
+    val mD = col("__m").cast("double")
+    val sq = sqrt(mD)
+    val qq = sqrt(sq)
+    val w = alphaQuarters match {
+      case 0 => lit(1.0)
+      case 1 => qq
+      case 2 => sq
+      case 3 => sq * qq
+      case 4 => mD
+    }
+    val weights = masses.select(col(strataCol), col("__m"),
+      round(w, 6).cast("decimal(28,6)").as("__w"))
+    // empty input (or all-zero-token input) → NULL sum; empty result,
+    // same guard as temperatureSample
+    val totRow = weights.agg(sum(col("__w"))).head()
+    if (totRow.isNullAt(0)) return df.limit(0)
+    val totD = totRow.getDecimal(0).doubleValue()
+    val rates = weights.select(col(strataCol),
+      least(lit(1.0),
+        col("__w").cast("double") * lit(targetTokens.toDouble) / lit(totD) /
+          col("__m").cast("double")).as("__p"))
+    rows.join(broadcast(rates), Seq(strataCol))
       .filter(hashSampleKey(col(idCol)).cast("double") / lit(4294967296.0) <
         col("__p"))
       .drop("__p")

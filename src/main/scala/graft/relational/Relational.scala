@@ -198,17 +198,34 @@ object Relational {
     * k sequential conditional-min aggregations (k shuffles) and not k-1
     * self-joins. Slots fill prefix-wise, so the current step is just the
     * filled-count, and the strict `>` mirrors the SQL min-chain
-    * semantics on timestamp ties. Per-entity state is the event list:
-    * at 100 TB cap pathological entities upstream (bot accounts with
-    * 10^7 events) the same way the dedup family salts them — the fold
-    * itself only ever keeps k timestamps. */
+    * semantics on timestamp ties. Per-entity state is bounded two ways
+    * (the fold itself only ever keeps k timestamps):
+    *  - events whose type is not a funnel step are dropped BEFORE the
+    *    shuffle — they can never fill a slot, so this is exact, and a
+    *    bot entity with 10^7 page-pings but 3 step events costs 3 rows
+    *    of agg state, not 10^7. Entities with NO step-relevant events
+    *    are therefore absent from the output (their row would be
+    *    all-null step_ts; `funnelCounts` is unaffected — null slots
+    *    never counted).
+    *  - `maxEventsPerEntity` (0 = unbounded) caps the retained list at
+    *    the EARLIEST n step-relevant events per entity. Truncation
+    *    semantics: funnel progress is evaluated on the entity's first n
+    *    relevant events by (ts, type) — deterministic, and monotone
+    *    truncation (a step reached within the first n events is
+    *    reported identically at any larger cap); progress achieved only
+    *    after event n is lost, mirroring the streaming twin's bounded
+    *    per-key state. */
   def funnelSteps(events: DataFrame, entityCol: String, tsCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String],
+                  maxEventsPerEntity: Int = 0): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxEventsPerEntity >= 0, "maxEventsPerEntity must be >= 0")
     val k = steps.size
     val stepArr = array(steps.map(lit): _*)
-    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"),
+    val evsAll = sort_array(collect_list(struct(col(tsCol).as("ts"),
       col(typeCol).as("et"))))
+    val evs = if (maxEventsPerEntity > 0) slice(evsAll, 1, maxEventsPerEntity)
+              else evsAll
     val folded = aggregate(
       evs,
       array_repeat(lit(null).cast("timestamp"), k),
@@ -225,7 +242,8 @@ object Relational {
               e.getField("ts") > element_at(acc, greatest(filled, lit(1)))),
             e.getField("ts")).otherwise(v))
       })
-    events.groupBy(col(entityCol))
+    events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(entityCol))
       .agg(folded.as("step_ts"))
   }
 
@@ -368,5 +386,100 @@ object Relational {
         col(entityCol))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_entities"))
+  }
+
+  /** Exact global top-k with offset — `ORDER BY … LIMIT k OFFSET m`
+    * without the global sort. Spark plans the literal form as a
+    * range-partitioned total sort (or, worse, a single-reducer
+    * TakeOrdered once m+k grows), which funnels the TABLE through the
+    * sort machinery to discard all but k rows: the classic pagination
+    * scale-killer at large m. Here:
+    *
+    *  1. one stats pass buckets the order column by approximate
+    *     quantiles (boundary quality affects only pruning, never
+    *     correctness),
+    *  2. one metadata-sized count-per-bucket aggregation gives EXACT
+    *     cumulative offsets per bucket,
+    *  3. only the buckets whose cumulative span intersects
+    *     `(m, m+k]` are retained — everything else is FILTERED before
+    *     any sort — and each survivor sorts locally in its own
+    *     partition; global rank = bucket offset (a driver literal) +
+    *     local row_number.
+    *
+    * Rows shuffled/sorted ≈ the intersecting buckets only (~n/buckets
+    * per page at any m), not n. `tieBreakers` must totally order rows
+    * within equal `orderOn` values for the page to be deterministic
+    * (same contract as every rank operator here). Equal order values
+    * always share a bucket (bucketing is by strict `>` on boundary
+    * values), so ties never split across partitions; the degenerate
+    * case — one value holding most of the table — degrades to sorting
+    * that one span in one task, the same bound the full sort has on it.
+    * Output: the page rows + their exact global rank in `out`.
+    *
+    * Only cast-monotone order dtypes bucket (numeric/date/timestamp/
+    * boolean — same guard as [[graft.core.Skew.saltedRowNumber]]);
+    * other types fall back to the single-window exact form. */
+  def topKWithOffset(df: DataFrame, orderOn: Column, descending: Boolean,
+                     tieBreakers: Seq[Column], k: Int, offset: Long,
+                     buckets: Int = 32, out: String = "rn"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val tmp = Seq("__tk_bkt", "__tk_rn")
+    val clash = (tmp :+ out).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"topKWithOffset: column(s) ${clash.mkString(", ")} already exist in input")
+    if (k == 0) return df.withColumn(out, lit(0L)).limit(0)
+    val ord = (if (descending) orderOn.desc else orderOn.asc) +: tieBreakers
+    val vcol = orderOn.cast("double")
+    val rangeSafe = {
+      import org.apache.spark.sql.types._
+      df.select(orderOn).schema.head.dataType match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType |
+             BooleanType => true
+        case _ => false
+      }
+    }
+    def exactFallback(): DataFrame = {
+      val w = Window.orderBy(ord: _*)
+      df.withColumn(out, row_number().over(w).cast("long"))
+        .filter(col(out) > offset && col(out) <= offset + k)
+    }
+    if (buckets == 1 || !rangeSafe) return exactFallback()
+    val bounds = df.select(percentile_approx(vcol,
+        typedLit((1 until buckets).map(_.toDouble / buckets)), lit(100)))
+      .head().getSeq[Any](0) match {
+        case null => Array.empty[Double]
+        case s => s.collect { case d: java.lang.Double => d.doubleValue }
+          .toArray.distinct.sorted
+      }
+    // bucket = #boundaries strictly below v (ascending); null v adds 0 to
+    // every term → the edge bucket on the side nulls sort (first for asc,
+    // last for desc — matching default null ordering)
+    val idxAsc = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(vcol > lit(b), 1).otherwise(0)
+    }
+    val idx = if (descending) lit(bounds.length) - idxAsc else idxAsc
+    val withB = df.withColumn("__tk_bkt", idx)
+    // exact counts per bucket: ≤ buckets rows to the driver
+    val counts: Seq[(Int, Long)] = withB.groupBy(col("__tk_bkt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    var cum = 0L
+    val needed: Seq[(Int, Long)] = counts.flatMap { case (b, n) =>
+      val lo = cum; cum += n
+      if (lo < offset + k && lo + n > offset) Some(b -> lo) else None
+    }
+    if (needed.isEmpty) return df.withColumn(out, lit(0L)).limit(0)
+    val offExpr = needed.tail.foldLeft(
+      when(col("__tk_bkt") === needed.head._1, lit(needed.head._2))) {
+      case (acc, (b, off)) => acc.when(col("__tk_bkt") === b, lit(off))
+    }
+    val w = Window.partitionBy(col("__tk_bkt")).orderBy(ord: _*)
+    withB.filter(col("__tk_bkt").isin(needed.map(_._1): _*))
+      .withColumn("__tk_rn", row_number().over(w).cast("long") + offExpr)
+      .filter(col("__tk_rn") > offset && col("__tk_rn") <= offset + k)
+      .withColumn(out, col("__tk_rn"))
+      .select(df.columns.map(col) :+ col(out): _*)
   }
 }

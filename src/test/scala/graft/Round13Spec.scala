@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analyze.{GraphOps, TextAnalysis}
+import graft.functions.UrlFunctions
+import graft.relational.Relational
+
+/** Round-13 operators: URL canonicalization + host graph, paginated
+  * exact top-k, bounded funnel state, token-budget temperature
+  * mixture. */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("urlNormalize: case, www, default ports, slash, query sort, fragment") {
+    val cases = Seq(
+      // full mess collapses to canonical
+      ("HTTPS://WWW.Example.COM:443/a/b/?b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2"),
+      // non-default port survives
+      ("http://example.com:8080/x", "http://example.com:8080/x"),
+      // http:80 dropped, bare "/" path dropped
+      ("http://EXAMPLE.com:80/", "http://example.com"),
+      // no path/query/port
+      ("https://www.foo.org", "https://foo.org"),
+      // empty query params dropped, singleton kept
+      ("http://a.b/p?&&x=1&", "http://a.b/p?x=1"),
+      // root-dot host
+      ("http://example.com./q", "http://example.com/q"),
+      // bare hostname (no scheme): host rules only
+      ("WWW.Foo.Example.com.", "foo.example.com"),
+      // trailing slash run
+      ("http://h.io/a///", "http://h.io/a"))
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlFunctions.urlNormalize(col("u"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"urlNormalize($in)") }
+    // null in, null out
+    val n = Seq[Option[String]](None).toDF("u")
+      .select(UrlFunctions.urlNormalize(col("u"))).collect()(0)
+    assert(n.isNullAt(0))
+    // idempotent: normalizing a canonical URL is identity
+    val canon = cases.map(_._2).toDF("u")
+      .select(UrlFunctions.urlNormalize(col("u"))).as[String].collect()
+    assert(canon.toSeq == cases.map(_._2))
+  }
+
+  test("urlHost: canonical host from raw URLs") {
+    val cases = Seq(
+      ("HTTP://WWW.A.B:8080/c?d#e", "a.b"),
+      ("https://Sub.Domain.ORG/", "sub.domain.org"),
+      ("ftp://www.files.net:21/x", "files.net"),
+      ("plainhost.COM", "plainhost.com"))
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlFunctions.urlHost(col("u"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"urlHost($in)") }
+  }
+
+  test("hostEdges: canonicalized endpoints, self-loops dropped, weights summed") {
+    val links = Seq(
+      ("http://WWW.X.com/a", "https://y.org/p"),   // x.com -> y.org
+      ("https://x.COM:443/b?q=1", "http://Y.ORG"), // same hosts, again
+      ("http://www.x.com/", "http://X.com/other"), // self-loop (after canon)
+      ("http://z.net", "http://x.com")             // z.net -> x.com
+    ).toDF("src_url", "dst_url")
+    val got = GraphOps.hostEdges(links, "src_url", "dst_url")
+      .orderBy("src", "dst").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("x.com", "y.org", 2L), ("z.net", "x.com", 1L)))
+  }
+
+  test("hostEdges -> trustRank composite: string node ids, seeds pull rank") {
+    // trusted.org links to good.com; spamA/spamB only link each other.
+    val links = Seq(
+      ("https://WWW.Trusted.ORG/a", "http://good.com/x"),
+      ("https://trusted.org/b?x=1", "http://good.com/y"),
+      ("http://good.com/z", "http://trusted.org/"),
+      ("http://spamA.biz", "http://spamB.biz"),
+      ("http://spamB.biz", "http://spamA.biz")
+    ).toDF("src_url", "dst_url")
+    val edges = GraphOps.hostEdges(links, "src_url", "dst_url")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val seeds = Seq("trusted.org").toDF("node")
+    val ranks = GraphOps.personalizedPageRank(nodes, edges, seeds,
+        iterations = 5)
+      .select("node", "rank_fp").as[(String, Long)].collect().toMap
+    // seed-reachable hosts hold all the mass; spam ring gets none
+    assert(ranks("trusted.org") > 0L && ranks("good.com") > 0L)
+    assert(ranks("spama.biz") == 0L && ranks("spamb.biz") == 0L)
+    assert(ranks("good.com") > ranks("spama.biz"))
+  }
+
+  test("topKWithOffset: exact pages vs full sort at many offsets") {
+    // deterministic values with duplicates (ties exercise the tiebreak)
+    val df = spark.range(0, 2000)
+      .select(col("id"), (xxhash64(col("id")) % 97).as("v"))
+    val full = df.orderBy(col("v").desc, col("id").asc)
+      .select("id").as[Long].collect().toSeq
+    for (offset <- Seq(0L, 1L, 500L, 1995L); k <- Seq(1, 7, 50)) {
+      val page = Relational.topKWithOffset(df, col("v"), descending = true,
+          tieBreakers = Seq(col("id").asc), k = k, offset = offset,
+          buckets = 8)
+        .orderBy("rn").select("id", "rn").as[(Long, Long)].collect().toSeq
+      val want = full.slice(offset.toInt,
+        math.min(offset.toInt + k, full.length))
+      assert(page.map(_._1) == want, s"offset=$offset k=$k")
+      // the attached global rank is exact and contiguous
+      assert(page.map(_._2) ==
+        ((offset + 1) to (offset + page.length)).toSeq)
+    }
+    // offset beyond the table and k=0 are empty, schema intact
+    assert(Relational.topKWithOffset(df, col("v"), descending = true,
+      tieBreakers = Seq(col("id").asc), k = 10, offset = 5000L).count() == 0L)
+    assert(Relational.topKWithOffset(df, col("v"), descending = true,
+      tieBreakers = Seq(col("id").asc), k = 0, offset = 0L).count() == 0L)
+  }
+
+  test("topKWithOffset: string order column degrades to the exact fallback") {
+    val df = Seq(("b", 1L), ("a", 2L), ("c", 3L), ("a", 4L))
+      .toDF("s", "id")
+    val got = Relational.topKWithOffset(df, col("s"), descending = false,
+        tieBreakers = Seq(col("id").asc), k = 2, offset = 1L)
+      .orderBy("rn").select("s", "id").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 4L), ("b", 1L)))
+  }
+
+  test("topKWithOffset: no global single-partition sort in the bucketed plan") {
+    val df = spark.range(0, 2000)
+      .select(col("id"), (xxhash64(col("id")) % 97).as("v"))
+    val page = Relational.topKWithOffset(df, col("v"), descending = true,
+      tieBreakers = Seq(col("id").asc), k = 10, offset = 1000L, buckets = 8)
+    val plan = page.queryExecution.executedPlan.toString
+    // the sort must run inside bucket partitions (window over __tk_bkt),
+    // never behind a single-partition or global range exchange
+    assert(!plan.contains("SinglePartition"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("rangepartitioning"), "global range sort leaked into the paginated plan")
+    assert(plan.contains("__tk_bkt"))
+  }
+
+  test("funnelSteps: bounded state — irrelevant events never accumulate") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // one entity with 100k irrelevant events around 3 step events: the
+    // pre-shuffle step filter keeps agg state at 3 rows, and the result
+    // is identical to the step events alone
+    val noise = spark.range(0, 100000).select(
+      lit(1L).as("user_id"),
+      expr("timestampadd(SECOND, cast(id as int), timestamp'2024-01-01 00:00:00')").as("ts"),
+      lit("ping").as("event_type"))
+    val steps = Seq(
+      (1L, ts("2024-01-03 10:00:00"), "view"),
+      (1L, ts("2024-01-03 11:00:00"), "click"),
+      (1L, ts("2024-01-03 12:00:00"), "purchase"),
+      // entity 2 has ONLY irrelevant events -> absent from output
+      (2L, ts("2024-01-01 00:00:00"), "ping")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Relational.funnelSteps(noise.union(steps), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Seq[Option[Timestamp]])].collect().toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == Seq(Some(ts("2024-01-03 10:00:00")),
+      Some(ts("2024-01-03 11:00:00")), Some(ts("2024-01-03 12:00:00"))))
+  }
+
+  test("funnelSteps: maxEventsPerEntity truncates to the earliest n relevant events") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val s3 = Seq("view", "click", "purchase")
+    // cap 2: purchase (3rd relevant event) is beyond the window -> lost
+    val capped = Relational.funnelSteps(ev, "user_id", "ts", "event_type",
+        s3, maxEventsPerEntity = 2)
+      .as[(Long, Seq[Option[Timestamp]])].collect().toMap
+    assert(capped(1L) == Seq(Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), None))
+    // cap >= events: identical to unbounded (monotone truncation)
+    val wide = Relational.funnelSteps(ev, "user_id", "ts", "event_type",
+        s3, maxEventsPerEntity = 10)
+      .as[(Long, Seq[Option[Timestamp]])].collect().toMap
+    assert(wide(1L).forall(_.isDefined))
+  }
+
+  test("temperatureSampleByTokens: exact reference keep-set over token masses") {
+    def h32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    // strata with very different token distributions: "big" = many short
+    // docs, "fat" = few huge docs (similar token mass), "rare" = tiny
+    val rows = ((1L to 200L).map(i => (i, "big", 10L)) ++
+      (201L to 205L).map(i => (i, "fat", 400L)) ++
+      (206L to 210L).map(i => (i, "rare", 8L)) ++
+      Seq((211L, "big", 0L))) // zero-token row: excluded from mass AND keep
+    def reference(q: Int, target: Long): Set[Long] = {
+      val live = rows.filter(_._3 > 0)
+      val byS = live.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+      def w(m: Long): java.math.BigDecimal = {
+        val md = m.toDouble
+        val sq = math.sqrt(md); val qq = math.sqrt(sq)
+        val v = q match {
+          case 0 => 1.0; case 1 => qq; case 2 => sq; case 3 => sq * qq
+          case 4 => md
+        }
+        new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP)
+      }
+      val tot = byS.values.map(w).reduce(_.add(_)).doubleValue()
+      val p = byS.map { case (s, m) =>
+        s -> math.min(1.0, w(m).doubleValue() * target.toDouble / tot / m.toDouble)
+      }
+      live.filter { case (id, s, _) => h32(id).toDouble / 4294967296.0 < p(s) }
+        .map(_._1).toSet
+    }
+    for (q <- Seq(0, 1, 2, 3, 4); target <- Seq(0L, 1000L, 1000000L)) {
+      val got = TextAnalysis.temperatureSampleByTokens(
+          rows.toDF("id", "s", "n_tok"), "id", "s", "n_tok", q, target)
+        .select("id").as[Long].collect()
+      assert(got.length == got.toSet.size)
+      assert(got.toSet == reference(q, target), s"q=$q target=$target")
+    }
+    // token budgeting ≠ doc budgeting: at α=1 "fat" (5 docs, 2000 tokens)
+    // carries ~2000/(2000+2000+40) of the budget — the doc-count variant
+    // would give those 5 docs ~5/210 instead
+    val kept = TextAnalysis.temperatureSampleByTokens(
+        rows.toDF("id", "s", "n_tok"), "id", "s", "n_tok", 4, 2000L)
+      .groupBy("s").agg(sum("n_tok").as("tok")).as[(String, Long)]
+      .collect().toMap
+    assert(kept.getOrElse("fat", 0L) > kept.getOrElse("rare", 0L))
+    // empty input: empty result, no NPE
+    assert(TextAnalysis.temperatureSampleByTokens(
+      rows.toDF("id", "s", "n_tok").limit(0), "id", "s", "n_tok", 2, 100L)
+      .count() == 0L)
+  }
+}

@@ -1557,11 +1557,14 @@ object SparkEntry {
     // Paginated exact global top-k (LIMIT 50 OFFSET 1000 by price desc):
     // quantile buckets + exact per-bucket counts prune to the page's
     // buckets before any sort — no global range sort, no single-reducer
-    // funnel at large offsets.
+    // funnel at large offsets. shallowLimit = 0 pins the DEEP bucketed
+    // path (the default would delegate this small page to TakeOrdered),
+    // so the oracle gates the machinery that matters at scale.
     graft.relational.Relational.topKWithOffset(
       t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
       col("o_totalprice"), descending = true,
-      tieBreakers = Seq(col("o_orderkey").asc), k = 50, offset = 1000)
+      tieBreakers = Seq(col("o_orderkey").asc), k = 50, offset = 1000,
+      shallowLimit = 0L)
 
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered

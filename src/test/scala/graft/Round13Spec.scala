@@ -97,10 +97,12 @@ class Round13Spec extends SparkSpec {
       .select(col("id"), (xxhash64(col("id")) % 97).as("v"))
     val full = df.orderBy(col("v").desc, col("id").asc)
       .select("id").as[Long].collect().toSeq
+    // shallowLimit = 0 pins the bucketed DEEP path; the default-path
+    // (TakeOrdered delegate) is checked separately below
     for (offset <- Seq(0L, 1L, 500L, 1995L); k <- Seq(1, 7, 50)) {
       val page = Relational.topKWithOffset(df, col("v"), descending = true,
           tieBreakers = Seq(col("id").asc), k = k, offset = offset,
-          buckets = 8)
+          buckets = 8, shallowLimit = 0L)
         .orderBy("rn").select("id", "rn").as[(Long, Long)].collect().toSeq
       val want = full.slice(offset.toInt,
         math.min(offset.toInt + k, full.length))
@@ -108,19 +110,29 @@ class Round13Spec extends SparkSpec {
       // the attached global rank is exact and contiguous
       assert(page.map(_._2) ==
         ((offset + 1) to (offset + page.length)).toSeq)
+      // the shallow TakeOrdered delegate returns the identical page
+      val shallow = Relational.topKWithOffset(df, col("v"), descending = true,
+          tieBreakers = Seq(col("id").asc), k = k, offset = offset)
+        .orderBy("rn").select("id", "rn").as[(Long, Long)].collect().toSeq
+      assert(shallow == page, s"shallow!=deep at offset=$offset k=$k")
     }
     // offset beyond the table and k=0 are empty, schema intact
-    assert(Relational.topKWithOffset(df, col("v"), descending = true,
-      tieBreakers = Seq(col("id").asc), k = 10, offset = 5000L).count() == 0L)
-    assert(Relational.topKWithOffset(df, col("v"), descending = true,
-      tieBreakers = Seq(col("id").asc), k = 0, offset = 0L).count() == 0L)
+    for (shallow <- Seq(0L, 65536L)) {
+      assert(Relational.topKWithOffset(df, col("v"), descending = true,
+        tieBreakers = Seq(col("id").asc), k = 10, offset = 5000L,
+        shallowLimit = shallow).count() == 0L)
+      assert(Relational.topKWithOffset(df, col("v"), descending = true,
+        tieBreakers = Seq(col("id").asc), k = 0, offset = 0L,
+        shallowLimit = shallow).count() == 0L)
+    }
   }
 
   test("topKWithOffset: string order column degrades to the exact fallback") {
     val df = Seq(("b", 1L), ("a", 2L), ("c", 3L), ("a", 4L))
       .toDF("s", "id")
     val got = Relational.topKWithOffset(df, col("s"), descending = false,
-        tieBreakers = Seq(col("id").asc), k = 2, offset = 1L)
+        tieBreakers = Seq(col("id").asc), k = 2, offset = 1L,
+        shallowLimit = 0L)
       .orderBy("rn").select("s", "id").as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 4L), ("b", 1L)))
   }
@@ -129,7 +141,8 @@ class Round13Spec extends SparkSpec {
     val df = spark.range(0, 2000)
       .select(col("id"), (xxhash64(col("id")) % 97).as("v"))
     val page = Relational.topKWithOffset(df, col("v"), descending = true,
-      tieBreakers = Seq(col("id").asc), k = 10, offset = 1000L, buckets = 8)
+      tieBreakers = Seq(col("id").asc), k = 10, offset = 1000L, buckets = 8,
+      shallowLimit = 0L)
     val plan = page.queryExecution.executedPlan.toString
     // the sort must run inside bucket partitions (window over __tk_bkt),
     // never behind a single-partition or global range exchange

@@ -3217,6 +3217,84 @@ WITH r AS (
 SELECT o_orderkey, o_custkey, o_totalprice, CAST(rn AS BIGINT) AS rn
 FROM r WHERE rn > 1000 AND rn <= 1050"""
 
+  /** Token-drift twin (q141): chi-square contribution per union token,
+    * d = c1·N2 − c2·N1 exact via HUGEINT (mirrors Spark's decimal —
+    * both exact, both < 2^53 at gate SFs so the double cast agrees);
+    * d²/n stays a PLAIN DOUBLE — per-row fixed-shape ops are
+    * IEEE-identical, while a decimal(…,12) cast at 1e8 magnitudes
+    * diverges (12th decimal below the ulp: shortest-repr vs
+    * exact-binary rounding). sum(BIGINT) is HUGEINT in DuckDB →
+    * totals re-cast BIGINT. */
+  private val q141 = """
+WITH tk AS (
+  SELECT lang,
+    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+ca AS (SELECT token, CAST(count(*) AS BIGINT) AS c1
+       FROM tk WHERE lang = 'en' AND length(token) > 0 GROUP BY 1),
+cb AS (SELECT token, CAST(count(*) AS BIGINT) AS c2
+       FROM tk WHERE lang <> 'en' AND length(token) > 0 GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.token, cb.token) AS token,
+         coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM j)
+SELECT token, c1, c2,
+  CAST(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1 AS DOUBLE)
+     * CAST(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1 AS DOUBLE)
+     / CAST(c1 + c2 AS DOUBLE) AS contribution
+FROM j CROSS JOIN tot ORDER BY token"""
+
+  /** Inverted-index twin (q142): per-doc token dedup inside the row
+    * (list_distinct), doc_freq = pair count, postings = the 8 smallest
+    * doc ids as CSV via a rank-limit qualify + numerically-ordered
+    * string_agg. */
+  private val q142 = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+      unnest(list_distinct(
+        string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS token
+    FROM documents)
+  WHERE length(token) > 0),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+          FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM pairs),
+post AS (
+  SELECT token,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM ranked WHERE rn <= 8 GROUP BY 1)
+SELECT d.token, d.doc_freq, p.postings
+FROM dfreq d JOIN post p USING (token) ORDER BY d.token"""
+
+  /** Winsorize twin (q143): identical cumulative-count window + integer
+    * percentile test (cum·100 ≥ p·n), clamp, decimal-exact sum. */
+  private val q143 = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+c AS (
+  SELECT event_type, value,
+    count(*) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+b AS (
+  SELECT event_type,
+    min(CASE WHEN cum * 100 >= 5 * n THEN value END) AS lo,
+    min(CASE WHEN cum * 100 >= 95 * n THEN value END) AS hi
+  FROM c GROUP BY 1),
+w AS (
+  SELECT v.event_type,
+    least(greatest(v.value, b.lo), b.hi) AS winsorized
+  FROM v JOIN b USING (event_type))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  min(winsorized) AS lo_clamped, max(winsorized) AS hi_clamped,
+  CAST(sum(CAST(winsorized AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS total
+FROM w GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3317,6 +3395,9 @@ FROM r WHERE rn > 1000 AND rn <= 1050"""
     "q138_token_temperature" -> q138,
     "q139_host_graph" -> q139,
     "q140_topk_offset" -> q140,
+    "q141_token_drift" -> q141,
+    "q142_inverted_index" -> q142,
+    "q143_winsorize" -> q143,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1566,6 +1566,41 @@ object SparkEntry {
       tieBreakers = Seq(col("o_orderkey").asc), k = 50, offset = 1000,
       shallowLimit = 0L)
 
+  private def q141_token_drift(s: SparkSession, dir: String): DataFrame = {
+    // Corpus drift between the English slice and everything else:
+    // rational chi-square contributions (no libm log), exact decimal
+    // integers, per-token double term cast straight to decimal(38,12)
+    // (the q108 idiom — never decimal→double on output).
+    val d = t(s, dir, "documents")
+    TA.tokenDrift(d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"), "text")
+      .orderBy("token")
+  }
+
+  private def q142_inverted_index(s: SparkSession, dir: String): DataFrame =
+    // Inverted index with bounded postings (8): doc_freq from a full
+    // count agg; posting lists capped BEFORE collection by a rank-limit
+    // window (group-limit inferable), rendered as ascending id CSV.
+    TA.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 8)
+      .orderBy("token")
+
+  private def q143_winsorize(s: SparkSession, dir: String): DataFrame =
+    // Per-type winsorization of event values at the exact discrete
+    // [5th, 95th] percentiles (integer threshold cum·100 ≥ p·n — no
+    // interpolation, no sketch convention to match), summarized per
+    // type with a decimal-exact sum of the clamped values.
+    graft.analyze.Stats.winsorize(
+        t(s, dir, "events").select("event_type", "value"),
+        "event_type", "value", loPct = 5, hiPct = 95)
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        min(col("winsorized")).as("lo_clamped"),
+        max(col("winsorized")).as("hi_clamped"),
+        sum(col("winsorized").cast("decimal(14,2)")).cast("decimal(38,2)")
+          .as("total"))
+      .orderBy("event_type")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -1995,6 +2030,9 @@ object SparkEntry {
     "q138_token_temperature" -> (q138_token_temperature _),
     "q139_host_graph" -> (q139_host_graph _),
     "q140_topk_offset" -> (q140_topk_offset _),
+    "q141_token_drift" -> (q141_token_drift _),
+    "q142_inverted_index" -> (q142_inverted_index _),
+    "q143_winsorize" -> (q143_winsorize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

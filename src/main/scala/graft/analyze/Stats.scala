@@ -233,4 +233,48 @@ object Stats {
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
+
+  /** Per-group winsorization: clamp values to the group's discrete
+    * [loPct, hiPct] percentile bounds — the standard tail-taming pass
+    * before averaging noisy quality scores or latencies (outliers are
+    * bounded, not dropped, so counts are preserved unlike a filter).
+    *
+    * The bound is EXACT and discrete: the smallest value whose
+    * cumulative row count reaches p% of the group (cum·100 ≥ p·n, a
+    * pure integer compare — no interpolation, no sketch, no
+    * engine-specific index convention; the replaying engine runs the
+    * identical window + integer test). Percentiles are integer percents
+    * so the threshold stays rational. Within a value-tie the crossing
+    * row is order-arbitrary but the VALUE picked is not — ties share
+    * one value by definition.
+    *
+    * ONE window shuffle (cumulative count over the group's value
+    * order) + one metadata-sized bounds agg broadcast back; nulls pass
+    * through unclamped (they carry no magnitude to clamp). A hot group
+    * sorts in one task — the usual salted-rank territory at 100 TB;
+    * this plain form keeps the gate-replayable single-window shape. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
+      s"need 0 <= loPct <= hiPct <= 100, got [$loPct, $hiPct]")
+    val v = df.filter(col(valueCol).isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val bounds = v
+      .withColumn("__cum", count(lit(1)).over(w))
+      .withColumn("__n", count(lit(1)).over(tot))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") * 100 >= lit(loPct) * col("__n"),
+          col(valueCol))).as("__lo"),
+        min(when(col("__cum") * 100 >= lit(hiPct) * col("__n"),
+          col(valueCol))).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("winsorized",
+        when(col(valueCol).isNull, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
 }

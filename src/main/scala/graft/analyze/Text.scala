@@ -1023,4 +1023,101 @@ object TextAnalysis {
       .filter(col("cnt").cast(dec) * lit(d.toLong) >= col("n").cast(dec))
       .select(col("v"), col("cnt"))
   }
+
+  /** Token-distribution drift between two corpus slices — the mixture
+    * monitoring pass that catches a source going stale or a scraper
+    * changing behavior between snapshots. Pearson's chi-square over the
+    * union token vocabulary, in the algebraically reduced form
+    *   χ² = Σ_t (c1_t·N2 − c2_t·N1)² / (n_t·N1·N2),  n_t = c1_t + c2_t
+    * (derivation: both expected-count terms share the factor
+    * d = c1·N2 − c2·N1). Chi-square, not KL/G-test, on purpose: it is
+    * RATIONAL — no libm log, whose last-ulp results differ across
+    * engines and would break replay.
+    *
+    * Exactness: counts and d are exact DECIMAL(38,0) integers; each
+    * token's contribution is ONE fixed-shape double expression (d²/n_t
+    * — exact-int d cast to double, one multiply, one divide), which is
+    * IEEE-identical in any replaying engine and per-row, so no
+    * summation-order hazard exists in the output itself. Returns the
+    * per-token contribution table (largest drivers first is one
+    * orderBy away); the scalar χ² is Σ contribution / (N1·N2) — a
+    * caller summing it across engines should apply the decimal-sum
+    * policy (round 12 dp → decimal → exact sum, bigramLmScore-style).
+    *
+    * Scale posture: two token-count aggs (map-side combinable — the
+    * shuffle carries (token, count), never the corpus), one full outer
+    * join on the union vocabulary. Stopword-heavy tokens are heavy
+    * VALUES here, not heavy join keys (counts are pre-aggregated, one
+    * row per token per side). */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "__c1")
+    val cb = counts(b, "__c2")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("__c1"), lit(0L)).as("c1"),
+        coalesce(col("__c2"), lit(0L)).as("c2"))
+    val dec = "decimal(38,0)"
+    val totals = joined.agg(sum(col("c1")).as("__n1"), sum(col("c2")).as("__n2"))
+    // The contribution stays a PLAIN DOUBLE: it is per-row (never
+    // aggregated), and the fixed-shape op chain (exact-int d → double,
+    // one multiply, one divide) is IEEE-identical in any replaying
+    // engine. A decimal cast here would actually BREAK parity — at
+    // d²/n magnitudes the 12th decimal sits below the double's ulp,
+    // where Spark's shortest-repr rounding and an exact-binary-
+    // expansion rounding legitimately disagree (measured: 2-ulp
+    // mismatches at 1e8). Decimal casts belong on SUMMED doubles
+    // (bigramLm), not on per-row outputs.
+    joined.crossJoin(broadcast(totals))
+      .select(col("token"), col("c1"), col("c2"),
+        {
+          val d = (col("c1").cast(dec) * col("__n2").cast(dec) -
+            col("c2").cast(dec) * col("__n1").cast(dec)).cast("double")
+          (d * d / (col("c1") + col("c2")).cast("double")).as("contribution")
+        })
+  }
+
+  /** Inverted index build: token → document frequency + the first
+    * `maxPostings` posting doc ids — the grep-the-corpus tool every
+    * curation pipeline grows (find the documents containing a leaked
+    * eval answer / a PII string / a rare term) without re-scanning
+    * 100 TB of text per lookup.
+    *
+    * Bounded state by construction: postings are capped BEFORE any
+    * collect_list via a rank-limit window (`rn <= maxPostings`), which
+    * Spark's InferWindowGroupLimit turns into a map-side group limit —
+    * a stopword appearing in every document ships ≤ maxPostings rows
+    * per map task, never its full posting list, and the list agg buffer
+    * never exceeds maxPostings entries. The full document frequency
+    * comes from a separate map-side-combinable count agg. Postings are
+    * emitted as a comma-joined ascending id string (deterministic, and
+    * replayable as DuckDB string_agg ORDER BY).
+    *
+    * Per-doc token dedup happens inside the row (`array_distinct`) —
+    * no corpus-wide distinct shuffle; what shuffles is (token, doc_id)
+    * pairs, 16 bytes each, never text. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be > 0, got $maxPostings")
+    val pairs = docs
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+    val dfCounts = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("__doc").asc)
+    val postings = pairs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("token"))
+      // sort the TYPED ids, then render: sorting string-cast ids would
+      // order "10" before "9"
+      .agg(array_join(transform(sort_array(collect_list(col("__doc"))),
+        d => d.cast("string")), ",").as("postings"))
+    dfCounts.join(postings, Seq("token"))
+  }
 }

@@ -198,6 +198,68 @@ class Round13Spec extends SparkSpec {
     assert(wide(1L).forall(_.isDefined))
   }
 
+  test("winsorize: exact discrete bounds, nulls pass through, degenerate groups") {
+    import graft.analyze.Stats
+    // group g: 1..20 -> 5th pct bound = 1 (cum*100 >= 5*20 at row 1),
+    // 95th = 19 (cum 19*100 >= 95*20); group h: all equal
+    val df = ((1 to 20).map(i => ("g", Some(i.toDouble))) ++
+      Seq(("g", None)) ++ (1 to 5).map(_ => ("h", Some(7.0))))
+      .toDF("grp", "v")
+    val got = Stats.winsorize(df, "grp", "v", 5, 95)
+      .select("grp", "v", "winsorized")
+      .as[(String, Option[Double], Option[Double])].collect()
+    val g = got.filter(_._1 == "g")
+    assert(g.flatMap(_._3).min == 1.0 && g.flatMap(_._3).max == 19.0)
+    assert(g.count(_._3.contains(19.0)) == 2) // 19 itself + clamped 20
+    assert(g.exists(r => r._2.isEmpty && r._3.isEmpty)) // null untouched
+    val h = got.filter(_._1 == "h")
+    assert(h.forall(_._3.contains(7.0)))
+    // [0, 100] never clamps
+    val id = Stats.winsorize(df, "grp", "v", 0, 100)
+      .filter(col("v").isNotNull)
+      .filter(col("v") =!= col("winsorized")).count()
+    assert(id == 0L)
+  }
+
+  test("tokenDrift: hand-computed chi-square contributions, zero on matched rates") {
+    import graft.analyze.TextAnalysis
+    val a = Seq("x x y", "x z").toDF("text")   // a: x=3, y=1, z=1 (N1=5)
+    val b = Seq("x y y", "w x x").toDF("text") // b: x=3, y=2, w=1 (N2=6)
+    val got = TextAnalysis.tokenDrift(a, b, "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def contrib(c1: Long, c2: Long): Double = {
+      val d = (c1 * 6 - c2 * 5).toDouble; d * d / (c1 + c2).toDouble
+    }
+    assert(got.keySet == Set("x", "y", "z", "w"))
+    for ((tok, (c1, c2, _)) <- got)
+      assert(math.abs(got(tok)._3 - contrib(c1, c2)) < 1e-9, tok)
+    assert(got("x") == ((3L, 3L, contrib(3, 3)))) // 18-15=3 -> 9/6
+    assert(got("z")._1 == 1L && got("z")._2 == 0L &&
+      got("z")._3 == contrib(1, 0))
+    // identical corpora: every d = 0
+    val same = TextAnalysis.tokenDrift(a, a, "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(same.forall(_._4 == 0.0))
+  }
+
+  test("invertedIndex: postings capped, per-doc dedup, group-limit plan") {
+    import graft.analyze.TextAnalysis
+    // "the" in all 12 docs (twice in each — per-doc dedup), "rare" in 2
+    val docs = (1 to 12).map(i =>
+      (i.toLong, "the the common" + (if (i <= 2) " rare" else "")))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 8)
+    val m = idx.as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("the") == ((12L, "1,2,3,4,5,6,7,8")))  // df full, postings capped
+    assert(m("common")._1 == 12L)
+    assert(m("rare") == ((2L, "1,2")))
+    // the cap is enforced BEFORE collection: map-side group limit in plan
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank-limit not map-side pruned")
+  }
+
   test("temperatureSampleByTokens: exact reference keep-set over token masses") {
     def h32(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -471,23 +471,13 @@ object Relational {
         case s => s.collect { case d: java.lang.Double => d.doubleValue }
           .toArray.distinct.sorted
       }
-    // bucket = #boundaries strictly below v (ascending), found by a
-    // BALANCED binary-search when-tree: depth ⌈log₂ b⌉ comparisons per
-    // row, not a b-deep linear Add(If(...)) fold — the linear chain at
-    // 64 buckets measurably dropped the scan out of efficient codegen
-    // (~3.7 s/pass on 8M rows vs near-scan cost for the tree). Null v →
-    // 0 → the edge bucket on the side nulls sort (first for asc, last
-    // for desc after the flip — matching default null ordering).
-    def idxTree(lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(vcol > lit(bounds(mid)), idxTree(mid + 1, hi))
-          .otherwise(idxTree(lo, mid))
-      }
-    val idxAsc =
-      if (bounds.isEmpty) lit(0)
-      else when(vcol.isNull, lit(0)).otherwise(idxTree(0, bounds.length))
+    // bucket = #boundaries strictly below v (ascending), via the shared
+    // balanced binary-search when-tree (Skew.searchIdx — depth ⌈log₂ b⌉,
+    // not a b-deep linear fold, which measurably dropped the scan out of
+    // efficient codegen at b=64: ~3.7 s/pass on 8M rows). Null v → 0 →
+    // the edge bucket on the side nulls sort (first for asc, last for
+    // desc after the flip — matching default null ordering).
+    val idxAsc = graft.core.Skew.searchIdx(vcol, bounds)
     val idx = if (descending) lit(bounds.length) - idxAsc else idxAsc
     // exact counts per bucket: ≤ buckets rows to the driver
     val counts: Seq[(Int, Long)] = df.groupBy(idx.as("__tk_bkt"))

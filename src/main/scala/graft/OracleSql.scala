@@ -3295,6 +3295,186 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(sum(CAST(winsorized AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS total
 FROM w GROUP BY 1 ORDER BY 1"""
 
+  /** MRL-truncation recall twin (q144): q33's exact-cosine machinery on
+    * BOTH the 16-dim prefix slice and the full 64 dims, recall tail as
+    * q86. Same decimal-exact dot (product → DECIMAL(30,12), exact
+    * sum). */
+  private val q144 = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+t2 AS (SELECT vec_id, i, x FROM e2 WHERE i <= 16),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+tnorms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM t2 GROUP BY 1),
+xdots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i
+  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+xcos AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM xdots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM xcos) WHERE rn <= 5),
+tdots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM t2 a JOIN t2 b ON a.i = b.i
+  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+tcos AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM tdots
+  JOIN tnorms nq ON nq.vec_id = query_id
+  JOIN tnorms nn ON nn.vec_id = neighbor_id),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM tcos) WHERE rn <= 5),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(a2.neighbor_id) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a2
+    ON a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
+  GROUP BY 1)
+SELECT query_id, n_hit, CAST(n_hit AS DOUBLE) / 5.0 AS recall
+FROM hits ORDER BY query_id"""
+
+  /** RRF fusion twin (q145): q33's dense top-5 + a same-label-first
+    * top-10, fused as Σ round(1/(60+rank), 12)::DECIMAL(30,12) (the
+    * meanPool round-then-cast idiom), fused rank ties to the id. */
+  private val q145 = """
+WITH e2 AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM e2 GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e2 a JOIN e2 b ON a.i = b.i
+  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+cosv AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN sqrt(nq.n2) * sqrt(nn.n2) > 0
+         THEN dot / (sqrt(nq.n2) * sqrt(nn.n2)) ELSE 0.0 END AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nn ON nn.vec_id = neighbor_id),
+dense AS (
+  SELECT query_id, neighbor_id, rn AS "rank" FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM cosv) WHERE rn <= 5),
+ql AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings WHERE vec_id < 8),
+bylabel AS (
+  SELECT query_id, neighbor_id, rn AS "rank" FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY (CASE WHEN c.label IS NOT DISTINCT FROM q.qlab THEN 1 ELSE 0 END) DESC,
+                 c.vec_id) AS rn
+    FROM embeddings c CROSS JOIN ql q
+    WHERE c.vec_id <> q.query_id) WHERE rn <= 10),
+unioned AS (
+  SELECT query_id, neighbor_id,
+    CAST(round(1.0 / (60.0 + CAST("rank" AS DOUBLE)), 12) AS DECIMAL(30,12)) AS r
+  FROM dense
+  UNION ALL
+  SELECT query_id, neighbor_id,
+    CAST(round(1.0 / (60.0 + CAST("rank" AS DOUBLE)), 12) AS DECIMAL(30,12)) AS r
+  FROM bylabel),
+fused AS (
+  SELECT query_id, neighbor_id,
+    CAST(SUM(r) AS DECIMAL(30,12)) AS rrf_score
+  FROM unioned GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rrf_score,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS "rank"
+FROM fused
+QUALIFY "rank" <= 10
+ORDER BY query_id, "rank""""
+
+  /** Canonical-URL dedup twin (q146): the q139 messy-URL generator on
+    * single documents, the full normalization replay, group by the
+    * canonical string. */
+  private val q146 = """
+WITH urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'HTTP://' END ||
+     CASE WHEN doc_id % 2 = 0 THEN 'WWW.' || upper(source) ELSE source END || '.example.org' ||
+     CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 2 THEN ':8080' ELSE '' END ||
+     '/' || lang ||
+     CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+     CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END ||
+     CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(regexp_replace(trim(url), '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(trim(url), '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+  FROM urls),
+pieces AS (
+  SELECT doc_id, scheme,
+    regexp_replace(regexp_replace(lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), '^([^:]*)', 1)), '^www\.', ''), '\.$', '') AS host,
+    regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), ':([0-9]+)$', 1) AS port,
+    regexp_replace(regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '^([^?]*)', 1), '/+$', '') AS path,
+    regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '\?(.*)$', 1) AS query
+  FROM parts),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host ||
+    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END) ||
+    path ||
+    (CASE WHEN length(array_to_string(list_sort(list_filter(string_split(query, '&'), x -> len(x) > 0)), '&')) > 0
+          THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'), x -> len(x) > 0)), '&')
+          ELSE '' END) AS canonical
+  FROM pieces)
+SELECT canonical, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY 1 ORDER BY 1"""
+
+  /** Snapshot-diff twin (q147): the same derivatives, a literal FULL
+    * OUTER JOIN, per-column null-safe compare. */
+  private val q147 = """
+WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+olds AS (SELECT * FROM cust WHERE c_custkey % 10 <> 0),
+news AS (
+  SELECT c_custkey, c_name,
+    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal
+  FROM cust WHERE c_custkey % 7 <> 0),
+d AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+    CASE WHEN o.c_custkey IS NULL THEN 'added'
+         WHEN n.c_custkey IS NULL THEN 'removed'
+         WHEN (o.c_name IS NOT DISTINCT FROM n.c_name)
+          AND (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal) THEN 'unchanged'
+         ELSE 'changed' END AS status
+  FROM olds o FULL OUTER JOIN news n ON o.c_custkey = n.c_custkey)
+SELECT c_custkey, status FROM d WHERE status <> 'unchanged'
+ORDER BY c_custkey"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3398,6 +3578,10 @@ FROM w GROUP BY 1 ORDER BY 1"""
     "q141_token_drift" -> q141,
     "q142_inverted_index" -> q142,
     "q143_winsorize" -> q143,
+    "q144_mrl_recall" -> q144,
+    "q145_rrf_fusion" -> q145,
+    "q146_url_dedup" -> q146,
+    "q147_snapshot_diff" -> q147,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

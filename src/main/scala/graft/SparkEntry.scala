@@ -1515,6 +1515,23 @@ object SparkEntry {
         "doc_id", "lang", "n_tok", alphaQuarters = 3, targetTokens = 8000)
       .select("doc_id", "lang", "n_tok")
 
+  /** Deterministic crawl-style messy URL (q139/q146 fixture generator):
+    * mixed-case scheme/host, www. on evens, default+explicit ports,
+    * trailing slashes, unordered query params, fragments — every
+    * variant axis the canonicalizer must collapse, replayed verbatim
+    * by the oracles. */
+  private def messyUrl(id: Column, src: Column, lang: Column): Column = concat(
+    when(id % 3 === 0, lit("HTTPS://")).when(id % 3 === 1, lit("https://"))
+      .otherwise(lit("HTTP://")),
+    when(id % 2 === 0, concat(lit("WWW."), upper(src))).otherwise(src),
+    lit(".example.org"),
+    when(id % 3 === 0, lit(":443")).when(id % 3 === 2, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/"), lang,
+    when(id % 5 === 0, lit("/")).otherwise(lit("")),
+    when(id % 2 === 0, lit("?b=2&a=1")).otherwise(lit("?a=1&b=2")),
+    when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+
   private def q139_host_graph(s: SparkSession, dir: String): DataFrame = {
     // URL canonicalization → host-level link graph: messy crawl-style
     // URLs (mixed-case scheme/host, www., default+explicit ports,
@@ -1526,17 +1543,7 @@ object SparkEntry {
     // query sort, fragment drop) is oracle-gated, not just the host.
     import graft.functions.UrlFunctions.{urlHost, urlNormalize}
     val d = t(s, dir, "documents").select("doc_id", "source", "lang")
-    def url(id: Column, src: Column, lang: Column): Column = concat(
-      when(id % 3 === 0, lit("HTTPS://")).when(id % 3 === 1, lit("https://"))
-        .otherwise(lit("HTTP://")),
-      when(id % 2 === 0, concat(lit("WWW."), upper(src))).otherwise(src),
-      lit(".example.org"),
-      when(id % 3 === 0, lit(":443")).when(id % 3 === 2, lit(":8080"))
-        .otherwise(lit("")),
-      lit("/"), lang,
-      when(id % 5 === 0, lit("/")).otherwise(lit("")),
-      when(id % 2 === 0, lit("?b=2&a=1")).otherwise(lit("?a=1&b=2")),
-      when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+    val url = messyUrl _
     val links = d.alias("a")
       .join(d.alias("b"), col("b.doc_id") === col("a.doc_id") + 7)
       .select(
@@ -1600,6 +1607,89 @@ object SparkEntry {
         sum(col("winsorized").cast("decimal(14,2)")).cast("decimal(38,2)")
           .as("total"))
       .orderBy("event_type")
+
+  private def q144_mrl_recall(s: SparkSession, dir: String): DataFrame = {
+    // Matryoshka truncation quality gate: exact cosine top-5 on the
+    // FIRST 16 of 64 dims vs full-dim exact top-5 (q33) — the
+    // retrieval-cost knob modern embedding stacks tune. Cosine
+    // renormalizes implicitly (norms over the truncated dims), so no
+    // separate re-normalization pass is needed.
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Similarity.dotExact(col("embedding"), col("embedding")).as("qn2"))
+    val c = Similarity.ensureParallelism(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        Similarity.dotExact(col("embedding"), col("embedding")).as("cn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        when(sqrt(col("qn2")) * sqrt(col("cn2")) > 0,
+          Similarity.dotExact(col("qv"), col("cv")) /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))).otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val truncated = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("query_id", "neighbor_id")
+    Similarity.annRecall(q33_cosine_topk(s, dir), truncated,
+        "query_id", "neighbor_id", k = 5)
+      .orderBy("query_id")
+  }
+
+  private def q145_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    // Hybrid-retrieval rank fusion: the dense ranking (q33 cosine
+    // top-5) fused with a label-affinity ranking (same-label first,
+    // ids tiebreak, top-10) via reciprocal-rank fusion — rank-based,
+    // so the two signals' score scales never need calibration; decimal
+    // exact reciprocal sums.
+    val emb = t(s, dir, "embeddings")
+    val ql = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+    val cl = emb.select(col("vec_id").as("neighbor_id"), col("label").as("nlab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("m").desc, col("neighbor_id").asc)
+    val byLabel = cl.crossJoin(broadcast(ql))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("m", when(col("nlab") <=> col("qlab"), 1).otherwise(0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    Similarity.rrfFuse(Seq(q33_cosine_topk(s, dir), byLabel),
+        "query_id", "neighbor_id", "rank", kConst = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private def q146_url_dedup(s: SparkSession, dir: String): DataFrame =
+    // URL-keyed exact dedup after canonicalization: the q139 messy-URL
+    // generator grouped by canonical form — variant axes collapse
+    // (case, www., default port, slash, query order, fragment), the
+    // smallest doc_id survives with its variant count.
+    t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.UrlFunctions.urlNormalize(
+          messyUrl(col("doc_id"), col("source"), col("lang"))).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_variants"))
+      .orderBy("canonical")
+
+  private def q147_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    // Snapshot diff between two deterministic customer versions:
+    // %10==0 keys absent from OLD (added), %7==0 absent from NEW
+    // (removed), %3==0 acctbal bumped (changed); null-safe per-column
+    // compare, one co-partitioned full-outer join.
+    val cust = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val oldS = cust.filter(col("c_custkey") % 10 =!= 0)
+    val newS = cust.filter(col("c_custkey") % 7 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1)
+          .otherwise(col("c_acctbal")))
+    graft.relational.Relational.snapshotDiff(oldS, newS,
+        Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+      .filter(col("status") =!= "unchanged")
+      .select("c_custkey", "status")
+      .orderBy("c_custkey")
+  }
 
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
@@ -2033,6 +2123,10 @@ object SparkEntry {
     "q141_token_drift" -> (q141_token_drift _),
     "q142_inverted_index" -> (q142_inverted_index _),
     "q143_winsorize" -> (q143_winsorize _),
+    "q144_mrl_recall" -> (q144_mrl_recall _),
+    "q145_rrf_fusion" -> (q145_rrf_fusion _),
+    "q146_url_dedup" -> (q146_url_dedup _),
+    "q147_snapshot_diff" -> (q147_snapshot_diff _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -312,6 +312,39 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
   }
 
+  /** Reciprocal-rank fusion of N per-query rankings — the standard
+    * hybrid-retrieval combiner (dense + sparse + recency …):
+    * score(item) = Σ_lists 1/(kConst + rank_list(item)), missing-list
+    * items simply contribute nothing. Rank-based, so the lists'
+    * heterogeneous score scales never need calibration — exactly why
+    * RRF is the production default.
+    *
+    * Engine-exact: each reciprocal is one IEEE division rounded to
+    * 12 dp and cast to decimal (the meanPool idiom — round first so no
+    * exact-tie hits the engines' different decimal rounding modes),
+    * summed exactly per (query, item) — fusion order can never change a
+    * score. Output keeps the decimal score (a decimal→double cast
+    * would hit DuckDB's 1-ulp divergence) plus the fused rank, ties to
+    * the smaller item id.
+    *
+    * Scale shape: inputs are already top-k tables (n_queries × k × N
+    * rows — search output, not corpora); one union, one
+    * (query, item) partial agg, one per-query rank window. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, itemCol: String,
+              rankCol: String, kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 1 && topK >= 1, "kConst and topK must be >= 1")
+    val slim = rankings.map(_.select(col(queryCol), col(itemCol),
+      round(lit(1.0) / (lit(kConst.toDouble) + col(rankCol).cast("double")), 12)
+        .cast("decimal(30,12)").as("__r")))
+    val fused = slim.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(itemCol))
+      .agg(sum(col("__r")).cast("decimal(30,12)").as("rrf_score"))
+    topKPerQuery(fused, queryCol,
+        Seq(col("rrf_score").desc, col(itemCol).asc), topK)
+      .select(col(queryCol), col(itemCol), col("rrf_score"), col("rank"))
+  }
+
   /** EXACT cosine-threshold pairs by brute force over all id pairs —
     * the correctness baseline for cosineNearDups. O(n²) in pairs: on a
     * cluster, bound `df` (sample or pre-filter) before calling; for dense

@@ -388,6 +388,45 @@ object Relational {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Snapshot diff: classify every key across two table versions as
+    * `added` / `removed` / `changed` / `unchanged` — the ingest QA pass
+    * between corpus snapshots (what did the new crawl actually change?)
+    * and the input to incremental downstream recompute (only
+    * added ∪ changed need re-processing).
+    *
+    * Comparison is per-column NULL-SAFE equality (`<=>`) on
+    * `compareCols` — no row hash, so there is nothing to keep
+    * engine-portable and a null→value transition counts as a change.
+    * Keys must be non-null (a null key never matches across sides and
+    * would classify as one `removed` + one `added`; that IS full-outer
+    * semantics, documented rather than hidden).
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key — both
+    * sides shuffle once on the same key, no windows, no driver state;
+    * project `compareCols` down before calling so the shuffle carries
+    * only what the diff inspects. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_old", lit(1))
+    val renames = compareCols.map(c => c -> s"__new_$c")
+    val n0 = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__in_new", lit(1))
+    val n = renames.foldLeft(n0) { case (d, (c, r)) => d.withColumnRenamed(c, r) }
+    val same = compareCols
+      .map(c => col(c) <=> col(s"__new_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(same, lit("unchanged"))
+          .otherwise(lit("changed")))
+      .drop("__in_old", "__in_new")
+  }
+
   /** Exact global top-k with offset — `ORDER BY … LIMIT k OFFSET m`
     * without the global sort. Spark plans the literal form as a
     * range-partitioned total sort (or, worse, a single-reducer

@@ -260,6 +260,46 @@ class Round13Spec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "rank-limit not map-side pruned")
   }
 
+  test("rrfFuse: hand-computed fusion, missing-list items, tie to smaller id") {
+    import graft.analyze.Similarity
+    // query 1: list A ranks items 10,20,30; list B ranks 20,10,40
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("q", "item", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 10L, 2), (1L, 40L, 3))
+      .toDF("q", "item", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "q", "item", "rank",
+        kConst = 60, topK = 10)
+      .orderBy("rank").as[(Long, Long, BigDecimal, Int)].collect().toSeq
+    def r(k: Int): BigDecimal = BigDecimal(1.0 / (60.0 + k))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // 10: 1/61+1/62 == 20: 1/62+1/61 -> exact tie, smaller id first
+    assert(got.map(_._2) == Seq(10L, 20L, 30L, 40L))
+    assert(got.map(_._4) == Seq(1, 2, 3, 4))
+    assert(got(0)._3 == r(1) + r(2))
+    assert(got(0)._3 == got(1)._3) // bit-exact tie via decimal sums
+    assert(got(2)._3 == r(3))      // item only in list A
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
+    import graft.relational.Relational
+    val oldDf = Seq(
+      (1L, Some("a"), Some(10)), // unchanged
+      (2L, Some("b"), Some(20)), // value change
+      (3L, None: Option[String], Some(30)), // null -> value change
+      (4L, Some("d"), None: Option[Int])    // removed
+    ).toDF("k", "s", "v")
+    val newDf = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, Some("b"), Some(21)),
+      (3L, Some("c"), Some(30)),
+      (5L, Some("e"), Some(50)) // added
+    ).toDF("k", "s", "v")
+    val got = Relational.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s", "v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("temperatureSampleByTokens: exact reference keep-set over token masses") {
     def h32(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -3475,6 +3475,29 @@ d AS (
 SELECT c_custkey, status FROM d WHERE status <> 'unchanged'
 ORDER BY c_custkey"""
 
+  /** Quantile-normalize twin (q148): same two rank windows + the
+    * all-integer midpoint mapping ((2r−1)·N + 2n − 1) // (2n), joined
+    * on the global rank index. */
+  private val q148 = """
+WITH v AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT event_id, event_type, value,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS r,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v),
+gl AS (
+  SELECT value AS normalized,
+    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS gr
+  FROM v),
+t AS (
+  SELECT event_id, event_type, value,
+    ((2 * r - 1) * (SELECT count(*) FROM v) + 2 * n - 1) // (2 * n) AS tr
+  FROM g)
+SELECT t.event_id, t.event_type, t.value, gl.normalized
+FROM t JOIN gl ON gl.gr = t.tr
+WHERE t.event_id % 10 = 0
+ORDER BY t.event_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3582,6 +3605,7 @@ ORDER BY c_custkey"""
     "q145_rrf_fusion" -> q145,
     "q146_url_dedup" -> q146,
     "q147_snapshot_diff" -> q147,
+    "q148_quantile_normalize" -> q148,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1691,6 +1691,19 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  private def q148_quantile_normalize(s: SparkSession, dir: String): DataFrame =
+    // Cross-type score calibration: every event value mapped to the
+    // GLOBAL value at its within-type quantile — all-integer midpoint
+    // rank mapping, global ranks via the salted (bucketed) machinery,
+    // never a single-reducer sort. Deterministic 10% slice keeps the
+    // dump small; ranks are computed on the full table.
+    graft.analyze.Stats.quantileNormalize(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value", "event_id")
+      .filter(col("event_id") % 10 === 0)
+      .select("event_id", "event_type", "value", "normalized")
+      .orderBy("event_id")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2127,6 +2140,7 @@ object SparkEntry {
     "q145_rrf_fusion" -> (q145_rrf_fusion _),
     "q146_url_dedup" -> (q146_url_dedup _),
     "q147_snapshot_diff" -> (q147_snapshot_diff _),
+    "q148_quantile_normalize" -> (q148_quantile_normalize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -234,6 +234,50 @@ object Stats {
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
 
+  /** Quantile normalization across groups: replace each value with the
+    * GLOBAL value at the row's within-group quantile — the cross-source
+    * score calibration pass (source A's 90th-percentile quality score
+    * means "top decile of A" whatever A's scale; after normalization
+    * one global threshold treats every source fairly — the FineWeb
+    * per-domain-gate idea taken to a common scale).
+    *
+    * ALL-INTEGER rank mapping (no double quantile arithmetic to
+    * replay): within-group rank r of n (ordered by (value, id) — id
+    * must be a per-row tiebreaker) maps to the global value at rank
+    * ⌈(2r−1)·N / (2n)⌉ = ((2r−1)·N + 2n − 1) div (2n) — the midpoint
+    * (Hazen) convention, so a 1-row group lands on the global median
+    * rather than a degenerate extreme. Exact long arithmetic
+    * throughout (`div`, never doubles).
+    *
+    * Scale posture: the within-group rank is one window shuffle; the
+    * GLOBAL rank reuses [[graft.core.Skew.saltedRowNumber]] (empty key
+    * set) — exact global row numbers from range buckets + offsets, no
+    * single-reducer sort; the rank→value mapping is an equi join on
+    * the rank index. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.filter(col(valueCol).isNotNull)
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val tot = Window.partitionBy(col(groupCol))
+    val ranked = v
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__n", count(lit(1)).over(tot))
+    val globalRanked = graft.core.Skew.saltedRowNumber(
+        v.select(col(valueCol), col(idCol)), Seq.empty, col(valueCol),
+        descending = false, tieBreakers = Seq(col(idCol).asc),
+        buckets = buckets, out = "__gr")
+      .select(col("__gr").cast("long").as("__gr"),
+        col(valueCol).as("normalized"))
+    val bigN = v.count()
+    val div2n = (col("__r") * 2 - 1) * lit(bigN) + col("__n") * 2 - 1
+    val target = call_function("div", div2n, col("__n") * 2)
+    ranked.withColumn("__tr", target)
+      .join(globalRanked, col("__tr") === col("__gr"))
+      .drop("__r", "__n", "__tr", "__gr")
+  }
+
   /** Per-group winsorization: clamp values to the group's discrete
     * [loPct, hiPct] percentile bounds — the standard tail-taming pass
     * before averaging noisy quality scores or latencies (outliers are

@@ -300,6 +300,26 @@ class Round13Spec extends SparkSpec {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("quantileNormalize: hand-computed midpoint rank mapping") {
+    import graft.analyze.Stats
+    // A = [1,2,3,4] (n=4), B = [100,200] (n=2); global order
+    // 1,2,3,4,100,200 (N=6). Midpoint mapping tr = ((2r-1)N + 2n-1)/(2n):
+    // A -> ranks 1,3,4,6 -> values 1,3,4,200; B -> ranks 2,5 -> 2,100
+    val df = Seq(("A", 1.0, 1L), ("A", 2.0, 2L), ("A", 3.0, 3L),
+      ("A", 4.0, 4L), ("B", 100.0, 5L), ("B", 200.0, 6L))
+      .toDF("g", "v", "id")
+    val got = Stats.quantileNormalize(df, "g", "v", "id")
+      .select("id", "normalized").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 3.0, 3L -> 4.0, 4L -> 200.0,
+      5L -> 2.0, 6L -> 100.0))
+    // a 1-row group lands on the global MEDIAN-side rank, not an extreme
+    val df2 = df.union(Seq(("C", 9999.0, 7L)).toDF("g", "v", "id"))
+    val c = Stats.quantileNormalize(df2, "g", "v", "id")
+      .filter(col("g") === "C").select("normalized").as[Double].head()
+    // N=7, r=1, n=1: tr = (7+1)/2 = 4 -> global value 4.0
+    assert(c == 4.0)
+  }
+
   test("temperatureSampleByTokens: exact reference keep-set over token masses") {
     def h32(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

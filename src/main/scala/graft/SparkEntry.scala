@@ -1576,8 +1576,9 @@ object SparkEntry {
   private def q141_token_drift(s: SparkSession, dir: String): DataFrame = {
     // Corpus drift between the English slice and everything else:
     // rational chi-square contributions (no libm log), exact decimal
-    // integers, per-token double term cast straight to decimal(38,12)
-    // (the q108 idiom — never decimal→double on output).
+    // integers; the per-token term stays a PLAIN DOUBLE on purpose — a
+    // decimal cast at these magnitudes diverges cross-engine (see
+    // tokenDrift's scaladoc; measured 2-ulp mismatches at 1e8).
     val d = t(s, dir, "documents")
     TA.tokenDrift(d.filter(col("lang") === "en"),
         d.filter(col("lang") =!= "en"), "text")

@@ -246,8 +246,9 @@ object Stats {
     * must be a per-row tiebreaker) maps to the global value at rank
     * ⌈(2r−1)·N / (2n)⌉ = ((2r−1)·N + 2n − 1) div (2n) — the midpoint
     * (Hazen) convention, so a 1-row group lands on the global median
-    * rather than a degenerate extreme. Exact long arithmetic
-    * throughout (`div`, never doubles).
+    * rather than a degenerate extreme. Exact decimal(38,0) arithmetic
+    * (`div`, never doubles — and not bare longs: (2r−1)·N wraps int64
+    * beyond ~2.1e9 rows).
     *
     * Scale posture: the within-group rank is one window shuffle; the
     * GLOBAL rank reuses [[graft.core.Skew.saltedRowNumber]] (empty key
@@ -257,6 +258,12 @@ object Stats {
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE __tot, not __N: Spark resolves names case-insensitively by
+    // default, so __N would collide with the per-group __n
+    val clash = Seq("__r", "__n", "__tot", "__tr", "__gr", "normalized")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"quantileNormalize: column(s) ${clash.mkString(", ")} already exist in input")
     val v = df.filter(col(valueCol).isNotNull)
     val wg = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol).asc, col(idCol).asc)
@@ -270,12 +277,21 @@ object Stats {
         buckets = buckets, out = "__gr")
       .select(col("__gr").cast("long").as("__gr"),
         col(valueCol).as("normalized"))
-    val bigN = v.count()
-    val div2n = (col("__r") * 2 - 1) * lit(bigN) + col("__n") * 2 - 1
-    val target = call_function("div", div2n, col("__n") * 2)
-    ranked.withColumn("__tr", target)
+    // N rides in as a broadcast 1-row relation (no separate eager
+    // driver count job); the mapping arithmetic runs in decimal(38,0)
+    // because (2r−1)·N overflows int64 beyond ~2.1e9 rows — the exact
+    // silent-wrap class the pageRank weight guard exists for. `div` on
+    // decimals is still exact integral division; the target rank ≤ N
+    // always fits the long it joins on.
+    val dec = "decimal(38,0)"
+    val totals = v.agg(count(lit(1)).cast(dec).as("__tot"))
+    val num = (col("__r").cast(dec) * 2 - 1) * col("__tot") +
+      col("__n").cast(dec) * 2 - 1
+    val target = call_function("div", num, col("__n").cast(dec) * 2)
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("__tr", target.cast("long"))
       .join(globalRanked, col("__tr") === col("__gr"))
-      .drop("__r", "__n", "__tr", "__gr")
+      .drop("__r", "__n", "__tot", "__tr", "__gr")
   }
 
   /** Per-group winsorization: clamp values to the group's discrete
@@ -301,6 +317,10 @@ object Stats {
                 loPct: Int, hiPct: Int): DataFrame = {
     require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
       s"need 0 <= loPct <= hiPct <= 100, got [$loPct, $hiPct]")
+    val clash = Seq("__wz_g", "__cum", "__n", "__lo", "__hi", "winsorized")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"winsorize: column(s) ${clash.mkString(", ")} already exist in input")
     val v = df.filter(col(valueCol).isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
@@ -315,10 +335,16 @@ object Stats {
           col(valueCol))).as("__lo"),
         min(when(col("__cum") * 100 >= lit(hiPct) * col("__n"),
           col(valueCol))).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumnRenamed(groupCol, "__wz_g")
+    // NULL-SAFE bound join: the window/groupBy above treat a null group
+    // key as its own group, so the join back must too — a plain equi
+    // join would never match null keys and their values would pass
+    // through unclamped (least/greatest skip null bounds) with no
+    // warning.
+    df.join(broadcast(bounds), col(groupCol) <=> col("__wz_g"), "left")
       .withColumn("winsorized",
         when(col(valueCol).isNull, col(valueCol))
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
-      .drop("__lo", "__hi")
+      .drop("__wz_g", "__lo", "__hi")
   }
 }

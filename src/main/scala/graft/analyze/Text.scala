@@ -1102,10 +1102,16 @@ object TextAnalysis {
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxPostings: Int): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be > 0, got $maxPostings")
+    // distinct() across ROWS, not just within one (array_distinct): a
+    // doc id appearing in several input rows (re-crawl, sharded text)
+    // must still count once per token — without this, doc_freq inflates
+    // and postings repeat ids. The pairs are 16-byte (token, id) rows;
+    // the distinct shuffles exactly what the window shuffles anyway.
     val pairs = docs
       .select(col(idCol).as("__doc"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
       .filter(length(col("token")) > 0)
+      .distinct()
     val dfCounts = pairs.groupBy(col("token"))
       .agg(count(lit(1)).as("doc_freq"))
     val w = org.apache.spark.sql.expressions.Window

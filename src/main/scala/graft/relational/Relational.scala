@@ -222,10 +222,8 @@ object Relational {
     require(maxEventsPerEntity >= 0, "maxEventsPerEntity must be >= 0")
     val k = steps.size
     val stepArr = array(steps.map(lit): _*)
-    val evsAll = sort_array(collect_list(struct(col(tsCol).as("ts"),
+    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"),
       col(typeCol).as("et"))))
-    val evs = if (maxEventsPerEntity > 0) slice(evsAll, 1, maxEventsPerEntity)
-              else evsAll
     val folded = aggregate(
       evs,
       array_repeat(lit(null).cast("timestamp"), k),
@@ -242,8 +240,25 @@ object Relational {
               e.getField("ts") > element_at(acc, greatest(filled, lit(1)))),
             e.getField("ts")).otherwise(v))
       })
-    events.filter(col(typeCol).isin(steps: _*))
-      .groupBy(col(entityCol))
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    // The cap is enforced BEFORE the aggregation, not by slicing the
+    // collected array — a slice after collect_list would still
+    // materialize a pathological entity's full event list in one agg
+    // buffer, defeating the bound it claims. The rank-limit window is
+    // the same map-side group-limit trick invertedIndex uses: Spark's
+    // InferWindowGroupLimit prunes rows past the cap per map task, so
+    // both the shuffle and the agg buffer stay ≤ n rows per entity.
+    val capped =
+      if (maxEventsPerEntity == 0) relevant
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(entityCol))
+          .orderBy(col(tsCol).asc, col(typeCol).asc)
+        relevant.withColumn("__fs_rn", row_number().over(w))
+          .filter(col("__fs_rn") <= maxEventsPerEntity)
+          .drop("__fs_rn")
+      }
+    capped.groupBy(col(entityCol))
       .agg(folded.as("step_ts"))
   }
 
@@ -409,6 +424,11 @@ object Relational {
                    keyCols: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val clash = (Seq("__in_old", "__in_new", "status") ++
+      compareCols.map(c => s"__new_$c"))
+      .filter(c => oldDf.columns.contains(c) || newDf.columns.contains(c))
+    require(clash.isEmpty,
+      s"snapshotDiff: column(s) ${clash.mkString(", ")} already exist in input")
     val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("__in_old", lit(1))
     val renames = compareCols.map(c => c -> s"__new_$c")
@@ -482,7 +502,10 @@ object Relational {
     // being "small" (measured: at 8M rows the literal plan reads 0.15 s
     // at m=1000 but 11.6 s at m=n/2, where the bucketed page stays flat).
     // `shallowLimit` tunes the switch point (0 forces the bucketed path).
-    if (offset + k <= shallowLimit) {
+    // The Int.MaxValue clamp matters: limit() takes an Int, so a caller
+    // raising shallowLimit past 2^31 with a deep offset would otherwise
+    // hit a silent .toInt wrap (limit(100) → empty page, no error).
+    if (offset + k <= math.min(shallowLimit, Int.MaxValue.toLong)) {
       val page = df.sort(ord: _*).limit((offset + k).toInt)
       val w = Window.orderBy(ord: _*)
       return page.withColumn(out, row_number().over(w).cast("long"))

@@ -112,7 +112,15 @@ object StreamingDedup {
       : Dataset[(Long, Seq[Option[java.sql.Timestamp]])] = {
     import events.sparkSession.implicits._
     val k = steps.size
-    events.groupByKey(_.user)
+    // mirror the batch operator's pre-shuffle step filter (round 13):
+    // non-step events can never fill a slot, so dropping them before
+    // grouping keeps state churn bounded AND keeps stream ≡ batch on
+    // the output row set — entities with no step-relevant events are
+    // absent from BOTH (the batch form stopped emitting their all-null
+    // rows when it gained the filter)
+    val stepSet = steps.toSet
+    events.filter(e => stepSet.contains(e.etype))
+      .groupByKey(_.user)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
           val slots = state.getOption.map(_.stepTs.toArray)

@@ -300,6 +300,68 @@ class Round13Spec extends SparkSpec {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("funnelSteps: maxEventsPerEntity cap is a map-side group limit, not a post-agg slice") {
+    // enough rows that the optimizer can't prove maxRows <= cap (a
+    // 1-row LocalRelation makes the group-limit rewrite a no-op skip)
+    val ev = spark.range(0, 50).select(
+      (col("id") % 5).as("user_id"),
+      expr("timestampadd(SECOND, cast(id as int), timestamp'2024-01-01 00:00:00')").as("ts"),
+      when(col("id") % 2 === 0, "view").otherwise("click").as("event_type"))
+    val plan = Relational.funnelSteps(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxEventsPerEntity = 5)
+      .queryExecution.executedPlan.toString
+    // the cap must prune BEFORE the aggregation buffer fills — the
+    // rank-limit window shape Spark turns into WindowGroupLimit
+    assert(plan.contains("WindowGroupLimit"),
+      "cap not enforced map-side:\n" + plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("winsorize: null group keys are clamped like any other group") {
+    import graft.analyze.Stats
+    val df = ((1 to 20).map(i => (None: Option[String], Some(i.toDouble))) ++
+      Seq((Some("g"), Some(5.0))))
+      .toDF("grp", "v")
+    val nullG = Stats.winsorize(df, "grp", "v", 5, 95)
+      .filter(col("grp").isNull).select("winsorized")
+      .as[Double].collect()
+    // null group = values 1..20 -> clamped to [1, 19]
+    assert(nullG.min == 1.0 && nullG.max == 19.0 && nullG.count(_ == 19.0) == 2)
+  }
+
+  test("invertedIndex: duplicate doc rows count once (global pair dedup)") {
+    import graft.analyze.TextAnalysis
+    val docs = Seq((7L, "foo bar"), (7L, "foo baz"), (8L, "foo"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxPostings = 8)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("foo") == ((2L, "7,8"))) // doc 7 twice in input, once in index
+    assert(m("bar") == ((1L, "7")))
+  }
+
+  test("new operators fail fast on output-column clashes") {
+    import graft.analyze.Stats
+    val d1 = Seq(("a", 1.0, "x")).toDF("g", "v", "winsorized")
+    intercept[IllegalArgumentException](Stats.winsorize(d1, "g", "v", 5, 95))
+    val d2 = Seq(("a", 1.0, 1L, "x")).toDF("g", "v", "id", "normalized")
+    intercept[IllegalArgumentException](
+      Stats.quantileNormalize(d2, "g", "v", "id"))
+    val d3 = Seq((1L, "s")).toDF("k", "status")
+    intercept[IllegalArgumentException](
+      Relational.snapshotDiff(d3, d3, Seq("k"), Seq("status")))
+  }
+
+  test("topKWithOffset: offsets beyond Int range never take the shallow limit path") {
+    val df = spark.range(0, 100).select(col("id"), col("id").as("v"))
+    // offset + k > Int.MaxValue with a permissive shallowLimit: must
+    // route to the bucketed path (limit() takes an Int) and return the
+    // correct EMPTY page, not a wrapped limit
+    val got = Relational.topKWithOffset(df, col("v"), descending = true,
+      tieBreakers = Seq(col("id").asc), k = 10, offset = 3000000000L,
+      shallowLimit = Long.MaxValue)
+    assert(got.count() == 0L)
+  }
+
   test("quantileNormalize: hand-computed midpoint rank mapping") {
     import graft.analyze.Stats
     // A = [1,2,3,4] (n=4), B = [100,200] (n=2); global order

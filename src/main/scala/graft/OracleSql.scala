@@ -3498,6 +3498,31 @@ FROM t JOIN gl ON gl.gr = t.tr
 WHERE t.event_id % 10 = 0
 ORDER BY t.event_id"""
 
+  /** Golden-record twin (q149): the struct-max pick per field ≡ a
+    * per-field non-null rank-1 by (priority DESC, id DESC). */
+  private val q149 = """
+WITH c AS (
+  SELECT c_custkey // 100 AS cluster, c_custkey, c_acctbal,
+    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS segment
+  FROM customer),
+n AS (
+  SELECT cluster, name FROM (
+    SELECT cluster, name,
+      row_number() OVER (PARTITION BY cluster
+        ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+    FROM c WHERE name IS NOT NULL) WHERE rn = 1),
+s AS (
+  SELECT cluster, segment FROM (
+    SELECT cluster, segment,
+      row_number() OVER (PARTITION BY cluster
+        ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+    FROM c WHERE segment IS NOT NULL) WHERE rn = 1),
+cl AS (SELECT DISTINCT cluster FROM c)
+SELECT cl.cluster, n.name, s.segment
+FROM cl LEFT JOIN n USING (cluster) LEFT JOIN s USING (cluster)
+ORDER BY cl.cluster"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3606,6 +3631,7 @@ ORDER BY t.event_id"""
     "q146_url_dedup" -> q146,
     "q147_snapshot_diff" -> q147,
     "q148_quantile_normalize" -> q148,
+    "q149_golden_record" -> q149,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

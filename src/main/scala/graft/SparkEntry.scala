@@ -1705,6 +1705,23 @@ object SparkEntry {
       .select("event_id", "event_type", "value", "normalized")
       .orderBy("event_id")
 
+  private def q149_golden_record(s: SparkSession, dir: String): DataFrame = {
+    // Field-level survivorship (golden record): per cluster, each field
+    // from the highest-(acctbal, custkey) row that HAS it — fields are
+    // nulled on disjoint residue classes so the picks genuinely come
+    // from different rows; lexicographic struct-max, one groupBy.
+    val c = t(s, dir, "customer").select(
+      call_function("div", col("c_custkey"), lit(100L)).as("cluster"),
+      col("c_custkey"), col("c_acctbal"),
+      when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("segment"))
+    Dedup.goldenRecord(c, "cluster", "c_acctbal", "c_custkey",
+        Seq("name", "segment"))
+      .orderBy("cluster")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2142,6 +2159,7 @@ object SparkEntry {
     "q146_url_dedup" -> (q146_url_dedup _),
     "q147_snapshot_diff" -> (q147_snapshot_diff _),
     "q148_quantile_normalize" -> (q148_quantile_normalize _),
+    "q149_golden_record" -> (q149_golden_record _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -901,6 +901,37 @@ object Dedup extends graft.core.Logging {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Golden-record merge: collapse each entity cluster to ONE record
+    * whose every field comes from the highest-priority row that HAS
+    * that field — the survivorship step after record linkage
+    * ([[editDistancePairs]] → [[connectedComponents]] →
+    * [[survivorsByCluster]] keeps one whole ROW; this merges per
+    * FIELD, the policy real MDM pipelines want: take the freshest
+    * non-null phone even when the freshest row's phone is null).
+    *
+    * Per field f: value = f of the row maximizing (priority, id) among
+    * the cluster's rows where f is non-null — a lexicographic
+    * struct-max (priority desc, ties to the LARGER id), so the pick is
+    * deterministic under any partitioning and exactly replayable as a
+    * per-field filtered rank in SQL. A cluster whose rows are all null
+    * in f yields null.
+    *
+    * ONE partial-aggregating groupBy — p fields cost p struct-max agg
+    * buffers of one (priority, id, value) triple each, not p passes
+    * and never a per-cluster row list; map-side combine collapses each
+    * partition's cluster rows before the shuffle. */
+  def goldenRecord(df: DataFrame, clusterCol: String, priorityCol: String,
+                   idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(priorityCol).as("p"), col(idCol).as("i"), col(f).as("v"))))
+        .getField("v").as(f)
+    }
+    df.groupBy(col(clusterCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact n-gram Jaccard pairs with prefix filtering (PPJoin-style).
     *
     * A naive shingle self-join explodes on common shingles (every shared

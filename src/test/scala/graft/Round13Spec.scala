@@ -362,6 +362,26 @@ class Round13Spec extends SparkSpec {
     assert(got.count() == 0L)
   }
 
+  test("goldenRecord: per-field picks from different rows, null fields skipped") {
+    import graft.dedup.Dedup
+    // cluster 1: highest-priority row (p=9) has a null phone, so phone
+    // must come from the NEXT best row (p=5); name from p=9. Priority
+    // tie in cluster 2 resolves to the larger id.
+    val rows = Seq(
+      (1L, 10L, 9.0, Some("best"), None: Option[String]),
+      (1L, 11L, 5.0, Some("mid"), Some("555-5")),
+      (1L, 12L, 1.0, Some("low"), Some("555-1")),
+      (2L, 20L, 3.0, Some("a"), None: Option[String]),
+      (2L, 21L, 3.0, Some("b"), None: Option[String])
+    ).toDF("cluster", "id", "prio", "name", "phone")
+    val got = Dedup.goldenRecord(rows, "cluster", "prio", "id",
+        Seq("name", "phone"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some("best"), Some("555-5"))))
+    assert(got(2L) == ((Some("b"), None))) // tie -> larger id; all-null -> null
+  }
+
   test("quantileNormalize: hand-computed midpoint rank mapping") {
     import graft.analyze.Stats
     // A = [1,2,3,4] (n=4), B = [100,200] (n=2); global order

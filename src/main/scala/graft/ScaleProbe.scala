@@ -88,6 +88,7 @@ object ScaleProbe {
   // grow S×, nodes with them (constant average degree ~10).
   private val GraphProbe = "graph"
   private val PageProbe = "pagination"
+  private val InvIdxProbe = "inverted_index"
 
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
@@ -103,7 +104,7 @@ object ScaleProbe {
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
-                 PageProbe
+                 PageProbe + InvIdxProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -554,6 +555,66 @@ object ScaleProbe {
           s"pagination page/naive disagree at offset $m: ${pIds.take(3)} vs ${nIds.take(3)}")
         log.println(f"""{"query":"pagination_offset_${m}(probe)","n":$nRows,"bucketed":$tp%.3f,"naive":$tn%.3f,"speedup":${tn / tp}%.2f}""")
       }
+    }
+    if (only.contains(InvIdxProbe)) {
+      import graft.analyze.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      // hot-vocabulary stress: every token is shared by ~nDocs/1000 to
+      // nDocs docs. The group-limit form must keep the post-dedup
+      // shuffle and the list-agg buffer bounded at maxPostings per
+      // token per task; the naive form (collect the full posting list,
+      // slice after) ships and buffers corpus-sized lists — the OOM
+      // shape at scale. Records alone under-count the naive side (a
+      // partial list of 2M ids is ONE record), so shuffle BYTES are
+      // recorded too. Outputs must be identical.
+      val nDocs = 500000L * scale
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(lit("the a"), pmod(col("id"), lit(1000L)).cast("string"),
+          lit(" b"), pmod(col("id"), lit(97L)).cast("string")).as("text"))
+      def naive(): DataFrame = {
+        val pairs = docs.select(col("doc_id").as("__doc"),
+            explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+          .filter(length(col("token")) > 0).distinct()
+        pairs.groupBy(col("token"))
+          .agg(count(lit(1)).as("doc_freq"),
+            array_join(transform(slice(sort_array(collect_list(col("__doc"))), 1, 8),
+              d => d.cast("string")), ",").as("postings"))
+      }
+      val shuffleRecs = new java.util.concurrent.atomic.AtomicLong()
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskMetrics != null) {
+            shuffleRecs.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+            shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+          ()
+        }
+      }
+      // noop sink, NOT count(): count() lets the optimizer PRUNE the
+      // posting-list aggregation entirely (the list column is unused),
+      // so a counted "naive" run measures an empty plan
+      def sink(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def measured(f: => Unit): (Double, Long, Long) = {
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          time { f } // prime
+          shuffleRecs.set(0L); shuffleBytes.set(0L)
+          val t = time { f }
+          (t, shuffleRecs.get, shuffleBytes.get)
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val (tb, sb, bb) = measured(
+        sink(TextAnalysis.invertedIndex(docs, "doc_id", "text", 8)))
+      val (tn, sn, bn) = measured(sink(naive()))
+      // full-result equality, not just counts: the cap semantics must
+      // match the slice-after form exactly
+      val diff = TextAnalysis.invertedIndex(docs, "doc_id", "text", 8)
+        .exceptAll(naive()).count()
+      require(diff == 0L, s"inverted index bounded/naive disagree: diff $diff")
+      log.println(f"""{"query":"inverted_index(probe)","n_docs":$nDocs,"bounded_s":$tb%.3f,"naive_s":$tn%.3f,"bounded_shuffle":[$sb,$bb],"naive_shuffle":[$sn,$bn],"bytes_reduction":${bn.toDouble / math.max(1, bb)}%.2f}""")
     }
     if (only.contains(LayoutProbe)) {
       import graft.source.Layout

@@ -555,6 +555,45 @@ object ScaleProbe {
           s"pagination page/naive disagree at offset $m: ${pIds.take(3)} vs ${nIds.take(3)}")
         log.println(f"""{"query":"pagination_offset_${m}(probe)","n":$nRows,"bucketed":$tp%.3f,"naive":$tn%.3f,"speedup":${tn / tp}%.2f}""")
       }
+      // ---- Parquet row-group pruning of the page scan ----
+      // The deep-page job filters by a RANGE predicate on the raw order
+      // value; on a value-clustered table Parquet min/max stats must
+      // skip the row groups outside the page's value interval. The two
+      // stats passes run eagerly at operator-construction time (driver
+      // collects), so a listener attached AFTER construction measures
+      // the page scan alone. Clustered vs unclustered layouts isolate
+      // the pruning (same data, same plan, different row-group stats).
+      val dirC = "/tmp/graft_page_clustered"
+      val dirU = "/tmp/graft_page_unclustered"
+      val base = tbl(nRows)
+      base.repartitionByRange(32, col("v")).sortWithinPartitions("v")
+        .write.mode("overwrite").parquet(dirC)
+      base.repartition(32).write.mode("overwrite").parquet(dirU)
+      val recsRead = new java.util.concurrent.atomic.AtomicLong()
+      val prListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskMetrics != null)
+            recsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+          ()
+        }
+      }
+      def pageScanRecords(dir: String): (Long, Long) = {
+        val df = spark.read.parquet(dir)
+        val pg = Relational.topKWithOffset(df, col("v"), descending = true,
+          tieBreakers = Seq(col("id").asc), k = k, offset = nRows / 2,
+          buckets = 64, shallowLimit = 0L) // stats passes run HERE
+        spark.sparkContext.addSparkListener(prListener)
+        try {
+          recsRead.set(0L)
+          val n = pg.count()
+          (recsRead.get, n)
+        } finally spark.sparkContext.removeSparkListener(prListener)
+      }
+      val (rc, nc) = pageScanRecords(dirC)
+      val (ru, nu) = pageScanRecords(dirU)
+      require(nc == k && nu == k, s"page sizes wrong: $nc/$nu")
+      log.println(f"""{"query":"pagination_rowgroup_skip(probe)","n":$nRows,"page_scan_records_clustered":$rc,"page_scan_records_unclustered":$ru,"skip_ratio":${ru.toDouble / math.max(1, rc)}%.1f}""")
     }
     if (only.contains(InvIdxProbe)) {
       import graft.analyze.TextAnalysis

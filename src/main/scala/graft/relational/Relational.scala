@@ -569,12 +569,56 @@ object Relational {
     val rowPred =
       if (aLo <= 0) vcol.isNull || (lowPred && highPred)
       else lowPred && highPred
+    // Parquet-pushable WIDENED twin of the range predicate: the exact
+    // predicate compares cast(col AS double) against double literals —
+    // a shape UnwrapCastInBinaryComparison refuses for lossy casts
+    // (long→double above 2^53, decimals), so NOTHING reaches
+    // PushedFilters and every row group scans (measured: 8M records
+    // read on a value-clustered table). A bare-column conjunct implied
+    // by the exact predicate restores pruning without changing any
+    // result. The widening margin must absorb BOTH double roundings
+    // (the boundary's and the value's own cast) — a margin of 1 is
+    // wrong beyond 2^53, where ulp(9.2e18) ≈ 2048 (a probe on xxhash64
+    // longs caught exactly that), so the margin is 2·ulp(bound)+1.
+    // Bounds that would overflow the column's dtype are skipped rather
+    // than cast (an overflowed literal casts to null and would DROP
+    // rows). Literal-side casts fold; the column stays bare.
+    val dt = df.select(orderOn).schema.head.dataType
+    val widenedPred: Option[Column] = {
+      import org.apache.spark.sql.types._
+      val dtRange: Option[(Double, Double)] = dt match {
+        case ByteType => Some((Byte.MinValue.toDouble, Byte.MaxValue.toDouble))
+        case ShortType => Some((Short.MinValue.toDouble, Short.MaxValue.toDouble))
+        case IntegerType => Some((Int.MinValue.toDouble, Int.MaxValue.toDouble))
+        case LongType => Some((-9.0e18, 9.0e18)) // inside Long range w/ slop
+        case d: DecimalType =>
+          val m = math.pow(10, (d.precision - d.scale).toDouble)
+          Some((-m, m))
+        case _ => None
+      }
+      dtRange.flatMap { case (dtMin, dtMax) =>
+        def inRange(w: Double) = w > dtMin && w < dtMax
+        val lo = if (aLo <= 0) None else {
+          val b = bounds(aLo - 1)
+          val w = math.floor(b - 2 * math.ulp(b)) - 1
+          if (inRange(w)) Some(orderOn >= lit(w).cast(dt)) else None
+        }
+        val hi = if (aHi >= bounds.length) None else {
+          val b = bounds(aHi)
+          val w = math.ceil(b + 2 * math.ulp(b)) + 1
+          if (inRange(w)) Some(orderOn <= lit(w).cast(dt)) else None
+        }
+        (lo.toSeq ++ hi.toSeq).reduceOption(_ && _)
+          .map(c => if (aLo <= 0) orderOn.isNull || c else c)
+      }
+    }
+    val scanPred = widenedPred.map(_ && rowPred).getOrElse(rowPred)
     val offExpr = needed.tail.foldLeft(
       when(col("__tk_bkt") === needed.head._1, lit(needed.head._2))) {
       case (acc, (b, off)) => acc.when(col("__tk_bkt") === b, lit(off))
     }
     val w = Window.partitionBy(col("__tk_bkt")).orderBy(ord: _*)
-    df.filter(rowPred)
+    df.filter(scanPred)
       .withColumn("__tk_bkt", idx)
       .filter(col("__tk_bkt").isin(needed.map(_._1): _*))
       .withColumn("__tk_rn", row_number().over(w).cast("long") + offExpr)

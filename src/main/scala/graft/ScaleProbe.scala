@@ -705,7 +705,7 @@ object ScaleProbe {
       layouts.foreach { case (lname, dir) =>
         val df = spark.read.parquet(s"file:$dir")
         shapes(df).foreach { case (sname, q) =>
-          def run(): Long = q.agg(count(lit(1))).head.getLong(0)
+          def run(): Long = q.agg(count(lit(1))).head().getLong(0)
           run()                          // prime (footer reads, codegen)
           Thread.sleep(500); bytesRead.set(0L); recsRead.set(0L)
           val t0 = System.nanoTime(); val c = run()

@@ -294,7 +294,7 @@ object Skew {
     local.join(offsR, cond)
       .withColumn(out,
         (col("__srn_lrn").cast("long") + col("__srn_off")).cast("int"))
-      .select(df.columns.map(col) :+ col(out): _*)
+      .select((df.columns.map(col) :+ col(out)).toIndexedSeq: _*)
   }
 
   /** #boundaries strictly below v (null v → 0), as a BALANCED

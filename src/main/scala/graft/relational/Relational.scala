@@ -624,6 +624,6 @@ object Relational {
       .withColumn("__tk_rn", row_number().over(w).cast("long") + offExpr)
       .filter(col("__tk_rn") > offset && col("__tk_rn") <= offset + k)
       .withColumn(out, col("__tk_rn"))
-      .select(df.columns.map(col) :+ col(out): _*)
+      .select((df.columns.map(col) :+ col(out)).toIndexedSeq: _*)
   }
 }

@@ -3523,6 +3523,32 @@ SELECT cl.cluster, n.name, s.segment
 FROM cl LEFT JOIN n USING (cluster) LEFT JOIN s USING (cluster)
 ORDER BY cl.cluster"""
 
+  /** Resample-LOCF twin (q150): same integer epoch buckets (floored
+    * seconds, `//` floor division), generate_series grid, LOCF as a
+    * rank-1 pick over ts<=grid in exact microseconds, (ts DESC, id
+    * DESC) matching asofJoinBackward's greatest-(ts, tiebreak) rule. */
+  private val q150 = """
+WITH obs AS (
+  SELECT user_id, ts, value, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+    epoch_us(ts) AS tus
+  FROM events WHERE user_id % 5 = 0 AND ts IS NOT NULL),
+spans AS (SELECT user_id, min(tsec) AS lo, max(tsec) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo // 86400, hi // 86400)) AS b
+  FROM spans),
+g AS (SELECT user_id, b * 86400 AS gsec FROM grid),
+j AS (
+  SELECT g.user_id, g.gsec, o.value, o.event_id,
+    row_number() OVER (PARTITION BY g.user_id, g.gsec
+      ORDER BY o.tus DESC, o.event_id DESC) AS rn
+  FROM g LEFT JOIN obs o
+    ON o.user_id = g.user_id AND o.tus <= g.gsec * 1000000)
+SELECT user_id, CAST(gsec AS BIGINT) AS grid_sec,
+  value AS matched_value, event_id AS matched_event_id
+FROM j WHERE rn = 1
+ORDER BY user_id, grid_sec"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3632,6 +3658,7 @@ ORDER BY cl.cluster"""
     "q147_snapshot_diff" -> q147,
     "q148_quantile_normalize" -> q148,
     "q149_golden_record" -> q149,
+    "q150_resample_locf" -> q150,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1722,6 +1722,22 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  private def q150_resample_locf(s: SparkSession, dir: String): DataFrame =
+    // Daily LOCF resample of each user's event stream: regular grid
+    // over the observed span (integer epoch buckets), each grid point
+    // carrying the latest (value, event_id) at or before it via the
+    // as-of machinery; leading grid points before the first observation
+    // stay null (left-outer). Grid emitted as epoch seconds (BIGINT) so
+    // the oracle compare dodges timestamp-rendering differences.
+    graft.relational.Relational.resampleLocf(
+        t(s, dir, "events").select("user_id", "ts", "value", "event_id")
+          .filter(col("user_id") % 5 === 0),
+        "user_id", "ts", stepSeconds = 86400L, tiebreakCol = "event_id",
+        payload = Seq("value", "event_id"))
+      .select(col("user_id"), unix_timestamp(col("grid_ts")).as("grid_sec"),
+        col("matched_value"), col("matched_event_id"))
+      .orderBy("user_id", "grid_sec")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2160,6 +2176,7 @@ object SparkEntry {
     "q147_snapshot_diff" -> (q147_snapshot_diff _),
     "q148_quantile_normalize" -> (q148_quantile_normalize _),
     "q149_golden_record" -> (q149_golden_record _),
+    "q150_resample_locf" -> (q150_resample_locf _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -403,6 +403,39 @@ object Relational {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Per-key time-grid resampling with last-observation-carried-forward
+    * (LOCF): one row per key per `stepSeconds` bucket across the key's
+    * observed span, each carrying the latest observation at or before
+    * the grid instant — the irregular-events → regular-series step
+    * behind rate computation, gap detection, and feature snapshots
+    * ("the user's balance at each midnight").
+    *
+    * Grid buckets are exact integer epoch arithmetic (floored seconds,
+    * `div`-based floor division — no doubles); the LOCF lookup IS
+    * [[asofJoinBackward]] (same single-shuffle union+window, same
+    * greatest-(ts, tiebreak) tie rule), so grid points before a key's
+    * first observation carry null payloads (left-outer semantics) and
+    * nothing here is a second time-join implementation to keep
+    * consistent. Scale shape: the span agg is map-side combinable, the
+    * grid explode is narrow (span/step rows per key), and the as-of
+    * join is one shuffle on the key. */
+  def resampleLocf(obs: DataFrame, keyCol: String, tsCol: String,
+                   stepSeconds: Long, tiebreakCol: String,
+                   payload: Seq[String]): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
+    val sec = unix_timestamp(col(tsCol)) // floors to whole seconds
+    val spans = obs.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(sec).as("__lo"), max(sec).as("__hi"))
+    val grid = spans.select(col(keyCol),
+        explode(sequence(floorDiv(col("__lo"), stepSeconds),
+          floorDiv(col("__hi"), stepSeconds))).as("__b"))
+      .select(col(keyCol),
+        timestamp_seconds(col("__b") * stepSeconds).as("grid_ts"))
+    asofJoinBackward(grid, obs, keyCol, "grid_ts", tsCol, tiebreakCol,
+      payload)
+  }
+
   /** Snapshot diff: classify every key across two table versions as
     * `added` / `removed` / `changed` / `unchanged` — the ingest QA pass
     * between corpus snapshots (what did the new crawl actually change?)

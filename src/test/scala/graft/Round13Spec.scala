@@ -382,6 +382,36 @@ class Round13Spec extends SparkSpec {
     assert(got(2L) == ((Some("b"), None))) // tie -> larger id; all-null -> null
   }
 
+  test("resampleLocf: grid span, LOCF carry, leading nulls, tie rule") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // key 1: obs on day 1 at 10:00 and day 3 at 05:00 -> daily grid
+    // days 1..3; day-1 00:00 grid point precedes the first obs -> null;
+    // day-2 and day-3 carry the day-1 obs until day-3's own (which is
+    // AFTER the day-3 00:00 grid point -> still day-1's value there)
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0, 100L),
+      (1L, ts("2024-01-03 05:00:00"), 30.0, 300L),
+      // key 2: two obs at the SAME timestamp -> larger tiebreak wins
+      (2L, ts("2024-01-01 00:00:00"), 1.0, 1L),
+      (2L, ts("2024-01-01 00:00:00"), 2.0, 2L)
+    ).toDF("k", "ts", "v", "id")
+    val got = Relational.resampleLocf(obs, "k", "ts", 86400L, "id",
+        Seq("v", "id"))
+      .select(col("k"), unix_timestamp(col("grid_ts")).as("g"),
+        col("matched_v"), col("matched_id"))
+      .as[(Long, Long, Option[Double], Option[Long])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val day = 86400L
+    val d1 = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(got.keySet == Set((1L, d1), (1L, d1 + day), (1L, d1 + 2 * day),
+      (2L, d1)))
+    assert(got((1L, d1)) == ((None, None)))              // before first obs
+    assert(got((1L, d1 + day)) == ((Some(10.0), Some(100L))))   // carried
+    assert(got((1L, d1 + 2 * day)) == ((Some(10.0), Some(100L)))) // day-3 obs is at 05:00, after the grid instant
+    assert(got((2L, d1)) == ((Some(2.0), Some(2L))))     // equal-ts tie -> larger id
+  }
+
   test("quantileNormalize: hand-computed midpoint rank mapping") {
     import graft.analyze.Stats
     // A = [1,2,3,4] (n=4), B = [100,200] (n=2); global order

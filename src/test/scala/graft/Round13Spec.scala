@@ -127,6 +127,28 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("topKWithOffset: nulls, all-equal values, both directions vs exact fallback") {
+    // nulls in the order column (sort first asc / last desc), heavy
+    // ties, and a constant stripe — bucketed pages must equal the
+    // single-window exact form at every probed offset in BOTH
+    // directions
+    val df = spark.range(0, 1200).select(col("id"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .when(col("id") < 300, lit(42L)) // constant stripe
+        .otherwise(xxhash64(col("id")) % 13).as("v"))
+    for (desc <- Seq(true, false); offset <- Seq(0L, 7L, 600L, 1150L)) {
+      val deep = Relational.topKWithOffset(df, col("v"), descending = desc,
+          tieBreakers = Seq(col("id").asc), k = 23, offset = offset,
+          buckets = 8, shallowLimit = 0L)
+        .orderBy("rn").select("id", "rn").as[(Long, Long)].collect().toSeq
+      val exact = Relational.topKWithOffset(df, col("v"), descending = desc,
+          tieBreakers = Seq(col("id").asc), k = 23, offset = offset,
+          buckets = 1, shallowLimit = 0L) // buckets=1 = exact fallback
+        .orderBy("rn").select("id", "rn").as[(Long, Long)].collect().toSeq
+      assert(deep == exact, s"desc=$desc offset=$offset")
+    }
+  }
+
   test("topKWithOffset: string order column degrades to the exact fallback") {
     val df = Seq(("b", 1L), ("a", 2L), ("c", 3L), ("a", 4L))
       .toDF("s", "id")
@@ -430,6 +452,57 @@ class Round13Spec extends SparkSpec {
       .filter(col("g") === "C").select("normalized").as[Double].head()
     // N=7, r=1, n=1: tr = (7+1)/2 = 4 -> global value 4.0
     assert(c == 4.0)
+  }
+
+  test("quantileNormalize: tie-heavy randomized input vs Scala reference") {
+    import graft.analyze.Stats
+    // duplicate values within and across groups; ids are the only
+    // total-order tiebreak — the operator must match a sequential
+    // reference under any partitioning
+    val rows: Seq[(String, Double, Long)] = (1L to 400L).map { i =>
+      (s"g${i % 5}", (i * 7919 % 23).toDouble, i)
+    }
+    val expected: Map[Long, Double] = {
+      val n = rows.size.toLong
+      val globalSorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      rows.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        val gn = sorted.size.toLong
+        sorted.zipWithIndex.map { case ((_, _, id), i) =>
+          val r = i + 1L
+          val tr = ((2 * r - 1) * n + 2 * gn - 1) / (2 * gn)
+          id -> globalSorted((tr - 1).toInt)
+        }
+      }
+    }
+    val got = Stats.quantileNormalize(
+        rows.toDF("g", "v", "id").repartition(7), "g", "v", "id")
+      .select("id", "normalized").as[(Long, Double)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("round-13 operator edges: empty drift side, null URLs, empty compare set") {
+    import graft.analyze.TextAnalysis
+    // drift vs an EMPTY corpus: every token one-sided, d = c1*0 - 0*N1
+    // = 0 -> all contributions 0 (degenerate but defined, no NPE/div0)
+    val a = Seq("x y", "x").toDF("text")
+    val drift = TextAnalysis.tokenDrift(a, a.limit(0), "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(drift.length == 2 && drift.forall(r => r._3 == 0L && r._4 == 0.0))
+    // null/blank URLs drop out of the host graph silently
+    val links = Seq((Some("http://a.com/x"), Some("http://b.com")),
+      (None: Option[String], Some("http://b.com")),
+      (Some("http://a.com"), None: Option[String]))
+      .toDF("src_url", "dst_url")
+    val edges = GraphOps.hostEdges(links, "src_url", "dst_url")
+      .as[(String, String, Long)].collect().toSeq
+    assert(edges == Seq(("a.com", "b.com", 1L)))
+    // snapshotDiff with an EMPTY compare set: only membership changes
+    val o = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val n = Seq((2L, "CHANGED"), (3L, "z")).toDF("k", "v")
+    val st = Relational.snapshotDiff(o, n, Seq("k"), Seq.empty)
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
   }
 
   test("temperatureSampleByTokens: exact reference keep-set over token masses") {

@@ -481,6 +481,39 @@ class Round13Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("round-13 operators are partition-count independent") {
+    import graft.analyze.{Stats, TextAnalysis}
+    import graft.dedup.Dedup
+    // determinism under ANY partitioning is the replay guarantee every
+    // oracle rests on; run each new operator at 1 vs 13 partitions and
+    // require identical output sets
+    val docs = (1L to 300L)
+      .map(i => (i, s"tok${i % 7} tok${i % 31} shared", s"g${i % 4}", i % 9 + 1))
+      .toDF("id", "text", "grp", "w")
+    def same(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val a = f(docs.repartition(1)).collect().map(_.toString).sorted.toSeq
+      val b = f(docs.repartition(13)).collect().map(_.toString).sorted.toSeq
+      assert(a == b)
+    }
+    same(d => TextAnalysis.invertedIndex(d, "id", "text", 4))
+    same(d => TextAnalysis.tokenDrift(d.filter(col("id") % 2 === 0),
+      d.filter(col("id") % 2 === 1), "text"))
+    same(d => TextAnalysis.temperatureSampleByTokens(
+      d.withColumn("n_tok", col("id") % 17 + 1), "id", "grp", "n_tok", 3, 500L))
+    same(d => Stats.winsorize(d.withColumn("v", (col("id") % 43).cast("double")),
+      "grp", "v", 10, 90))
+    same(d => Stats.quantileNormalize(
+      d.withColumn("v", (col("id") % 43).cast("double")), "grp", "v", "id"))
+    same(d => Dedup.goldenRecord(
+      d.withColumn("cluster", col("id") % 10)
+        .withColumn("nm", when(col("id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("n"), col("id")))),
+      "cluster", "w", "id", Seq("nm", "grp")))
+    same(d => Relational.topKWithOffset(d, col("w"), descending = true,
+      tieBreakers = Seq(col("id").asc), k = 20, offset = 100,
+      buckets = 8, shallowLimit = 0L))
+  }
+
   test("round-13 operator edges: empty drift side, null URLs, empty compare set") {
     import graft.analyze.TextAnalysis
     // drift vs an EMPTY corpus: every token one-sided, d = c1*0 - 0*N1

@@ -3549,6 +3549,19 @@ SELECT user_id, CAST(gsec AS BIGINT) AS grid_sec,
 FROM j WHERE rn = 1
 ORDER BY user_id, grid_sec"""
 
+  /** Equi-depth histogram twin (q151): SQL-standard ntile over the same
+    * (value, id) order — bucket sizes and spans match exactly. */
+  private val q151 = """
+WITH v AS (
+  SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type, value,
+    ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+  FROM v)
+SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+  CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
+FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3659,6 +3672,7 @@ ORDER BY user_id, grid_sec"""
     "q148_quantile_normalize" -> q148,
     "q149_golden_record" -> q149,
     "q150_resample_locf" -> q150,
+    "q151_equidepth_histogram" -> q151,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

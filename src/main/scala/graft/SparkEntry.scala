@@ -1738,6 +1738,15 @@ object SparkEntry {
         col("matched_value"), col("matched_event_id"))
       .orderBy("user_id", "grid_sec")
 
+  private def q151_equidepth_histogram(s: SparkSession, dir: String): DataFrame =
+    // Equi-depth value distribution per event type (8 near-equal-count
+    // buckets over the (value, event_id) order): the heavy-tail-proof
+    // companion to q135's fixed-range equi-width buckets.
+    graft.analyze.Stats.equiDepthHistogram(
+        t(s, dir, "events").select("event_type", "value", "event_id"),
+        "event_type", "value", "event_id", nBuckets = 8)
+      .orderBy("event_type", "bucket")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2177,6 +2186,7 @@ object SparkEntry {
     "q148_quantile_normalize" -> (q148_quantile_normalize _),
     "q149_golden_record" -> (q149_golden_record _),
     "q150_resample_locf" -> (q150_resample_locf _),
+    "q151_equidepth_histogram" -> (q151_equidepth_histogram _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

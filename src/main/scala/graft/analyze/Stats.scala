@@ -166,6 +166,31 @@ object Stats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Equi-DEPTH histogram per group: `nBuckets` buckets of (near-)equal
+    * ROW COUNT over the group's value order — the distribution profile
+    * [[histogram]]'s fixed-range equi-width form can't give when the
+    * value range is unknown or heavy-tailed (one hot bucket, the rest
+    * empty). Bucket assignment is SQL-standard `ntile` over the
+    * deterministic (value, id) order (sizes differ by ≤1, earlier
+    * buckets take the extras — identical in any replaying engine);
+    * output per bucket: row count and the actual [lo, hi] value span
+    * (data values, no interpolation). ONE window shuffle + one
+    * partial-aggregating groupBy; nulls excluded (they carry no
+    * position in the value order). */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         idCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
   /** Per-group categorical diversity as GINI IMPURITY, 1 − Σ(nᵢ/N)²:
     * the rational diversity measure — Shannon entropy needs libm `log`,
     * whose last-ulp behavior differs across engines, while Gini is one

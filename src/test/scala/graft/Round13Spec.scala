@@ -481,6 +481,24 @@ class Round13Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("equiDepthHistogram: near-equal buckets, earlier buckets take extras, spans") {
+    import graft.analyze.Stats
+    // 10 rows into 4 buckets -> sizes 3,3,2,2 (SQL ntile); values 1..10
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "v", "id")
+    val got = Stats.equiDepthHistogram(df, "grp", "v", "id", 4)
+      .orderBy("bucket")
+      .select("bucket", "n", "lo", "hi")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1, 3L, 1.0, 3.0), (2, 3L, 4.0, 6.0),
+      (3, 2L, 7.0, 8.0), (4, 2L, 9.0, 10.0)))
+    // nulls excluded; fewer rows than buckets -> one row per bucket
+    val sparse = Seq(("g", Some(5.0), 1L), ("g", None, 2L))
+      .toDF("grp", "v", "id")
+    val s = Stats.equiDepthHistogram(sparse, "grp", "v", "id", 4).collect()
+    assert(s.length == 1)
+  }
+
   test("round-13 operators are partition-count independent") {
     import graft.analyze.{Stats, TextAnalysis}
     import graft.dedup.Dedup

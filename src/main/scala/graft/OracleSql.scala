@@ -3562,6 +3562,29 @@ SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
   CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
 FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Top-k-with-others twin (q152): rank over the aggregated relation,
+    * rn <= k kept, the rest summed into one "(other)" row at rank k+1. */
+  private val q152 = """
+WITH agg AS (
+  SELECT event_type, CAST(user_id % 7 AS VARCHAR) AS ubucket,
+    CAST(count(*) AS BIGINT) AS metric
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY metric DESC, ubucket ASC) AS rn
+  FROM agg),
+top AS (
+  SELECT event_type, ubucket, metric, CAST(rn AS INTEGER) AS "rank"
+  FROM r WHERE rn <= 3),
+oth AS (
+  SELECT event_type, '(other)' AS ubucket,
+    CAST(sum(metric) AS BIGINT) AS metric, 4 AS "rank"
+  FROM r WHERE rn > 3 GROUP BY 1)
+SELECT * FROM top
+UNION ALL
+SELECT * FROM oth
+ORDER BY event_type, "rank", ubucket"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3673,6 +3696,7 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
     "q149_golden_record" -> q149,
     "q150_resample_locf" -> q150,
     "q151_equidepth_histogram" -> q151,
+    "q152_topk_others" -> q152,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

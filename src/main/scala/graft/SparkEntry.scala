@@ -1747,6 +1747,16 @@ object SparkEntry {
         "event_type", "value", "event_id", nBuckets = 8)
       .orderBy("event_type", "bucket")
 
+  private def q152_topk_others(s: SparkSession, dir: String): DataFrame =
+    // Cardinality-capped report: top-3 user buckets per event type by
+    // count, everything else rolled into one "(other)" row — the fact
+    // table aggregates once, the rank runs on the aggregated relation.
+    graft.relational.Relational.topKWithOthers(
+        t(s, dir, "events")
+          .withColumn("ubucket", (col("user_id") % 7).cast("string")),
+        "event_type", "ubucket", count(lit(1)), k = 3)
+      .orderBy("event_type", "rank", "ubucket")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2187,6 +2197,7 @@ object SparkEntry {
     "q149_golden_record" -> (q149_golden_record _),
     "q150_resample_locf" -> (q150_resample_locf _),
     "q151_equidepth_histogram" -> (q151_equidepth_histogram _),
+    "q152_topk_others" -> (q152_topk_others _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -403,6 +403,40 @@ object Relational {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Top-k dimension values per group with an "(other)" rollup — the
+    * standard cardinality-capped report shape (top 5 referrers per
+    * site, everything else one row) that keeps dashboards and
+    * downstream joins bounded when the dimension has millions of
+    * values. Ranking is by (metric desc, dim asc) so ties are
+    * deterministic; the rollup row (dim = `otherLabel`) carries the
+    * summed metric of every non-top value and appears only when such
+    * values exist.
+    *
+    * Scale shape: ONE partial-aggregating (group, dim) groupBy collapses
+    * the fact table; the rank window then runs on the AGGREGATED
+    * relation (group × distinct-dim rows, not facts) with the rn ≤ k
+    * filter map-side group-limited; the others rollup re-aggregates
+    * only rank > k rows. The fact table shuffles once. */
+  def topKWithOthers(df: DataFrame, groupCol: String, dimCol: String,
+                     metric: Column, k: Int,
+                     otherLabel: String = "(other)"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val agg = df.groupBy(col(groupCol), col(dimCol))
+      .agg(metric.as("metric"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("metric").desc, col(dimCol).asc)
+    val ranked = agg.withColumn("__rn", row_number().over(w))
+    val top = ranked.filter(col("__rn") <= k)
+      .select(col(groupCol), col(dimCol).cast("string").as(dimCol),
+        col("metric"), col("__rn").as("rank"))
+    val others = ranked.filter(col("__rn") > k)
+      .groupBy(col(groupCol))
+      .agg(sum(col("metric")).as("metric"))
+      .select(col(groupCol), lit(otherLabel).as(dimCol), col("metric"),
+        lit(k + 1).as("rank"))
+    top.unionByName(others)
+  }
+
   /** Per-key time-grid resampling with last-observation-carried-forward
     * (LOCF): one row per key per `stepSeconds` bucket across the key's
     * observed span, each carrying the latest observation at or before

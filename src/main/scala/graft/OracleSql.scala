@@ -3590,6 +3590,53 @@ UNION ALL
 SELECT * FROM oth
 ORDER BY event_type, "rank", ubucket"""
 
+  /** Multi-touch attribution twin (q153): the identical tag-and-union
+    * descending scan — last_value(conv IGNORE NULLS) over (us DESC,
+    * kind DESC, id DESC) is the next purchase at or after each touch;
+    * 7-day lookback in exact integer micros (epoch_us ≡ unix_micros);
+    * every credit a single IEEE division of exact integers (operands
+    * cast to DOUBLE first — DuckDB's bare 1.0/5.0 would be DECIMAL
+    * division). */
+  private val q153 = """
+WITH slim AS (
+  SELECT user_id AS ent, epoch_us(ts) AS us, event_id AS id,
+    event_type AS typ,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')),
+scanned AS (
+  SELECT *, last_value(
+      CASE WHEN kind = 1 THEN struct_pack(cid := id, cus := us) END
+      IGNORE NULLS)
+    OVER (PARTITION BY ent ORDER BY us DESC, kind DESC, id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM slim),
+assigned AS (
+  SELECT ent, us, id, typ, conv.cid AS conv_id
+  FROM scanned
+  WHERE kind = 0 AND conv IS NOT NULL
+    AND conv.cus - us <= 604800000000),
+pos AS (
+  SELECT ent AS user_id, conv_id, id AS touch_id, typ AS touch_type,
+    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY us, id)
+      AS INTEGER) AS "position",
+    count(*) OVER (PARTITION BY conv_id) AS n_touches
+  FROM assigned)
+SELECT user_id, conv_id, touch_id, touch_type, "position", n_touches,
+  CASE WHEN "position" = 1 THEN CAST(1 AS DOUBLE)
+       ELSE CAST(0 AS DOUBLE) END AS credit_first,
+  CASE WHEN "position" = n_touches THEN CAST(1 AS DOUBLE)
+       ELSE CAST(0 AS DOUBLE) END AS credit_last,
+  CAST(1 AS DOUBLE) / CAST(n_touches AS DOUBLE) AS credit_linear,
+  CASE WHEN n_touches = 1 THEN CAST(1 AS DOUBLE)
+       WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+       WHEN "position" = 1 OR "position" = n_touches
+         THEN CAST(2 AS DOUBLE) / CAST(5 AS DOUBLE)
+       ELSE CAST(1 AS DOUBLE) / CAST(5 * (n_touches - 2) AS DOUBLE)
+  END AS credit_ushape
+FROM pos
+ORDER BY conv_id, "position""""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3702,6 +3749,7 @@ ORDER BY event_type, "rank", ubucket"""
     "q150_resample_locf" -> q150,
     "q151_equidepth_histogram" -> q151,
     "q152_topk_others" -> q152,
+    "q153_attribution" -> q153,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

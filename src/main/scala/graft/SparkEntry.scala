@@ -1766,6 +1766,18 @@ object SparkEntry {
         "event_type", "ubucket", count(lit(1)), k = 3)
       .orderBy("event_type", "rank", "ubucket")
 
+  private def q153_attribution(s: SparkSession, dir: String): DataFrame =
+    // Multi-touch attribution over the event stream: every click/view
+    // credits its NEXT purchase within a 7-day lookback; all four
+    // standard models in one pass (first/last/linear/U-shaped), each
+    // credit a single IEEE division of exact integers — no libm, no
+    // round->decimal (the q145 gate lesson applied from day one).
+    graft.relational.Attribution.attributeTouches(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSeconds = 7L * 24 * 3600)
+      .orderBy("conv_id", "position")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2207,6 +2219,7 @@ object SparkEntry {
     "q150_resample_locf" -> (q150_resample_locf _),
     "q151_equidepth_histogram" -> (q151_equidepth_histogram _),
     "q152_topk_others" -> (q152_topk_others _),
+    "q153_attribution" -> (q153_attribution _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

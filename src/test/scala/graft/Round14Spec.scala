@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.relational.Attribution
+
+/** Round-14 operators: multi-touch attribution, SCD2 history, RFM
+  * segmentation, delete propagation. */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("attribution: next-conversion assignment, lookback, all four models") {
+    // user 1: touches t=10,20,30 -> conv c100 at t=40 (n=3, U = 2/5,
+    //   1/5, 2/5); touch t=50 -> conv c101 at t=60 (n=1); touch t=70
+    //   has no following conv (dropped).
+    // user 2: touch at t=5 is OUTSIDE the 30s lookback of conv c200 at
+    //   t=50; touches t=25,45 are inside (n=2 -> 1/2 each).
+    val ev = Seq(
+      (1L, 10L, "click", 1L), (1L, 20L, "view", 2L), (1L, 30L, "click", 3L),
+      (1L, 40L, "purchase", 100L),
+      (1L, 50L, "view", 4L), (1L, 60L, "purchase", 101L),
+      (1L, 70L, "click", 5L),
+      (2L, 5L, "click", 6L), (2L, 25L, "view", 7L), (2L, 45L, "click", 8L),
+      (2L, 50L, "purchase", 200L),
+      (2L, 90L, "error", 9L) // non-touch, non-conversion type: ignored
+    ).map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Attribution.attributeTouches(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"),
+        lookbackSeconds = 30L)
+      .orderBy("conv_id", "position")
+      .as[(Long, Long, Long, String, Int, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // (user, conv, touch, type, pos, n, first, last, linear, ushape)
+    assert(got == Seq(
+      (1L, 100L, 1L, "click", 1, 3L, 1.0, 0.0, 1.0 / 3, 2.0 / 5),
+      (1L, 100L, 2L, "view",  2, 3L, 0.0, 0.0, 1.0 / 3, 1.0 / 5),
+      (1L, 100L, 3L, "click", 3, 3L, 0.0, 1.0, 1.0 / 3, 2.0 / 5),
+      (1L, 101L, 4L, "view",  1, 1L, 1.0, 1.0, 1.0, 1.0),
+      (2L, 200L, 7L, "view",  1, 2L, 1.0, 0.0, 0.5, 0.5),
+      (2L, 200L, 8L, "click", 2, 2L, 0.0, 1.0, 0.5, 0.5)))
+    // per-conversion credit conservation for every model
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._7).sum == 1.0, s"first sums to 1 for $c")
+      assert(rows.map(_._8).sum == 1.0, s"last sums to 1 for $c")
+      assert(math.abs(rows.map(_._9).sum - 1.0) < 1e-12, s"linear for $c")
+      assert(math.abs(rows.map(_._10).sum - 1.0) < 1e-12, s"ushape for $c")
+    }
+  }
+
+  test("attribution: same-instant conversion claims the touch; 5-touch U-shape middle split") {
+    val ev = Seq(
+      (1L, 10L, "click", 1L), (1L, 11L, "click", 2L), (1L, 12L, "view", 3L),
+      (1L, 13L, "view", 4L), (1L, 20L, "click", 5L),
+      (1L, 20L, "purchase", 100L) // same ts as touch 5 -> inclusive claim
+    ).map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Attribution.attributeTouches(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"), 3600L)
+      .orderBy("position")
+      .as[(Long, Long, Long, String, Int, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(_._3) == Seq(1L, 2L, 3L, 4L, 5L))
+    // n=5: ends 2/5, three middles split 1/5 -> 1/15 each
+    assert(got.map(_._10) == Seq(2.0 / 5, 1.0 / 15, 1.0 / 15, 1.0 / 15, 2.0 / 5))
+    assert(got.map(_._9).forall(_ == 1.0 / 5))
+  }
+
+  test("attribution: no touch is double-credited across conversions") {
+    // touches before conv A never leak into conv B's window even when
+    // B's lookback spans them
+    val ev = Seq(
+      (1L, 10L, "click", 1L), (1L, 20L, "purchase", 100L),
+      (1L, 30L, "click", 2L), (1L, 40L, "purchase", 101L)
+    ).map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Attribution.attributeTouches(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click"), 3600L)
+      .select("conv_id", "touch_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (101L, 2L)))
+  }
+
+  test("attribution: rejects overlapping conversion/touch types and bad lookback") {
+    val ev = Seq((1L, ts(1), "click", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    intercept[IllegalArgumentException] {
+      Attribution.attributeTouches(ev, "user_id", "ts", "event_type",
+        "event_id", "click", Seq("click"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Attribution.attributeTouches(ev, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("click"), 0L)
+    }
+  }
+}

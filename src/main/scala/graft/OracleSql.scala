@@ -3637,6 +3637,29 @@ SELECT user_id, conv_id, touch_id, touch_type, "position", n_touches,
 FROM pos
 ORDER BY conv_id, "position""""
 
+  /** SCD2 history twin (q154): lag-collapse of consecutive identical
+    * statuses (IS NOT DISTINCT FROM — null-safe like the Spark struct
+    * <=>), then lead() on the collapsed set for valid_to, row_number
+    * for version; intervals in exact integer micros. */
+  private val q154 = """
+WITH ch AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type AS status
+  FROM events),
+lagged AS (
+  SELECT *, lag(status) OVER (PARTITION BY user_id
+    ORDER BY us, event_id) AS prev
+  FROM ch),
+kept AS (
+  SELECT user_id, us, event_id, status FROM lagged
+  WHERE status IS DISTINCT FROM prev)
+SELECT user_id, status, us AS valid_from_us,
+  lead(us) OVER w AS valid_to_us,
+  (lead(us) OVER w IS NULL) AS is_current,
+  CAST(row_number() OVER w AS INTEGER) AS version
+FROM kept
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+ORDER BY user_id, version"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3750,6 +3773,7 @@ ORDER BY conv_id, "position""""
     "q151_equidepth_histogram" -> q151,
     "q152_topk_others" -> q152,
     "q153_attribution" -> q153,
+    "q154_scd2_history" -> q154,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

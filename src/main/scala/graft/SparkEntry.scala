@@ -1778,6 +1778,24 @@ object SparkEntry {
         lookbackSeconds = 7L * 24 * 3600)
       .orderBy("conv_id", "position")
 
+  private def q154_scd2_history(s: SparkSession, dir: String): DataFrame =
+    // SCD2 dimension history from the event changelog: each user's
+    // event_type stream becomes validity intervals — consecutive
+    // repeats collapse into one version, valid_to = next version's
+    // valid_from (lead), version numbered per key. Intervals emitted
+    // as exact integer micros (unix_micros ≡ epoch_us).
+    graft.relational.Scd2.scd2Build(
+        t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type").as("status")),
+        keyCols = Seq("user_id"), tsCol = "us", tiebreakCol = "event_id",
+        attrCols = Seq("status"))
+      .select(col("user_id"), col("status"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"),
+        col("is_current"), col("version"))
+      .orderBy("user_id", "version")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2220,6 +2238,7 @@ object SparkEntry {
     "q151_equidepth_histogram" -> (q151_equidepth_histogram _),
     "q152_topk_others" -> (q152_topk_others _),
     "q153_attribution" -> (q153_attribution _),
+    "q154_scd2_history" -> (q154_scd2_history _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -84,6 +84,55 @@ class Round14Spec extends SparkSpec {
     assert(got == Set((100L, 1L), (101L, 2L)))
   }
 
+  test("scd2Build: collapse, validity chain, current flag, versions") {
+    val ch = Seq(
+      (1L, 10L, 1L, "new"), (1L, 20L, 2L, "active"),
+      (1L, 30L, 3L, "active"), // no-op restatement -> collapsed
+      (1L, 40L, 4L, "churned"),
+      (2L, 15L, 5L, "new")
+    ).toDF("k", "us", "id", "status")
+    val got = graft.relational.Scd2.scd2Build(ch, Seq("k"), "us", "id",
+        Seq("status"))
+      .orderBy("k", "version")
+      .as[(Long, String, Long, Option[Long], Boolean, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "new", 10L, Some(20L), false, 1),
+      (1L, "active", 20L, Some(40L), false, 2), // valid_to SKIPS the collapsed row
+      (1L, "churned", 40L, None, true, 3),
+      (2L, "new", 15L, None, true, 1)))
+    // collapse off: the restatement becomes its own version
+    val raw = graft.relational.Scd2.scd2Build(ch, Seq("k"), "us", "id",
+      Seq("status"), collapse = false)
+    assert(raw.filter(col("k") === 1).count() == 4)
+  }
+
+  test("scd2Merge: incremental == from-scratch (no-op cross-boundary, new key, stale row)") {
+    import graft.relational.Scd2
+    val all = Seq(
+      // key 1: changes in both halves; batch opens with a RESTATEMENT
+      // of the current value (must collapse away cross-boundary)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 35L, 3L, "b"), (1L, 40L, 4L, "c"),
+      // key 2: untouched by the batch
+      (2L, 12L, 5L, "x"),
+      // key 3: new key, only in the batch
+      (3L, 50L, 6L, "q"), (3L, 60L, 7L, "r")
+    ).toDF("k", "us", "id", "status")
+    val first = all.filter(col("us") <= 30)
+    val batch = all.filter(col("us") > 30)
+      // stale late row for key 1 (ts before current valid_from): dropped
+      .unionByName(Seq((1L, 15L, 99L, "z")).toDF("k", "us", "id", "status"))
+    val scratch = Scd2.scd2Build(all, Seq("k"), "us", "id", Seq("status"))
+    val merged = Scd2.scd2Merge(
+      Scd2.scd2Build(first, Seq("k"), "us", "id", Seq("status")),
+      batch, Seq("k"), "us", "id", Seq("status"))
+    val cols = Seq("k", "status", "valid_from", "valid_to", "is_current", "version")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*)
+        .as[(Long, String, Long, Option[Long], Boolean, Int)].collect().toSet
+    assert(setOf(merged) == setOf(scratch))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

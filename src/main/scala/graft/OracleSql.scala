@@ -3660,6 +3660,31 @@ FROM kept
 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ORDER BY user_id, version"""
 
+  /** RFM twin (q155): DuckDB's own ntile() over the identical orders
+    * aggregate — recency DESC (most recent = top bucket), custkey
+    * tiebreaks everywhere, monetary the q01 decimal-sum-to-double
+    * idiom so both engines order the same doubles. */
+  private val q155 = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      DATE '2002-01-01') AS BIGINT) AS recency_days,
+    count(*) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+    CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey)
+      AS INTEGER) AS r_score,
+    CAST(ntile(5) OVER (ORDER BY frequency, custkey)
+      AS INTEGER) AS f_score,
+    CAST(ntile(5) OVER (ORDER BY monetary, custkey)
+      AS INTEGER) AS m_score
+  FROM base)
+SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+  AS rfm_code
+FROM scored ORDER BY custkey"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3774,6 +3799,7 @@ ORDER BY user_id, version"""
     "q152_topk_others" -> q152,
     "q153_attribution" -> q153,
     "q154_scd2_history" -> q154,
+    "q155_rfm_segmentation" -> q155,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1796,6 +1796,17 @@ object SparkEntry {
         col("is_current"), col("version"))
       .orderBy("user_id", "version")
 
+  private def q155_rfm_segmentation(s: SparkSession, dir: String): DataFrame =
+    // RFM audience scores over orders: quintiles per axis (recency
+    // ranked descending — most recent = 5), custkey tiebreaks, global
+    // ranks via the salted machinery (never a single-reducer ntile),
+    // monetary the decimal-exact q01 sum idiom.
+    graft.analyze.Rfm.rfmScores(t(s, dir, "orders"), "o_custkey",
+        "o_orderdate", "o_totalprice",
+        asOf = lit("2002-01-01").cast("date"), nTiles = 5)
+      .withColumnRenamed("o_custkey", "custkey")
+      .orderBy("custkey")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2239,6 +2250,7 @@ object SparkEntry {
     "q152_topk_others" -> (q152_topk_others _),
     "q153_attribution" -> (q153_attribution _),
     "q154_scd2_history" -> (q154_scd2_history _),
+    "q155_rfm_segmentation" -> (q155_rfm_segmentation _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

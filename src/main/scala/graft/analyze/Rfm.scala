@@ -1,0 +1,77 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RFM segmentation — the classic martech audience operator (the
+  * reference's prod job activates marketing audiences,
+  * `conf/deployment.json:5-20`): score every customer 1..k on Recency
+  * (days since last order — smaller is better), Frequency (order
+  * count), and Monetary (exact decimal spend), each as an equi-depth
+  * quantile over the whole customer base.
+  */
+object Rfm {
+
+  /** Standard SQL NTILE bucket from a 1-based global rank: with n rows
+    * and k buckets the first n mod k buckets hold ⌈n/k⌉ rows, the rest
+    * ⌊n/k⌋ — pure integral arithmetic (exact `div`, no doubles), so
+    * the mapping replays bit-for-bit in any engine's own ntile(). */
+  private[graft] def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val q = call_function("div", n, lit(k.toLong))
+    val r = n % lit(k.toLong)
+    val cut = r * (q + 1)
+    when(rank <= cut, call_function("div", rank - 1, q + 1) + 1)
+      .otherwise(r + call_function("div", rank - cut - 1, q) + 1)
+  }
+
+  /** Per-customer RFM detail:
+    * `(custkey, recency_days, frequency, monetary, r_score, f_score,
+    * m_score, rfm_code)` with scores 1..nTiles and
+    * `rfm_code = 100·r + 10·f + m` (for nTiles ≤ 9).
+    *
+    * Conventions: r_score ranks recency DESCENDING (most-recent
+    * customers land in the top bucket, the martech convention);
+    * f_score/m_score rank ascending (more orders / more spend = higher
+    * score). Every ordering tiebreaks on `custCol` — equal metrics
+    * get a deterministic, engine-reproducible bucket. Monetary is a
+    * DECIMAL(12,2)-exact sum cast to double at the end (the q01
+    * parity idiom), and the m ordering runs on that same double in
+    * both engines.
+    *
+    * Scale shape: one partial-aggregating groupBy collapses orders to
+    * one row per customer; each score is a `Skew.saltedRowNumber`
+    * global rank (quantile-bucketed parallel sort — never a
+    * single-reducer ntile window) mapped through `ntileFromRank`, and
+    * the three rank relations re-join the aggregate on the customer
+    * key. Everything after the first groupBy is customer-cardinality,
+    * not order-cardinality. */
+  def rfmScores(orders: DataFrame, custCol: String, tsCol: String,
+                amountCol: String, asOf: Column, nTiles: Int = 5,
+                buckets: Int = 32): DataFrame = {
+    require(nTiles >= 1 && nTiles <= 9,
+      s"nTiles must be in 1..9 (rfm_code is one digit per axis); got $nTiles")
+    val base = orders.groupBy(col(custCol))
+      .agg(datediff(to_date(asOf), to_date(max(col(tsCol))))
+             .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(12,2)")).cast("double")
+          .as("monetary"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    def score(metric: String, descending: Boolean, out: String): DataFrame =
+      graft.core.Skew.saltedRowNumber(
+          base.select(col(custCol), col(metric)), Seq.empty, col(metric),
+          descending = descending, tieBreakers = Seq(col(custCol).asc),
+          buckets = buckets, out = "__rk")
+        .crossJoin(broadcast(n))
+        .select(col(custCol),
+          ntileFromRank(col("__rk").cast("long"), col("__n"), nTiles)
+            .cast("int").as(out))
+    base
+      .join(score("recency_days", descending = true, "r_score"), custCol)
+      .join(score("frequency", descending = false, "f_score"), custCol)
+      .join(score("monetary", descending = false, "m_score"), custCol)
+      .withColumn("rfm_code",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("int"))
+  }
+}

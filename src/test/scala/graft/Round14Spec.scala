@@ -133,6 +133,47 @@ class Round14Spec extends SparkSpec {
     assert(setOf(merged) == setOf(scratch))
   }
 
+  test("ntileFromRank == Spark's own ntile for every (n, k) shape") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 4, 5, 7, 10, 13); k <- Seq(1, 3, 5)) {
+      val df = spark.range(1, n + 1).select(col("id").as("rank"))
+        .withColumn("want",
+          ntile(k).over(Window.orderBy(col("rank"))))
+        .withColumn("got",
+          graft.analyze.Rfm.ntileFromRank(col("rank"), lit(n.toLong), k))
+      assert(df.filter(col("want") =!= col("got")).count() == 0,
+        s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("rfmScores: hand-computed quintiles, recency descending, tiebreaks") {
+    // 5 customers, amounts/dates chosen so every axis is a clean
+    // permutation: recency best for c5 (latest), worst for c1
+    val orders = Seq(
+      (1L, "1998-01-01", 10.0), (1L, "1998-02-01", 10.0), // c1: 2 orders, 20
+      (2L, "1998-03-01", 50.0),                           // c2: 1 order, 50
+      (3L, "1998-04-01", 30.0), (3L, "1998-04-02", 30.0),
+      (3L, "1998-04-03", 30.0),                           // c3: 3 orders, 90
+      (4L, "1998-05-01", 5.0),                            // c4: 1 order, 5
+      (5L, "1998-06-01", 100.0)                           // c5: 1 order, 100
+    ).toDF("ck", "d", "amt").withColumn("d", col("d").cast("timestamp"))
+    val got = graft.analyze.Rfm.rfmScores(orders, "ck", "d", "amt",
+        asOf = lit("1998-07-01").cast("date"), nTiles = 5)
+      .orderBy("ck")
+      .select("ck", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm_code")
+      .as[(Long, Long, Long, Double, Int, Int, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      // recency days: c1=150(worst,r=1) c2=122 c3=89 c4=61 c5=30(best,r=5)
+      // frequency asc, ck tiebreak: c2(1),c4(1),c5(1),c1(2),c3(3) -> f = 4,1,5,2,3
+      // monetary asc: c4=5,c1=20,c2=50,c3=90,c5=100 -> m = 2,3,4,1,5
+      (1L, 150L, 2L, 20.0, 1, 4, 2, 142),
+      (2L, 122L, 1L, 50.0, 2, 1, 3, 213),
+      (3L, 89L, 3L, 90.0, 3, 5, 4, 354),
+      (4L, 61L, 1L, 5.0, 4, 2, 1, 421),
+      (5L, 30L, 1L, 100.0, 5, 3, 5, 535)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -3685,6 +3685,30 @@ SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
   AS rfm_code
 FROM scored ORDER BY custkey"""
 
+  /** Delete-propagation audit twin (q156): the same key set counted
+    * per table with an IN-subquery marker. */
+  private val q156 = """
+WITH keys AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % 40 = 0),
+a AS (
+  SELECT 'customer' AS table_name, count(*) AS n_before,
+    CAST(coalesce(sum(CASE WHEN c_custkey IN (SELECT k FROM keys)
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_deleted
+  FROM customer
+  UNION ALL
+  SELECT 'events', count(*),
+    CAST(coalesce(sum(CASE WHEN user_id IN (SELECT k FROM keys)
+      THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'orders', count(*),
+    CAST(coalesce(sum(CASE WHEN o_custkey IN (SELECT k FROM keys)
+      THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM orders)
+SELECT table_name, n_before, n_deleted,
+  n_before - n_deleted AS n_after
+FROM a ORDER BY table_name"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3800,6 +3824,7 @@ FROM scored ORDER BY custkey"""
     "q153_attribution" -> q153,
     "q154_scd2_history" -> q154,
     "q155_rfm_segmentation" -> q155,
+    "q156_delete_propagation" -> q156,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

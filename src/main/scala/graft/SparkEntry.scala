@@ -1807,6 +1807,21 @@ object SparkEntry {
       .withColumnRenamed("o_custkey", "custkey")
       .orderBy("custkey")
 
+  private def q156_delete_propagation(s: SparkSession, dir: String): DataFrame = {
+    // RTBF cascade audit: one deterministic key set (custkeys % 40 == 0)
+    // propagated across three tables keyed three different ways; the
+    // audit is the deletion certificate — per-table before/deleted/
+    // after counts from one broadcast marker join each.
+    val keys = t(s, dir, "customer").filter(col("c_custkey") % 40 === 0)
+      .select(col("c_custkey").as("k"))
+    graft.relational.DeletePropagation.purgeAudit(
+        Seq(("customer", t(s, dir, "customer"), "c_custkey"),
+          ("events", t(s, dir, "events"), "user_id"),
+          ("orders", t(s, dir, "orders"), "o_custkey")),
+        keys, "k")
+      .orderBy("table_name")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2251,6 +2266,7 @@ object SparkEntry {
     "q153_attribution" -> (q153_attribution _),
     "q154_scd2_history" -> (q154_scd2_history _),
     "q155_rfm_segmentation" -> (q155_rfm_segmentation _),
+    "q156_delete_propagation" -> (q156_delete_propagation _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

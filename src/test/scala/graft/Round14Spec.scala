@@ -174,6 +174,49 @@ class Round14Spec extends SparkSpec {
       (5L, 30L, 1L, 100.0, 5, 3, 5, 535)))
   }
 
+  test("purgeKeys: broadcast and bloom paths agree; nulls and dup keys safe") {
+    import graft.relational.DeletePropagation
+    val table = Seq(Some(1L), Some(2L), Some(3L), Some(4L), None)
+      .toDF("id").withColumn("payload", col("id") * 10)
+    val keys = Seq(2L, 4L, 4L, 99L).toDF("k") // dup + absent key
+    val viaBroadcast = DeletePropagation.purgeKeys(table, keys, "id", "k")
+    val viaBloom = DeletePropagation.purgeKeys(table, keys, "id", "k",
+      broadcastKeys = false, expectedItems = 100L)
+    val want = Set(Some(1L), Some(3L), None) // null key KEPT
+    assert(viaBroadcast.select("id").as[Option[Long]].collect().toSet == want)
+    assert(viaBloom.select("id").as[Option[Long]].collect().toSet == want)
+  }
+
+  test("purgeAudit: per-table certificate counts; dup request keys counted once") {
+    import graft.relational.DeletePropagation
+    val t1 = Seq(1L, 2L, 2L, 3L).toDF("a")  // key 2 has TWO rows
+    val t2 = Seq(2L, 5L).toDF("b")
+    val keys = Seq(2L, 2L, 7L).toDF("k")    // dup key + miss
+    val got = DeletePropagation.purgeAudit(
+        Seq(("t1", t1, "a"), ("t2", t2, "b")), keys, "k")
+      .orderBy("table_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("t1", 4L, 2L, 2L), ("t2", 2L, 1L, 1L)))
+  }
+
+  test("purgeHistory + applyTombstones: erasure, tombstone set, replay guard") {
+    import graft.relational.DeletePropagation
+    val hist = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x"))
+      .toDF("k", "us", "v")
+    val keys = Seq(1L, 9L).toDF("kk") // 9 has no rows -> no tombstone
+    val (kept, tomb) = DeletePropagation.purgeHistory(hist, keys, "k", "kk",
+      deletedAt = lit(50L))
+    assert(kept.select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(tomb.as[(Long, Long)].collect().toSeq == Seq((1L, 50L)))
+    // replay: change at ts<=50 for key 1 dropped; later change passes;
+    // untombstoned key passes
+    val incoming = Seq((1L, 40L, "late"), (1L, 60L, "rejoin"), (2L, 41L, "ok"))
+      .toDF("k", "us", "v")
+    val guarded = DeletePropagation.applyTombstones(incoming, tomb, "k", "us")
+    assert(guarded.select("v").as[String].collect().toSet ==
+      Set("rejoin", "ok"))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -543,10 +543,15 @@ object ScaleProbe {
           tieBreakers = Seq(col("id").asc), k = k, offset = m, buckets = 64)
           .orderBy("rn").select("id")
           .collect().map(_.getLong(0)).toSeq
-      def naive(n: Long, m: Long): Seq[Long] =
+      def naive(n: Long, m: Long): Seq[Long] = {
+        // ADVICE r13: .offset takes Int — a large --scale would silently
+        // wrap m past Int.MaxValue and probe the wrong page
+        require(m <= Int.MaxValue,
+          s"naive pagination probe: offset $m exceeds Int range; lower scale")
         tbl(n).orderBy(col("v").desc, col("id").asc)
           .offset(m.toInt).limit(k).select("id")
           .collect().map(_.getLong(0)).toSeq
+      }
       for (m <- Seq(1000L, nRows / 2, nRows - 2 * k)) {
         var pIds: Seq[Long] = Nil; var nIds: Seq[Long] = Nil
         val tp = best { pIds = page(nRows, m) }

@@ -279,7 +279,15 @@ object Stats {
     * GLOBAL rank reuses [[graft.core.Skew.saltedRowNumber]] (empty key
     * set) — exact global row numbers from range buckets + offsets, no
     * single-reducer sort; the rank→value mapping is an equi join on
-    * the rank index. */
+    * the rank index.
+    *
+    * Null policy (ADVICE r13): rows with a null `valueCol` are DROPPED
+    * from the output — a null has no rank on either the group or the
+    * global scale, so there is no principled normalized value for it.
+    * This intentionally differs from [[winsorize]], which passes nulls
+    * through because its output keeps the input row set; callers that
+    * need the null rows back should union them in with
+    * `normalized = null`. */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -421,8 +421,17 @@ object Relational {
                      metric: Column, k: Int,
                      otherLabel: String = "(other)"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // ADVICE r13: a genuine dim value equal to otherLabel would be
+    // indistinguishable from the rollup row — fail fast at execution
+    // instead of emitting an ambiguous report (the check rides the
+    // aggregated relation, group-cardinality rows, not the fact scan).
     val agg = df.groupBy(col(groupCol), col(dimCol))
       .agg(metric.as("metric"))
+      .withColumn("metric",
+        when(col(dimCol).cast("string") === otherLabel,
+          raise_error(concat(lit("topKWithOthers: dimension value collides "),
+            lit(s"with otherLabel '$otherLabel'; pass a different otherLabel"))))
+          .otherwise(col("metric")))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("metric").desc, col(dimCol).asc)
     val ranked = agg.withColumn("__rn", row_number().over(w))
@@ -455,13 +464,30 @@ object Relational {
     * join is one shuffle on the key. */
   def resampleLocf(obs: DataFrame, keyCol: String, tsCol: String,
                    stepSeconds: Long, tiebreakCol: String,
-                   payload: Seq[String]): DataFrame = {
+                   payload: Seq[String],
+                   maxGridRowsPerKey: Long = 1000000L): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
+    require(maxGridRowsPerKey > 0,
+      s"maxGridRowsPerKey must be > 0, got $maxGridRowsPerKey")
     val sec = unix_timestamp(col(tsCol)) // floors to whole seconds
     val spans = obs.filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(min(sec).as("__lo"), max(sec).as("__hi"))
-    val grid = spans.select(col(keyCol),
+    // ADVICE r13 / VERDICT r13 #7: a misconfigured step on a years-long
+    // span silently explodes span/step rows PER KEY — fail fast on the
+    // metadata-sized span relation (mirrors funnel's maxEventsPerEntity
+    // discipline) instead of letting the explode OOM an executor.
+    val gridRows = floorDiv(col("__hi"), stepSeconds) -
+      floorDiv(col("__lo"), stepSeconds) + 1
+    val guarded = spans.withColumn("__lo",
+      when(gridRows > maxGridRowsPerKey,
+        raise_error(concat(lit("resampleLocf: key "),
+          col(keyCol).cast("string"), lit(" spans "),
+          gridRows.cast("string"),
+          lit(s" grid rows > maxGridRowsPerKey=$maxGridRowsPerKey; " +
+            "widen stepSeconds or raise the cap"))))
+        .otherwise(col("__lo")))
+    val grid = guarded.select(col(keyCol),
         explode(sequence(floorDiv(col("__lo"), stepSeconds),
           floorDiv(col("__hi"), stepSeconds))).as("__b"))
       .select(col(keyCol),

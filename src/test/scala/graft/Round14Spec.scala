@@ -217,6 +217,40 @@ class Round14Spec extends SparkSpec {
       Set("rejoin", "ok"))
   }
 
+  test("resampleLocf: pathological span fails fast at the cap (ADVICE r13)") {
+    import graft.relational.Relational
+    // 10-year span at 1-second steps = ~3.15e8 grid rows for ONE key
+    val obs = Seq((1L, "2010-01-01 00:00:00", 1L, 5.0),
+        (1L, "2020-01-01 00:00:00", 2L, 6.0))
+      .toDF("k", "ts", "id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val e = intercept[Exception] {
+      Relational.resampleLocf(obs, "k", "ts", stepSeconds = 1L,
+        tiebreakCol = "id", payload = Seq("v")).count()
+    }
+    assert(e.getMessage.contains("maxGridRowsPerKey"),
+      s"wrong failure: ${e.getMessage}")
+    // same span passes with a cap that accommodates it
+    val ok = Relational.resampleLocf(obs, "k", "ts", stepSeconds = 86400L * 365,
+      tiebreakCol = "id", payload = Seq("v"))
+    assert(ok.count() == 11)
+  }
+
+  test("topKWithOthers: dim value colliding with otherLabel fails fast (ADVICE r13)") {
+    import graft.relational.Relational
+    val df = Seq(("g", "(other)", 1), ("g", "b", 2), ("g", "c", 3))
+      .toDF("grp", "dim", "x")
+    val e = intercept[Exception] {
+      Relational.topKWithOthers(df, "grp", "dim", count(lit(1)), k = 2)
+        .count()
+    }
+    assert(e.getMessage.contains("otherLabel"), s"wrong failure: ${e.getMessage}")
+    // a custom label restores the report
+    val ok = Relational.topKWithOthers(df, "grp", "dim", count(lit(1)),
+      k = 2, otherLabel = "(rest)")
+    assert(ok.count() == 3)
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

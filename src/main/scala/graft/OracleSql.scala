@@ -3612,7 +3612,7 @@ scanned AS (
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
   FROM slim),
 assigned AS (
-  SELECT ent, us, id, typ, conv.cid AS conv_id
+  SELECT ent, us, id, typ, conv.cid AS conv_id, conv.cus AS conv_us
   FROM scanned
   WHERE kind = 0 AND conv IS NOT NULL
     AND conv.cus - us <= 604800000000),
@@ -3620,7 +3620,9 @@ pos AS (
   SELECT ent AS user_id, conv_id, id AS touch_id, typ AS touch_type,
     CAST(row_number() OVER (PARTITION BY conv_id ORDER BY us, id)
       AS INTEGER) AS "position",
-    count(*) OVER (PARTITION BY conv_id) AS n_touches
+    count(*) OVER (PARTITION BY conv_id) AS n_touches,
+    (CAST(1 AS BIGINT) << CAST(40 - (conv_us - us) // 86400000000
+      AS INTEGER)) AS iw
   FROM assigned)
 SELECT user_id, conv_id, touch_id, touch_type, "position", n_touches,
   CASE WHEN "position" = 1 THEN CAST(1 AS DOUBLE)
@@ -3633,7 +3635,9 @@ SELECT user_id, conv_id, touch_id, touch_type, "position", n_touches,
        WHEN "position" = 1 OR "position" = n_touches
          THEN CAST(2 AS DOUBLE) / CAST(5 AS DOUBLE)
        ELSE CAST(1 AS DOUBLE) / CAST(5 * (n_touches - 2) AS DOUBLE)
-  END AS credit_ushape
+  END AS credit_ushape,
+  CAST(iw AS DOUBLE) /
+    CAST(sum(iw) OVER (PARTITION BY conv_id) AS DOUBLE) AS credit_decay
 FROM pos
 ORDER BY conv_id, "position""""
 

@@ -1768,14 +1768,16 @@ object SparkEntry {
 
   private def q153_attribution(s: SparkSession, dir: String): DataFrame =
     // Multi-touch attribution over the event stream: every click/view
-    // credits its NEXT purchase within a 7-day lookback; all four
-    // standard models in one pass (first/last/linear/U-shaped), each
-    // credit a single IEEE division of exact integers — no libm, no
-    // round->decimal (the q145 gate lesson applied from day one).
+    // credits its NEXT purchase within a 7-day lookback; all five
+    // models in one pass (first/last/linear/U-shaped/time-decay with a
+    // 1-day half-life), each credit a single IEEE division of exact
+    // integers — no libm, no round->decimal (the q145 gate lesson
+    // applied from day one).
     graft.relational.Attribution.attributeTouches(
         t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
         conversionType = "purchase", touchTypes = Seq("click", "view"),
-        lookbackSeconds = 7L * 24 * 3600)
+        lookbackSeconds = 7L * 24 * 3600,
+        halfLifeSeconds = Some(24L * 3600))
       .orderBy("conv_id", "position")
 
   private def q154_scd2_history(s: SparkSession, dir: String): DataFrame =

@@ -34,7 +34,17 @@ object Attribution {
     *   - u_shape:      40/20/40 — p==1 and p==n get 2/5 each, the
     *                   middle splits 1/5 evenly: 1/(5·(n−2));
     *                   degenerate n==1 → 1, n==2 → 1/2 each.
-    * Every credit is a SINGLE IEEE division of exact integers (or an
+    *   - time_decay (when `halfLifeSeconds` is set): weight 2^(−s)
+    *                   with s = (convTs − touchTs) div halfLife,
+    *                   normalized per conversion. The weight is an
+    *                   EXACT power of two built by integer shift (1.0
+    *                   / (1L << s) — never libm pow), and the
+    *                   normalizing sum of dyadics is exact because the
+    *                   exponent spread is bounded: the constructor
+    *                   requires lookback/halfLife ≤ 40 so every weight
+    *                   sum and the final single division replay
+    *                   bit-for-bit in any engine.
+    * Every credit is a SINGLE IEEE division of exact values (or an
     * exact constant), so the doubles are engine-reproducible — no
     * libm, no round→decimal casts (the q145 gate lesson).
     *
@@ -52,11 +62,18 @@ object Attribution {
   def attributeTouches(events: DataFrame, entityCol: String, tsCol: String,
                        typeCol: String, idCol: String,
                        conversionType: String, touchTypes: Seq[String],
-                       lookbackSeconds: Long): DataFrame = {
+                       lookbackSeconds: Long,
+                       halfLifeSeconds: Option[Long] = None): DataFrame = {
     require(touchTypes.nonEmpty, "attribution needs at least one touch type")
     require(!touchTypes.contains(conversionType),
       s"conversion type '$conversionType' cannot also be a touch type")
     require(lookbackSeconds > 0, "lookbackSeconds must be > 0")
+    halfLifeSeconds.foreach { hl =>
+      require(hl > 0, "halfLifeSeconds must be > 0")
+      require(lookbackSeconds / hl <= 40L,
+        s"time-decay needs lookback/halfLife <= 40 (exact dyadic sums); " +
+          s"got ${lookbackSeconds / hl} half-life steps")
+    }
     val slim = events
       .filter(col(typeCol) === conversionType || col(typeCol).isin(touchTypes: _*))
       .select(col(entityCol).as("__ent"),
@@ -80,13 +97,35 @@ object Attribution {
         col("__conv.cus") - col("__us") <= lookbackSeconds * 1000000L)
     val perConv = Window.partitionBy(col("__conv.cid"))
     val ordered = perConv.orderBy(col("__us").asc, col("__id").asc)
+    val full = perConv.orderBy(col("__us").asc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val nD = col("n_touches").cast("double")
-    assigned
+    val base = assigned
       .withColumn("position", row_number().over(ordered))
-      .withColumn("n_touches",
-        count(lit(1)).over(perConv.orderBy(col("__us").asc, col("__id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__ent").as(entityCol),
+      .withColumn("n_touches", count(lit(1)).over(full))
+    val withDecay = halfLifeSeconds match {
+      case None => base
+      case Some(hl) =>
+        // age in whole half-lives s (<= 40 by the constructor require).
+        // The normalized credit 2^(-s_i) / Σ 2^(-s_j) is computed as
+        // the INTEGER ratio 2^(40-s_i) / Σ 2^(40-s_j): numerator and
+        // denominator are exact longs (order-free integer sum), the
+        // long→double casts are correctly rounded in every engine, and
+        // the credit is one IEEE division — deterministic at any
+        // touch count, unlike summing the dyadic doubles directly
+        // (which would start rounding past ~4096 touches/conversion).
+        val steps = call_function("div",
+          col("__conv.cus") - col("__us"), lit(hl * 1000000L))
+        base
+          .withColumn("__iw",
+            call_function("shiftleft", lit(1L), (lit(40) - steps).cast("int")))
+          .withColumn("credit_decay", col("__iw").cast("double") /
+            sum(col("__iw")).over(full).cast("double"))
+    }
+    val decayCols =
+      if (halfLifeSeconds.isDefined) Seq(col("credit_decay")) else Seq.empty
+    withDecay
+      .select(Seq(col("__ent").as(entityCol),
         col("__conv.cid").as("conv_id"),
         col("__id").as("touch_id"), col("__type").as("touch_type"),
         col("position"), col("n_touches"),
@@ -100,6 +139,6 @@ object Attribution {
             lit(2.0d) / lit(5.0d))
           .otherwise(lit(1.0d) /
             ((col("n_touches") - 2L) * 5L).cast("double"))
-          .as("credit_ushape"))
+          .as("credit_ushape")) ++ decayCols: _*)
   }
 }

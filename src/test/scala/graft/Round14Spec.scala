@@ -70,6 +70,27 @@ class Round14Spec extends SparkSpec {
     assert(got.map(_._9).forall(_ == 1.0 / 5))
   }
 
+  test("attribution time-decay: exact dyadic weights, integer-ratio normalization") {
+    // halfLife 10s, conv at t=100: touches at ages 0,15,25 -> steps
+    // 0,1,2 -> weights 1, 1/2, 1/4 -> credits 4/7, 2/7, 1/7
+    val ev = Seq(
+      (1L, 75L, "click", 1L), (1L, 85L, "click", 2L), (1L, 100L, "view", 3L),
+      (1L, 100L, "purchase", 9L)
+    ).map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Attribution.attributeTouches(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"),
+        lookbackSeconds = 60L, halfLifeSeconds = Some(10L))
+      .orderBy("position").select("touch_id", "credit_decay")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0 / 7), (2L, 2.0 / 7), (3L, 4.0 / 7)))
+    // lookback/halfLife > 40 rejected (exactness precondition)
+    intercept[IllegalArgumentException] {
+      Attribution.attributeTouches(ev, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("click"), 4100L, Some(100L))
+    }
+  }
+
   test("attribution: no touch is double-credited across conversions") {
     // touches before conv A never leak into conv B's window even when
     // B's lookback spans them

@@ -3713,6 +3713,31 @@ SELECT table_name, n_before, n_deleted,
   n_before - n_deleted AS n_after
 FROM a ORDER BY table_name"""
 
+  /** Market-basket twin (q157): identical per-basket distinct, basket
+    * self-join pair count, min-support prune, integer-count ratios. */
+  private val q157 = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+n AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+ic AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT p.item_a, p.item_b, ca.c AS n_a, cb.c AS n_b, p.n_ab, n.n_baskets,
+  CAST(p.n_ab AS DOUBLE) / CAST(n.n_baskets AS DOUBLE) AS support,
+  CAST(p.n_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf_a_to_b,
+  CAST(p.n_ab AS DOUBLE) / CAST(cb.c AS DOUBLE) AS conf_b_to_a,
+  CAST(p.n_ab * n.n_baskets AS DOUBLE) /
+    CAST(ca.c * cb.c AS DOUBLE) AS lift
+FROM pairs p
+JOIN ic ca ON ca.i = p.item_a
+JOIN ic cb ON cb.i = p.item_b
+CROSS JOIN n
+ORDER BY item_a, item_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3829,6 +3854,7 @@ FROM a ORDER BY table_name"""
     "q154_scd2_history" -> q154,
     "q155_rfm_segmentation" -> q155,
     "q156_delete_propagation" -> q156,
+    "q157_basket_lift" -> q157,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

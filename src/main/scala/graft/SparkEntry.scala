@@ -1824,6 +1824,15 @@ object SparkEntry {
       .orderBy("table_name")
   }
 
+  private def q157_basket_lift(s: SparkSession, dir: String): DataFrame =
+    // Market-basket affinity over lineitems: part pairs co-ordered in
+    // >= 2 orders with support/confidence/lift — the 1-count tail
+    // (97% of pairs) is pruned BEFORE any join; every ratio one IEEE
+    // division of exact integer counts.
+    graft.analyze.Basket.coOccurrence(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2L)
+      .orderBy("item_a", "item_b")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2269,6 +2278,7 @@ object SparkEntry {
     "q154_scd2_history" -> (q154_scd2_history _),
     "q155_rfm_segmentation" -> (q155_rfm_segmentation _),
     "q156_delete_propagation" -> (q156_delete_propagation _),
+    "q157_basket_lift" -> (q157_basket_lift _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

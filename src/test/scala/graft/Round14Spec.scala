@@ -272,6 +272,25 @@ class Round14Spec extends SparkSpec {
     assert(ok.count() == 3)
   }
 
+  test("basket coOccurrence: hand-computed support/confidence/lift, dup rows, prune") {
+    import graft.analyze.Basket
+    // baskets: 1={a,b,c}, 2={a,b}, 3={a,c}, 4={b} (dup a in basket 1
+    // must not double-count); N=4, n_a=3, n_b=3, n_c=2,
+    // ab=2, ac=2, bc=1 (pruned at minPairCount=2)
+    val facts = Seq((1, "a"), (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "b"))
+      .toDF("bk", "item")
+    val got = Basket.coOccurrence(facts, "bk", "item", minPairCount = 2)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 3L, 2L, 4L, 0.5, 2.0 / 3, 2.0 / 3, 8.0 / 9),
+      ("a", "c", 3L, 2L, 2L, 4L, 0.5, 2.0 / 3, 1.0, 8.0 / 6)))
+    // minPairCount=1 surfaces the bc pair too
+    assert(Basket.coOccurrence(facts, "bk", "item", 1).count() == 3)
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -3738,6 +3738,28 @@ JOIN ic cb ON cb.i = p.item_b
 CROSS JOIN n
 ORDER BY item_a, item_b"""
 
+  /** Audience overlap twin (q158): distinct (user, type) memberships,
+    * member self-join pair counts, integer Jaccard. */
+  private val q158 = """
+WITH m AS (
+  SELECT DISTINCT user_id AS u, event_type AS s FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+n AS (SELECT count(DISTINCT u) AS n_members FROM m),
+sc AS (SELECT s, count(*) AS c FROM m GROUP BY 1),
+pairs AS (
+  SELECT a.s AS segment_a, b.s AS segment_b, count(*) AS n_overlap
+  FROM m a JOIN m b ON a.u = b.u AND a.s < b.s
+  GROUP BY 1, 2)
+SELECT p.segment_a, p.segment_b, ca.c AS n_a, cb.c AS n_b,
+  p.n_overlap, n.n_members,
+  CAST(p.n_overlap AS DOUBLE) /
+    CAST(ca.c + cb.c - p.n_overlap AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sc ca ON ca.s = p.segment_a
+JOIN sc cb ON cb.s = p.segment_b
+CROSS JOIN n
+ORDER BY segment_a, segment_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3855,6 +3877,7 @@ ORDER BY item_a, item_b"""
     "q155_rfm_segmentation" -> q155,
     "q156_delete_propagation" -> q156,
     "q157_basket_lift" -> q157,
+    "q158_audience_overlap" -> q158,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1833,6 +1833,14 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minPairCount = 2L)
       .orderBy("item_a", "item_b")
 
+  private def q158_audience_overlap(s: SparkSession, dir: String): DataFrame =
+    // Segment overlap matrix: users bucketed into behavioral segments
+    // (their event types); pairwise overlap counts + exact-integer
+    // Jaccard — the audience-planning view of the basket machinery.
+    graft.analyze.Basket.audienceOverlap(t(s, dir, "events"),
+        "user_id", "event_type")
+      .orderBy("segment_a", "segment_b")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2279,6 +2287,7 @@ object SparkEntry {
     "q155_rfm_segmentation" -> (q155_rfm_segmentation _),
     "q156_delete_propagation" -> (q156_delete_propagation _),
     "q157_basket_lift" -> (q157_basket_lift _),
+    "q158_audience_overlap" -> (q158_audience_overlap _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

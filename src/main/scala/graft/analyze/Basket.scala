@@ -70,4 +70,24 @@ object Basket {
         ((col("n_ab") * col("n_baskets")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** Audience/segment overlap matrix — co-occurrence transposed to the
+    * martech question "how much do my segments overlap?": baskets are
+    * MEMBERS, items are the segments they belong to. One row per
+    * segment pair with overlap counts and Jaccard
+    * `n_overlap / (n_a + n_b − n_overlap)` (one IEEE division of
+    * exact integers). Pairs with zero overlap do not appear (their
+    * Jaccard is 0 and the pair never forms in the member self-join —
+    * the segment-count² zero tail would be pure noise at scale).
+    * Same scale bound as [[coOccurrence]]: work is Σ (segments per
+    * member)², never segments². */
+  def audienceOverlap(members: DataFrame, memberCol: String,
+                      segmentCol: String): DataFrame =
+    coOccurrence(members, memberCol, segmentCol, minPairCount = 1L)
+      .select(col("item_a").as("segment_a"), col("item_b").as("segment_b"),
+        col("n_a"), col("n_b"), col("n_ab").as("n_overlap"),
+        col("n_baskets").as("n_members"),
+        (col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double"))
+          .as("jaccard"))
 }

@@ -291,6 +291,17 @@ class Round14Spec extends SparkSpec {
     assert(Basket.coOccurrence(facts, "bk", "item", 1).count() == 3)
   }
 
+  test("audienceOverlap: jaccard from exact counts; zero-overlap pairs absent") {
+    import graft.analyze.Basket
+    // u1 in {x,y}, u2 in {x,y}, u3 in {x}, u4 in {z}
+    val m = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z"))
+      .toDF("u", "seg")
+    val got = Basket.audienceOverlap(m, "u", "seg")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    // x∩y = 2, |x|=3, |y|=2 -> jaccard 2/3; (x,z) and (y,z) never overlap
+    assert(got == Seq(("x", "y", 3L, 2L, 2L, 4L, 2.0 / 3)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

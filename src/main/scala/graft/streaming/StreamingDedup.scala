@@ -140,6 +140,60 @@ object StreamingDedup {
       }
   }
 
+  case class Scd2Change(key: Long, us: Long, id: Long, attr: String)
+  case class Scd2Cur(attr: String, from: Long, version: Int)
+  case class Scd2Emit(key: Long, attr: String, validFrom: Long,
+                      validTo: Option[Long], isCurrent: Boolean, version: Int)
+
+  /** Streaming twin of [[graft.relational.Scd2.scd2Build]]: SCD2
+    * versions maintained continuously. State per key is ONLY the
+    * current version — O(1), never the history (the closed versions
+    * are emitted, not retained), so the state store is bounded by the
+    * key domain like [[latestPerKeyStream]].
+    *
+    * Each batch's rows apply in (us, id) order (the batch total
+    * order); a no-op restatement of the current attributes collapses
+    * (nothing emitted — the batch lag-collapse), an attribute change
+    * EMITS the closing of the old version (valid_to = new ts,
+    * is_current = false — append-safe: a closed version is final and
+    * never re-emitted) and the new current version (is_current = true,
+    * re-emitted on every later change — update semantics: downstream
+    * keeps the last emission per (key, version)). A stale row (ts <=
+    * current valid_from) is dropped — the [[graft.relational.Scd2.scd2Merge]]
+    * late-data policy, which is also what bounded state forces:
+    * rewriting closed history would need the history. Equality with
+    * the batch build holds when each key's changes arrive in
+    * event-time order ACROSS batches; ExtraSpec pins it over a 2-batch
+    * split. */
+  def scd2Stream(changes: Dataset[Scd2Change]): Dataset[Scd2Emit] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Scd2Change], state: GroupState[Scd2Cur]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Emit]()
+          rows.toSeq.sortBy(r => (r.us, r.id)).foreach { r =>
+            cur match {
+              case None =>
+                cur = Some(Scd2Cur(r.attr, r.us, 1))
+              case Some(c) if r.us <= c.from => () // stale: drop
+              case Some(c) if r.attr == c.attr => () // no-op: collapse
+              case Some(c) =>
+                out += Scd2Emit(key, c.attr, c.from, Some(r.us),
+                  isCurrent = false, c.version)
+                cur = Some(Scd2Cur(r.attr, r.us, c.version + 1))
+            }
+          }
+          cur.foreach { c =>
+            state.update(c)
+            out += Scd2Emit(key, c.attr, c.from, None,
+              isCurrent = true, c.version)
+          }
+          out.iterator
+      }
+  }
+
   /** Windowed aggregation over the event stream: tumbling-window counts
     * per event type with a watermark (the standard streaming agg shape). */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

@@ -302,6 +302,42 @@ class Round14Spec extends SparkSpec {
     assert(got == Seq(("x", "y", 3L, 2L, 2L, 4L, 2.0 / 3)))
   }
 
+  test("streaming scd2Stream == batch scd2Build under in-order 2-batch arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(1414)
+    // 6 keys, 200 changes over a small attr alphabet (forces collapses),
+    // strictly increasing ts per key -> in-order arrival when split by ts
+    val byKey = (0 until 200).map { i =>
+      StreamingDedup.Scd2Change(i % 6L, 100L + i, i.toLong,
+        s"v${rnd.nextInt(3)}")
+    }
+    val (b1, b2) = byKey.partition(_.us < 200L)
+    val mem = MemoryStream[StreamingDedup.Scd2Change]
+    val q = StreamingDedup.scd2Stream(mem.toDS())
+      .toDF("key", "attr", "valid_from", "valid_to", "is_current", "version")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // last emission per (key, version) is the settled row
+      val fin = spark.table("scd2_stream")
+        .withColumn("__seq", monotonically_increasing_id())
+        .as[(Long, String, Long, Option[Long], Boolean, Int, Long)]
+        .collect().groupBy(r => (r._1, r._6))
+        .map { case (_, rows) => rows.maxBy(_._7) }
+        .map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
+      val batch = graft.relational.Scd2.scd2Build(
+          byKey.toDF("key", "us", "id", "attr"),
+          Seq("key"), "us", "id", Seq("attr"))
+        .select("key", "attr", "valid_from", "valid_to", "is_current", "version")
+        .as[(Long, String, Long, Option[Long], Boolean, Int)].collect().toSet
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -89,6 +89,11 @@ object ScaleProbe {
   private val GraphProbe = "graph"
   private val PageProbe = "pagination"
   private val InvIdxProbe = "inverted_index"
+  // Attribution probe: next-conversion assignment as ONE descending-scan
+  // window vs the naive touch⋈conversion interval join — the pair
+  // explosion is touches×convs-in-lookback per entity, and a hot entity
+  // makes it quadratic while the window form stays linear in rows.
+  private val AttributionProbe = "attribution"
 
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
@@ -104,7 +109,7 @@ object ScaleProbe {
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
-                 PageProbe + InvIdxProbe
+                 PageProbe + InvIdxProbe + AttributionProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -723,6 +728,61 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
       require(counts.values.forall(_.size == 1),
         s"layouts disagree on filter results: $counts")
+    }
+    if (only.contains(AttributionProbe)) {
+      import graft.relational.Attribution
+      // n events: entity 0 holds 25% (the hot funnel account every real
+      // event table has); the rest spread over 10k entities. ~10%
+      // purchases, lookback = span/100 seconds, so the naive interval
+      // join pairs each hot-entity touch with ~convs/100 conversions
+      // while the window form ships each row once.
+      val n = 500000L * scale
+      val lookback = n / 100
+      val ev = spark.range(n).select(
+        when(col("id") % 4 === 0, 0L)
+          .otherwise(pmod(xxhash64(col("id"), lit("u")), lit(10000L)))
+          .as("user_id"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        col("id").as("event_id"),
+        when(pmod(xxhash64(col("id"), lit("t")), lit(10L)) === 0,
+          "purchase")
+          .when(pmod(xxhash64(col("id"), lit("t")), lit(2L)) === 0, "click")
+          .otherwise("view").as("event_type"))
+      def windowForm(): DataFrame =
+        Attribution.attributeTouches(ev, "user_id", "ts", "event_type",
+            "event_id", "purchase", Seq("click", "view"), lookback)
+          .select(col("touch_id"), col("conv_id"))
+      def naiveForm(): DataFrame = {
+        // interval join touch->candidate convs, min conv per touch:
+        // the join-then-rank shape the operator scaladoc forbids
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id").as("touch_id"))
+        val convs = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+            col("event_id").as("conv_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("touch_id"))
+          .orderBy(col("cus").asc, col("conv_id").asc)
+        touches.join(convs, Seq("user_id"))
+          .filter(col("cus") >= col("tus") &&
+            col("cus") - col("tus") <= lookback * 1000000L)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("touch_id"), col("conv_id"))
+      }
+      def sink(df: DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save()
+        df.count()
+      }
+      var nw = 0L; var nn = 0L
+      val tw = best { nw = sink(windowForm()) }
+      val tn = best { nn = sink(naiveForm()) }
+      require(nw == nn, s"attribution window/naive row counts differ: $nw vs $nn")
+      // spot equality beyond counts: assignments must be identical
+      val diff = windowForm().exceptAll(naiveForm()).count()
+      require(diff == 0, s"attribution window/naive assignments differ: $diff rows")
+      log.println(f"""{"query":"attribution_assign(probe)","n":$n,"window":$tw%.3f,"naive_join":$tn%.3f,"speedup":${tn / tw}%.2f,"rows":$nw}""")
     }
     log.close()
     spark.stop()

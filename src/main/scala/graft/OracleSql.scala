@@ -3760,6 +3760,40 @@ JOIN sc cb ON cb.s = p.segment_b
 CROSS JOIN n
 ORDER BY segment_a, segment_b"""
 
+  /** Conversion-path twin (q159): q153's assignment CTEs, first-5
+    * ordered string_agg journey, tail-collapse marker past 5 touches. */
+  private val q159 = """
+WITH slim AS (
+  SELECT user_id AS ent, epoch_us(ts) AS us, event_id AS id,
+    event_type AS typ,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')),
+scanned AS (
+  SELECT *, last_value(
+      CASE WHEN kind = 1 THEN struct_pack(cid := id, cus := us) END
+      IGNORE NULLS)
+    OVER (PARTITION BY ent ORDER BY us DESC, kind DESC, id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM slim),
+assigned AS (
+  SELECT ent, us, id, typ, conv.cid AS conv_id
+  FROM scanned
+  WHERE kind = 0 AND conv IS NOT NULL
+    AND conv.cus - us <= 604800000000),
+pos AS (
+  SELECT conv_id, typ,
+    row_number() OVER (PARTITION BY conv_id ORDER BY us, id) AS p,
+    count(*) OVER (PARTITION BY conv_id) AS n
+  FROM assigned),
+paths AS (
+  SELECT conv_id,
+    string_agg(typ, '>' ORDER BY p) ||
+      (CASE WHEN max(n) > 5 THEN '>…' ELSE '' END) AS path
+  FROM pos WHERE p <= 5 GROUP BY conv_id)
+SELECT path, count(*) AS n_conversions
+FROM paths GROUP BY path ORDER BY path"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3878,6 +3912,7 @@ ORDER BY segment_a, segment_b"""
     "q156_delete_propagation" -> q156,
     "q157_basket_lift" -> q157,
     "q158_audience_overlap" -> q158,
+    "q159_conversion_paths" -> q159,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

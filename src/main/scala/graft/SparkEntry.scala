@@ -1841,6 +1841,18 @@ object SparkEntry {
         "user_id", "event_type")
       .orderBy("segment_a", "segment_b")
 
+  private def q159_conversion_paths(s: SparkSession, dir: String): DataFrame =
+    // Path-to-purchase report: ordered touch journeys rolled up to
+    // frequencies, long journeys tail-collapsed at 5 steps ("…") so
+    // path cardinality stays report-sized.
+    graft.relational.Attribution.conversionPaths(
+        graft.relational.Attribution.attributeTouches(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          conversionType = "purchase", touchTypes = Seq("click", "view"),
+          lookbackSeconds = 7L * 24 * 3600),
+        maxSteps = 5)
+      .orderBy("path")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2288,6 +2300,7 @@ object SparkEntry {
     "q156_delete_propagation" -> (q156_delete_propagation _),
     "q157_basket_lift" -> (q157_basket_lift _),
     "q158_audience_overlap" -> (q158_audience_overlap _),
+    "q159_conversion_paths" -> (q159_conversion_paths _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -99,7 +99,6 @@ object Attribution {
     val ordered = perConv.orderBy(col("__us").asc, col("__id").asc)
     val full = perConv.orderBy(col("__us").asc, col("__id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val nD = col("n_touches").cast("double")
     val base = assigned
       .withColumn("position", row_number().over(ordered))
       .withColumn("n_touches", count(lit(1)).over(full))
@@ -122,8 +121,14 @@ object Attribution {
           .withColumn("credit_decay", col("__iw").cast("double") /
             sum(col("__iw")).over(full).cast("double"))
     }
+    attributionSelect(withDecay, entityCol, halfLifeSeconds.isDefined)
+  }
+
+  private def attributionSelect(withDecay: DataFrame, entityCol: String,
+                                hasDecay: Boolean): DataFrame = {
+    val nD = col("n_touches").cast("double")
     val decayCols =
-      if (halfLifeSeconds.isDefined) Seq(col("credit_decay")) else Seq.empty
+      if (hasDecay) Seq(col("credit_decay")) else Seq.empty
     withDecay
       .select(Seq(col("__ent").as(entityCol),
         col("__conv.cid").as("conv_id"),
@@ -140,5 +145,37 @@ object Attribution {
           .otherwise(lit(1.0d) /
             ((col("n_touches") - 2L) * 5L).cast("double"))
           .as("credit_ushape")) ++ decayCols: _*)
+  }
+
+  /** Conversion-path report — "which touch sequences convert, and how
+    * often": the ordered touch-type journey of every conversion from
+    * [[attributeTouches]] output, rolled up to path frequencies. The
+    * path string joins touch types in position order with `>` (the
+    * conventional martech rendering, e.g. `view>view>click`), so it is
+    * a pure function of the deterministic position order. `maxSteps`
+    * caps the rendered journey at the FIRST n touches (long journeys
+    * tail-collapse into one `…`-suffixed path) — path cardinality
+    * stays bounded like topKWithOthers' report discipline.
+    *
+    * Shape: one groupBy conversion building the path (sorted struct
+    * collect over ≤ maxSteps rows — the window filter prunes
+    * map-side), one groupBy path counting — both partial-aggregating;
+    * output is path-cardinality, metadata-sized. */
+  def conversionPaths(attributed: DataFrame,
+                      maxSteps: Int = 10): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1; got $maxSteps")
+    val paths = attributed
+      .filter(col("position") <= maxSteps)
+      .groupBy(col("conv_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("position"), col("touch_type")))),
+          x => x.getField("touch_type")), ">").as("__path"),
+        max(col("n_touches")).as("__n"))
+      .select(col("conv_id"),
+        when(col("__n") > maxSteps, concat(col("__path"), lit(">…")))
+          .otherwise(col("__path")).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_conversions"))
   }
 }

@@ -338,6 +338,24 @@ class Round14Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversionPaths: ordered journeys, frequency rollup, tail collapse") {
+    import graft.relational.Attribution
+    val ev = Seq(
+      // conv 100: view>click ; conv 101: view>click (same path)
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L), (1L, 30L, "purchase", 100L),
+      (2L, 10L, "view", 3L), (2L, 20L, "click", 4L), (2L, 30L, "purchase", 101L),
+      // conv 102: 4 touches, maxSteps=3 -> first 3 + collapse marker
+      (3L, 10L, "click", 5L), (3L, 11L, "view", 6L), (3L, 12L, "view", 7L),
+      (3L, 13L, "click", 8L), (3L, 20L, "purchase", 102L)
+    ).map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val att = Attribution.attributeTouches(ev, "user_id", "ts",
+      "event_type", "event_id", "purchase", Seq("click", "view"), 3600L)
+    val got = Attribution.conversionPaths(att, maxSteps = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view>click" -> 2L, "click>view>view>…" -> 1L))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

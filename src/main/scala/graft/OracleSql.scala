@@ -3794,6 +3794,24 @@ paths AS (
 SELECT path, count(*) AS n_conversions
 FROM paths GROUP BY path ORDER BY path"""
 
+  /** Seasonal-naive backtest twin (q160): epoch-day counts, self-join
+    * at day−7, exact integer error sums, one division per metric. */
+  private val q160 = """
+WITH daily AS (
+  SELECT event_type, CAST(date_diff('day', DATE '1970-01-01',
+      CAST(ts AS DATE)) AS BIGINT) AS d, count(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+scored AS (
+  SELECT a.event_type, a.c - b.c AS err
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d = b.d + 7),
+nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT s.event_type, nd.n_days, count(*) AS n_scored,
+  CAST(sum(abs(s.err)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae,
+  CAST(sum(s.err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bias
+FROM scored s JOIN nd ON nd.event_type = s.event_type
+GROUP BY 1, 2 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3913,6 +3931,7 @@ FROM paths GROUP BY path ORDER BY path"""
     "q157_basket_lift" -> q157,
     "q158_audience_overlap" -> q158,
     "q159_conversion_paths" -> q159,
+    "q160_seasonal_backtest" -> q160,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

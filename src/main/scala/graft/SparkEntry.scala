@@ -1853,6 +1853,14 @@ object SparkEntry {
         maxSteps = 5)
       .orderBy("path")
 
+  private def q160_seasonal_backtest(s: SparkSession, dir: String): DataFrame =
+    // Weekly-seasonality forecast baseline per event type: each day's
+    // count predicted by the count 7 days back, MAE/bias from exact
+    // integer error sums, one IEEE division each.
+    graft.analyze.Timeseries.seasonalNaiveBacktest(
+        t(s, dir, "events"), "event_type", "ts", periodDays = 7)
+      .orderBy("event_type")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2301,6 +2309,7 @@ object SparkEntry {
     "q157_basket_lift" -> (q157_basket_lift _),
     "q158_audience_overlap" -> (q158_audience_overlap _),
     "q159_conversion_paths" -> (q159_conversion_paths _),
+    "q160_seasonal_backtest" -> (q160_seasonal_backtest _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

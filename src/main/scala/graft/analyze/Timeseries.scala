@@ -1,0 +1,54 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series evaluation primitives for event streams — the
+  * capacity-planning/alerting side of the martech domain (daily volume
+  * forecasting per channel; the reference's platform consumes exactly
+  * such per-day activation volumes).
+  */
+object Timeseries {
+
+  /** Seasonal-naive forecast backtest: predict each day's event count
+    * by the count `periodDays` earlier (the weekly-seasonality
+    * baseline every real forecast must beat), scored per key with MAE
+    * and bias.
+    *
+    * Output per key: `(key, n_days, n_scored, mae, bias)` — a day is
+    * scored only when the day AND its period-back day were both
+    * observed (no zero-filling: an absent day is unknown, not zero;
+    * callers wanting dense grids resample first — [[graft.relational.Relational.resampleLocf]]).
+    * Counts and error sums are exact integers; MAE = Σ|err|/n and
+    * bias = Σerr/n are each ONE IEEE division — engine-replayable.
+    *
+    * Shape: one partial-aggregating groupBy to (key, day) grain —
+    * after which everything is day-cardinality — one co-partitioned
+    * self-join on (key, day−period) (both sides the same aggregated
+    * relation: the exchange reuses), one final per-key agg. */
+  def seasonalNaiveBacktest(events: DataFrame, keyCol: String,
+                            tsCol: String, periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1; got $periodDays")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    val pred = daily.select(col(keyCol),
+      (col("__day") + periodDays).as("__day"),
+      col("__cnt").as("__pred"))
+    val scored = daily.join(pred, Seq(keyCol, "__day"))
+      .withColumn("__err", col("__cnt") - col("__pred"))
+    val nDays = daily.groupBy(col(keyCol)).agg(count(lit(1)).as("n_days"))
+    scored.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("__err"))).as("__sae"),
+        sum(col("__err")).as("__se"))
+      .join(nDays, Seq(keyCol))
+      .select(col(keyCol), col("n_days"), col("n_scored"),
+        (col("__sae").cast("double") / col("n_scored").cast("double"))
+          .as("mae"),
+        (col("__se").cast("double") / col("n_scored").cast("double"))
+          .as("bias"))
+  }
+}

@@ -356,6 +356,24 @@ class Round14Spec extends SparkSpec {
     assert(got == Map("view>click" -> 2L, "click>view>view>…" -> 1L))
   }
 
+  test("seasonalNaiveBacktest: hand-computed MAE/bias, gap days unscored") {
+    import graft.analyze.Timeseries
+    // key "x": days 0..3 have counts 10,20,30,40; period=2 ->
+    // scored days 2,3 with preds 10,20 -> errs +20,+20 -> mae=20 bias=20
+    def rows(day: Int, n: Int, key: String) = (0 until n).map { i =>
+      (key, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:0${i % 10}"))
+    }
+    val ev = (rows(0, 10, "x") ++ rows(1, 20, "x") ++ rows(2, 30, "x") ++
+      rows(3, 40, "x") ++
+      // key "y": observed days 0 and 3 only; period 2 -> nothing scored
+      rows(0, 5, "y") ++ rows(3, 7, "y"))
+      .toDF("k", "ts")
+    // y has no (day, day-2) observed pair -> absent (inner-join score)
+    val full = Timeseries.seasonalNaiveBacktest(ev, "k", "ts", periodDays = 2)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(full == Seq(("x", 4L, 2L, 20.0, 20.0)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

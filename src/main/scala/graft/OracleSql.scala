@@ -3812,6 +3812,50 @@ SELECT s.event_type, nd.n_days, count(*) AS n_scored,
 FROM scored s JOIN nd ON nd.event_type = s.event_type
 GROUP BY 1, 2 ORDER BY 1"""
 
+  /** A/B readout twin (q161): q69's md5-residue split on users, pooled
+    * two-proportion z in the identical fixed-shape double expression. */
+  private val q161 = """
+WITH users AS (
+  SELECT user_id,
+    CAST(max(CASE WHEN event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-28 00:00:00' THEN 1 ELSE 0 END)
+      AS BIGINT) AS converted,
+    CASE WHEN
+      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UINTEGER
+        AS BIGINT) % 20 < 10
+      THEN 'treatment' ELSE 'control' END AS variant
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT
+    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS n_treatment,
+    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS n_control,
+    sum(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END)
+      AS conv_treatment,
+    sum(CASE WHEN variant = 'control' THEN converted ELSE 0 END)
+      AS conv_control
+  FROM users)
+SELECT CAST(n_treatment AS BIGINT) AS n_treatment,
+  CAST(n_control AS BIGINT) AS n_control,
+  CAST(conv_treatment AS BIGINT) AS conv_treatment,
+  CAST(conv_control AS BIGINT) AS conv_control,
+  CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+    AS rate_treatment,
+  CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS rate_control,
+  CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) -
+    CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS abs_lift,
+  (CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) -
+    CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)) /
+    (CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)) AS rel_lift,
+  (CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) -
+    CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)) /
+    sqrt((CAST(conv_treatment + conv_control AS DOUBLE) /
+          CAST(n_treatment + n_control AS DOUBLE)) *
+         (1.0::DOUBLE - CAST(conv_treatment + conv_control AS DOUBLE) /
+          CAST(n_treatment + n_control AS DOUBLE)) *
+         (1.0::DOUBLE / CAST(n_treatment AS DOUBLE) +
+          1.0::DOUBLE / CAST(n_control AS DOUBLE))) AS z_score
+FROM agg"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3932,6 +3976,7 @@ GROUP BY 1, 2 ORDER BY 1"""
     "q158_audience_overlap" -> q158,
     "q159_conversion_paths" -> q159,
     "q160_seasonal_backtest" -> q160,
+    "q161_ab_readout" -> q161,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1861,6 +1861,24 @@ object SparkEntry {
         t(s, dir, "events"), "event_type", "ts", periodDays = 7)
       .orderBy("event_type")
 
+  private def q161_ab_readout(s: SparkSession, dir: String): DataFrame = {
+    // Campaign holdout readout: users hash-split 50/50 (md5 residues —
+    // assignment a pure function of the id), outcome = purchased in
+    // the last 3 days of the window (~73% — "any purchase ever"
+    // saturates to 100% on this data and zeroes the pooled variance);
+    // rates/lift/pooled z in one fixed-shape double expression over
+    // four exact counts.
+    import graft.analyze.Experiment
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"), 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        Experiment.assignVariant(col("user_id"), modulus = 20,
+          treatmentResidues = 0 until 10))
+    Experiment.abReadout(users, "variant", "converted")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2310,6 +2328,7 @@ object SparkEntry {
     "q158_audience_overlap" -> (q158_audience_overlap _),
     "q159_conversion_paths" -> (q159_conversion_paths _),
     "q160_seasonal_backtest" -> (q160_seasonal_backtest _),
+    "q161_ab_readout" -> (q161_ab_readout _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,76 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A/B experiment readout — the holdout-lift measurement every
+  * activation campaign needs (the reference pushes audiences to a
+  * campaign platform, `conf/deployment.json:5-20`; "did the campaign
+  * move the metric vs the holdout" is the follow-up question).
+  */
+object Experiment {
+
+  /** Deterministic hash split: entity → variant by md5 residue (the
+    * [[TextAnalysis.hashSampleKey]] key, so assignment is a pure
+    * function of the id — stable across runs, engines, and retries;
+    * never `rand()`). `treatmentResidues` of `modulus` go to
+    * treatment, the rest to control — e.g. (20, 0 until 10) is a
+    * 50/50 split. */
+  def assignVariant(idCol: Column, modulus: Int,
+                    treatmentResidues: Seq[Int]): Column = {
+    require(modulus >= 2, s"modulus must be >= 2; got $modulus")
+    require(treatmentResidues.nonEmpty &&
+      treatmentResidues.forall(r => r >= 0 && r < modulus) &&
+      treatmentResidues.size < modulus,
+      "treatmentResidues must be a proper non-empty subset of 0 until modulus")
+    when(pmod(TextAnalysis.hashSampleKey(idCol), lit(modulus))
+        .isin(treatmentResidues.map(r => r: Any): _*), lit("treatment"))
+      .otherwise(lit("control"))
+  }
+
+  /** Two-proportion experiment readout over an entity-level outcome:
+    * one row —
+    * `(n_treatment, n_control, conv_treatment, conv_control,
+    * rate_treatment, rate_control, abs_lift, rel_lift, z_score)`.
+    *
+    * `outcomes` must be ONE ROW PER ENTITY with a boolean/0-1
+    * `outcomeCol` (aggregate events to entity grain first — counting
+    * events instead of entities would break the independence the
+    * z-test assumes). Rates are single IEEE divisions of exact
+    * counts; the z-score is the pooled two-proportion statistic
+    * (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) computed in ONE fixed-shape
+    * double expression over the four exact counts — the
+    * corrMatrixInt discipline: exact integers through
+    * correctly-rounded arithmetic (sqrt is IEEE-exact), so every
+    * engine replays it bit-for-bit. Null variant/outcome rows are
+    * dropped.
+    *
+    * Shape: one partial-aggregating pass over the entity relation
+    * (conditional sums per variant), metadata-sized result. */
+  def abReadout(outcomes: DataFrame, variantCol: String,
+                outcomeCol: String): DataFrame = {
+    val isT = col(variantCol) === "treatment"
+    val isC = col(variantCol) === "control"
+    val conv = col(outcomeCol).cast("long")
+    val agg = outcomes
+      .filter(col(variantCol).isNotNull && col(outcomeCol).isNotNull)
+      .agg(
+        sum(when(isT, 1L).otherwise(0L)).as("n_treatment"),
+        sum(when(isC, 1L).otherwise(0L)).as("n_control"),
+        sum(when(isT, conv).otherwise(0L)).as("conv_treatment"),
+        sum(when(isC, conv).otherwise(0L)).as("conv_control"))
+    def d(c: Column) = c.cast("double")
+    val pT = d(col("conv_treatment")) / d(col("n_treatment"))
+    val pC = d(col("conv_control")) / d(col("n_control"))
+    val pPool = d(col("conv_treatment") + col("conv_control")) /
+      d(col("n_treatment") + col("n_control"))
+    val se = sqrt(pPool * (lit(1.0d) - pPool) *
+      (lit(1.0d) / d(col("n_treatment")) + lit(1.0d) / d(col("n_control"))))
+    agg.select(col("n_treatment"), col("n_control"),
+      col("conv_treatment"), col("conv_control"),
+      pT.as("rate_treatment"), pC.as("rate_control"),
+      (pT - pC).as("abs_lift"),
+      ((pT - pC) / pC).as("rel_lift"),
+      ((pT - pC) / se).as("z_score"))
+  }
+}

@@ -374,6 +374,32 @@ class Round14Spec extends SparkSpec {
     assert(full == Seq(("x", 4L, 2L, 20.0, 20.0)))
   }
 
+  test("abReadout: hand-computed rates/lift/z; assignVariant determinism + guards") {
+    import graft.analyze.Experiment
+    // 4 treatment (3 converted), 5 control (2 converted)
+    val outcomes = (Seq.fill(3)(("treatment", 1L)) ++ Seq(("treatment", 0L)) ++
+      Seq.fill(2)(("control", 1L)) ++ Seq.fill(3)(("control", 0L)))
+      .toDF("variant", "converted")
+    val r = Experiment.abReadout(outcomes, "variant", "converted")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert((r._1, r._2, r._3, r._4) == ((4L, 5L, 3L, 2L)))
+    assert(r._5 == 0.75 && r._6 == 0.4)
+    assert(math.abs(r._7 - 0.35) < 1e-15)
+    val pPool = 5.0 / 9
+    val se = math.sqrt(pPool * (1 - pPool) * (1.0 / 4 + 1.0 / 5))
+    assert(r._9 == (0.75 - 0.4) / se) // identical fixed-shape expression
+    // assignment is a pure function of the id
+    val ids = spark.range(0, 1000)
+      .select(Experiment.assignVariant(col("id"), 20, 0 until 10).as("v"))
+    val n = ids.groupBy("v").count().as[(String, Long)].collect().toMap
+    assert(n("treatment") + n("control") == 1000L)
+    assert(n("treatment") > 350 && n("treatment") < 650) // hash-balanced
+    intercept[IllegalArgumentException] {
+      Experiment.assignVariant(col("id"), 20, 0 until 20) // improper subset
+    }
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -3856,6 +3856,33 @@ SELECT CAST(n_treatment AS BIGINT) AS n_treatment,
           1.0::DOUBLE / CAST(n_control AS DOUBLE))) AS z_score
 FROM agg"""
 
+  /** Quality-check twin (q162): the same scalar aggregates unioned as
+    * report rows, integer violation counts and pass decisions. */
+  private val q162 = """
+WITH agg AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS m_null,
+    count(event_id) - count(DISTINCT event_id) AS m_dup,
+    sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 39.0)
+      THEN 1 ELSE 0 END) AS m_range,
+    sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+      ('view', 'click', 'purchase', 'signup', 'error')
+      THEN 1 ELSE 0 END) AS m_set
+  FROM events)
+SELECT * FROM (
+  SELECT 'in_range' AS "check", 'value' AS "column",
+    CAST(m_range AS BIGINT) AS observed, m_range = 0 AS passed FROM agg
+  UNION ALL
+  SELECT 'in_set', 'event_type', CAST(m_set AS BIGINT), m_set = 0 FROM agg
+  UNION ALL
+  SELECT 'min_rows', '*', CAST(n AS BIGINT), n >= 1000 FROM agg
+  UNION ALL
+  SELECT 'not_null', 'user_id', CAST(m_null AS BIGINT),
+    m_null * 1000 <= 0 * n FROM agg
+  UNION ALL
+  SELECT 'unique', 'event_id', CAST(m_dup AS BIGINT), m_dup = 0 FROM agg)
+ORDER BY "check", "column""""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -3977,6 +4004,7 @@ FROM agg"""
     "q159_conversion_paths" -> q159,
     "q160_seasonal_backtest" -> q160,
     "q161_ab_readout" -> q161,
+    "q162_quality_checks" -> q162,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

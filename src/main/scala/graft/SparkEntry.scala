@@ -1879,6 +1879,20 @@ object SparkEntry {
     Experiment.abReadout(users, "variant", "converted")
   }
 
+  private def q162_quality_checks(s: SparkSession, dir: String): DataFrame =
+    // Declarative ingest contract over events: one aggregation pass ->
+    // one report row per check, integer violation counts, integer pass
+    // decisions (value range deliberately tight so a violation row is
+    // exercised at the gate).
+    graft.analyze.Quality.runChecks(t(s, dir, "events"), Seq(
+        graft.analyze.Quality.NotNull("user_id"),
+        graft.analyze.Quality.Unique("event_id"),
+        graft.analyze.Quality.InRange("value", 0.0, 39.0),
+        graft.analyze.Quality.InSet("event_type",
+          Seq("view", "click", "purchase", "signup", "error")),
+        graft.analyze.Quality.MinRows(1000L)))
+      .orderBy("check", "column")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2329,6 +2343,7 @@ object SparkEntry {
     "q159_conversion_paths" -> (q159_conversion_paths _),
     "q160_seasonal_backtest" -> (q160_seasonal_backtest _),
     "q161_ab_readout" -> (q161_ab_readout _),
+    "q162_quality_checks" -> (q162_quality_checks _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -400,6 +400,34 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("quality runChecks: violation counts and pass decisions per check") {
+    import graft.analyze.Quality
+    import graft.analyze.Quality._
+    val df = Seq(
+      (Some(1L), Some("a"), Some(5.0)),
+      (Some(2L), Some("a"), Some(50.0)),  // dup "a", out-of-range 50
+      (None, Some("b"), Some(-1.0)),      // null id, out-of-range -1
+      (Some(3L), Some("zz"), None)        // out-of-set zz, null value ok
+    ).toDF("id", "cat", "v")
+    val got = Quality.runChecks(df, Seq(
+        NotNull("id"), NotNull("id", maxNullPermille = 300),
+        Unique("cat"), InRange("v", 0.0, 40.0),
+        InSet("cat", Seq("a", "b")), MinRows(10L)))
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("not_null", "id", 1L, false),
+      ("not_null", "id", 1L, true),   // 1/4 = 250 permille <= 300
+      ("unique", "cat", 1L, false),   // one surplus "a"
+      ("in_range", "v", 2L, false),
+      ("in_set", "cat", 1L, false),
+      ("min_rows", "*", 4L, false)))
+    // a clean table passes everything
+    val clean = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "v")
+    assert(Quality.runChecks(clean, Seq(NotNull("id"), Unique("cat"),
+        InRange("v", 0.0, 40.0), InSet("cat", Seq("a", "b")), MinRows(2L)))
+      .filter(!col("passed")).count() == 0)
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

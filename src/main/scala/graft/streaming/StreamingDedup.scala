@@ -194,6 +194,65 @@ object StreamingDedup {
       }
   }
 
+  case class AttrEvent(user: Long, us: Long, id: Long, etype: String)
+  case class PendingTouches(touches: Seq[(Long, Long, String)])
+  case class AttrEmit(convId: Long, touchId: Long, touchType: String,
+                      position: Int, nTouches: Int)
+
+  /** Streaming twin of [[graft.relational.Attribution.attributeTouches]]'
+    * assignment: per entity, touches buffer until their NEXT conversion
+    * arrives, which claims every buffered touch within the lookback and
+    * clears the buffer (next-conversion semantics — a touch can never
+    * credit two conversions). Emissions are final (append semantics): a
+    * conversion's touch set is complete the moment it is claimed.
+    *
+    * State is the pending-touch buffer per entity, and it is BOUNDED BY
+    * THE LOOKBACK, not the stream length: a touch older than
+    * `lookbackSeconds` behind the entity's max seen event time can
+    * never be claimed by any future conversion (conv_ts ≥ now >
+    * touch_ts + lookback), so each batch evicts it. Equality with the
+    * batch operator holds under event-time-ordered arrival per entity;
+    * within a batch, rows sort (us, touch-before-conversion, id) — the
+    * batch scan's tie rule, so a same-instant conversion claims the
+    * touch and the smaller-id of two same-instant conversions claims
+    * the buffer. */
+  def attributionStream(events: Dataset[AttrEvent], conversionType: String,
+                        touchTypes: Seq[String], lookbackSeconds: Long)
+      : Dataset[AttrEmit] = {
+    import events.sparkSession.implicits._
+    val touchSet = touchTypes.toSet
+    val lookUs = lookbackSeconds * 1000000L
+    events
+      .filter(e => e.etype == conversionType || touchSet.contains(e.etype))
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[AttrEvent],
+         state: GroupState[PendingTouches]) =>
+          var buf = state.getOption.map(_.touches.toVector)
+            .getOrElse(Vector.empty[(Long, Long, String)])
+          val out = scala.collection.mutable.ArrayBuffer[AttrEmit]()
+          var maxUs = buf.lastOption.map(_._1).getOrElse(Long.MinValue)
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.us, if (e.etype == conversionType) 1 else 0, e.id))
+          ordered.foreach { e =>
+            maxUs = math.max(maxUs, e.us)
+            if (e.etype == conversionType) {
+              val claimed = buf.filter(t => e.us - t._1 <= lookUs)
+                .sortBy(t => (t._1, t._2))
+              claimed.zipWithIndex.foreach { case ((_, tid, tty), i) =>
+                out += AttrEmit(e.id, tid, tty, i + 1, claimed.size)
+              }
+              buf = Vector.empty // consumed OR unclaimable (older conv window)
+            } else buf = buf :+ ((e.us, e.id, e.etype))
+          }
+          // lookback eviction: unclaimable by any future conversion
+          buf = buf.filter(t => maxUs - t._1 <= lookUs)
+          state.update(PendingTouches(buf))
+          out.iterator
+      }
+  }
+
   /** Windowed aggregation over the event stream: tumbling-window counts
     * per event type with a watermark (the standard streaming agg shape). */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

@@ -428,6 +428,44 @@ class Round14Spec extends SparkSpec {
       .filter(!col("passed")).count() == 0)
   }
 
+  test("streaming attributionStream == batch attributeTouches under in-order 2-batch arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(1441)
+    // 5 users, 300 events at distinct seconds; ~20% purchases; lookback
+    // 40s so some touches expire unclaimed
+    val evs = (0 until 300).map { i =>
+      val ty = rnd.nextInt(10) match {
+        case 0 | 1 => "purchase"
+        case k if k % 2 == 0 => "click"
+        case _ => "view"
+      }
+      StreamingDedup.AttrEvent(i % 5L, (100L + i) * 1000000L, i.toLong, ty)
+    }
+    val (b1, b2) = evs.partition(_.us < 250L * 1000000L)
+    val mem = MemoryStream[StreamingDedup.AttrEvent]
+    val q = StreamingDedup.attributionStream(mem.toDS(), "purchase",
+        Seq("click", "view"), lookbackSeconds = 40L)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("attr_stream")
+        .as[(Long, Long, String, Int, Int)].collect().toSet
+      val batch = graft.relational.Attribution.attributeTouches(
+          evs.toDF("user_id", "us", "event_id", "event_type")
+            .withColumn("ts", timestamp_micros(col("us"))),
+          "user_id", "ts", "event_type", "event_id",
+          "purchase", Seq("click", "view"), lookbackSeconds = 40L)
+        .select(col("conv_id"), col("touch_id"), col("touch_type"),
+          col("position"), col("n_touches").cast("int"))
+        .as[(Long, Long, String, Int, Int)].collect().toSet
+      assert(got.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

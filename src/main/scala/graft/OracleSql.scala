@@ -3883,6 +3883,33 @@ SELECT * FROM (
   SELECT 'unique', 'event_id', CAST(m_dup AS BIGINT), m_dup = 0 FROM agg)
 ORDER BY "check", "column""""
 
+  /** Linkage scorecard twin (q163): identical block join, integer
+    * agreement weights, integer tier thresholds. */
+  private val q163 = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0),
+p AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 1 ELSE 0 END
+      AS name_agree,
+    CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+      AS segment_agree,
+    CASE WHEN abs(CAST(a.c_acctbal AS DECIMAL(12,2)) -
+        CAST(b.c_acctbal AS DECIMAL(12,2))) <= 100 THEN 1 ELSE 0 END
+      AS balance_agree
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+scored AS (
+  SELECT *, name_agree * 3 + segment_agree * 2 + balance_agree AS score
+  FROM p)
+SELECT id_a, id_b, name_agree, segment_agree, balance_agree, score,
+  CASE WHEN score >= 5 THEN 'match'
+       WHEN score >= 3 THEN 'possible'
+       ELSE 'non_match' END AS tier
+FROM scored WHERE score >= 3
+ORDER BY id_a, id_b"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4005,6 +4032,7 @@ ORDER BY "check", "column""""
     "q160_seasonal_backtest" -> q160,
     "q161_ab_readout" -> q161,
     "q162_quality_checks" -> q162,
+    "q163_record_linkage" -> q163,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1893,6 +1893,30 @@ object SparkEntry {
         graft.analyze.Quality.MinRows(1000L)))
       .orderBy("check", "column")
 
+  private def q163_record_linkage(s: SparkSession, dir: String): DataFrame = {
+    // Multi-field linkage scorecard: nation-blocked customer pairs,
+    // integer agreement weights (name levenshtein<=2 -> 3, segment -> 2,
+    // balance within 100 in exact decimal -> 1), integer-threshold
+    // tiers; the gated dump keeps score >= possible only (the
+    // non-match tail is Σ|block|²-sized by construction).
+    import graft.dedup.Linkage, Linkage.LinkRule
+    Linkage.scorePairs(
+        t(s, dir, "customer").filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "c_nationkey",
+        fields = Seq("c_name", "c_mktsegment", "c_acctbal"),
+        rules = Seq(
+          LinkRule("name",
+            levenshtein(col("c_name_a"), col("c_name_b")) <= 2, 3),
+          LinkRule("segment",
+            col("c_mktsegment_a") === col("c_mktsegment_b"), 2),
+          LinkRule("balance",
+            abs(col("c_acctbal_a").cast("decimal(12,2)") -
+              col("c_acctbal_b").cast("decimal(12,2)")) <= 100, 1)),
+        matchMin = 5, possibleMin = 3)
+      .filter(col("score") >= 3)
+      .orderBy("id_a", "id_b")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2344,6 +2368,7 @@ object SparkEntry {
     "q160_seasonal_backtest" -> (q160_seasonal_backtest _),
     "q161_ab_readout" -> (q161_ab_readout _),
     "q162_quality_checks" -> (q162_quality_checks _),
+    "q163_record_linkage" -> (q163_record_linkage _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

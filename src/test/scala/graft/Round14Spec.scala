@@ -466,6 +466,29 @@ class Round14Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("linkage scorePairs: blocked pairs, agreement flags, tiers") {
+    import graft.dedup.Linkage, Linkage.LinkRule
+    val ppl = Seq(
+      (1L, 10, "ann smith", "a", 100.0),
+      (2L, 10, "ann smyth", "a", 150.0), // vs 1: name+seg+bal -> 6 match
+      (3L, 10, "bob jones", "b", 500.0), // vs 1/2: nothing -> filtered
+      (4L, 20, "ann smith", "a", 100.0)  // other block: never paired w/ 1
+    ).toDF("id", "blk", "nm", "seg", "bal")
+    val got = Linkage.scorePairs(ppl, "id", "blk",
+        Seq("nm", "seg", "bal"),
+        Seq(LinkRule("name", levenshtein(col("nm_a"), col("nm_b")) <= 2, 3),
+          LinkRule("seg", col("seg_a") === col("seg_b"), 2),
+          LinkRule("bal", abs(col("bal_a") - col("bal_b")) <= 100, 1)),
+        matchMin = 5, possibleMin = 3)
+      .as[(Long, Long, Int, Int, Int, Int, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._6, r._7))).toMap
+    assert(got((1L, 2L)) == ((6, "match")))
+    assert(got((1L, 3L)) == ((0, "non_match")))
+    assert(got((2L, 3L)) == ((0, "non_match")))
+    assert(!got.contains((1L, 4L))) // cross-block pair never forms
+    assert(got.size == 3)
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

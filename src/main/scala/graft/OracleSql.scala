@@ -3910,6 +3910,35 @@ SELECT id_a, id_b, name_agree, segment_agree, balance_agree, score,
 FROM scored WHERE score >= 3
 ORDER BY id_a, id_b"""
 
+  /** Cohort LTV twin (q164): q119's cohort conventions + decimal
+    * revenue sums kept decimal through the cumulative window, final
+    * cast-to-double the q01 idiom. */
+  private val q164 = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY 1),
+weekly AS (
+  SELECT f.cohort_week,
+    CAST(datediff('day', f.cohort_week,
+      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+    SUM(CAST(e.value AS DECIMAL(12,2))) AS wrev
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort_week, week_offset, wrev,
+    SUM(wrev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+  FROM weekly)
+SELECT c.cohort_week, c.week_offset, s.cohort_size,
+  CAST(c.wrev AS DOUBLE) AS week_revenue,
+  CAST(c.crev AS DOUBLE) AS cum_revenue,
+  CAST(c.crev AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS ltv_per_member
+FROM cum c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4033,6 +4062,7 @@ ORDER BY id_a, id_b"""
     "q161_ab_readout" -> q161,
     "q162_quality_checks" -> q162,
     "q163_record_linkage" -> q163,
+    "q164_cohort_ltv" -> q164,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1917,6 +1917,16 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  private def q164_cohort_ltv(s: SparkSession, dir: String): DataFrame =
+    // LTV curve per acquisition cohort: weekly purchase revenue,
+    // running cumulative (decimal-exact through the window), per-member
+    // LTV one IEEE division — the revenue companion of q119 retention.
+    graft.relational.Relational.cohortLtv(
+        t(s, dir, "events"),
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value")
+      .orderBy("cohort_week", "week_offset")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2369,6 +2379,7 @@ object SparkEntry {
     "q161_ab_readout" -> (q161_ab_readout _),
     "q162_quality_checks" -> (q162_quality_checks _),
     "q163_record_linkage" -> (q163_record_linkage _),
+    "q164_cohort_ltv" -> (q164_cohort_ltv _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

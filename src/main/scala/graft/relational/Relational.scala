@@ -403,6 +403,49 @@ object Relational {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Cohort LTV curve — the revenue companion of [[weeklyRetention]]:
+    * per (cohort_week, week_offset), the cohort's revenue that week,
+    * the running cumulative, and cumulative revenue per cohort member
+    * (the LTV curve marketing reads left to right). Cohort = Monday
+    * week of each entity's FIRST event (any type — acquisition),
+    * revenue = Σ `valueCol` of the revenue rows (pass a pre-filtered
+    * `revenueEvents`, e.g. purchases only).
+    *
+    * Exactness: week offsets are integer-exact (week-aligned dates);
+    * revenue sums are DECIMAL(12,2)-exact (order-free) and stay
+    * decimal through the cumulative window; the per-member LTV is one
+    * IEEE division of the decimal-exact cumulative by the integer
+    * cohort size. Shape: two partial-aggregating groupBys + one
+    * co-partitioned join + one cohort-partitioned cumulative window
+    * over offset-cardinality rows (weeks, not events). */
+  def cohortLtv(events: DataFrame, revenueEvents: DataFrame,
+                entityCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val firsts = events.groupBy(col(entityCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val weekly = revenueEvents.select(col(entityCol),
+        to_date(date_trunc("week", col(tsCol))).as("active_week"),
+        col(valueCol).cast("decimal(12,2)").as("__rev"))
+      .join(firsts, entityCol)
+      .groupBy(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(sum(col("__rev")).as("__wrev"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("__crev", sum(col("__wrev")).over(w))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("__wrev").cast("double").as("week_revenue"),
+        col("__crev").cast("double").as("cum_revenue"),
+        (col("__crev").cast("double") / col("cohort_size").cast("double"))
+          .as("ltv_per_member"))
+  }
+
   /** Top-k dimension values per group with an "(other)" rollup — the
     * standard cardinality-capped report shape (top 5 referrers per
     * site, everything else one row) that keeps dashboards and

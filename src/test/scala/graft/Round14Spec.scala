@@ -489,6 +489,30 @@ class Round14Spec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("cohortLtv: hand-computed weekly/cumulative/per-member curve") {
+    import graft.relational.Relational
+    // cohort Mon 2024-01-01: users 1,2 (first events that week);
+    // user 3 first-seen week of 2024-01-08
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view", 0.0),
+      (2L, t("2024-01-03 10:00:00"), "purchase", 10.0),
+      (1L, t("2024-01-09 10:00:00"), "purchase", 20.0),
+      (2L, t("2024-01-10 10:00:00"), "purchase", 5.0),
+      (3L, t("2024-01-10 11:00:00"), "purchase", 7.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Relational.cohortLtv(ev,
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value")
+      .orderBy("cohort_week", "week_offset")
+      .as[(java.sql.Date, Int, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0, 2L, 10.0, 10.0, 5.0),
+      (java.sql.Date.valueOf("2024-01-01"), 1, 2L, 25.0, 35.0, 17.5),
+      (java.sql.Date.valueOf("2024-01-08"), 0, 1L, 7.0, 7.0, 7.0)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

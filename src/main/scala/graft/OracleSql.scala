@@ -3939,6 +3939,36 @@ SELECT c.cohort_week, c.week_offset, s.cohort_size,
 FROM cum c JOIN sizes s USING (cohort_week)
 ORDER BY cohort_week, week_offset"""
 
+  /** Identity-stitching twin (q165): the identical identifier
+    * generator and star-edge (member -> min-member hub) construction,
+    * closed by a recursive min-label CTE (the q63 pattern). */
+  private val q165 = """
+WITH RECURSIVE users AS (
+  SELECT DISTINCT user_id FROM events),
+ids AS (
+  SELECT user_id, 'user' || chr(1) || CAST(user_id AS VARCHAR) AS ident
+  FROM users
+  UNION ALL
+  SELECT user_id, 'device' || chr(1) || CAST(user_id // 3 AS VARCHAR)
+  FROM users WHERE user_id % 7 <> 0
+  UNION ALL
+  SELECT user_id, 'email' || chr(1) || CAST(user_id // 5 AS VARCHAR)
+  FROM users WHERE user_id % 2 = 0),
+hubs AS (SELECT ident, min(user_id) AS hub FROM ids GROUP BY 1),
+star AS (
+  SELECT DISTINCT i.user_id AS a, h.hub AS b
+  FROM ids i JOIN hubs h USING (ident) WHERE i.user_id <> h.hub),
+edges AS (SELECT a AS src, b AS dst FROM star UNION SELECT b, a FROM star),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+SELECT u.user_id,
+  coalesce((SELECT MIN(r) FROM reach WHERE reach.id = u.user_id),
+    u.user_id) AS person_id
+FROM users u
+ORDER BY user_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4063,6 +4093,7 @@ ORDER BY cohort_week, week_offset"""
     "q162_quality_checks" -> q162,
     "q163_record_linkage" -> q163,
     "q164_cohort_ltv" -> q164,
+    "q165_identity_stitching" -> q165,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

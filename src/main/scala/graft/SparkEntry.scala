@@ -1927,6 +1927,26 @@ object SparkEntry {
         "user_id", "ts", "value")
       .orderBy("cohort_week", "week_offset")
 
+  private def q165_identity_stitching(s: SparkSession, dir: String): DataFrame = {
+    // Cross-device person resolution: deterministic identifier sets
+    // over users — devices shared by id-triples (except %7 holdouts),
+    // emails shared by id-pairs on evens — chain into persons via the
+    // star-edge construction + connected components.
+    val users = t(s, dir, "events").select(col("user_id")).distinct()
+    val ids = users.select(col("user_id"), lit("user").as("id_type"),
+        col("user_id").cast("string").as("id_value"))
+      .unionByName(users.filter(col("user_id") % 7 =!= 0)
+        .select(col("user_id"), lit("device").as("id_type"),
+          call_function("div", col("user_id"), lit(3L)).cast("string")
+            .as("id_value")))
+      .unionByName(users.filter(col("user_id") % 2 === 0)
+        .select(col("user_id"), lit("email").as("id_type"),
+          call_function("div", col("user_id"), lit(5L)).cast("string")
+            .as("id_value")))
+    graft.dedup.Dedup.stitchIdentities(ids, "user_id", "id_type", "id_value")
+      .orderBy("user_id")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2380,6 +2400,7 @@ object SparkEntry {
     "q162_quality_checks" -> (q162_quality_checks _),
     "q163_record_linkage" -> (q163_record_linkage _),
     "q164_cohort_ltv" -> (q164_cohort_ltv _),
+    "q165_identity_stitching" -> (q165_identity_stitching _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -609,6 +609,42 @@ object Dedup extends graft.core.Logging {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Identity stitching (cross-device/cross-channel person resolution)
+    * — the martech identity-graph core: entities sharing ANY
+    * identifier (email, device id, phone…) merge into one person;
+    * shared identifiers chain transitively (A~email~B, B~device~C ⇒
+    * one person).
+    *
+    * Construction: per identifier, the MIN member entity is the hub
+    * and every other member gets one (entity, hub) edge — LINEAR in
+    * membership rows, never the per-identifier k² pair explosion a
+    * same-identifier self-join would build (a popular identifier — a
+    * shared corporate email — has thousands of members; stars keep it
+    * linear, [[connectedComponents]] closes the chains). Entities with
+    * only unique identifiers are singleton persons (person_id = own
+    * id). Returns one `(entityCol, person_id)` row per distinct
+    * entity; person_id = min entity of the component. */
+  def stitchIdentities(ids: DataFrame, entityCol: String,
+                       idTypeCol: String, idValueCol: String,
+                       maxIter: Int = 20): DataFrame = {
+    val m = ids
+      .filter(col(idValueCol).isNotNull && col(idTypeCol).isNotNull)
+      .select(col(entityCol).as("__ent"),
+        concat_ws("", col(idTypeCol), col(idValueCol)).as("__ident"))
+      .distinct()
+    val hubs = m.groupBy(col("__ident")).agg(min(col("__ent")).as("__hub"))
+    val edges = m.join(hubs, Seq("__ident"))
+      .filter(col("__ent") =!= col("__hub"))
+      .select(col("__ent").as("a"), col("__hub").as("b"))
+      .distinct()
+    val comp = connectedComponents(edges, "a", "b", maxIter)
+    ids.select(col(entityCol)).distinct()
+      .join(comp.select(col("id").as(entityCol),
+        col("cluster_id").as("__pid")), Seq(entityCol), "left")
+      .select(col(entityCol),
+        coalesce(col("__pid"), col(entityCol)).as("person_id"))
+  }
+
   /** Benchmark decontamination: which probe (eval/test) documents share
     * at least `minShared` distinct word n-grams with the training
     * corpus — the standard pre-training overlap check. The corpus side

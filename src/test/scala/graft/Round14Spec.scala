@@ -513,6 +513,32 @@ class Round14Spec extends SparkSpec {
       (java.sql.Date.valueOf("2024-01-08"), 0, 1L, 7.0, 7.0, 7.0)))
   }
 
+  test("stitchIdentities: transitive chains, singletons, popular-identifier star") {
+    import graft.dedup.Dedup
+    val ids = Seq(
+      // chain: 1~e1~2, 2~d1~3 -> one person (min 1)
+      (1L, "email", "e1"), (2L, "email", "e1"),
+      (2L, "device", "d1"), (3L, "device", "d1"),
+      // popular identifier: 10,11,12,13 share corp email -> one person
+      (10L, "email", "corp"), (11L, "email", "corp"),
+      (12L, "email", "corp"), (13L, "email", "corp"),
+      // singleton: unique identifier only
+      (20L, "email", "solo"),
+      // collision guard: type+value must not concatenate ambiguously
+      (30L, "ab", "c"), (31L, "a", "bc"),
+      // null identifier rows ignored
+      (40L, null, "x"), (40L, "email", null)
+    ).toDF("ent", "id_type", "id_value")
+    val got = Dedup.stitchIdentities(ids, "ent", "id_type", "id_value")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(got(20L) == 20L)
+    assert(got(30L) == 30L && got(31L) == 31L) // no separator collision
+    assert(got(40L) == 40L)
+    assert(got.size == 11)
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -777,12 +777,20 @@ object ScaleProbe {
       }
       var nw = 0L; var nn = 0L
       val tw = best { nw = sink(windowForm()) }
-      val tn = best { nn = sink(naiveForm()) }
-      require(nw == nn, s"attribution window/naive row counts differ: $nw vs $nn")
-      // spot equality beyond counts: assignments must be identical
-      val diff = windowForm().exceptAll(naiveForm()).count()
-      require(diff == 0, s"attribution window/naive assignments differ: $diff rows")
-      log.println(f"""{"query":"attribution_assign(probe)","n":$n,"window":$tw%.3f,"naive_join":$tn%.3f,"speedup":${tn / tw}%.2f,"rows":$nw}""")
+      // log the window side IMMEDIATELY: at scale 8 the naive side's
+      // hot-entity pair explosion sorts in one task and did not finish
+      // inside an hour (the measured verdict) — a partial run must
+      // still record the linear side. GRAFT_ATTR_SKIP_NAIVE=1 records
+      // only it.
+      log.println(f"""{"query":"attribution_window(probe)","n":$n,"window":$tw%.3f,"rows":$nw}""")
+      if (!sys.env.contains("GRAFT_ATTR_SKIP_NAIVE")) {
+        val tn = best { nn = sink(naiveForm()) }
+        require(nw == nn, s"attribution window/naive row counts differ: $nw vs $nn")
+        // spot equality beyond counts: assignments must be identical
+        val diff = windowForm().exceptAll(naiveForm()).count()
+        require(diff == 0, s"attribution window/naive assignments differ: $diff rows")
+        log.println(f"""{"query":"attribution_assign(probe)","n":$n,"window":$tw%.3f,"naive_join":$tn%.3f,"speedup":${tn / tw}%.2f,"rows":$nw}""")
+      }
     }
     log.close()
     spark.stop()

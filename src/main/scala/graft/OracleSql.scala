@@ -3969,6 +3969,42 @@ SELECT u.user_id,
 FROM users u
 ORDER BY user_id"""
 
+  /** Lookalike twin (q166): exact-decimal centroid means (q73 idiom),
+    * decimal-accumulated dot/norms (q33 idiom), fixed-shape cosine,
+    * rank ties to the smaller id. */
+  private val q166 = """
+WITH e AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, label, embedding,
+          unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+cent AS (
+  SELECT i, CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM e WHERE label = 3 GROUP BY 1),
+cn AS (
+  SELECT CAST(SUM(CAST(m * m AS DECIMAL(30,12))) AS DOUBLE) AS cn2
+  FROM cent),
+dots AS (
+  SELECT e.vec_id AS id,
+    CAST(SUM(CAST(e.x * c.m AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM e JOIN cent c USING (i) WHERE e.label <> 3
+  GROUP BY 1),
+n2 AS (
+  SELECT vec_id AS id, CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)
+    AS n2
+  FROM e WHERE label <> 3 GROUP BY 1),
+scored AS (
+  SELECT d.id,
+    CASE WHEN sqrt(cn.cn2) * sqrt(n2.n2) > 0
+         THEN d.dot / (sqrt(cn.cn2) * sqrt(n2.n2)) ELSE 0.0 END AS cos_sim
+  FROM dots d JOIN n2 USING (id) CROSS JOIN cn)
+SELECT id, cos_sim,
+  CAST(row_number() OVER (ORDER BY cos_sim DESC, id) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= 20
+ORDER BY "rank""""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4094,6 +4130,7 @@ ORDER BY user_id"""
     "q163_record_linkage" -> q163,
     "q164_cohort_ltv" -> q164,
     "q165_identity_stitching" -> q165,
+    "q166_lookalike" -> q166,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

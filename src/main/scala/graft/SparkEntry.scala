@@ -1947,6 +1947,14 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  private def q166_lookalike(s: SparkSession, dir: String): DataFrame =
+    // Lookalike expansion: label-3 vectors seed a centroid (exact-
+    // decimal per-dim means), top-20 non-seed vectors by exact cosine
+    // — the martech read of the similarity stack.
+    Similarity.lookalikeTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", seed = col("label") === 3, k = 20)
+      .orderBy("rank")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2401,6 +2409,7 @@ object SparkEntry {
     "q163_record_linkage" -> (q163_record_linkage _),
     "q164_cohort_ltv" -> (q164_cohort_ltv _),
     "q165_identity_stitching" -> (q165_identity_stitching _),
+    "q166_lookalike" -> (q166_lookalike _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

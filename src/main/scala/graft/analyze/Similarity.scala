@@ -345,6 +345,50 @@ object Similarity {
       .select(col(queryCol), col(itemCol), col("rrf_score"), col("rank"))
   }
 
+  /** Lookalike audience expansion — the martech use of the similarity
+    * stack: centroid of a SEED audience's embeddings (per-dimension
+    * exact-decimal means, [[meanPool]] semantics), then the top-k
+    * non-seed vectors by exact cosine to that centroid. Deterministic
+    * end to end: means and dot/norm sums use the decimal-accumulator
+    * idiom (order-free), cosines are fixed-shape divisions, ties break
+    * to the smaller id.
+    *
+    * Scale shape: the centroid is a dim-cardinality relation
+    * (broadcast); candidates explode to (id, dim, x) rows for ONE
+    * partial-aggregating dot per id — linear in candidate mass, no
+    * pair joins; top-k is a TakeOrdered, never a global sort. The IVF
+    * path composes when the candidate corpus outgrows brute force
+    * (search the centroid as a query). */
+  def lookalikeTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    seed: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val dec = "decimal(30,12)"
+    val cent = emb.filter(seed)
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast("double").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+    val centN2 = cent.agg(
+      sum((col("m") * col("m")).cast(dec)).cast("double").as("cn2"))
+    val cand = emb.filter(!seed)
+    val dots = cand
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .join(broadcast(cent), Seq("i"))
+      .groupBy(col("id"))
+      .agg(sum((col("x").cast("double") * col("m")).cast(dec))
+        .cast("double").as("dot"))
+    val n2 = cand.select(col(idCol).as("id"),
+      dotExact(col(vecCol), col(vecCol)).as("n2"))
+    val scored = dots.join(n2, Seq("id")).crossJoin(broadcast(centN2))
+      .select(col("id"),
+        cosineFromParts(col("dot"), col("cn2"), col("n2")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos_sim").desc, col("id").asc)))
+  }
+
   /** EXACT cosine-threshold pairs by brute force over all id pairs —
     * the correctness baseline for cosineNearDups. O(n²) in pairs: on a
     * cluster, bound `df` (sample or pre-filter) before calling; for dense

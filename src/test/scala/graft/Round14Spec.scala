@@ -539,6 +539,21 @@ class Round14Spec extends SparkSpec {
     assert(got.size == 11)
   }
 
+  test("lookalikeTopK: centroid direction ranks candidates; ties to smaller id") {
+    import graft.analyze.Similarity
+    // seeds point +x; candidates: 10 = +x (cos 1), 11 = diag (cos .707…),
+    // 12 = +y (cos 0), 13 = +x too (tie with 10 broken by id)
+    val emb = Seq(
+      (1L, Array(1f, 0f), true), (2L, Array(3f, 0f), true),
+      (10L, Array(2f, 0f), false), (13L, Array(5f, 0f), false),
+      (11L, Array(1f, 1f), false), (12L, Array(0f, 4f), false)
+    ).toDF("vec_id", "embedding", "is_seed")
+    val got = Similarity.lookalikeTopK(emb, "vec_id", "embedding",
+        seed = col("is_seed"), k = 3)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((10L, 1), (13L, 2), (11L, 3)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

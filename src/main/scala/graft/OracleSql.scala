@@ -3999,7 +3999,7 @@ scored AS (
     CASE WHEN sqrt(cn.cn2) * sqrt(n2.n2) > 0
          THEN d.dot / (sqrt(cn.cn2) * sqrt(n2.n2)) ELSE 0.0 END AS cos_sim
   FROM dots d JOIN n2 USING (id) CROSS JOIN cn)
-SELECT id, cos_sim,
+SELECT id AS vec_id, cos_sim,
   CAST(row_number() OVER (ORDER BY cos_sim DESC, id) AS INTEGER) AS "rank"
 FROM scored
 QUALIFY "rank" <= 20

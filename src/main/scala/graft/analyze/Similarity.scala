@@ -385,8 +385,9 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("id").asc)
       .limit(k)
     scored.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("cos_sim").desc, col("id").asc)))
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos_sim").desc, col("id").asc)))
+      .withColumnRenamed("id", idCol)
   }
 
   /** EXACT cosine-threshold pairs by brute force over all id pairs —

@@ -4005,6 +4005,42 @@ FROM scored
 QUALIFY "rank" <= 20
 ORDER BY "rank""""
 
+  /** Gains-table twin (q167): DuckDB ntile over (score DESC, id),
+    * integer tile aggregates, cumulative window, fixed-shape rates. */
+  private val q167 = """
+WITH users AS (
+  SELECT user_id,
+    sum(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END) +
+      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+    max(CASE WHEN event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-28 00:00:00' THEN 1 ELSE 0 END)
+      AS converted
+  FROM events GROUP BY 1),
+tiled AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS INTEGER)
+    AS tile, converted
+  FROM users),
+tiles AS (
+  SELECT tile, count(*) AS n,
+    CAST(sum(converted) AS BIGINT) AS n_conv
+  FROM tiled GROUP BY 1),
+cum AS (
+  SELECT *, CAST(sum(n_conv) OVER (ORDER BY tile
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_conv
+  FROM tiles),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_conv) AS BIGINT) AS tc
+  FROM tiles)
+SELECT c.tile, c.n, c.n_conv,
+  CAST(c.n_conv AS DOUBLE) / CAST(c.n AS DOUBLE) AS conv_rate,
+  c.cum_conv,
+  CAST(c.cum_conv AS DOUBLE) / CAST(t.tc AS DOUBLE) AS capture_rate,
+  (CAST(c.n_conv AS DOUBLE) / CAST(c.n AS DOUBLE)) /
+    (CAST(t.tc AS DOUBLE) / CAST(t.tn AS DOUBLE)) AS lift
+FROM cum c CROSS JOIN tot t
+ORDER BY tile"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4131,6 +4167,7 @@ ORDER BY "rank""""
     "q164_cohort_ltv" -> q164,
     "q165_identity_stitching" -> q165,
     "q166_lookalike" -> q166,
+    "q167_gains_table" -> q167,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

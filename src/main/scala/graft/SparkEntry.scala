@@ -1955,6 +1955,23 @@ object SparkEntry {
         "embedding", seed = col("label") === 3, k = 20)
       .orderBy("rank")
 
+  private def q167_gains_table(s: SparkSession, dir: String): DataFrame = {
+    // Propensity-decile gains: engagement score (2*clicks + views,
+    // exact integers) deciled by the salted ntile machinery; per
+    // decile conversion rate, cumulative capture, lift — all
+    // fixed-shape doubles over exact counts.
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "click", 2L).otherwise(0L)) +
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+          .as("score"),
+        max(when(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"), 1L)
+          .otherwise(0L)).as("converted"))
+    graft.analyze.Experiment.gainsTable(users, "user_id", "score",
+        "converted", nTiles = 10)
+      .orderBy("tile")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2410,6 +2427,7 @@ object SparkEntry {
     "q164_cohort_ltv" -> (q164_cohort_ltv _),
     "q165_identity_stitching" -> (q165_identity_stitching _),
     "q166_lookalike" -> (q166_lookalike _),
+    "q167_gains_table" -> (q167_gains_table _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -554,6 +554,25 @@ class Round14Spec extends SparkSpec {
     assert(got == Seq((10L, 1), (13L, 2), (11L, 3)))
   }
 
+  test("gainsTable: hand-computed tiles, capture and lift") {
+    import graft.analyze.Experiment
+    // 10 entities, scores 10..1; converters are the top 3 scores plus
+    // one at the bottom -> with 5 tiles of 2: conv per tile 2,1,0,0,1
+    val scored = (1 to 10).map { i =>
+      (i.toLong, 11 - i, if (i <= 3 || i == 10) 1 else 0)
+    }.toDF("id", "score", "conv")
+    val got = Experiment.gainsTable(scored, "id", "score", "conv", nTiles = 5)
+      .orderBy("tile")
+      .as[(Int, Long, Long, Double, Long, Double, Double)].collect().toSeq
+    // overall rate 4/10; capture = cum/4; lift = tileRate / 0.4
+    assert(got == Seq(
+      (1, 2L, 2L, 1.0, 2L, 0.5, 1.0 / 0.4),
+      (2, 2L, 1L, 0.5, 3L, 0.75, 0.5 / 0.4),
+      (3, 2L, 0L, 0.0, 3L, 0.75, 0.0),
+      (4, 2L, 0L, 0.0, 3L, 0.75, 0.0),
+      (5, 2L, 1L, 0.5, 4L, 1.0, 0.5 / 0.4)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -4041,6 +4041,18 @@ SELECT c.tile, c.n, c.n_conv,
 FROM cum c CROSS JOIN tot t
 ORDER BY tile"""
 
+  /** Frequency-cap audit twin (q168): identical inclusive RANGE frame
+    * on epoch micros. */
+  private val q168 = """
+SELECT event_id, user_id, trailing_count FROM (
+  SELECT event_id, user_id,
+    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+      AS trailing_count
+  FROM events)
+WHERE trailing_count > 3
+ORDER BY event_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4168,6 +4180,7 @@ ORDER BY tile"""
     "q165_identity_stitching" -> q165,
     "q166_lookalike" -> q166,
     "q167_gains_table" -> q167,
+    "q168_frequency_cap" -> q168,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1972,6 +1972,17 @@ object SparkEntry {
       .orderBy("tile")
   }
 
+  private def q168_frequency_cap(s: SparkSession, dir: String): DataFrame =
+    // Contact-governance audit: trailing-6h event count per user
+    // (inclusive RANGE frame on exact micros), violations beyond 3;
+    // dump keeps the violating rows (audit-sized).
+    graft.relational.Relational.frequencyCapAudit(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        "user_id", "ts", windowSeconds = 6L * 3600, cap = 3)
+      .filter(col("violates"))
+      .select(col("event_id"), col("user_id"), col("trailing_count"))
+      .orderBy("event_id")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2428,6 +2439,7 @@ object SparkEntry {
     "q165_identity_stitching" -> (q165_identity_stitching _),
     "q166_lookalike" -> (q166_lookalike _),
     "q167_gains_table" -> (q167_gains_table _),
+    "q168_frequency_cap" -> (q168_frequency_cap _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

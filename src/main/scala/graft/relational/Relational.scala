@@ -403,6 +403,69 @@ object Relational {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Frequency-cap AUDIT: for every event, the count of the entity's
+    * events in the trailing `windowSeconds` (inclusive, RANGE frame on
+    * exact integer micros — equal timestamps are peers and all count),
+    * and `violates` = trailing count > cap. This is the POLICY AUDIT
+    * ("which sends exceeded contact governance"): a suppressed send
+    * still counts toward later windows here. The sequential semantics
+    * — suppressed sends don't count — is [[frequencyCapEnforce]];
+    * the two differ as soon as anything is suppressed (spec pins a
+    * divergence case). ONE entity-partitioned window shuffle. */
+  def frequencyCapAudit(events: DataFrame, entityCol: String, tsCol: String,
+                        windowSeconds: Long, cap: Int): DataFrame = {
+    require(windowSeconds > 0 && cap >= 1, "need windowSeconds > 0, cap >= 1")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    events
+      .withColumn("trailing_count", count(lit(1)).over(w))
+      .withColumn("violates", col("trailing_count") > cap)
+  }
+
+  /** Frequency-cap ENFORCEMENT: greedy sequential suppression — an
+    * event is allowed iff fewer than `cap` ALLOWED events of the same
+    * entity fall in its trailing window; suppressed events never count
+    * (the semantics a send-time gate actually implements; inherently
+    * sequential per entity, not expressible as one window). Events
+    * process in (ts, tiebreak) order.
+    *
+    * Scale shape: repartition by entity + in-partition sort, then ONE
+    * sequential pass per partition holding a deque of the CURRENT
+    * entity's last ≤ cap allowed send times inside the window —
+    * O(cap) state, not the entity's history; no driver involvement;
+    * hot entities cost their row count linearly. */
+  def frequencyCapEnforce(events: DataFrame, entityCol: String,
+                          tsCol: String, tiebreakCol: String,
+                          windowSeconds: Long, cap: Int): DataFrame = {
+    require(windowSeconds > 0 && cap >= 1, "need windowSeconds > 0, cap >= 1")
+    val winUs = windowSeconds * 1000000L
+    val slim = events.select(col(entityCol), col(tiebreakCol),
+      unix_micros(col(tsCol)).as("__us"))
+    val parts = slim
+      .repartition(col(entityCol))
+      .sortWithinPartitions(col(entityCol), col("__us"), col(tiebreakCol))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(parts.schema.fields :+
+      StructField("allowed", BooleanType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    parts.mapPartitions { it =>
+      var curEnt: Any = null
+      var first = true
+      val sent = scala.collection.mutable.ArrayDeque.empty[Long]
+      it.map { r =>
+        val ent = r.get(0)
+        if (first || ent != curEnt) { sent.clear(); curEnt = ent; first = false }
+        val us = r.getLong(2)
+        while (sent.nonEmpty && sent.head < us - winUs) sent.removeHead()
+        val ok = sent.size < cap
+        if (ok) sent.append(us)
+        Row.fromSeq(r.toSeq :+ ok)
+      }
+    }(enc)
+  }
+
   /** Cohort LTV curve — the revenue companion of [[weeklyRetention]]:
     * per (cohort_week, week_offset), the cohort's revenue that week,
     * the running cumulative, and cumulative revenue per cohort member

@@ -573,6 +573,32 @@ class Round14Spec extends SparkSpec {
       (5, 2L, 1L, 0.5, 4L, 1.0, 0.5 / 0.4)))
   }
 
+  test("frequencyCap: audit counts suppressed sends, enforce does not (divergence pinned)") {
+    import graft.relational.Relational
+    // user 1 sends at t = 0, 10, 20, 30, 40s; window 25s, cap 2.
+    // AUDIT trailing counts: 1,2,3,3,3 -> events 20,30,40 violate.
+    // ENFORCE: 0 ok, 10 ok, 20 blocked (2 allowed in window), 30
+    // allowed (0 left window; allowed 10,30), 40 blocked (10 left but
+    // 30 in window... allowed set at 40: {30} (10 < 15) -> 40 ALLOWED.
+    val ev = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L),
+        (1L, 30L, 4L), (1L, 40L, 5L))
+      .map { case (u, t, id) => (u, ts(t), id) }
+      .toDF("user_id", "ts", "event_id")
+    val audit = Relational.frequencyCapAudit(ev, "user_id", "ts",
+        windowSeconds = 25L, cap = 2)
+      .select("event_id", "trailing_count", "violates")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(audit == Seq((1L, 1L, false), (2L, 2L, false), (3L, 3L, true),
+      (4L, 3L, true), (5L, 3L, true)))
+    val enforce = Relational.frequencyCapEnforce(ev, "user_id", "ts",
+        "event_id", windowSeconds = 25L, cap = 2)
+      .select("event_id", "allowed")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    // suppressed 20 does NOT count -> 30 and 40 both allowed
+    assert(enforce == Seq((1L, true), (2L, true), (3L, false),
+      (4L, true), (5L, true)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

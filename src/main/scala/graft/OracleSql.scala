@@ -4053,6 +4053,15 @@ SELECT event_id, user_id, trailing_count FROM (
 WHERE trailing_count > 3
 ORDER BY event_id"""
 
+  /** Incremental-agg twin (q169): FULL recompute — the Spark side
+    * merged two half-window states, so the hash gate proves
+    * merge ≡ recompute. */
+  private val q169 = """
+SELECT user_id, count(value) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+  min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4181,6 +4190,7 @@ ORDER BY event_id"""
     "q166_lookalike" -> q166,
     "q167_gains_table" -> q167,
     "q168_frequency_cap" -> q168,
+    "q169_incremental_agg" -> q169,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -1983,6 +1983,24 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("trailing_count"))
       .orderBy("event_id")
 
+  private def q169_incremental_agg(s: SparkSession, dir: String): DataFrame = {
+    // Incremental view maintenance gated against full recompute: the
+    // Spark side MERGES two half-window agg states (only the delta
+    // would aggregate in production); the oracle recomputes from
+    // scratch — merge ≡ recompute is the hash-gated claim.
+    import graft.relational.Relational
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val merged = Relational.mergeAggStates(
+      Relational.aggState(ev.filter(col("ts") < cut), Seq("user_id"), "value"),
+      Relational.aggState(ev.filter(col("ts") >= cut), Seq("user_id"), "value"),
+      Seq("user_id"))
+    merged.select(col("user_id"), col("n"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("min_v"), col("max_v"))
+      .orderBy("user_id")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2440,6 +2458,7 @@ object SparkEntry {
     "q166_lookalike" -> (q166_lookalike _),
     "q167_gains_table" -> (q167_gains_table _),
     "q168_frequency_cap" -> (q168_frequency_cap _),
+    "q169_incremental_agg" -> (q169_incremental_agg _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

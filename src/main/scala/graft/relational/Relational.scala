@@ -403,6 +403,48 @@ object Relational {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Mergeable per-key aggregate state — incremental view maintenance
+    * for the decomposable aggregates (count / decimal-exact sum / min
+    * / max): `aggState` builds `(keys…, n, sum_v, min_v, max_v)` from
+    * rows, `mergeAggStates` combines two states, and
+    * merge(state(A), state(B)) ≡ state(A ∪ B) exactly (PropertySpec-
+    * style proof in Round14Spec) because every piece is decomposable —
+    * counts add, DECIMAL(12,2) sums add order-free, min/max take
+    * least/greatest with null-safe coalesce. The 100 TB point: a daily
+    * refresh aggregates ONLY the delta and merges key-cardinality
+    * states — the historical fact table is never re-scanned. */
+  def aggState(df: DataFrame, keys: Seq[String],
+               valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast("decimal(12,2)")).cast("decimal(22,2)")
+          .as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Combine two [[aggState]] relations (full outer on the keys; a key
+    * absent from one side passes the other side through). */
+  def mergeAggStates(a: DataFrame, b: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val bb = b.select(keys.map(col) ++ Seq(col("n").as("__n2"),
+      col("sum_v").as("__s2"), col("min_v").as("__mn2"),
+      col("max_v").as("__mx2")): _*)
+    a.join(bb, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__n2"), lit(0L)))
+          .as("n"),
+        when(col("sum_v").isNull, col("__s2"))
+          .when(col("__s2").isNull, col("sum_v"))
+          .otherwise((col("sum_v") + col("__s2")).cast("decimal(22,2)"))
+          .as("sum_v"),
+        when(col("min_v").isNull, col("__mn2"))
+          .when(col("__mn2").isNull, col("min_v"))
+          .otherwise(least(col("min_v"), col("__mn2"))).as("min_v"),
+        when(col("max_v").isNull, col("__mx2"))
+          .when(col("__mx2").isNull, col("max_v"))
+          .otherwise(greatest(col("max_v"), col("__mx2"))).as("max_v")): _*)
+  }
+
   /** Frequency-cap AUDIT: for every event, the count of the entity's
     * events in the trailing `windowSeconds` (inclusive, RANGE frame on
     * exact integer micros — equal timestamps are peers and all count),

@@ -599,6 +599,32 @@ class Round14Spec extends SparkSpec {
       (4L, true), (5L, true)))
   }
 
+  test("aggState merge == recompute over random splits with nulls and disjoint keys") {
+    import graft.relational.Relational
+    val rnd = new scala.util.Random(169)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(20).toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(1000) / 10.0),
+        rnd.nextInt(3)) // split assignment 0/1/2 -> three-way merge
+    }.toDF("k", "v", "part")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_v").cast("string"),
+          col("min_v"), col("max_v"))
+        .as[(Long, Long, String, Option[Double], Option[Double])]
+        .collect().toSet
+    val full = Relational.aggState(rows, Seq("k"), "v")
+    val merged = (0 until 3).map(p =>
+        Relational.aggState(rows.filter(col("part") === p), Seq("k"), "v"))
+      .reduce(Relational.mergeAggStates(_, _, Seq("k")))
+    assert(canon(merged) == canon(full))
+    // all-null key survives with n=0 and null sum/min/max
+    val nulls = Seq((99L, None: Option[Double], 0)).toDF("k", "v", "part")
+    val st = Relational.aggState(nulls, Seq("k"), "v")
+    assert(canon(st) == Set((99L, 0L, null, None, None)))
+    assert(canon(Relational.mergeAggStates(st, st, Seq("k"))) ==
+      Set((99L, 0L, null, None, None)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -253,6 +253,38 @@ object StreamingDedup {
       }
   }
 
+  case class CapEvent(user: Long, us: Long, id: Long)
+  case class CapState(sent: Seq[Long])
+
+  /** Streaming twin of
+    * [[graft.relational.Relational.frequencyCapEnforce]]: the greedy
+    * send-time gate as continuous state — per entity, the deque of its
+    * last ≤ cap ALLOWED send times inside the window (suppressed sends
+    * never enter state, exactly the batch semantics). State is O(cap)
+    * per entity by construction. Append-final emissions; equality with
+    * the batch pass holds under event-time-ordered arrival
+    * (Round14Spec, 2-batch split). */
+  def frequencyCapStream(events: Dataset[CapEvent], windowSeconds: Long,
+                         cap: Int): Dataset[(Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    val winUs = windowSeconds * 1000000L
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[CapEvent], state: GroupState[CapState]) =>
+          val sent = scala.collection.mutable.ArrayDeque.from(
+            state.getOption.map(_.sent).getOrElse(Seq.empty))
+          val out = rows.toSeq.sortBy(e => (e.us, e.id)).map { e =>
+            while (sent.nonEmpty && sent.head < e.us - winUs) sent.removeHead()
+            val ok = sent.size < cap
+            if (ok) sent.append(e.us)
+            (user, e.id, ok)
+          }
+          state.update(CapState(sent.toSeq))
+          out.iterator
+      }
+  }
+
   /** Windowed aggregation over the event stream: tumbling-window counts
     * per event type with a watermark (the standard streaming agg shape). */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

@@ -625,6 +625,38 @@ class Round14Spec extends SparkSpec {
       Set((99L, 0L, null, None, None)))
   }
 
+  test("streaming frequencyCapStream == batch enforce under in-order 2-batch arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(168)
+    val evs = (0 until 400).map { i =>
+      StreamingDedup.CapEvent(i % 4L,
+        (100L + i + rnd.nextInt(3)) * 1000000L, i.toLong)
+    }.sortBy(e => (e.us, e.id))
+    val (b1, b2) = evs.splitAt(200)
+    val mem = MemoryStream[StreamingDedup.CapEvent]
+    val q = StreamingDedup.frequencyCapStream(mem.toDS(),
+        windowSeconds = 20L, cap = 5)
+      .toDF("user_id", "event_id", "allowed")
+      .writeStream.format("memory").queryName("cap_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("cap_stream")
+        .as[(Long, Long, Boolean)].collect().map(r => r._2 -> r._3).toMap
+      val batch = graft.relational.Relational.frequencyCapEnforce(
+          evs.toDF("user_id", "us", "event_id")
+            .withColumn("ts", timestamp_micros(col("us"))),
+          "user_id", "ts", "event_id", windowSeconds = 20L, cap = 5)
+        .select("event_id", "allowed")
+        .as[(Long, Boolean)].collect().toMap
+      assert(got.size == 400 && got == batch)
+      assert(got.values.exists(!_), "fixture should suppress something")
+    } finally q.stop()
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

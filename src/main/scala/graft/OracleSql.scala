@@ -4062,6 +4062,28 @@ SELECT user_id, count(value) AS n,
   min(value) AS min_v, max(value) AS max_v
 FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Active-ladder twin (q170): distinct (entity, day) base, Monday
+    * weeks, calendar months, one division. */
+  private val q170 = """
+WITH ed AS (
+  SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+daily AS (SELECT day, count(*) AS dau FROM ed GROUP BY 1),
+weekly AS (
+  SELECT week, count(*) AS wau FROM (
+    SELECT DISTINCT e, CAST(date_trunc('week', day) AS DATE) AS week
+    FROM ed) GROUP BY 1),
+monthly AS (
+  SELECT month, count(*) AS mau FROM (
+    SELECT DISTINCT e, CAST(date_trunc('month', day) AS DATE) AS month
+    FROM ed) GROUP BY 1)
+SELECT d.day, d.dau, w.wau, m.mau,
+  CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+FROM daily d
+JOIN weekly w ON w.week = CAST(date_trunc('week', d.day) AS DATE)
+JOIN monthly m ON m.month = CAST(date_trunc('month', d.day) AS DATE)
+ORDER BY d.day"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4191,6 +4213,7 @@ FROM events GROUP BY 1 ORDER BY 1"""
     "q167_gains_table" -> q167,
     "q168_frequency_cap" -> q168,
     "q169_incremental_agg" -> q169,
+    "q170_active_ladder" -> q170,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2001,6 +2001,13 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  private def q170_active_ladder(s: SparkSession, dir: String): DataFrame =
+    // DAU/WAU/MAU + stickiness per active day — exact distinct counts
+    // from one (entity, day) relation, one IEEE division.
+    graft.analyze.Timeseries.activeUserLadder(
+        t(s, dir, "events"), "user_id", "ts")
+      .orderBy("day")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2459,6 +2466,7 @@ object SparkEntry {
     "q167_gains_table" -> (q167_gains_table _),
     "q168_frequency_cap" -> (q168_frequency_cap _),
     "q169_incremental_agg" -> (q169_incremental_agg _),
+    "q170_active_ladder" -> (q170_active_ladder _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -26,6 +26,35 @@ object Timeseries {
     * after which everything is day-cardinality — one co-partitioned
     * self-join on (key, day−period) (both sides the same aggregated
     * relation: the exchange reuses), one final per-key agg. */
+  /** Active-user ladder: one row per active day with
+    * `(day, dau, wau, mau, stickiness)` — DAU the day's distinct
+    * entities, WAU/MAU the containing Monday-week's / month's, and
+    * stickiness = dau/mau (the engagement-quality ratio product
+    * analytics watches). Exact integer distinct counts joined from
+    * three partial aggs on the SAME distinct (entity, day) relation
+    * (computed once — day→week/month derive from it, the event table
+    * scans once); stickiness is one IEEE division. */
+  def activeUserLadder(events: DataFrame, entityCol: String,
+                       tsCol: String): DataFrame = {
+    val ed = events.filter(col(tsCol).isNotNull && col(entityCol).isNotNull)
+      .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val daily = ed.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val weekly = ed.select(col("__e"),
+        to_date(date_trunc("week", col("day"))).as("week")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    val monthly = ed.select(col("__e"),
+        to_date(date_trunc("month", col("day"))).as("month")).distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    daily
+      .withColumn("week", to_date(date_trunc("week", col("day"))))
+      .withColumn("month", to_date(date_trunc("month", col("day"))))
+      .join(weekly, Seq("week")).join(monthly, Seq("month"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double"))
+          .as("stickiness"))
+  }
+
   def seasonalNaiveBacktest(events: DataFrame, keyCol: String,
                             tsCol: String, periodDays: Int): DataFrame = {
     require(periodDays >= 1, s"periodDays must be >= 1; got $periodDays")

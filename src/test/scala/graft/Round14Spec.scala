@@ -657,6 +657,23 @@ class Round14Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("activeUserLadder: distinct-entity dau/wau/mau and stickiness") {
+    import graft.analyze.Timeseries
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // Mon 2024-01-01 week: u1 active Mon+Tue (counted once in WAU),
+    // u2 active Mon; next week u1 only; all January -> MAU 2
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-01"), (1L, "2024-01-02"),
+        (2L, "2024-01-01"), (1L, "2024-01-08"))
+      .map { case (u, d) => (u, t(d)) }.toDF("user_id", "ts")
+    val got = Timeseries.activeUserLadder(ev, "user_id", "ts")
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 2L, 2L, 1.0),
+      (java.sql.Date.valueOf("2024-01-02"), 1L, 2L, 2L, 0.5),
+      (java.sql.Date.valueOf("2024-01-08"), 1L, 1L, 2L, 0.5)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

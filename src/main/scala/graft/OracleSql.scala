@@ -4084,6 +4084,26 @@ JOIN weekly w ON w.week = CAST(date_trunc('week', d.day) AS DATE)
 JOIN monthly m ON m.month = CAST(date_trunc('month', d.day) AS DATE)
 ORDER BY d.day"""
 
+  /** Latency-percentile twin (q171): identical lag gaps in exact
+    * micros, rank == (p*n+99)//100 discrete pick. */
+  private val q171 = """
+WITH gaps AS (
+  SELECT event_type, event_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+      ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events),
+g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_us,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY gap_us, event_id) AS r,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM g)
+SELECT event_type, p, gap_us AS value
+FROM ranked, (SELECT unnest([50, 90, 99]) AS p)
+WHERE r = (p * n + 99) // 100
+ORDER BY event_type, p"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4214,6 +4234,7 @@ ORDER BY d.day"""
     "q168_frequency_cap" -> q168,
     "q169_incremental_agg" -> q169,
     "q170_active_ladder" -> q170,
+    "q171_latency_percentiles" -> q171,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2008,6 +2008,21 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts")
       .orderBy("day")
 
+  private def q171_latency_percentiles(s: SparkSession, dir: String): DataFrame = {
+    // SLA report: p50/p90/p99 inter-event gap (exact integer micros)
+    // per event type — discrete rank-⌈p·n/100⌉ values, never
+    // interpolation.
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+    val gaps = t(s, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    graft.analyze.Stats.discretePercentiles(gaps, "event_type", "gap_us",
+        "event_id", ps = Seq(50, 90, 99))
+      .orderBy("event_type", "p")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2467,6 +2482,7 @@ object SparkEntry {
     "q168_frequency_cap" -> (q168_frequency_cap _),
     "q169_incremental_agg" -> (q169_incremental_agg _),
     "q170_active_ladder" -> (q170_active_ladder _),
+    "q171_latency_percentiles" -> (q171_latency_percentiles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

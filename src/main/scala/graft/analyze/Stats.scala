@@ -288,6 +288,35 @@ object Stats {
     * through because its output keeps the input row set; callers that
     * need the null rows back should union them in with
     * `normalized = null`. */
+  /** Exact DISCRETE per-group percentiles at integer `ps` — the value
+    * at rank ⌈p·n/100⌉ of the group's (value, id) order: an actual
+    * data value, no interpolation, no sketch (the SLA-report shape:
+    * p50/p90/p99 latency per service). Pure integer rank test —
+    * (p·n + 99) div 100 — so every engine replays it. ONE window
+    * shuffle (rank + count over the group) and a ps-sized explode on
+    * the matching rows only. For sketch-tolerant callers at extreme
+    * group sizes, `percentile_approx` is the approximate sibling;
+    * this form is the exact one the oracle can gate. */
+  def discretePercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                          idCol: String, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"ps must be integer percents in 1..100; got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val tot = Window.partitionBy(col(groupCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(tot))
+    val pArr = array(ps.map(lit): _*)
+    ranked
+      .withColumn("p", explode(pArr))
+      .filter(col("__r") ===
+        call_function("div", col("p").cast("long") * col("__n") + 99L,
+          lit(100L)))
+      .select(col(groupCol), col("p"), col(valueCol).as("value"))
+  }
+
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -674,6 +674,22 @@ class Round14Spec extends SparkSpec {
       (java.sql.Date.valueOf("2024-01-08"), 1L, 1L, 2L, 0.5)))
   }
 
+  test("discretePercentiles: rank-ceil picks, duplicates, tiny groups, guards") {
+    import graft.analyze.Stats
+    // group "a": values 1..10 -> p50 = rank 5 -> 5; p90 -> rank 9; p99 -> rank 10
+    // group "b": 3 rows [7,7,9] -> p50 rank ceil(1.5)=2 -> 7; p90 rank 3 -> 9
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toLong)) ++
+      Seq(("b", 7L, 101L), ("b", 7L, 102L), ("b", 9L, 103L)))
+      .toDF("g", "v", "id")
+    val got = Stats.discretePercentiles(df, "g", "v", "id", Seq(50, 90, 99))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("a", 50, 5L), ("a", 90, 9L), ("a", 99, 10L),
+      ("b", 50, 7L), ("b", 90, 9L), ("b", 99, 9L)))
+    intercept[IllegalArgumentException] {
+      Stats.discretePercentiles(df, "g", "v", "id", Seq(0))
+    }
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

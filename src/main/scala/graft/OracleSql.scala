@@ -4104,6 +4104,73 @@ FROM ranked, (SELECT unnest([50, 90, 99]) AS p)
 WHERE r = (p * n + 99) // 100
 ORDER BY event_type, p"""
 
+  /** CUPED twin (q172): identical decimal user sums and moment
+    * aggregates, identical fixed-shape double arithmetic. */
+  private val q172 = """
+WITH users AS (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN event_type = 'purchase'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      THEN CAST(value AS DECIMAL(12,2)) END),
+      CAST(0 AS DECIMAL(12,2))) AS x,
+    coalesce(sum(CASE WHEN event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+      THEN CAST(value AS DECIMAL(12,2)) END),
+      CAST(0 AS DECIMAL(12,2))) AS y,
+    CASE WHEN
+      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UINTEGER
+        AS BIGINT) % 20 < 10
+      THEN 'treatment' ELSE 'control' END AS variant
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS n_t,
+    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS n_c,
+    sum(CAST(x AS DECIMAL(12,2))) AS sx,
+    sum(CAST(y AS DECIMAL(12,2))) AS sy,
+    sum(CAST(CAST(x AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2))
+      AS DECIMAL(30,4))) AS sxy,
+    sum(CAST(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2))
+      AS DECIMAL(30,4))) AS sxx,
+    sum(CAST(CAST(y AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2))
+      AS DECIMAL(30,4))) AS syy,
+    sum(CASE WHEN variant = 'treatment' THEN CAST(x AS DECIMAL(12,2))
+      ELSE CAST(0 AS DECIMAL(12,2)) END) AS sx_t,
+    sum(CASE WHEN variant = 'control' THEN CAST(x AS DECIMAL(12,2))
+      ELSE CAST(0 AS DECIMAL(12,2)) END) AS sx_c,
+    sum(CASE WHEN variant = 'treatment' THEN CAST(y AS DECIMAL(12,2))
+      ELSE CAST(0 AS DECIMAL(12,2)) END) AS sy_t,
+    sum(CASE WHEN variant = 'control' THEN CAST(y AS DECIMAL(12,2))
+      ELSE CAST(0 AS DECIMAL(12,2)) END) AS sy_c
+  FROM users)
+SELECT CAST(n_t AS BIGINT) AS n_treatment,
+  CAST(n_c AS BIGINT) AS n_control,
+  CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_y_treatment,
+  CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_y_control,
+  CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+    CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS raw_lift,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+  (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+   CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)) -
+  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+  (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+   CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE)) AS adj_lift,
+  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+  ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2
+FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4235,6 +4302,7 @@ ORDER BY event_type, p"""
     "q169_incremental_agg" -> q169,
     "q170_active_ladder" -> q170,
     "q171_latency_percentiles" -> q171,
+    "q172_cuped_readout" -> q172,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

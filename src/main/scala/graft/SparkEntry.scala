@@ -2023,6 +2023,25 @@ object SparkEntry {
       .orderBy("event_type", "p")
   }
 
+  private def q172_cuped_readout(s: SparkSession, dir: String): DataFrame = {
+    // CUPED: pre-period spend (before Jan 15) is the covariate for
+    // post-period spend; md5 hash split; every moment decimal-exact,
+    // theta/lifts/rho2 fixed-shape doubles.
+    import graft.analyze.Experiment
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val zero = lit(0).cast("decimal(12,2)")
+    val isP = col("event_type") === "purchase"
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(isP && col("ts") < cut,
+          col("value").cast("decimal(12,2)"))), zero).as("x"),
+        coalesce(sum(when(isP && col("ts") >= cut,
+          col("value").cast("decimal(12,2)"))), zero).as("y"))
+      .withColumn("variant",
+        Experiment.assignVariant(col("user_id"), 20, 0 until 10))
+    Experiment.cupedReadout(users, "variant", "y", "x")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2483,6 +2502,7 @@ object SparkEntry {
     "q169_incremental_agg" -> (q169_incremental_agg _),
     "q170_active_ladder" -> (q170_active_ladder _),
     "q171_latency_percentiles" -> (q171_latency_percentiles _),
+    "q172_cuped_readout" -> (q172_cuped_readout _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

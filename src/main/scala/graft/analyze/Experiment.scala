@@ -74,6 +74,63 @@ object Experiment {
       ((pT - pC) / se).as("z_score"))
   }
 
+  /** CUPED variance-reduced readout (Deng et al. 2013 — the standard
+    * experimentation-platform upgrade): adjust each entity's outcome y
+    * by its PRE-period covariate x, y* = y − θ·(x − x̄), with
+    * θ = cov(x,y)/var(x) pooled over all entities. The adjusted lift
+    * has the same expectation (randomization makes x independent of
+    * assignment) but variance shrunk by ρ²(x,y) — reported as
+    * `rho2` = achievable variance-reduction fraction.
+    *
+    * One row: `(n_treatment, n_control, mean_y_treatment,
+    * mean_y_control, raw_lift, theta, adj_lift, rho2)`.
+    *
+    * Exactness: x and y are cast DECIMAL(12,2) (exact for 2-dp
+    * money/score columns) and every moment (Σx, Σy, Σxy, Σx², Σy²,
+    * per-variant Σ) is an order-free exact decimal sum in ONE
+    * aggregation pass; θ, lifts, and ρ² are fixed-shape double
+    * expressions over those exact scalars (the corrMatrixInt
+    * discipline), so any engine replays them bit-for-bit. Adjusted
+    * lift simplifies to (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c) — means only,
+    * no per-row second pass. */
+  def cupedReadout(outcomes: DataFrame, variantCol: String,
+                   yCol: String, xCol: String): DataFrame = {
+    val dec = "decimal(12,2)"
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val isT = col(variantCol) === "treatment"
+    val isC = col(variantCol) === "control"
+    val agg = outcomes
+      .filter(col(variantCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(isT, 1L).otherwise(0L)).as("n_treatment"),
+        sum(when(isC, 1L).otherwise(0L)).as("n_control"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(30,4)")).as("sxy"),
+        sum((x * x).cast("decimal(30,4)")).as("sxx"),
+        sum((y * y).cast("decimal(30,4)")).as("syy"),
+        sum(when(isT, x).otherwise(lit(0).cast(dec))).as("sx_t"),
+        sum(when(isC, x).otherwise(lit(0).cast(dec))).as("sx_c"),
+        sum(when(isT, y).otherwise(lit(0).cast(dec))).as("sy_t"),
+        sum(when(isC, y).otherwise(lit(0).cast(dec))).as("sy_c"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n")); val nT = d(col("n_treatment")); val nC = d(col("n_control"))
+    val covXY = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val varX = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varY = n * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val theta = covXY / varX
+    val meanYT = d(col("sy_t")) / nT
+    val meanYC = d(col("sy_c")) / nC
+    val rawLift = meanYT - meanYC
+    val adjLift = rawLift - theta * (d(col("sx_t")) / nT - d(col("sx_c")) / nC)
+    agg.select(col("n_treatment"), col("n_control"),
+      meanYT.as("mean_y_treatment"), meanYC.as("mean_y_control"),
+      rawLift.as("raw_lift"), theta.as("theta"), adjLift.as("adj_lift"),
+      ((covXY * covXY) / (varX * varY)).as("rho2"))
+  }
+
   /** Gains/lift table — how well a propensity score ranks converters:
     * entities sorted by score DESC into `nTiles` equal-depth tiles
     * (tile 1 = highest-scored), per tile

@@ -690,6 +690,28 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("cupedReadout: theta/rho2 on a known linear relation; balanced x keeps lift") {
+    import graft.analyze.Experiment
+    // y = 2x + variant effect: T gets +1. x perfectly balanced across
+    // variants -> adj_lift == raw_lift == 1; theta == 2; rho2 < 1
+    // (the +1 offsets decorrelate slightly), here y = 2x exactly plus
+    // a constant per variant, so pooled cov/var still gives theta 2
+    // only if offsets balance — use symmetric design:
+    val rows = Seq(
+      ("treatment", 1.0, 3.0), ("treatment", 2.0, 5.0),
+      ("control", 1.0, 2.0), ("control", 2.0, 4.0))
+      .toDF("variant", "x", "y")
+    val r = Experiment.cupedReadout(rows, "variant", "y", "x")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert((r._1, r._2) == ((2L, 2L)))
+    assert(r._3 == 4.0 && r._4 == 3.0)     // mean y per variant
+    assert(r._5 == 1.0)                     // raw lift
+    assert(r._6 == 2.0)                     // theta: y moves 2 per x
+    assert(r._7 == 1.0)                     // x balanced -> lift unchanged
+    assert(r._8 > 0.5 && r._8 < 1.0)        // substantial but partial rho2
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -4171,6 +4171,36 @@ SELECT CAST(n_t AS BIGINT) AS n_treatment,
     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2
 FROM m"""
 
+  /** Replenishment twin (q173): identical gap window, rank==(n+1)//2?
+    * no — rank == (50*n+99)//100 (the q171 discrete pick), exact
+    * micro arithmetic. */
+  private val q173 = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'),
+g0 AS (
+  SELECT user_id, event_id, us,
+    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      AS gap
+  FROM p),
+g AS (SELECT * FROM g0 WHERE gap IS NOT NULL),
+ranked AS (
+  SELECT user_id, gap,
+    row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS r,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM g),
+med AS (
+  SELECT user_id, gap AS median_gap_us FROM ranked
+  WHERE r = (50 * n + 99) // 100),
+lasts AS (
+  SELECT user_id, max(us) AS last_us, count(*) AS n_purchases
+  FROM p GROUP BY 1)
+SELECT l.user_id, l.last_us, l.n_purchases, m.median_gap_us,
+  l.last_us + m.median_gap_us AS due_us,
+  (l.last_us + m.median_gap_us) < 1706745600000000 AS overdue
+FROM lasts l JOIN med m USING (user_id)
+ORDER BY user_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4303,6 +4333,7 @@ FROM m"""
     "q170_active_ladder" -> q170,
     "q171_latency_percentiles" -> q171,
     "q172_cuped_readout" -> q172,
+    "q173_replenishment_due" -> q173,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2042,6 +2042,17 @@ object SparkEntry {
     Experiment.cupedReadout(users, "variant", "y", "x")
   }
 
+  private def q173_replenishment_due(s: SparkSession, dir: String): DataFrame =
+    // Repeat-purchase reminders: per-user discrete median
+    // inter-purchase gap projects the next due instant; overdue at
+    // Feb 1. All exact integer micros.
+    graft.analyze.Timeseries.replenishmentDue(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id",
+        asOfUs = java.time.Instant.parse("2024-02-01T00:00:00Z")
+          .getEpochSecond * 1000000L)
+      .orderBy("user_id")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2503,6 +2514,7 @@ object SparkEntry {
     "q170_active_ladder" -> (q170_active_ladder _),
     "q171_latency_percentiles" -> (q171_latency_percentiles _),
     "q172_cuped_readout" -> (q172_cuped_readout _),
+    "q173_replenishment_due" -> (q173_replenishment_due _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

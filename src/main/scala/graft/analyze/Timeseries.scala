@@ -55,6 +55,36 @@ object Timeseries {
           .as("stickiness"))
   }
 
+  /** Replenishment-due report — the repeat-purchase reminder operator:
+    * per entity, the DISCRETE median inter-purchase gap (an actual
+    * observed gap — rank ⌈n/2⌉ of the gap order, integer micros, no
+    * interpolation), the last purchase, the projected due instant
+    * `last + median_gap`, and an overdue flag at `asOfUs`. Entities
+    * with < 2 purchases have no gap and are excluded (nothing to
+    * project from).
+    *
+    * Shape: one entity-window for gaps, one for the median rank pick,
+    * one agg for last/count — all partitioned on the entity. */
+  def replenishmentDue(events: DataFrame, entityCol: String, tsCol: String,
+                       idCol: String, asOfUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(unix_micros(col(tsCol)).asc, col(idCol).asc)
+    val gaps = events
+      .withColumn("__gap",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val medians = graft.analyze.Stats.discretePercentiles(
+        gaps, entityCol, "__gap", idCol, Seq(50))
+      .select(col(entityCol), col("value").as("median_gap_us"))
+    val lasts = events.groupBy(col(entityCol))
+      .agg(max(unix_micros(col(tsCol))).as("last_us"),
+        count(lit(1)).as("n_purchases"))
+    lasts.join(medians, Seq(entityCol))
+      .withColumn("due_us", col("last_us") + col("median_gap_us"))
+      .withColumn("overdue", col("due_us") < asOfUs)
+  }
+
   def seasonalNaiveBacktest(events: DataFrame, keyCol: String,
                             tsCol: String, periodDays: Int): DataFrame = {
     require(periodDays >= 1, s"periodDays must be >= 1; got $periodDays")

@@ -712,6 +712,23 @@ class Round14Spec extends SparkSpec {
     assert(r._8 > 0.5 && r._8 < 1.0)        // substantial but partial rho2
   }
 
+  test("replenishmentDue: median gap projection, overdue flag, <2-purchase exclusion") {
+    import graft.analyze.Timeseries
+    val us = 1000000L
+    // user 1: purchases at 0,10,30,60s -> gaps 10,20,30 -> median 20
+    //   -> due = 60+20 = 80s; asOf 100s -> overdue
+    // user 2: one purchase -> excluded
+    val ev = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 30L, 3L), (1L, 60L, 4L),
+        (2L, 5L, 5L))
+      .map { case (u, t, id) => (u, ts(t), id) }
+      .toDF("user_id", "ts", "event_id")
+    val got = Timeseries.replenishmentDue(ev, "user_id", "ts", "event_id",
+        asOfUs = 100L * us)
+      .select("user_id", "n_purchases", "median_gap_us", "due_us", "overdue")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 4L, 20L * us, 80L * us, true)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

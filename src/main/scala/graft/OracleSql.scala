@@ -4201,6 +4201,36 @@ SELECT l.user_id, l.last_us, l.n_purchases, m.median_gap_us,
 FROM lasts l JOIN med m USING (user_id)
 ORDER BY user_id"""
 
+  /** Budget-pacing twin (q174): identical decimal cum window and
+    * fixed-shape target/pace arithmetic. */
+  private val q174 = """
+WITH budgets AS (
+  SELECT * FROM (VALUES
+    ('view', CAST(40000.00 AS DECIMAL(12,2))),
+    ('click', CAST(42000.00 AS DECIMAL(12,2))),
+    ('purchase', CAST(41000.00 AS DECIMAL(12,2))),
+    ('signup', CAST(43000.00 AS DECIMAL(12,2))),
+    ('error', CAST(39000.00 AS DECIMAL(12,2))))
+    AS t(event_type, budget)),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    SUM(CAST(value AS DECIMAL(12,2))) AS spend
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, day,
+    SUM(spend) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM daily)
+SELECT c.event_type, c.day,
+  CAST(c.c AS DOUBLE) AS cum_spend,
+  CAST(b.budget AS DOUBLE) * CAST(date_part('day', c.day) AS DOUBLE) /
+    CAST(date_part('day', last_day(c.day)) AS DOUBLE) AS target,
+  CAST(c.c AS DOUBLE) /
+    (CAST(b.budget AS DOUBLE) * CAST(date_part('day', c.day) AS DOUBLE) /
+     CAST(date_part('day', last_day(c.day)) AS DOUBLE)) AS pace
+FROM cum c JOIN budgets b USING (event_type)
+ORDER BY event_type, day"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4334,6 +4364,7 @@ ORDER BY user_id"""
     "q171_latency_percentiles" -> q171,
     "q172_cuped_readout" -> q172,
     "q173_replenishment_due" -> q173,
+    "q174_budget_pacing" -> q174,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2053,6 +2053,20 @@ object SparkEntry {
           .getEpochSecond * 1000000L)
       .orderBy("user_id")
 
+  private def q174_budget_pacing(s: SparkSession, dir: String): DataFrame = {
+    // Campaign burn vs linear schedule: per event type, decimal-exact
+    // cumulative daily spend against budget*dom/days_in_month.
+    import s.implicits._
+    val budgets = Seq(("view", "40000.00"), ("click", "42000.00"),
+        ("purchase", "41000.00"), ("signup", "43000.00"),
+        ("error", "39000.00"))
+      .toDF("event_type", "b")
+      .select(col("event_type"), col("b").cast("decimal(12,2)").as("budget"))
+    graft.analyze.Timeseries.budgetPacing(
+        t(s, dir, "events"), "event_type", "ts", "value", budgets)
+      .orderBy("event_type", "day")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2515,6 +2529,7 @@ object SparkEntry {
     "q171_latency_percentiles" -> (q171_latency_percentiles _),
     "q172_cuped_readout" -> (q172_cuped_readout _),
     "q173_replenishment_due" -> (q173_replenishment_due _),
+    "q174_budget_pacing" -> (q174_budget_pacing _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -55,6 +55,38 @@ object Timeseries {
           .as("stickiness"))
   }
 
+  /** Budget pacing — is each campaign burning its monthly budget
+    * ahead or behind the linear schedule: per (key, active day),
+    * cumulative DECIMAL-exact spend vs the linear target
+    * `budget · day_of_month / days_in_month`, and
+    * `pace = cum / target`. Budgets arrive as a metadata-sized
+    * dimension `(key, budget)` (broadcast). Spend sums stay
+    * DECIMAL(12,2) through the cumulative window (cohortLtv
+    * discipline); target and pace are fixed-shape double expressions
+    * over the exact cum, the exact integer day counts, and the budget.
+    * One day-grain agg + one key-partitioned cumulative window. */
+  def budgetPacing(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__spend"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__cum", sum(col("__spend")).over(w))
+      .join(broadcast(budgets), Seq(keyCol))
+      .select(col(keyCol), col("day"),
+        col("__cum").cast("double").as("cum_spend"),
+        (col("budget").cast("double") *
+          dayofmonth(col("day")).cast("double") /
+          dayofmonth(last_day(col("day"))).cast("double")).as("target"),
+        (col("__cum").cast("double") /
+          (col("budget").cast("double") *
+            dayofmonth(col("day")).cast("double") /
+            dayofmonth(last_day(col("day"))).cast("double"))).as("pace"))
+  }
+
   /** Replenishment-due report — the repeat-purchase reminder operator:
     * per entity, the DISCRETE median inter-purchase gap (an actual
     * observed gap — rank ⌈n/2⌉ of the gap order, integer micros, no

@@ -729,6 +729,27 @@ class Round14Spec extends SparkSpec {
     assert(got == Seq((1L, 4L, 20L * us, 80L * us, true)))
   }
 
+  test("budgetPacing: decimal cum vs linear target, month-length aware") {
+    import graft.analyze.Timeseries
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // Jan (31 days), budget 310 -> daily target slope 10
+    val ev = Seq(("c1", "2024-01-01", 15.0), ("c1", "2024-01-01", 5.0),
+        ("c1", "2024-01-02", 10.0), ("c1", "2024-01-31", 280.0),
+        // Feb (29 days in 2024), budget 29 -> slope 1
+        ("c2", "2024-02-01", 2.0))
+      .map { case (k, d, v) => (k, t(d), v) }.toDF("k", "ts", "v")
+    val budgets = Seq(("c1", BigDecimal("310.00")), ("c2", BigDecimal("29.00")))
+      .toDF("k", "budget")
+    val got = Timeseries.budgetPacing(ev, "k", "ts", "v", budgets)
+      .orderBy("k", "day")
+      .as[(String, java.sql.Date, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("c1", java.sql.Date.valueOf("2024-01-01"), 20.0, 10.0, 2.0),
+      ("c1", java.sql.Date.valueOf("2024-01-02"), 30.0, 20.0, 1.5),
+      ("c1", java.sql.Date.valueOf("2024-01-31"), 310.0, 310.0, 1.0),
+      ("c2", java.sql.Date.valueOf("2024-02-01"), 2.0, 1.0, 2.0)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -453,4 +453,33 @@ class PlanSpec extends SparkSpec {
     val bad = exchanges.filter(_.contains("__s"))
     assert(bad.isEmpty, s"string column crossed a shuffle:\n${bad.mkString("\n")}")
   }
+
+  test("q153 attribution plans NO join operator — pure window scans (round 14)") {
+    val s = planString(q("q153_attribution"))
+    assert(!s.contains("Join"), s"attribution must be join-free:\n$s")
+    assert(s.contains("Window"), s)
+  }
+
+  test("q168 frequency-cap audit plans exactly one hash exchange (round 14)") {
+    val df = graft.relational.Relational.frequencyCapAudit(
+      Tables.load(spark, sf, "events").select("event_id", "user_id", "ts"),
+      "user_id", "ts", windowSeconds = 6L * 3600, cap = 3)
+    val s = planString(df)
+    val exchanges = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REUSE"))
+    assert(exchanges == 1, s)
+  }
+
+  test("q156 delete-propagation audit: every per-table join is broadcast (round 14)") {
+    val s = planString(q("q156_delete_propagation"))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"),
+      s"RTBF key set must broadcast, never sort-merge:\n$s")
+  }
+
+  test("q166 lookalike: top-k is TakeOrdered, centroid broadcasts (round 14)") {
+    val s = planString(q("q166_lookalike"))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
 }

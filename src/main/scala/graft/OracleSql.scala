@@ -4231,6 +4231,108 @@ SELECT c.event_type, c.day,
 FROM cum c JOIN budgets b USING (event_type)
 ORDER BY event_type, day"""
 
+  /** Shared journey-transition CTE body (q175/q176): q153's
+    * claim-scan plus the unclaimed trailing journeys and zero-touch
+    * conversions — one row per (src, dst) with exact counts. */
+  private val markovTransitionCtes = """
+slim AS (
+  SELECT user_id AS ent, epoch_us(ts) AS us, event_id AS id,
+    event_type AS typ,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')),
+scanned AS (
+  SELECT *, last_value(
+      CASE WHEN kind = 1 THEN struct_pack(cid := id, cus := us) END
+      IGNORE NULLS)
+    OVER (PARTITION BY ent ORDER BY us DESC, kind DESC, id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM slim),
+touch AS (
+  SELECT *, (conv IS NOT NULL AND conv.cus - us <= 604800000000)
+    AS claimed
+  FROM scanned WHERE kind = 0),
+cl AS (
+  SELECT typ,
+    lag(typ) OVER wc AS prev, lead(typ) OVER wc AS next
+  FROM touch WHERE claimed
+  WINDOW wc AS (PARTITION BY conv.cid ORDER BY us, id)),
+uc AS (
+  SELECT typ,
+    lag(typ) OVER we AS prev, lead(typ) OVER we AS next
+  FROM touch WHERE NOT claimed
+  WINDOW we AS (PARTITION BY ent ORDER BY us, id)),
+ztc AS (
+  SELECT count(*) AS c FROM scanned
+  WHERE kind = 1 AND id NOT IN
+    (SELECT DISTINCT conv.cid FROM touch WHERE claimed)),
+steps AS (
+  SELECT coalesce(prev, 'START') AS src, typ AS dst FROM cl
+  UNION ALL SELECT typ, 'CONV' FROM cl WHERE next IS NULL
+  UNION ALL SELECT coalesce(prev, 'START'), typ FROM uc
+  UNION ALL SELECT typ, 'NULL' FROM uc WHERE next IS NULL),
+tr0 AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM steps GROUP BY 1, 2),
+tr AS MATERIALIZED (
+  SELECT * FROM tr0
+  UNION ALL SELECT 'START', 'CONV', c FROM ztc WHERE c > 0)"""
+
+  private val q175 = s"""
+WITH $markovTransitionCtes
+SELECT src, dst, cnt FROM tr ORDER BY src, dst"""
+
+  /** One exact fixed-point absorption round (q176): p'(s) =
+    * (Σ cnt·val(t)) // out(s) in HUGEINT; `removed` forces val = 0
+    * for a deleted channel (empty string removes nothing). Join form
+    * + MATERIALIZED so the 60-stage chain never inlines past DuckDB's
+    * binder recursion limit. */
+  private def q176Iter(tag: String, k: Int, removed: String): String = s"""
+$tag$k AS MATERIALIZED (
+  SELECT st.s AS state,
+    CASE WHEN st.outc = 0 THEN CAST(0 AS HUGEINT)
+    ELSE COALESCE(x.numer, CAST(0 AS HUGEINT)) // st.outc END AS p
+  FROM st LEFT JOIN (
+    SELECT t2.src, SUM(CAST(t2.cnt AS HUGEINT) * (CASE
+        WHEN t2.dst = '$removed' THEN CAST(0 AS HUGEINT)
+        WHEN t2.dst = 'CONV' THEN CAST(1000000000000 AS HUGEINT)
+        WHEN t2.dst = 'NULL' THEN CAST(0 AS HUGEINT)
+        ELSE COALESCE(q.p, CAST(0 AS HUGEINT)) END)) AS numer
+    FROM tr t2 LEFT JOIN $tag${k - 1} q ON q.state = t2.dst
+    GROUP BY t2.src) x ON x.src = st.s)"""
+
+  private def q176Chain(tag: String, removed: String, k: Int): String =
+    s"""${tag}0 AS MATERIALIZED (
+  SELECT s AS state, CAST(0 AS HUGEINT) AS p FROM st),
+${(1 to k).map(q176Iter(tag, _, removed)).mkString(",")}"""
+
+  private val q176 = {
+    val k = 20
+    s"""
+WITH $markovTransitionCtes,
+st AS MATERIALIZED (
+  SELECT s, CAST(COALESCE((SELECT sum(cnt) FROM tr WHERE src = s), 0)
+    AS HUGEINT) AS outc
+  FROM (SELECT DISTINCT src AS s FROM tr
+        UNION SELECT DISTINCT dst FROM tr
+        WHERE dst NOT IN ('CONV', 'NULL'))),
+${q176Chain("b", "", k)},
+${q176Chain("rc", "click", k)},
+${q176Chain("rv", "view", k)}
+SELECT channel,
+  CAST((SELECT p FROM b$k WHERE state = 'START') AS BIGINT) AS p_base_fp,
+  CAST(p_removed AS BIGINT) AS p_removed_fp,
+  CAST((SELECT p FROM b$k WHERE state = 'START') - p_removed AS BIGINT)
+    AS removal_effect_fp
+FROM (
+  SELECT 'click' AS channel,
+    (SELECT p FROM rc$k WHERE state = 'START') AS p_removed
+  UNION ALL
+  SELECT 'view',
+    (SELECT p FROM rv$k WHERE state = 'START'))
+ORDER BY channel"""
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4365,6 +4467,8 @@ ORDER BY event_type, day"""
     "q172_cuped_readout" -> q172,
     "q173_replenishment_due" -> q173,
     "q174_budget_pacing" -> q174,
+    "q175_journey_transitions" -> q175,
+    "q176_markov_attribution" -> q176,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2067,6 +2067,30 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  private def q175_journey_transitions(s: SparkSession, dir: String): DataFrame =
+    // Markov attribution, stage 1: first-order journey transition
+    // counts (claimed paths -> CONV, zero-touch conversions, unclaimed
+    // trailing journeys -> NULL) — the data-scale pass; the state
+    // space is metadata-sized by construction.
+    graft.relational.MarkovAttribution.journeyTransitions(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSeconds = 7L * 24 * 3600)
+      .orderBy("src", "dst")
+
+  private def q176_markov_attribution(s: SparkSession, dir: String): DataFrame =
+    // Markov attribution, stage 2: removal effects by EXACT integer
+    // fixed-point absorption (k=20 rounds, scale 1e12) — bit-identical
+    // in any engine; the oracle replays the identical recurrence
+    // unrolled (the q130 discipline).
+    graft.relational.MarkovAttribution.removalEffects(
+        graft.relational.MarkovAttribution.journeyTransitions(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          conversionType = "purchase", touchTypes = Seq("click", "view"),
+          lookbackSeconds = 7L * 24 * 3600),
+        k = 20)
+      .orderBy("channel")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2530,6 +2554,8 @@ object SparkEntry {
     "q172_cuped_readout" -> (q172_cuped_readout _),
     "q173_replenishment_due" -> (q173_replenishment_due _),
     "q174_budget_pacing" -> (q174_budget_pacing _),
+    "q175_journey_transitions" -> (q175_journey_transitions _),
+    "q176_markov_attribution" -> (q176_markov_attribution _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -750,6 +750,43 @@ class Round14Spec extends SparkSpec {
       ("c2", java.sql.Date.valueOf("2024-02-01"), 2.0, 1.0, 2.0)))
   }
 
+  test("journeyTransitions: claimed paths, zero-touch conversions, NULL journeys") {
+    import graft.relational.MarkovAttribution
+    val ev = Seq(
+      // user 1: view -> click -> purchase (claimed journey)
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L), (1L, 30L, "purchase", 100L),
+      // user 2: zero-touch conversion
+      (2L, 10L, "purchase", 101L),
+      // user 3: trailing unclaimed touches -> NULL journey
+      (3L, 10L, "click", 3L), (3L, 20L, "click", 4L)
+    ).map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = MarkovAttribution.journeyTransitions(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"), 3600L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("START", "view") -> 1L, ("view", "click") -> 1L,
+      ("click", "CONV") -> 1L, ("START", "CONV") -> 1L,
+      ("START", "click") -> 1L, ("click", "click") -> 1L,
+      ("click", "NULL") -> 1L))
+  }
+
+  test("removalEffects: exact fixed-point absorption on a hand matrix") {
+    import graft.relational.MarkovAttribution
+    // START -> a (2), START -> CONV (1), START -> NULL (1);
+    // a -> CONV (1), a -> NULL (1).
+    // Exact absorption: p(a) = 1/2; p(START) = (2*1/2 + 1)/4 = 1/2.
+    // Remove a: p(START) = 1/4.  Effect = 1/4 of scale.
+    val tr = Seq(("START", "a", 2L), ("START", "CONV", 1L),
+      ("START", "NULL", 1L), ("a", "CONV", 1L), ("a", "NULL", 1L))
+      .toDF("src", "dst", "cnt")
+    val got = MarkovAttribution.removalEffects(tr, k = 20)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val S = 1000000000000L
+    assert(got == Seq(("a", S / 2, S / 4, S / 4)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

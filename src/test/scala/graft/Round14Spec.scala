@@ -787,6 +787,50 @@ class Round14Spec extends SparkSpec {
     assert(got == Seq(("a", S / 2, S / 4, S / 4)))
   }
 
+  test("attribution: random events equal a sequential Scala reference (500 rows, 3 seeds)") {
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = (0 until 500).map { i =>
+        val ty = rnd.nextInt(10) match {
+          case 0 | 1 => "purchase"
+          case k if k % 2 == 0 => "click"
+          case _ => "view"
+        }
+        (rnd.nextInt(6).toLong, (100L + rnd.nextInt(400)).toLong, i.toLong, ty)
+      }
+      val look = 60L
+      // reference: per entity, scan desc over (us, kindDesc, idDesc);
+      // next conv = last conv seen; claim if within lookback
+      val ref = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (-r._2, -(if (r._4 == "purchase") 1 else 0), -r._3))
+        var conv: Option[(Long, Long)] = None // (id, us)
+        val claims = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+        sorted.foreach { r =>
+          if (r._4 == "purchase") conv = Some((r._3, r._2))
+          else conv.foreach { case (cid, cus) =>
+            if (cus - r._2 <= look) claims += ((cid, r._3, r._4, r._2))
+          }
+        }
+        claims.groupBy(_._1).toSeq.flatMap { case (cid, ts) =>
+          val ordered = ts.sortBy(t => (t._4, t._2))
+          ordered.zipWithIndex.map { case (t, i) =>
+            (cid, t._2, t._3, i + 1, ordered.size)
+          }
+        }
+      }.toSet
+      val got = graft.relational.Attribution.attributeTouches(
+          evs.toDF("user_id", "us", "event_id", "event_type")
+            .withColumn("ts", timestamp_seconds(col("us"))),
+          "user_id", "ts", "event_type", "event_id",
+          "purchase", Seq("click", "view"), lookbackSeconds = look)
+        .select(col("conv_id"), col("touch_id"), col("touch_type"),
+          col("position"), col("n_touches").cast("int"))
+        .as[(Long, Long, String, Int, Int)].collect()
+        .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+      assert(got == ref, s"seed $seed: diff ${(got diff ref).take(3)} / ${(ref diff got).take(3)}")
+    }
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -4282,6 +4282,44 @@ tr AS MATERIALIZED (
 WITH $markovTransitionCtes
 SELECT src, dst, cnt FROM tr ORDER BY src, dst"""
 
+  /** Time-to-convert twin (q177): q153's assigned CTE carries both
+    * ends' micros; first touch by position, q171's discrete pick. */
+  private val q177 = """
+WITH slim AS (
+  SELECT user_id AS ent, epoch_us(ts) AS us, event_id AS id,
+    event_type AS typ,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')),
+scanned AS (
+  SELECT *, last_value(
+      CASE WHEN kind = 1 THEN struct_pack(cid := id, cus := us) END
+      IGNORE NULLS)
+    OVER (PARTITION BY ent ORDER BY us DESC, kind DESC, id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM slim),
+assigned AS (
+  SELECT us, id, typ, conv.cid AS conv_id, conv.cus AS conv_us
+  FROM scanned
+  WHERE kind = 0 AND conv IS NOT NULL
+    AND conv.cus - us <= 604800000000),
+firsts AS (
+  SELECT conv_id, typ AS touch_type, conv_us - us AS age_us
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+          ORDER BY us, id) AS p
+        FROM assigned)
+  WHERE p = 1),
+ranked AS (
+  SELECT touch_type, age_us,
+    row_number() OVER (PARTITION BY touch_type
+      ORDER BY age_us, conv_id) AS r,
+    count(*) OVER (PARTITION BY touch_type) AS n
+  FROM firsts)
+SELECT touch_type, p, age_us AS value
+FROM ranked, (SELECT unnest([50, 90]) AS p)
+WHERE r = (p * n + 99) // 100
+ORDER BY touch_type, p"""
+
   /** One exact fixed-point absorption round (q176): p'(s) =
     * (Σ cnt·val(t)) // out(s) in HUGEINT; `removed` forces val = 0
     * for a deleted channel (empty string removes nothing). Join form
@@ -4469,6 +4507,7 @@ ORDER BY channel"""
     "q174_budget_pacing" -> q174,
     "q175_journey_transitions" -> q175,
     "q176_markov_attribution" -> q176,
+    "q177_time_to_convert" -> q177,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

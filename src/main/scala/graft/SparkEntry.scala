@@ -2091,6 +2091,27 @@ object SparkEntry {
         k = 20)
       .orderBy("channel")
 
+  private def q177_time_to_convert(s: SparkSession, dir: String): DataFrame = {
+    // Which entry channel converts fastest: per conversion, the age
+    // from its FIRST claimed touch; discrete p50/p90 per entry
+    // channel in exact micros.
+    val ev = t(s, dir, "events")
+    val first = graft.relational.Attribution.attributeTouches(ev,
+        "user_id", "ts", "event_type", "event_id",
+        "purchase", Seq("click", "view"), 7L * 24 * 3600)
+      .filter(col("position") === 1)
+      .select(col("conv_id"), col("touch_id"), col("touch_type"))
+    val ages = first
+      .join(ev.select(col("event_id").as("touch_id"),
+        unix_micros(col("ts")).as("touch_us")), Seq("touch_id"))
+      .join(ev.select(col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("conv_us")), Seq("conv_id"))
+      .withColumn("age_us", col("conv_us") - col("touch_us"))
+    graft.analyze.Stats.discretePercentiles(ages, "touch_type", "age_us",
+        "conv_id", ps = Seq(50, 90))
+      .orderBy("touch_type", "p")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2556,6 +2577,7 @@ object SparkEntry {
     "q174_budget_pacing" -> (q174_budget_pacing _),
     "q175_journey_transitions" -> (q175_journey_transitions _),
     "q176_markov_attribution" -> (q176_markov_attribution _),
+    "q177_time_to_convert" -> (q177_time_to_convert _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

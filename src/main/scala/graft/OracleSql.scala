@@ -4371,6 +4371,24 @@ FROM (
 ORDER BY channel"""
   }
 
+  /** Anonymity-audit twin (q178): identical quasi-identifier classes,
+    * integer counts and thresholds. Band uses explicit floor(): DuckDB
+    * `//` on DECIMAL operands is plain DOUBLE division (no floor —
+    * the int-only semantics do not extend), and a bare BIGINT cast
+    * would then ROUND; the shifted-nonnegative range makes Spark's
+    * truncating `div` == floor. */
+  private val q178 = """
+SELECT c_nationkey, c_mktsegment,
+  CAST(floor((CAST(c_acctbal AS DECIMAL(12,2)) + 1000) / 2000) AS BIGINT)
+    AS bal_band,
+  count(*) AS n_rows,
+  CAST(count(DISTINCT c_name) AS BIGINT) AS n_sensitive,
+  count(*) < 5 AS k_violation,
+  count(DISTINCT c_name) < 3 AS l_violation
+FROM customer
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4508,6 +4526,7 @@ ORDER BY channel"""
     "q175_journey_transitions" -> q175,
     "q176_markov_attribution" -> q176,
     "q177_time_to_convert" -> q177,
+    "q178_anonymity_audit" -> q178,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2112,6 +2112,23 @@ object SparkEntry {
       .orderBy("touch_type", "p")
   }
 
+  private def q178_anonymity_audit(s: SparkSession, dir: String): DataFrame =
+    // Privacy QA: (nation, segment, acctbal-band) quasi-identifier
+    // classes over customers — class sizes, distinct sensitive names,
+    // k=5 / l=3 violations; exact integers end to end.
+    graft.relational.DeletePropagation.anonymityAudit(
+        t(s, dir, "customer")
+          // +1000 shifts the TPC-H range nonnegative so integral-div
+          // truncation == floor in BOTH engines (negatives diverge:
+          // Spark div truncates, DuckDB // floors)
+          .withColumn("bal_band",
+            call_function("div",
+              col("c_acctbal").cast("decimal(12,2)") + 1000,
+              lit(java.math.BigDecimal.valueOf(2000))).cast("long")),
+        quasiCols = Seq("c_nationkey", "c_mktsegment", "bal_band"),
+        sensitiveCol = "c_name", k = 5, l = 3)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2578,6 +2595,7 @@ object SparkEntry {
     "q175_journey_transitions" -> (q175_journey_transitions _),
     "q176_markov_attribution" -> (q176_markov_attribution _),
     "q177_time_to_convert" -> (q177_time_to_convert _),
+    "q178_anonymity_audit" -> (q178_anonymity_audit _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -84,6 +84,29 @@ object DeletePropagation {
     (kept, tombstones)
   }
 
+  /** k-anonymity / l-diversity audit — the privacy QA companion of the
+    * RTBF cascade: group rows by the quasi-identifier columns and
+    * report every equivalence class with its size and its count of
+    * distinct sensitive values; a class is a k-anonymity violation
+    * when fewer than `k` rows share its quasi-identifiers (re-
+    * identifiable) and an l-diversity violation when its sensitive
+    * attribute takes fewer than `l` distinct values (attribute
+    * disclosure even at k). Exact integer counts and integer
+    * threshold compares throughout. ONE partial-aggregating groupBy;
+    * output is class-cardinality. Suppressing/generalizing the
+    * violating classes is the caller's remediation ([[purgeKeys]]
+    * composes for suppression). */
+  def anonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                     sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "anonymityAudit needs quasi-identifier columns")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1; got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_violation", col("n_rows") < k)
+      .withColumn("l_violation", col("n_sensitive") < l)
+  }
+
   /** Replay guard for incremental feeds: drop every incoming change at
     * or before its key's tombstone (`tsCol <= deleted_at`) — erased
     * history stays erased — while changes AFTER the tombstone pass

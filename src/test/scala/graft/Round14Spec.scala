@@ -831,6 +831,25 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("anonymityAudit: k and l violations flagged independently") {
+    import graft.relational.DeletePropagation
+    val df = Seq(
+      // class A: 5 rows, 3 distinct sensitive -> passes both at k=5 l=3
+      ("A", "s1"), ("A", "s2"), ("A", "s3"), ("A", "s1"), ("A", "s2"),
+      // class B: 5 rows but 1 sensitive -> l violation only
+      ("B", "x"), ("B", "x"), ("B", "x"), ("B", "x"), ("B", "x"),
+      // class C: 2 rows, 2 sensitive -> k violation AND l violation
+      ("C", "p"), ("C", "q")
+    ).toDF("quasi", "sens")
+    val got = DeletePropagation.anonymityAudit(df, Seq("quasi"), "sens",
+        k = 5, l = 3)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") == ((5L, 3L, false, false)))
+    assert(got("B") == ((5L, 1L, false, true)))
+    assert(got("C") == ((2L, 2L, true, true)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -94,6 +94,10 @@ object ScaleProbe {
   // explosion is touches×convs-in-lookback per entity, and a hot entity
   // makes it quadratic while the window form stays linear in rows.
   private val AttributionProbe = "attribution"
+  // Stitching probe: per-identifier star edges (linear in memberships)
+  // vs the naive same-identifier pair self-join (k² per popular
+  // identifier) feeding the same connected components.
+  private val StitchProbe = "stitching"
 
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
@@ -109,7 +113,7 @@ object ScaleProbe {
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
-                 PageProbe + InvIdxProbe + AttributionProbe
+                 PageProbe + InvIdxProbe + AttributionProbe + StitchProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -791,6 +795,48 @@ object ScaleProbe {
         require(diff == 0, s"attribution window/naive assignments differ: $diff rows")
         log.println(f"""{"query":"attribution_assign(probe)","n":$n,"window":$tw%.3f,"naive_join":$tn%.3f,"speedup":${tn / tw}%.2f,"rows":$nw}""")
       }
+    }
+    if (only.contains(StitchProbe)) {
+      import graft.dedup.Dedup
+      // n entities: unique "u" ids, chain pairs via id div 2, and a
+      // HOT identifier shared by every 50th entity (2% of n) — the
+      // shared-corporate-email shape. Star edges stay linear; the
+      // naive same-identifier self-join builds (n/50)²/2 pairs for the
+      // hot identifier alone before CC even starts.
+      val n = 100000L * scale
+      val ents = spark.range(n).select(col("id").as("ent"))
+      val ids = ents.select(col("ent"), lit("u").as("t"),
+          col("ent").cast("string").as("v"))
+        .unionByName(ents.select(col("ent"), lit("chain").as("t"),
+          call_function("div", col("ent"), lit(2L)).cast("string").as("v")))
+        .unionByName(ents.filter(col("ent") % 50 === 0)
+          .select(col("ent"), lit("hot").as("t"), lit("0").as("v")))
+      def checksum(df: DataFrame): (Long, String) = {
+        // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        val r = df.agg(count(lit(1)),
+            sum(xxhash64(col("ent"), col("person_id")).cast("decimal(38,0)")))
+          .head()
+        (r.getLong(0), r.getDecimal(1).toString)
+      }
+      def starForm(): DataFrame =
+        Dedup.stitchIdentities(ids, "ent", "t", "v")
+      def naiveForm(): DataFrame = {
+        val m = ids.select(col("ent"),
+            concat_ws("", col("t"), col("v")).as("ident")).distinct()
+        val pairs = m.join(m.withColumnRenamed("ent", "ent_b"), Seq("ident"))
+          .filter(col("ent") < col("ent_b"))
+          .select(col("ent").as("a"), col("ent_b").as("b")).distinct()
+        val comp = Dedup.connectedComponents(pairs, "a", "b")
+        ids.select(col("ent")).distinct()
+          .join(comp.select(col("id").as("ent"), col("cluster_id").as("__p")),
+            Seq("ent"), "left")
+          .select(col("ent"), coalesce(col("__p"), col("ent")).as("person_id"))
+      }
+      var cs = (0L, ""); var cn = (0L, "")
+      val ts = best { cs = checksum(starForm()) }
+      val tn = best { cn = checksum(naiveForm()) }
+      require(cs == cn, s"stitching star/naive person maps differ: $cs vs $cn")
+      log.println(f"""{"query":"stitching(probe)","n":$n,"star":$ts%.3f,"naive_pairs":$tn%.3f,"speedup":${tn / ts}%.2f,"entities":${cs._1}}""")
     }
     log.close()
     spark.stop()

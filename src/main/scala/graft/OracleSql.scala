@@ -4389,6 +4389,49 @@ FROM customer
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""
 
+  /** Campaign-composite twin (q179): q153's assignment + q161's md5
+    * split + integer first/last-touch counts + one division. */
+  private val q179 = """
+WITH slim AS (
+  SELECT user_id AS ent, epoch_us(ts) AS us, event_id AS id,
+    event_type AS typ,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')),
+scanned AS (
+  SELECT *, last_value(
+      CASE WHEN kind = 1 THEN struct_pack(cid := id, cus := us) END
+      IGNORE NULLS)
+    OVER (PARTITION BY ent ORDER BY us DESC, kind DESC, id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM slim),
+assigned AS (
+  SELECT ent, us, id, typ, conv.cid AS conv_id
+  FROM scanned
+  WHERE kind = 0 AND conv IS NOT NULL
+    AND conv.cus - us <= 604800000000),
+pos AS (
+  SELECT ent, typ,
+    row_number() OVER w AS p,
+    count(*) OVER (PARTITION BY conv_id) AS n,
+    CASE WHEN
+      CAST(('0x' || substr(md5(CAST(ent AS VARCHAR)), 1, 8))::UINTEGER
+        AS BIGINT) % 20 < 10
+      THEN 'treatment' ELSE 'control' END AS variant
+  FROM assigned
+  WINDOW w AS (PARTITION BY conv_id ORDER BY us, id)),
+per AS (
+  SELECT variant, typ AS touch_type,
+    CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+    CAST(sum(CASE WHEN p = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+  FROM pos GROUP BY 1, 2),
+tot AS (
+  SELECT variant, CAST(sum(n_first) AS BIGINT) AS tf FROM per GROUP BY 1)
+SELECT p.variant, p.touch_type, p.n_first, p.n_last,
+  CAST(p.n_first AS DOUBLE) / CAST(t.tf AS DOUBLE) AS share_first
+FROM per p JOIN tot t USING (variant)
+ORDER BY variant, touch_type"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4527,6 +4570,7 @@ ORDER BY 1, 2, 3"""
     "q176_markov_attribution" -> q176,
     "q177_time_to_convert" -> q177,
     "q178_anonymity_audit" -> q178,
+    "q179_campaign_composite" -> q179,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2129,6 +2129,31 @@ object SparkEntry {
         sensitiveCol = "c_name", k = 5, l = 3)
       .orderBy("c_nationkey", "c_mktsegment", "bal_band")
 
+  private def q179_campaign_composite(s: SparkSession, dir: String): DataFrame = {
+    // Composite (the q84/q53 discipline — gates stage INTERACTIONS):
+    // hash split x attribution x channel report. Per (variant, entry
+    // channel): first- and last-touch conversion counts (exact
+    // integers — the 0/1 credit columns sum to conversion counts) and
+    // the variant-relative first-touch share (one IEEE division).
+    import graft.analyze.Experiment
+    val att = graft.relational.Attribution.attributeTouches(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        "purchase", Seq("click", "view"), 7L * 24 * 3600)
+      .withColumn("variant",
+        Experiment.assignVariant(col("user_id"), 20, 0 until 10))
+    val per = att.groupBy(col("variant"), col("touch_type"))
+      .agg(sum(col("credit_first").cast("long")).as("n_first"),
+        sum(col("credit_last").cast("long")).as("n_last"))
+    val tot = per.groupBy(col("variant"))
+      .agg(sum(col("n_first")).as("__tf"))
+    per.join(tot, Seq("variant"))
+      .select(col("variant"), col("touch_type"), col("n_first"),
+        col("n_last"),
+        (col("n_first").cast("double") / col("__tf").cast("double"))
+          .as("share_first"))
+      .orderBy("variant", "touch_type")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2596,6 +2621,7 @@ object SparkEntry {
     "q176_markov_attribution" -> (q176_markov_attribution _),
     "q177_time_to_convert" -> (q177_time_to_convert _),
     "q178_anonymity_audit" -> (q178_anonymity_audit _),
+    "q179_campaign_composite" -> (q179_campaign_composite _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -4432,6 +4432,30 @@ SELECT p.variant, p.touch_type, p.n_first, p.n_last,
 FROM per p JOIN tot t USING (variant)
 ORDER BY variant, touch_type"""
 
+  /** Sessionization twin (q180): identical lag/cumsum windows over
+    * exact integer micros; gap strictly > 6 h starts a new session. */
+  private val q180 = """
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, us, event_type,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      AS BIGINT) AS session_seq
+  FROM tagged)
+SELECT user_id, session_seq,
+  min(us) AS start_us, max(us) AS end_us,
+  max(us) - min(us) AS duration_us,
+  count(*) AS n_events,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4571,6 +4595,7 @@ ORDER BY variant, touch_type"""
     "q177_time_to_convert" -> q177,
     "q178_anonymity_audit" -> q178,
     "q179_campaign_composite" -> q179,
+    "q180_sessionize" -> q180,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2154,6 +2154,16 @@ object SparkEntry {
       .orderBy("variant", "touch_type")
   }
 
+  private def q180_sessionize(s: SparkSession, dir: String): DataFrame =
+    // Gap-based sessionization (6 h inactivity): per-session start/end/
+    // duration in exact micros plus event and distinct-type counts.
+    // One entity shuffle end-to-end — the rollup's (entity, session)
+    // grouping rides the window's HashPartitioning(entity).
+    graft.relational.Sessionize.sessionStats(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        gapSeconds = 6L * 3600)
+      .orderBy("user_id", "session_seq")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2622,6 +2632,7 @@ object SparkEntry {
     "q177_time_to_convert" -> (q177_time_to_convert _),
     "q178_anonymity_audit" -> (q178_anonymity_audit _),
     "q179_campaign_composite" -> (q179_campaign_composite _),
+    "q180_sessionize" -> (q180_sessionize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

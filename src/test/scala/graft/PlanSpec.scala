@@ -482,4 +482,17 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
     assert(s.contains("BroadcastHashJoin"), s)
   }
+
+  test("sessionize + stats plan ONE hash exchange end-to-end (round 14)") {
+    // the (entity, session) groupBy must ride the window's
+    // HashPartitioning(entity) — a second exchange here would double
+    // the shuffle volume of every sessionized pipeline at 100 TB
+    val df = graft.relational.Sessionize.sessionStats(
+      Tables.load(spark, sf, "events"), "user_id", "ts", "event_id",
+      "event_type", gapSeconds = 6L * 3600)
+    val s = planString(df)
+    val exchanges = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REUSE"))
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$s")
+  }
 }

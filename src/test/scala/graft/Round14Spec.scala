@@ -850,6 +850,47 @@ class Round14Spec extends SparkSpec {
     assert(got("C") == ((2L, 2L, true, true)))
   }
 
+  test("sessionize: gap rule, tie order, session stats") {
+    // user 1: events at t=0,100,200 (gaps 100 <= 120 -> one session),
+    //   then t=400 (gap 200 > 120 -> new session), t=450.
+    // user 2: single event -> one 1-event session, duration 0.
+    // user 3: two events at the SAME ts -> tiebreak keeps one session
+    //   (gap 0), deterministic numbering.
+    val ev = Seq(
+      (1L, 0L, "view", 1L), (1L, 100L, "click", 2L), (1L, 200L, "view", 3L),
+      (1L, 400L, "purchase", 4L), (1L, 450L, "view", 5L),
+      (2L, 10L, "view", 6L),
+      (3L, 7L, "click", 7L), (3L, 7L, "view", 8L)
+    ).map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.relational.Sessionize.sessionStats(ev, "user_id",
+        "ts", "event_id", "event_type", gapSeconds = 120L)
+      .orderBy("user_id", "session_seq")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 200000000L, 200000000L, 3L, 2L),
+      (1L, 2L, 400000000L, 450000000L, 50000000L, 2L, 2L),
+      (2L, 1L, 10000000L, 10000000L, 0L, 1L, 1L),
+      (3L, 1L, 7000000L, 7000000L, 0L, 2L, 2L)))
+    // exactly-at-gap boundary stays in-session (strictly greater starts)
+    val edge = Seq((9L, 0L, "a", 1L), (9L, 120L, "b", 2L))
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val e = graft.relational.Sessionize.sessionize(edge, "user_id", "ts",
+        "event_id", gapSeconds = 120L)
+      .agg(max("session_seq")).as[Long].head()
+    assert(e == 1L)
+    intercept[IllegalArgumentException] {
+      graft.relational.Sessionize.sessionize(edge, "user_id", "ts",
+        "event_id", gapSeconds = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.relational.Sessionize.sessionize(
+        edge.withColumn("session_seq", lit(1)), "user_id", "ts",
+        "event_id", gapSeconds = 10L)
+    }
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

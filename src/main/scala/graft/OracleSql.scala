@@ -4456,6 +4456,29 @@ FROM sessions
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq"""
 
+  /** ABC twin (q181): identical decimal totals, cumsum window, and
+    * cross-multiplied integer class boundaries (cum·100 vs grand·pct
+    * stays exact HUGEINT-decimal arithmetic — no division classes). */
+  private val q181 = """
+WITH tot AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS t
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+win AS (
+  SELECT l_partkey, t,
+    row_number() OVER (ORDER BY t DESC, l_partkey) AS rnk,
+    sum(t) OVER (ORDER BY t DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(t) OVER () AS grand
+  FROM tot)
+SELECT l_partkey AS partkey, CAST(rnk AS BIGINT) AS rnk,
+  CAST(t AS DOUBLE) AS revenue,
+  CAST(cum AS DOUBLE) / CAST(grand AS DOUBLE) AS cum_share,
+  CASE WHEN cum * 100 <= grand * 80 THEN 'A'
+       WHEN cum * 100 <= grand * 95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM win
+ORDER BY rnk"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4596,6 +4619,7 @@ ORDER BY user_id, session_seq"""
     "q178_anonymity_audit" -> q178,
     "q179_campaign_composite" -> q179,
     "q180_sessionize" -> q180,
+    "q181_abc_classify" -> q181,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2164,6 +2164,16 @@ object SparkEntry {
         gapSeconds = 6L * 3600)
       .orderBy("user_id", "session_seq")
 
+  private def q181_abc_classify(s: SparkSession, dir: String): DataFrame =
+    // Pareto/ABC: parts classed by cumulative revenue share (80/95).
+    // Exact-decimal totals and cross-multiplied integer-percent class
+    // boundaries; the global cumsum window runs over the aggregated
+    // part rows, never the lineitem facts.
+    graft.analyze.Stats.abcClassify(
+        t(s, dir, "lineitem"), "l_partkey", "l_extendedprice")
+      .withColumnRenamed("l_partkey", "partkey")
+      .orderBy("rnk")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2633,6 +2643,7 @@ object SparkEntry {
     "q178_anonymity_audit" -> (q178_anonymity_audit _),
     "q179_campaign_composite" -> (q179_campaign_composite _),
     "q180_sessionize" -> (q180_sessionize _),
+    "q181_abc_classify" -> (q181_abc_classify _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -409,4 +409,44 @@ object Stats {
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__wz_g", "__lo", "__hi")
   }
+
+  /** Pareto / ABC inventory classification: rank dimension members by
+    * their decimal-exact value total (descending, key tiebreak) and
+    * class each by the CUMULATIVE share including itself — `A` while
+    * cum ≤ aPercent% of the grand total, `B` while ≤ bPercent%, else
+    * `C`. Classification compares exact decimals cross-multiplied by
+    * integer percents (`cum·100 ≤ grand·a`) — no division decides a
+    * class; the emitted revenue/cum_share doubles are display-only
+    * one-shot casts/divisions the oracle replays.
+    *
+    * At 100 TB the heavy stage is the facts groupBy (partial-agg
+    * map-side combine; one shuffle at dim cardinality). The cumulative
+    * window is UNPARTITIONED by semantic necessity — a global running
+    * sum — but it runs over the AGGREGATED dim rows (catalog-sized,
+    * millions at most), never the facts; if the dim cardinality is
+    * itself fact-scale, rank via the salted global-rank machinery
+    * ([[quantileNormalize]]'s bucket approach) before the cumsum. */
+  def abcClassify(facts: DataFrame, dimCol: String, valueCol: String,
+                  aPercent: Int = 80, bPercent: Int = 95): DataFrame = {
+    require(0 < aPercent && aPercent < bPercent && bPercent <= 100,
+      s"need 0 < aPercent < bPercent <= 100, got $aPercent, $bPercent")
+    val W = org.apache.spark.sql.expressions.Window
+    val totals = facts.filter(col(valueCol).isNotNull)
+      .groupBy(col(dimCol))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__t"))
+    val ord = W.orderBy(col("__t").desc, col(dimCol).asc)
+    val cum = sum(col("__t")).over(ord.rowsBetween(W.unboundedPreceding, 0))
+    val grand = sum(col("__t")).over(W.partitionBy())
+    totals
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("__cum", cum)
+      .withColumn("__grand", grand)
+      .select(col(dimCol), col("rnk"),
+        col("__t").cast("double").as("revenue"),
+        (col("__cum").cast("double") / col("__grand").cast("double"))
+          .as("cum_share"),
+        when(col("__cum") * 100 <= col("__grand") * aPercent, "A")
+          .when(col("__cum") * 100 <= col("__grand") * bPercent, "B")
+          .otherwise("C").as("abc_class"))
+  }
 }

@@ -891,6 +891,35 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("abcClassify: exact 80/95 boundaries, tie order, null drop") {
+    // totals: d1=50, d2=30, d3=15, d4=5 (grand 100) -> cum 50, 80, 95,
+    // 100 -> classes A (<=80 INCLUSIVE), A, B (<=95 inclusive), C.
+    // d2's total arrives as two facts; a null-value fact is dropped;
+    // d3a/d3b would tie at 15 -> split to 15/5 to keep totals distinct
+    // except the boundary we want.
+    val facts = Seq(
+      ("d1", Some(20.0)), ("d1", Some(30.0)),
+      ("d2", Some(10.0)), ("d2", Some(20.0)), ("d2", None),
+      ("d3", Some(15.0)), ("d4", Some(5.0))
+    ).toDF("dim", "v")
+    val got = graft.analyze.Stats.abcClassify(facts, "dim", "v")
+      .orderBy("rnk")
+      .as[(String, Long, Double, Double, String)].collect().toSeq
+    assert(got == Seq(
+      ("d1", 1L, 50.0, 0.50, "A"),
+      ("d2", 2L, 30.0, 0.80, "A"),
+      ("d3", 3L, 15.0, 0.95, "B"),
+      ("d4", 4L, 5.0, 1.00, "C")))
+    // equal totals tiebreak on the dim key, ascending
+    val tied = Seq(("b", 10.0), ("a", 10.0)).toDF("dim", "v")
+    val order = graft.analyze.Stats.abcClassify(tied, "dim", "v")
+      .orderBy("rnk").select("dim").as[String].collect().toSeq
+    assert(order == Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      graft.analyze.Stats.abcClassify(facts, "dim", "v", 95, 80)
+    }
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -4479,6 +4479,27 @@ SELECT l_partkey AS partkey, CAST(rnk AS BIGINT) AS rnk,
 FROM win
 ORDER BY rnk"""
 
+  /** Reach/frequency twin (q182): identical double groupBy + f+
+    * cumulative window; the share is one exact-long IEEE division. */
+  private val q182 = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS freq
+  FROM events GROUP BY 1, 2),
+hist AS (
+  SELECT event_type, freq, count(*) AS n_entities
+  FROM per_user GROUP BY 1, 2),
+curve AS (
+  SELECT event_type, freq, n_entities,
+    sum(n_entities) OVER (PARTITION BY event_type ORDER BY freq DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reach_ge,
+    sum(n_entities) OVER (PARTITION BY event_type) AS aud
+  FROM hist)
+SELECT event_type, freq, n_entities,
+  CAST(reach_ge AS BIGINT) AS reach_ge,
+  CAST(reach_ge AS DOUBLE) / CAST(aud AS DOUBLE) AS reach_share
+FROM curve
+ORDER BY event_type, freq"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4620,6 +4641,7 @@ ORDER BY rnk"""
     "q179_campaign_composite" -> q179,
     "q180_sessionize" -> q180,
     "q181_abc_classify" -> q181,
+    "q182_reach_frequency" -> q182,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

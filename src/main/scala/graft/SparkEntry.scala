@@ -2174,6 +2174,14 @@ object SparkEntry {
       .withColumnRenamed("l_partkey", "partkey")
       .orderBy("rnk")
 
+  private def q182_reach_frequency(s: SparkSession, dir: String): DataFrame =
+    // Reach & frequency: per event type, exact users at each exposure
+    // count plus the f+ reach curve. Facts aggregate twice map-side;
+    // the cumulation is over histogram rows only.
+    graft.analyze.Reach.reachFrequency(
+        t(s, dir, "events"), "user_id", "event_type")
+      .orderBy(col("event_type"), col("freq"))
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2644,6 +2652,7 @@ object SparkEntry {
     "q179_campaign_composite" -> (q179_campaign_composite _),
     "q180_sessionize" -> (q180_sessionize _),
     "q181_abc_classify" -> (q181_abc_classify _),
+    "q182_reach_frequency" -> (q182_reach_frequency _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

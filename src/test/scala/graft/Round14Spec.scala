@@ -920,6 +920,23 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("reachFrequency: exact histogram and f+ curve") {
+    // type x: u1 seen 3 times, u2 once, u3 once -> hist {1:2, 3:1},
+    //   f+ curve: freq 3 -> 1 user (1/3), freq 1 -> 3 users (3/3).
+    // type y: u1 twice -> single row, reach_share 1.0.
+    val ev = Seq(
+      ("x", 1L), ("x", 1L), ("x", 1L), ("x", 2L), ("x", 3L),
+      ("y", 1L), ("y", 1L)
+    ).toDF("event_type", "user_id")
+    val got = graft.analyze.Reach.reachFrequency(ev, "user_id", "event_type")
+      .orderBy("event_type", "freq")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("x", 1L, 2L, 3L, 1.0),
+      ("x", 3L, 1L, 1L, 1.0 / 3),
+      ("y", 2L, 1L, 1L, 1.0)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -4500,6 +4500,33 @@ SELECT event_type, freq, n_entities,
 FROM curve
 ORDER BY event_type, freq"""
 
+  /** CUSUM twin (q183): the same running-sum-minus-running-min closed
+    * form over integer cross-multiplied deviations; `//` on BIGINT is
+    * DuckDB integer division (Spark `div`). */
+  private val q183 = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    count(*) AS n
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT event_type, day, n,
+    count(*) OVER (PARTITION BY event_type) AS d,
+    sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM daily),
+walk AS (
+  SELECT *, sum(n * d - tot) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+  FROM base)
+SELECT event_type, day, n,
+  CAST(w - least(min(w) OVER (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+    AS s_scaled,
+  (w - least(min(w) OVER (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) * 2 > tot * 1
+    AS shift_flag
+FROM walk
+ORDER BY event_type, day"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4642,6 +4669,7 @@ ORDER BY event_type, freq"""
     "q180_sessionize" -> q180,
     "q181_abc_classify" -> q181,
     "q182_reach_frequency" -> q182,
+    "q183_cusum_shift" -> q183,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

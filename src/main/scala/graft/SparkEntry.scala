@@ -2182,6 +2182,21 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "event_type")
       .orderBy(col("event_type"), col("freq"))
 
+  private def q183_cusum_shift(s: SparkSession, dir: String): DataFrame =
+    // CUSUM level-shift over per-type daily counts, threshold = half a
+    // mean-day of accumulated drift. The max(0, ·) recursion runs as
+    // its running-sum-minus-running-min closed form — pure windows,
+    // exact integers end-to-end (cross-multiplied mean and threshold).
+    graft.analyze.Timeseries.cusumShift(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            // integer `div`, never `/`-then-cast: the double quotient
+            // can round UP across a day boundary before truncation
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n", thrNum = 1, thrDen = 2)
+      .orderBy("event_type", "day")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2653,6 +2668,7 @@ object SparkEntry {
     "q180_sessionize" -> (q180_sessionize _),
     "q181_abc_classify" -> (q181_abc_classify _),
     "q182_reach_frequency" -> (q182_reach_frequency _),
+    "q183_cusum_shift" -> (q183_cusum_shift _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -142,4 +142,41 @@ object Timeseries {
         (col("__se").cast("double") / col("n_scored").cast("double"))
           .as("bias"))
   }
+
+  /** One-sided CUSUM level-shift detector over a per-key integer series
+    * (e.g. daily counts), self-referenced against the key's own mean.
+    *
+    * The textbook recursion S_t = max(0, S_{t-1} + dev_t) is not a
+    * window function, but its closed form IS: S_t = W_t − min(0,
+    * min_{j≤t} W_j) with W the plain running sum of deviations — two
+    * stock window aggregates, no recursion, any engine replays it.
+    * Everything stays in exact integers by cross-multiplication: the
+    * mean ref = N/D (N = Σvalue, D = rows) never materializes — the
+    * deviation is value·D − N (units value·D), and the threshold of
+    * thrNum/thrDen "mean-days" of accumulated drift compares
+    * S·thrDen > N·thrNum. No division, no float, anywhere.
+    *
+    * At 100 TB: callers aggregate facts to the per-key series first
+    * (fact-scale, map-side combining); this operator then runs three
+    * narrow windows over ONE hash shuffle of series rows (keys ×
+    * periods — small). State per row is O(1) (running sum + running
+    * min). */
+  def cusumShift(series: DataFrame, keyCol: String, ordCol: String,
+                 valueCol: String, thrNum: Int, thrDen: Int): DataFrame = {
+    require(thrNum > 0 && thrDen > 0,
+      s"threshold must be a positive rational, got $thrNum/$thrDen")
+    val W = org.apache.spark.sql.expressions.Window
+    val byKey = W.partitionBy(col(keyCol))
+    val cum = byKey.orderBy(col(ordCol).asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val dev = col(valueCol) * count(lit(1)).over(byKey) -
+      sum(col(valueCol)).over(byKey)
+    series
+      .withColumn("__w", sum(dev).over(cum))
+      .withColumn("s_scaled",
+        col("__w") - least(min(col("__w")).over(cum), lit(0L)))
+      .select(col(keyCol), col(ordCol), col(valueCol), col("s_scaled"),
+        (col("s_scaled") * thrDen >
+          sum(col(valueCol)).over(byKey) * thrNum).as("shift_flag"))
+  }
 }

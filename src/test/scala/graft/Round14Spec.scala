@@ -937,6 +937,40 @@ class Round14Spec extends SparkSpec {
       ("y", 2L, 1L, 1L, 1.0)))
   }
 
+  test("cusumShift: closed form equals the max(0,·) recursion, exact flags") {
+    // key a: [10,10,10,22,22] -> D=5, N=74, dev=v*5-74 -> S=[0,0,0,36,72];
+    // at thr 1/2: flag iff S*2 > 74 -> only the last row.
+    // key b: [5,1,9] -> S=[0,0,12]; 12*2 > 15 -> last row flags.
+    val s5 = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("a", 4L, 22L), ("a", 5L, 22L),
+      ("b", 1L, 5L), ("b", 2L, 1L), ("b", 3L, 9L))
+      .toDF("k", "d", "n")
+    val got = graft.analyze.Timeseries.cusumShift(s5, "k", "d", "n", 1, 2)
+      .orderBy("k", "d")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 10L, 0L, false), ("a", 2L, 10L, 0L, false),
+      ("a", 3L, 10L, 0L, false), ("a", 4L, 22L, 36L, false),
+      ("a", 5L, 22L, 72L, true),
+      ("b", 1L, 5L, 0L, false), ("b", 2L, 1L, 0L, false),
+      ("b", 3L, 9L, 12L, true)))
+    // closed form == sequential recursion on a seeded random series
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(40)(rnd.nextInt(100).toLong)
+    val df = vals.zipWithIndex.map { case (v, i) => ("r", i.toLong, v) }
+      .toDF("k", "d", "n")
+    val gotS = graft.analyze.Timeseries.cusumShift(df, "k", "d", "n", 1, 1)
+      .orderBy("d").select("s_scaled").as[Long].collect().toSeq
+    val dTot = vals.length.toLong
+    val nTot = vals.sum
+    val expS = vals.scanLeft(0L)((s, v) =>
+      math.max(0L, s + (v * dTot - nTot))).tail
+    assert(gotS == expS)
+    intercept[IllegalArgumentException] {
+      graft.analyze.Timeseries.cusumShift(s5, "k", "d", "n", 0, 2)
+    }
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -4527,6 +4527,32 @@ SELECT event_type, day, n,
 FROM walk
 ORDER BY event_type, day"""
 
+  /** Survival twin (q184): identical per-entity lifetimes (integer
+    * `//` period division), censor margin vs the corpus max, histogram
+    * + descending cumulative at-risk. */
+  private val q184 = """
+WITH bounds AS (
+  SELECT max(epoch_us(ts)) AS end_us FROM events),
+lives AS (
+  SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS life,
+    max(epoch_us(ts)) > (SELECT end_us FROM bounds) - 259200000000
+      AS censored
+  FROM events GROUP BY user_id),
+hist AS (
+  SELECT life, count(*) AS n,
+    sum(CASE WHEN censored THEN 0 ELSE 1 END) AS churned
+  FROM lives GROUP BY 1)
+SELECT life AS period,
+  CAST(sum(n) OVER (ORDER BY life DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS at_risk,
+  CAST(churned AS BIGINT) AS churned,
+  CAST(churned AS DOUBLE) / CAST(sum(n) OVER (ORDER BY life DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS hazard
+FROM hist
+ORDER BY period"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4670,6 +4696,7 @@ ORDER BY event_type, day"""
     "q181_abc_classify" -> q181,
     "q182_reach_frequency" -> q182,
     "q183_cusum_shift" -> q183,
+    "q184_survival_hazard" -> q184,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2197,6 +2197,16 @@ object SparkEntry {
         "event_type", "day", "n", thrNum = 1, thrDen = 2)
       .orderBy("event_type", "day")
 
+  private def q184_survival_hazard(s: SparkSession, dir: String): DataFrame =
+    // Discrete KM churn table: daily tenure, 3-day censor margin at
+    // the corpus end. at_risk/churned are exact integers; hazard the
+    // one display division. Survival product stays caller-side — no
+    // cross-engine float product in a gated column.
+    graft.analyze.Survival.survivalHazard(
+        t(s, dir, "events"), "user_id", "ts",
+        periodSeconds = 86400L, censorSeconds = 3L * 86400)
+      .orderBy("period")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2669,6 +2679,7 @@ object SparkEntry {
     "q181_abc_classify" -> (q181_abc_classify _),
     "q182_reach_frequency" -> (q182_reach_frequency _),
     "q183_cusum_shift" -> (q183_cusum_shift _),
+    "q184_survival_hazard" -> (q184_survival_hazard _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -971,6 +971,27 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("survivalHazard: lifetimes, right-censoring, at-risk cumulation") {
+    // period 10 s, censor 5 s, corpus end t=30:
+    //   u1 last=0 life=0; u2 last=25 life=2 (25 > 25 false -> NOT
+    //   censored, the boundary is strict); u3 life=1; u4 last=30
+    //   life=1 censored. at_risk desc-cum: life2=1, life1=3, life0=4.
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, 25L), (3L, 0L), (3L, 12L),
+      (4L, 20L), (4L, 30L))
+      .map { case (u, t0) => (u, ts(t0)) }.toDF("user_id", "ts")
+    val got = graft.analyze.Survival.survivalHazard(ev, "user_id", "ts",
+        periodSeconds = 10L, censorSeconds = 5L)
+      .orderBy("period")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 0.25),
+      (1L, 3L, 1L, 1.0 / 3),
+      (2L, 1L, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      graft.analyze.Survival.survivalHazard(ev, "user_id", "ts", 0L, 5L)
+    }
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

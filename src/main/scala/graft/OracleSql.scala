@@ -4553,6 +4553,43 @@ SELECT life AS period,
 FROM hist
 ORDER BY period"""
 
+  /** Session-conversion twin (q185): q180's session windows + a
+    * first_value entry pick (≡ Spark's arg-min struct over (us, id)). */
+  private val q185 = """
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, us, event_id, event_type,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      AS session_seq
+  FROM tagged),
+per AS (
+  SELECT user_id, session_seq,
+    first_value(event_type) OVER (PARTITION BY user_id, session_seq
+      ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS entry_type,
+    count(*) OVER (PARTITION BY user_id, session_seq) AS n,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, session_seq) AS conv,
+    row_number() OVER (PARTITION BY user_id, session_seq
+      ORDER BY us, event_id) AS rn
+  FROM sessions)
+SELECT entry_type,
+  count(*) AS n_sessions,
+  CAST(sum(conv) AS BIGINT) AS n_converted,
+  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+  CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+FROM per
+WHERE rn = 1
+GROUP BY entry_type
+ORDER BY entry_type"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4697,6 +4734,7 @@ ORDER BY period"""
     "q182_reach_frequency" -> q182,
     "q183_cusum_shift" -> q183,
     "q184_survival_hazard" -> q184,
+    "q185_session_conversion" -> q185,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

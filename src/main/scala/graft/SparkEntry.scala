@@ -2207,6 +2207,35 @@ object SparkEntry {
         periodSeconds = 86400L, censorSeconds = 3L * 86400)
       .orderBy("period")
 
+  private def q185_session_conversion(s: SparkSession, dir: String): DataFrame = {
+    // Composite (gates sessionize x aggregation INTERACTIONS): per
+    // session entry type — the "landing channel" — session count,
+    // purchase-converted count, bounce (1-event) count, one-division
+    // conversion rate. Entry pick is an arg-min struct (us, id, type):
+    // deterministic, no second window. The per-session rollup rides
+    // the sessionize shuffle; only session-cardinality rows re-shuffle
+    // to the entry_type report.
+    val tagged = graft.relational.Sessionize.sessionize(
+      t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 6L * 3600)
+    val us = unix_micros(col("ts"))
+    val per = tagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(struct(us.as("u"), col("event_id").as("i"),
+          col("event_type").as("t"))).as("__entry"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__conv"),
+        count(lit(1)).as("__n"))
+    per.groupBy(col("__entry").getField("t").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__conv")).as("n_converted"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        col("n_bounce"),
+        (col("n_converted").cast("double") / col("n_sessions").cast("double"))
+          .as("conv_rate"))
+      .orderBy("entry_type")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2680,6 +2709,7 @@ object SparkEntry {
     "q182_reach_frequency" -> (q182_reach_frequency _),
     "q183_cusum_shift" -> (q183_cusum_shift _),
     "q184_survival_hazard" -> (q184_survival_hazard _),
+    "q185_session_conversion" -> (q185_session_conversion _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -992,6 +992,35 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q185 composite: session entry type, conversion, bounce") {
+    // u1 session1: view -> purchase (entry view, converted, not
+    // bounce); u1 session2 after the gap: click alone (bounce);
+    // u2: purchase alone (entry purchase, converted bounce).
+    val ev = Seq(
+      (1L, 0L, "view", 1L), (1L, 50L, "purchase", 2L),
+      (1L, 1000L, "click", 3L),
+      (2L, 10L, "purchase", 4L)
+    ).map { case (u, t0, ty, id) => (u, ts(t0), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val tagged = graft.relational.Sessionize.sessionize(ev, "user_id",
+      "ts", "event_id", gapSeconds = 120L)
+    val us = unix_micros(col("ts"))
+    val per = tagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(struct(us.as("u"), col("event_id").as("i"),
+          col("event_type").as("t"))).as("e"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_seq"),
+        col("e").getField("t").as("entry"), col("c"), col("n"))
+      .orderBy("user_id", "session_seq")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(per == Seq(
+      (1L, 1L, "view", 1L, 2L),
+      (1L, 2L, "click", 0L, 1L),
+      (2L, 1L, "purchase", 1L, 1L)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

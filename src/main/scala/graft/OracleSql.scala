@@ -4590,6 +4590,32 @@ WHERE rn = 1
 GROUP BY entry_type
 ORDER BY entry_type"""
 
+  /** Lorenz/Gini twin (q186): identical ascending rank over decimal
+    * supplier totals; num/den exact DECIMAL(38,2), coefficient one
+    * IEEE division of those exact values. */
+  private val q186 = """
+WITH tot AS (
+  SELECT s_nationkey AS nationkey, l_suppkey,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS t
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nationkey, t,
+    row_number() OVER (PARTITION BY nationkey ORDER BY t ASC, l_suppkey)
+      AS i
+  FROM tot),
+agg AS (
+  SELECT nationkey, count(*) AS n_dims, sum(t) AS sx, sum(t * i) AS six
+  FROM ranked GROUP BY 1)
+SELECT nationkey, n_dims,
+  CAST(six * 2 - sx * (n_dims + 1) AS DECIMAL(38,2)) AS gini_num,
+  CAST(sx * n_dims AS DECIMAL(38,2)) AS gini_den,
+  CAST(CAST(six * 2 - sx * (n_dims + 1) AS DECIMAL(38,2)) AS DOUBLE) /
+    CAST(CAST(sx * n_dims AS DECIMAL(38,2)) AS DOUBLE) AS gini
+FROM agg
+ORDER BY nationkey"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4735,6 +4761,7 @@ ORDER BY entry_type"""
     "q183_cusum_shift" -> q183,
     "q184_survival_hazard" -> q184,
     "q185_session_conversion" -> q185,
+    "q186_lorenz_gini" -> q186,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2236,6 +2236,18 @@ object SparkEntry {
       .orderBy("entry_type")
   }
 
+  private def q186_lorenz_gini(s: SparkSession, dir: String): DataFrame =
+    // Revenue concentration per nation: Gini over supplier totals in
+    // exact rational form (integer numerator/denominator gated; the
+    // coefficient one display division).
+    graft.analyze.Stats.lorenzGini(
+        t(s, dir, "lineitem").join(
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey")),
+        "s_nationkey", "l_suppkey", "l_extendedprice")
+      .withColumnRenamed("s_nationkey", "nationkey")
+      .orderBy("nationkey")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2710,6 +2722,7 @@ object SparkEntry {
     "q183_cusum_shift" -> (q183_cusum_shift _),
     "q184_survival_hazard" -> (q184_survival_hazard _),
     "q185_session_conversion" -> (q185_session_conversion _),
+    "q186_lorenz_gini" -> (q186_lorenz_gini _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

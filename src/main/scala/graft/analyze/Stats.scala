@@ -449,4 +449,42 @@ object Stats {
           .when(col("__cum") * 100 <= col("__grand") * bPercent, "B")
           .otherwise("C").as("abc_class"))
   }
+
+  /** Gini concentration coefficient of a value across dimension members
+    * (how concentrated is revenue across parts/customers), in EXACT
+    * rational form: over the n ascending-sorted totals x_i with rank i,
+    *   G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+    * Numerator and denominator are decimal-exact integers (totals are
+    * DECIMAL(12,2) sums, ranks longs) emitted alongside the one
+    * display-time IEEE division — the same no-libm discipline as
+    * [[giniDiversity]], but for CONTINUOUS mass, not category counts.
+    * Ties rank deterministically by the dim key; by symmetry any
+    * permutation of equal values leaves Σ i·x_i unchanged, so tie
+    * order cannot move the coefficient.
+    *
+    * One row out per group. The facts aggregate map-side; the rank
+    * window runs over aggregated dim rows (catalog-sized). */
+  def lorenzGini(facts: DataFrame, groupCol: String, dimCol: String,
+                 valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val totals = facts.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(dimCol))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__t"))
+    val rk = row_number().over(W.partitionBy(col(groupCol))
+      .orderBy(col("__t").asc, col(dimCol).asc)).cast("long")
+    totals.withColumn("__i", rk)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("__t")).as("__sx"),
+        sum(col("__t") * col("__i")).as("__six"))
+      .select(col(groupCol), col("n_dims"),
+        // fixed DECIMAL(38,2) output shape: engines widen decimal
+        // arithmetic differently, the gate compares rendered scale
+        (col("__six") * 2 - col("__sx") * (col("n_dims") + 1))
+          .cast("decimal(38,2)").as("gini_num"),
+        (col("__sx") * col("n_dims")).cast("decimal(38,2)").as("gini_den"),
+        ((col("__six") * 2 - col("__sx") * (col("n_dims") + 1))
+          .cast("double") /
+          (col("__sx") * col("n_dims")).cast("double")).as("gini"))
+  }
 }

@@ -1021,6 +1021,27 @@ class Round14Spec extends SparkSpec {
       (2L, 1L, "purchase", 1L, 1L)))
   }
 
+  test("lorenzGini: exact rational coefficient, equality and extremes") {
+    // group e: perfectly equal values [10,10,10,10] -> G = 0 exactly.
+    // group c: [0, 0, 0, 100] (one dim owns everything) ->
+    //   num = 2*(1*0+2*0+3*0+4*100) - 100*5 = 300, den = 400 -> 0.75
+    //   (= (n-1)/n, the discrete maximum).
+    val facts = Seq(
+      ("e", "d1", 10.0), ("e", "d2", 10.0), ("e", "d3", 10.0),
+      ("e", "d4", 10.0),
+      ("c", "d1", 0.0), ("c", "d2", 0.0), ("c", "d3", 0.0),
+      ("c", "d4", 100.0)
+    ).toDF("g", "dim", "v")
+    val got = graft.analyze.Stats.lorenzGini(facts, "g", "dim", "v")
+      .orderBy("g")
+      .select(col("g"), col("n_dims"), col("gini_num").cast("double"),
+        col("gini_den").cast("double"), col("gini"))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("c", 4L, 300.0, 400.0, 0.75),
+      ("e", 4L, 0.0, 160.0, 0.0)))
+  }
+
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {
     val ev = Seq((1L, ts(1), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -403,8 +403,13 @@ object Bench {
           }
         }
         .map(_.map { l =>
-          val Array(k, v) = l.split("=");
-          k.trim -> v.trim.toDouble }.toMap)
+          val kv = l.split("=", 2)
+          require(kv.length == 2 && kv(0).trim.nonEmpty,
+            s"malformed skew-serial baseline entry (want name=seconds): '$l'")
+          kv(0).trim -> (try kv(1).trim.toDouble catch {
+            case _: NumberFormatException => sys.error(
+              s"non-numeric seconds in skew-serial baseline entry: '$l'")
+          }) }.toMap)
     val contaminated = serialRef match {
       case None => "null"
       case Some(rm) => results.exists { case (k, v) =>

@@ -4590,13 +4590,17 @@ WHERE rn = 1
 GROUP BY entry_type
 ORDER BY entry_type"""
 
-  /** Lorenz/Gini twin (q186): identical ascending rank over decimal
-    * supplier totals; num/den exact DECIMAL(38,2), coefficient one
-    * IEEE division of those exact values. */
+  /** Lorenz/Gini twin (q186): identical ascending rank over BIGINT
+    * paise supplier totals; num/den plain 64-bit integer arithmetic
+    * (no decimal widening — the r14 DECIMAL(38,2)×BIGINT form sat at
+    * the precision-38 cap and rendered engine-version-dependently).
+    * sum(BIGINT) is HUGEINT in DuckDB → explicit BIGINT casts
+    * everywhere (playbook rule). */
   private val q186 = """
 WITH tot AS (
   SELECT s_nationkey AS nationkey, l_suppkey,
-    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS t
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      AS BIGINT)) AS BIGINT) AS t
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   WHERE l_extendedprice IS NOT NULL
   GROUP BY 1, 2),
@@ -4606,13 +4610,12 @@ ranked AS (
       AS i
   FROM tot),
 agg AS (
-  SELECT nationkey, count(*) AS n_dims, sum(t) AS sx, sum(t * i) AS six
+  SELECT nationkey, CAST(count(*) AS BIGINT) AS n_dims,
+    CAST(sum(t) AS BIGINT) AS sx, CAST(sum(t * i) AS BIGINT) AS six
   FROM ranked GROUP BY 1)
 SELECT nationkey, n_dims,
-  CAST(six * 2 - sx * (n_dims + 1) AS DECIMAL(38,2)) AS gini_num,
-  CAST(sx * n_dims AS DECIMAL(38,2)) AS gini_den,
-  CAST(CAST(six * 2 - sx * (n_dims + 1) AS DECIMAL(38,2)) AS DOUBLE) /
-    CAST(CAST(sx * n_dims AS DECIMAL(38,2)) AS DOUBLE) AS gini
+  six * 2 - sx * (n_dims + 1) AS gini_num,
+  sx * n_dims AS gini_den
 FROM agg
 ORDER BY nationkey"""
 

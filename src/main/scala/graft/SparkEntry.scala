@@ -2238,14 +2238,17 @@ object SparkEntry {
 
   private def q186_lorenz_gini(s: SparkSession, dir: String): DataFrame =
     // Revenue concentration per nation: Gini over supplier totals in
-    // exact rational form (integer numerator/denominator gated; the
-    // coefficient one display division).
+    // exact rational form. Gated INTEGER-ONLY (BIGINT paise num/den,
+    // r14 postmortem: the DECIMAL(38,2) form hash-diverged on the gate
+    // engine's decimal→string rendering); the IEEE coefficient itself
+    // is spec-checked in Round14Spec, not gated.
     graft.analyze.Stats.lorenzGini(
         t(s, dir, "lineitem").join(
           t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey")),
         "s_nationkey", "l_suppkey", "l_extendedprice")
       .withColumnRenamed("s_nationkey", "nationkey")
+      .drop("gini")
       .orderBy("nationkey")
 
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {

@@ -454,22 +454,32 @@ object Stats {
     * (how concentrated is revenue across parts/customers), in EXACT
     * rational form: over the n ascending-sorted totals x_i with rank i,
     *   G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
-    * Numerator and denominator are decimal-exact integers (totals are
-    * DECIMAL(12,2) sums, ranks longs) emitted alongside the one
-    * display-time IEEE division — the same no-libm discipline as
-    * [[giniDiversity]], but for CONTINUOUS mass, not category counts.
+    * All arithmetic is 64-bit INTEGER in hundredths ("paise"): the
+    * value is snapped to DECIMAL(12,2), scaled ×100 and cast long
+    * BEFORE any aggregation, so numerator and denominator are plain
+    * long sums with no decimal widening anywhere (the r14 q186
+    * postmortem: a DECIMAL(38,2)×BIGINT product at the precision-38
+    * cap renders engine-version-dependently). Scaling both num and den
+    * by the same 100 leaves the coefficient unchanged. The one IEEE
+    * division is display-only (spec-checked, not gated).
     * Ties rank deterministically by the dim key; by symmetry any
     * permutation of equal values leaves Σ i·x_i unchanged, so tie
     * order cannot move the coefficient.
+    *
+    * Overflow envelope: Σ i·x_i ≤ n·Σx, so the caller needs
+    * n_dims · total-paise-per-group < 2^63 (~9.2e18) — e.g. 10^5 dims
+    * at 10^12 paise (10 B currency units) of group mass. Beyond that,
+    * pre-scale the value column down before calling.
     *
     * One row out per group. The facts aggregate map-side; the rank
     * window runs over aggregated dim rows (catalog-sized). */
   def lorenzGini(facts: DataFrame, groupCol: String, dimCol: String,
                  valueCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    val paise = (col(valueCol).cast("decimal(12,2)") * 100).cast("long")
     val totals = facts.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(dimCol))
-      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__t"))
+      .agg(sum(paise).as("__t"))
     val rk = row_number().over(W.partitionBy(col(groupCol))
       .orderBy(col("__t").asc, col(dimCol).asc)).cast("long")
     totals.withColumn("__i", rk)
@@ -478,11 +488,9 @@ object Stats {
         sum(col("__t")).as("__sx"),
         sum(col("__t") * col("__i")).as("__six"))
       .select(col(groupCol), col("n_dims"),
-        // fixed DECIMAL(38,2) output shape: engines widen decimal
-        // arithmetic differently, the gate compares rendered scale
         (col("__six") * 2 - col("__sx") * (col("n_dims") + 1))
-          .cast("decimal(38,2)").as("gini_num"),
-        (col("__sx") * col("n_dims")).cast("decimal(38,2)").as("gini_den"),
+          .as("gini_num"),
+        (col("__sx") * col("n_dims")).as("gini_den"),
         ((col("__six") * 2 - col("__sx") * (col("n_dims") + 1))
           .cast("double") /
           (col("__sx") * col("n_dims")).cast("double")).as("gini"))

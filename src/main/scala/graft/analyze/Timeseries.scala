@@ -171,10 +171,24 @@ object Timeseries {
       .rowsBetween(W.unboundedPreceding, 0)
     val dev = col(valueCol) * count(lit(1)).over(byKey) -
       sum(col(valueCol)).over(byKey)
+    // Overflow envelope (ADVICE r14): every long in this pipeline is
+    // bounded by 2·Σ|v|·D (|dev_t| ≤ |v_t|·D + |Σv| ≤ 2-term abs sum),
+    // and the flag multiplies by thrNum/thrDen — so Σ|v| per key must
+    // stay under 2^63 / (D · max(2, thrNum, thrDen)). Checked at
+    // runtime (fails loud, never a silently wrong shift_flag); the
+    // extra Σ|v| rides the same byKey window, no new shuffle.
+    val mThr = math.max(2L, math.max(thrNum.toLong, thrDen.toLong))
+    val dCnt = count(lit(1)).over(byKey)
+    val guardBad = sum(abs(col(valueCol))).over(byKey) >
+      lit(Long.MaxValue) / (dCnt * mThr)
     series
       .withColumn("__w", sum(dev).over(cum))
       .withColumn("s_scaled",
-        col("__w") - least(min(col("__w")).over(cum), lit(0L)))
+        when(guardBad, raise_error(concat(
+            lit("cusumShift overflow: sum(|value|) * rows * threshold " +
+              "exceeds 2^63 for key="), col(keyCol).cast("string"),
+            lit(" — pre-scale the value column down"))).cast("long"))
+          .otherwise(col("__w") - least(min(col("__w")).over(cum), lit(0L))))
       .select(col(keyCol), col(ordCol), col(valueCol), col("s_scaled"),
         (col("s_scaled") * thrDen >
           sum(col(valueCol)).over(byKey) * thrNum).as("shift_flag"))

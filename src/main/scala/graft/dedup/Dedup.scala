@@ -630,7 +630,12 @@ object Dedup extends graft.core.Logging {
     val m = ids
       .filter(col(idValueCol).isNotNull && col(idTypeCol).isNotNull)
       .select(col(entityCol).as("__ent"),
-        concat_ws("", col(idTypeCol), col(idValueCol)).as("__ident"))
+        // "\u0001" separator (matches the oracle twin's chr(1)): a bare
+        // concat would merge distinct pairs like ("id1","23") and
+        // ("id12","3") into one identifier, silently stitching
+        // unrelated entities (ADVICE r14 — the raw control char was
+        // invisible in source; escaped form per the parity playbook)
+        concat_ws("\u0001", col(idTypeCol), col(idValueCol)).as("__ident"))
       .distinct()
     val hubs = m.groupBy(col("__ident")).agg(min(col("__ent")).as("__hub"))
     val edges = m.join(hubs, Seq("__ident"))

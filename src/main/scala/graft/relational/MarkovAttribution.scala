@@ -36,8 +36,12 @@ object MarkovAttribution {
                          typeCol: String, idCol: String,
                          conversionType: String, touchTypes: Seq[String],
                          lookbackSeconds: Long): DataFrame = {
+    // mirror attributeTouches' guards (ADVICE r14): a zero/negative
+    // lookback would silently classify every touch as unclaimed
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
     require(!touchTypes.contains(conversionType),
       s"conversion type '$conversionType' cannot also be a touch type")
+    require(lookbackSeconds > 0, "lookbackSeconds must be > 0")
     val slim = events
       .filter(col(typeCol) === conversionType || col(typeCol).isin(touchTypes: _*))
       .select(col(entityCol).as("__ent"),
@@ -106,14 +110,36 @@ object MarkovAttribution {
     * construction), so the iteration runs driver-side in BigInt — the
     * same bookmark-sized-collect class as the IVF codebooks; the
     * DATA-scale work all happened in [[journeyTransitions]]. */
-  def removalEffects(transitions: DataFrame, k: Int = 30): DataFrame = {
+  def removalEffects(transitions: DataFrame, k: Int = 30,
+                     maxChannels: Int = 1024): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
+    require(maxChannels >= 1, s"maxChannels must be >= 1; got $maxChannels")
     val Scale = BigInt("1000000000000")
-    val rows = transitions.select("src", "dst", "cnt")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // Driver-solve guard (ADVICE r14 / VERDICT r14 task 5): the state
+    // space must be channel-cardinality (metadata-sized) — edges are
+    // bounded by (channels+3)². Probe with limit(bound+1) BEFORE the
+    // collect so a pathological fact-scale input fails fast instead of
+    // OOMing the driver (the .offset-guard pattern from ADVICE r13).
+    // The C²·k BigInt fixed point is measured in ScaleProbe: ~10³
+    // states stays sub-minute on one core.
+    val maxEdges = (maxChannels.toLong + 3) * (maxChannels.toLong + 3)
+    val probe = transitions.select("src", "dst", "cnt")
+      .limit((maxEdges + 1).min(Int.MaxValue.toLong).toInt).collect()
+    require(probe.length <= maxEdges,
+      s"removalEffects: > $maxEdges transition edges — the state space " +
+        s"exceeds maxChannels=$maxChannels; this driver-side solve is " +
+        "for channel-cardinality chains only. Aggregate states first " +
+        "or raise maxChannels consciously.")
+    val rows = probe.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val out = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val states = (rows.map(_._1) ++ rows.map(_._2))
       .filter(s => s != Conv && s != Null).distinct.sorted
+    require(states.length <= maxChannels + 1, // channels + START
+      s"removalEffects: ${states.length - 1} channels exceed " +
+        s"maxChannels=$maxChannels — raise the bound consciously")
+    // pre-index edges by source once: the fixed point is then
+    // O(k·E) per absorption instead of O(k·C·E)
+    val bySrc = rows.groupBy(_._1)
     def absorb(removed: Option[String]): Map[String, BigInt] = {
       var p = states.map(_ -> BigInt(0)).toMap
       for (_ <- 0 until k) {
@@ -123,7 +149,7 @@ object MarkovAttribution {
           else if (removed.contains(t)) BigInt(0)
           else p.getOrElse(t, BigInt(0))
         p = states.map { s =>
-          val num = rows.filter(_._1 == s)
+          val num = bySrc.getOrElse(s, Array.empty[(String, String, Long)])
             .map { case (_, t, c) => BigInt(c) * valOf(t) }.sum
           s -> (if (out.getOrElse(s, 0L) == 0L) BigInt(0)
                 else num / BigInt(out(s)))

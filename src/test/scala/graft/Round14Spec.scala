@@ -1022,10 +1022,12 @@ class Round14Spec extends SparkSpec {
   }
 
   test("lorenzGini: exact rational coefficient, equality and extremes") {
+    // Values are scaled to integer paise (x100) internally; num and den
+    // scale by the same 100, so the coefficient is unchanged.
     // group e: perfectly equal values [10,10,10,10] -> G = 0 exactly.
-    // group c: [0, 0, 0, 100] (one dim owns everything) ->
-    //   num = 2*(1*0+2*0+3*0+4*100) - 100*5 = 300, den = 400 -> 0.75
-    //   (= (n-1)/n, the discrete maximum).
+    // group c: [0, 0, 0, 100] (one dim owns everything) -> paise
+    //   [0,0,0,10000]: num = 2*(4*10000) - 10000*5 = 30000,
+    //   den = 40000 -> 0.75 (= (n-1)/n, the discrete maximum).
     val facts = Seq(
       ("e", "d1", 10.0), ("e", "d2", 10.0), ("e", "d3", 10.0),
       ("e", "d4", 10.0),
@@ -1034,12 +1036,16 @@ class Round14Spec extends SparkSpec {
     ).toDF("g", "dim", "v")
     val got = graft.analyze.Stats.lorenzGini(facts, "g", "dim", "v")
       .orderBy("g")
-      .select(col("g"), col("n_dims"), col("gini_num").cast("double"),
-        col("gini_den").cast("double"), col("gini"))
-      .as[(String, Long, Double, Double, Double)].collect().toSeq
+      .select(col("g"), col("n_dims"), col("gini_num"),
+        col("gini_den"), col("gini"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq(
-      ("c", 4L, 300.0, 400.0, 0.75),
-      ("e", 4L, 0.0, 160.0, 0.0)))
+      ("c", 4L, 30000L, 40000L, 0.75),
+      ("e", 4L, 0L, 16000L, 0.0)))
+    // the display double (dropped from the gated q186 projection) is
+    // the single IEEE division of the exact integers
+    assert(got.forall { case (_, _, num, den, g) =>
+      g == num.toDouble / den.toDouble })
   }
 
   test("attribution: rejects overlapping conversion/touch types and bad lookback") {

@@ -94,6 +94,13 @@ object ScaleProbe {
   // explosion is touches×convs-in-lookback per entity, and a hot entity
   // makes it quadratic while the window form stays linear in rows.
   private val AttributionProbe = "attribution"
+  // Markov-solve probe (VERDICT r14 task 5): the removal-effects
+  // absorption runs DRIVER-side over the channel-cardinality state
+  // space; this measures that BigInt fixed point at ~10³ states
+  // (maxChannels-guard territory) so the operating envelope is a
+  // recorded number, not a vibe. Cost model: (C+1) absorptions ×
+  // k rounds × E edges.
+  private val MarkovProbe = "markov_solve"
   // Stitching probe: per-identifier star edges (linear in memberships)
   // vs the naive same-identifier pair self-join (k² per popular
   // identifier) feeding the same connected components.
@@ -113,7 +120,8 @@ object ScaleProbe {
     val only = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
-                 PageProbe + InvIdxProbe + AttributionProbe + StitchProbe
+                 PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
+                 MarkovProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -837,6 +845,36 @@ object ScaleProbe {
       val tn = best { cn = checksum(naiveForm()) }
       require(cs == cn, s"stitching star/naive person maps differ: $cs vs $cn")
       log.println(f"""{"query":"stitching(probe)","n":$n,"star":$ts%.3f,"naive_pairs":$tn%.3f,"speedup":${tn / ts}%.2f,"entities":${cs._1}}""")
+    }
+    if (only.contains(MarkovProbe)) {
+      import graft.relational.MarkovAttribution
+      import spark.implicits._
+      // C channels, ~10 out-edges each (8 channel hops + CONV + NULL),
+      // START fanning into 50 — a dense-ish journey graph at the guard
+      // boundary. Deterministic seed: same graph every run.
+      def solve(c: Int): Double = {
+        val rng = new scala.util.Random(42)
+        val edges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        for (i <- 0 until 50)
+          edges += ((MarkovAttribution.Start, s"ch${rng.nextInt(c)}",
+            1L + rng.nextInt(100)))
+        for (i <- 0 until c) {
+          for (_ <- 0 until 8)
+            edges += ((s"ch$i", s"ch${rng.nextInt(c)}", 1L + rng.nextInt(50)))
+          edges += ((s"ch$i", MarkovAttribution.Conv, 1L + rng.nextInt(20)))
+          edges += ((s"ch$i", MarkovAttribution.Null, 1L + rng.nextInt(20)))
+        }
+        val df = edges.toSeq.toDF("src", "dst", "cnt")
+          .groupBy("src", "dst").agg(sum("cnt").as("cnt"))
+        time { assert(MarkovAttribution.removalEffects(df,
+          maxChannels = c + 1).count() > 0) }
+      }
+      val c1 = 250
+      val cS = 250 * scale
+      val t1 = solve(c1)
+      val tS = solve(cS)
+      val exp = math.log(tS / t1) / math.log(scale.toDouble)
+      log.println(f"""{"query":"markov_solve(probe)","channels1":$c1,"channels$scale":$cS,"t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f}""")
     }
     log.close()
     spark.stop()

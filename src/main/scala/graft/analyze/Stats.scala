@@ -422,32 +422,93 @@ object Stats {
     * At 100 TB the heavy stage is the facts groupBy (partial-agg
     * map-side combine; one shuffle at dim cardinality). The cumulative
     * window is UNPARTITIONED by semantic necessity — a global running
-    * sum — but it runs over the AGGREGATED dim rows (catalog-sized,
-    * millions at most), never the facts; if the dim cardinality is
-    * itself fact-scale, rank via the salted global-rank machinery
-    * ([[quantileNormalize]]'s bucket approach) before the cumsum. */
+    * sum — and fine while the AGGREGATED dim rows are catalog-sized.
+    * When the dim cardinality itself is fact-scale, this method now
+    * SWITCHES AUTOMATICALLY (VERDICT r14 task 4) to a range-bucketed
+    * form of the same computation — the [[graft.core.Skew]] global-rank
+    * idea applied to rank AND running sum at once:
+    *
+    *   - bucket dims by approx-quantile boundaries of the total
+    *     (descending bucket order aligned with the sort order; equal
+    *     doubles land in one bucket, so the cast is weakly monotone
+    *     and the within-bucket DECIMAL sort keeps results exact),
+    *   - row_number + cumsum locally per bucket (parallel windows),
+    *   - add per-bucket count/sum offsets (≤ buckets rows — the
+    *     documented metadata-sized SinglePartition window class).
+    *
+    * The totals relation is localCheckpoint-materialized either way —
+    * the cardinality probe that picks the path reuses it, and the
+    * fixed-point lineage stays O(1). Spec-verified bit-equal to the
+    * plain form; PlanSpec asserts the large path runs no
+    * SinglePartition window over dim rows. */
   def abcClassify(facts: DataFrame, dimCol: String, valueCol: String,
-                  aPercent: Int = 80, bPercent: Int = 95): DataFrame = {
+                  aPercent: Int = 80, bPercent: Int = 95,
+                  saltThreshold: Long = 2000000L,
+                  saltBuckets: Int = 64): DataFrame = {
     require(0 < aPercent && aPercent < bPercent && bPercent <= 100,
       s"need 0 < aPercent < bPercent <= 100, got $aPercent, $bPercent")
+    require(saltThreshold >= 1 && saltBuckets >= 2,
+      s"need saltThreshold >= 1, saltBuckets >= 2; " +
+        s"got $saltThreshold, $saltBuckets")
     val W = org.apache.spark.sql.expressions.Window
     val totals = facts.filter(col(valueCol).isNotNull)
       .groupBy(col(dimCol))
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__t"))
-    val ord = W.orderBy(col("__t").desc, col(dimCol).asc)
-    val cum = sum(col("__t")).over(ord.rowsBetween(W.unboundedPreceding, 0))
-    val grand = sum(col("__t")).over(W.partitionBy())
-    totals
-      .withColumn("rnk", row_number().over(ord).cast("long"))
-      .withColumn("__cum", cum)
-      .withColumn("__grand", grand)
-      .select(col(dimCol), col("rnk"),
-        col("__t").cast("double").as("revenue"),
-        (col("__cum").cast("double") / col("__grand").cast("double"))
-          .as("cum_share"),
-        when(col("__cum") * 100 <= col("__grand") * aPercent, "A")
-          .when(col("__cum") * 100 <= col("__grand") * bPercent, "B")
-          .otherwise("C").as("abc_class"))
+      .localCheckpoint()
+    val nDims = totals.count()
+    val finish = (df: DataFrame) => df.select(col(dimCol), col("rnk"),
+      col("__t").cast("double").as("revenue"),
+      (col("__cum").cast("double") / col("__grand").cast("double"))
+        .as("cum_share"),
+      when(col("__cum") * 100 <= col("__grand") * aPercent, "A")
+        .when(col("__cum") * 100 <= col("__grand") * bPercent, "B")
+        .otherwise("C").as("abc_class"))
+    if (nDims <= saltThreshold) {
+      val ord = W.orderBy(col("__t").desc, col(dimCol).asc)
+      val cum = sum(col("__t")).over(ord.rowsBetween(W.unboundedPreceding, 0))
+      val grand = sum(col("__t")).over(W.partitionBy())
+      finish(totals
+        .withColumn("rnk", row_number().over(ord).cast("long"))
+        .withColumn("__cum", cum)
+        .withColumn("__grand", grand))
+    } else {
+      // ---- salted path: bucket by quantiles of the total ----
+      val vAsc = col("__t").cast("double")
+      val bounds = totals.select(percentile_approx(vAsc,
+          typedLit((1 until saltBuckets).map(_.toDouble / saltBuckets)),
+          lit(100)).as("q")).head().getSeq[Any](0) match {
+        case null => Array.empty[Double]
+        case s => s.collect { case d: java.lang.Double => d.doubleValue }
+          .toArray.distinct.sorted
+      }
+      // descending bucket index: equal doubles share a bucket, the
+      // local DECIMAL sort below resolves exact order inside it
+      val idx = lit(bounds.length) - graft.core.Skew.searchIdx(vAsc, bounds)
+      val bucketed = totals.withColumn("__b", idx)
+      val wLoc = W.partitionBy(col("__b"))
+        .orderBy(col("__t").desc, col(dimCol).asc)
+      // every running sum is pinned to DECIMAL(30,2) — far above any
+      // 100 TB revenue mass, far below the precision-38 widening cap
+      // the fragility lint polices
+      val dec = "decimal(30,2)"
+      val loc = bucketed
+        .withColumn("__lrn", row_number().over(wLoc).cast("long"))
+        .withColumn("__lcum", sum(col("__t"))
+          .over(wLoc.rowsBetween(W.unboundedPreceding, 0)).cast(dec))
+      val per = bucketed.groupBy(col("__b"))
+        .agg(count(lit(1)).as("__bn"), sum(col("__t")).cast(dec).as("__bs"))
+      val wOff = W.orderBy(col("__b").asc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offs = per // ≤ saltBuckets rows: metadata-sized windows
+        .withColumn("__offn", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+        .withColumn("__offs",
+          coalesce(sum(col("__bs")).over(wOff).cast(dec), lit(0).cast(dec)))
+        .withColumn("__grand", sum(col("__bs")).over(W.partitionBy()).cast(dec))
+        .select(col("__b"), col("__offn"), col("__offs"), col("__grand"))
+      finish(loc.join(broadcast(offs), Seq("__b"))
+        .withColumn("rnk", col("__lrn") + col("__offn"))
+        .withColumn("__cum", (col("__lcum") + col("__offs")).cast(dec)))
+    }
   }
 
   /** Gini concentration coefficient of a value across dimension members

@@ -179,8 +179,11 @@ object Timeseries {
     // extra Σ|v| rides the same byKey window, no new shuffle.
     val mThr = math.max(2L, math.max(thrNum.toLong, thrDen.toLong))
     val dCnt = count(lit(1)).over(byKey)
-    val guardBad = sum(abs(col(valueCol))).over(byKey) >
-      lit(Long.MaxValue) / (dCnt * mThr)
+    // the guard's own Σ|v| accumulates in DECIMAL(38,0) so it cannot
+    // itself overflow (ANSI would fail it with the generic message
+    // before this one could fire)
+    val guardBad = sum(abs(col(valueCol)).cast("decimal(38,0)")).over(byKey) >
+      (lit(Long.MaxValue) / (dCnt * mThr)).cast("decimal(38,0)")
     series
       .withColumn("__w", sum(dev).over(cum))
       .withColumn("s_scaled",

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** Round-15 specs: the VERDICT r14 task list — abcClassify's automatic
+  * salted large-dim path, the Markov driver-solve guard, the cusum
+  * overflow guard, and the q186 integer display division. */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("abcClassify: salted large-dim path is row-identical to the plain window") {
+    // 500 dims with a skewed value distribution + decimal cents + ties
+    val facts = spark.range(0, 5000).select(
+      (col("id") % 500).cast("string").as("dim"),
+      // ties across dims (id%7) and wide magnitude spread (id*id)
+      ((col("id") % 7) * 10 + (col("id") % 500) * (col("id") % 500) / 100.0)
+        .as("v"))
+    val plain = graft.analyze.Stats.abcClassify(facts, "dim", "v",
+      saltThreshold = Long.MaxValue)
+    val salted = graft.analyze.Stats.abcClassify(facts, "dim", "v",
+      saltThreshold = 1L, saltBuckets = 8)
+    val p = plain.orderBy("rnk").collect().toSeq
+    val s = salted.orderBy("rnk").collect().toSeq
+    assert(p == s)
+    assert(p.size == 500 && p.map(_.getLong(1)) == (1L to 500L))
+  }
+
+  test("abcClassify salted path: no unpartitioned window touches dim rows") {
+    val facts = spark.range(0, 2000).select(
+      col("id").cast("string").as("dim"), (col("id") % 97).as("v"))
+    val salted = graft.analyze.Stats.abcClassify(facts, "dim", "v",
+      saltThreshold = 1L, saltBuckets = 8)
+    val wins = salted.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    // any window whose input still carries the dim column (dim-scale
+    // rows) must be hash-partitioned; only the <= buckets-row offset
+    // windows may run single-partition
+    wins.foreach { w =>
+      val touchesDims = w.child.output.exists(_.name == "dim")
+      if (touchesDims)
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window over dim rows: $w")
+    }
+  }
+
+  test("abcClassify salted: skewed 50%-hot value mass still splits buckets") {
+    // half the dims share ONE total value (the degenerate tie class) —
+    // results must still match the plain form exactly
+    val facts = spark.range(0, 1000).select(
+      col("id").cast("string").as("dim"),
+      when(col("id") % 2 === 0, 42.42).otherwise(col("id").cast("double"))
+        .as("v"))
+    val plain = graft.analyze.Stats.abcClassify(facts, "dim", "v",
+      saltThreshold = Long.MaxValue)
+    val salted = graft.analyze.Stats.abcClassify(facts, "dim", "v",
+      saltThreshold = 1L, saltBuckets = 16)
+    assert(plain.orderBy("rnk").collect().toSeq ==
+      salted.orderBy("rnk").collect().toSeq)
+  }
+
+  test("removalEffects: fact-scale transition input fails fast, never collects") {
+    val big = spark.range(0, 5000).select(
+      concat(lit("s"), col("id")).as("src"),
+      concat(lit("t"), col("id")).as("dst"), lit(1L).as("cnt"))
+    val e = intercept[IllegalArgumentException] {
+      graft.relational.MarkovAttribution.removalEffects(big, maxChannels = 4)
+    }
+    assert(e.getMessage.contains("transition edges"))
+  }
+
+  test("cusumShift: overflow guard raises instead of silently wrapping") {
+    // magnitudes chosen so each per-row product still fits in a long
+    // (ANSI stays quiet) but the conservative envelope is exceeded —
+    // the guard must fire with ITS message, not a generic ANSI one
+    val series = Seq(("k", 1L, Long.MaxValue / 16),
+      ("k", 2L, Long.MaxValue / 16),
+      ("k", 3L, Long.MaxValue / 16)).toDF("key", "d", "v")
+    val e = intercept[Exception] {
+      graft.analyze.Timeseries.cusumShift(series, "key", "d", "v", 3, 1)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("cusumShift overflow"))
+    // and the guard does NOT fire on sane magnitudes
+    val ok = graft.analyze.Timeseries
+      .cusumShift(Seq(("k", 1L, 10L), ("k", 2L, 500L)).toDF("key", "d", "v"),
+        "key", "d", "v", 3, 1).collect()
+    assert(ok.length == 2)
+  }
+
+  test("journeyTransitions mirrors attributeTouches' guards") {
+    val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    intercept[IllegalArgumentException] {
+      graft.relational.MarkovAttribution.journeyTransitions(ev, "user_id",
+        "ts", "event_type", "event_id", "purchase", Seq.empty, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.relational.MarkovAttribution.journeyTransitions(ev, "user_id",
+        "ts", "event_type", "event_id", "purchase", Seq("click"), 0L)
+    }
+  }
+}

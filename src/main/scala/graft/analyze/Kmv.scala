@@ -19,14 +19,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * Feed it md5-low64 hashes (`TokenHash.md5Low64`-compatible; see the q55
   * oracle) for cross-engine verification, or xxhash64 for raw speed.
   */
-class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long]
-    with Serializable {
-  require(k >= 2)
-
-  override def zero: Array[Long] = Array.emptyLongArray
-
+/** The shared KMV kernel: sorted-distinct unsigned k-min buffers.
+  * Factored out (r15) so the SKETCH STATE itself can be a first-class
+  * mergeable value — per-day states roll up to week/month without
+  * re-touching entities ([[graft.analyze.Timeseries.activeUserLadderSketch]]). */
+private[analyze] object KmvOps {
   // buffers are kept sorted (unsigned) and distinct, length <= k
-  private def insert(buf: Array[Long], h: Long): Array[Long] = {
+  def insert(k: Int)(buf: Array[Long], h: Long): Array[Long] = {
     val pos = unsignedSearch(buf, h)
     if (pos < buf.length && buf(pos) == h) return buf // already present
     if (buf.length == k &&
@@ -39,7 +38,7 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long]
     out
   }
 
-  private def unsignedSearch(buf: Array[Long], h: Long): Int = {
+  def unsignedSearch(buf: Array[Long], h: Long): Int = {
     var lo = 0; var hi = buf.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
@@ -49,12 +48,7 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long]
     lo
   }
 
-  override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
-
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    b.foldLeft(a)(insert)
-
-  override def finish(buf: Array[Long]): Long =
+  def estimate(k: Int)(buf: Array[Long]): Long =
     if (buf.length < k) buf.length.toLong
     else {
       // (k-1) * 2^64 / kthMin, exact unsigned integer arithmetic
@@ -63,8 +57,52 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long]
         .shiftLeft(64).divide(kth).longValueExact()
     }
 
-  override def bufferEncoder: Encoder[Array[Long]] =
+  val bufEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Long]
+    with Serializable {
+  require(k >= 2)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    KmvOps.insert(k)(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(KmvOps.insert(k))
+  override def finish(buf: Array[Long]): Long = KmvOps.estimate(k)(buf)
+  override def bufferEncoder: Encoder[Array[Long]] = KmvOps.bufEncoder
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** Hashes → KMV STATE (the k-min array itself), for incremental
+  * rollups: persist per-day states, merge upward with [[KmvMerge]].
+  * Union-then-trim is EXACT: the k smallest hashes of a union are a
+  * subset of the per-part k-smallest, so merged states equal the
+  * state a direct pass over the union would build. */
+class KmvState(k: Int) extends Aggregator[Long, Array[Long], Array[Long]]
+    with Serializable {
+  require(k >= 2)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    KmvOps.insert(k)(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(KmvOps.insert(k))
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = KmvOps.bufEncoder
+  override def outputEncoder: Encoder[Array[Long]] = KmvOps.bufEncoder
+}
+
+/** KMV STATES → merged distinct estimate (the rollup side). */
+class KmvMerge(k: Int)
+    extends Aggregator[Array[Long], Array[Long], Long] with Serializable {
+  require(k >= 2)
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
+    (if (st == null) Array.emptyLongArray else st).foldLeft(buf)(KmvOps.insert(k))
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(KmvOps.insert(k))
+  override def finish(buf: Array[Long]): Long = KmvOps.estimate(k)(buf)
+  override def bufferEncoder: Encoder[Array[Long]] = KmvOps.bufEncoder
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
@@ -72,6 +110,14 @@ object KmvDistinct {
   /** Untyped-DataFrame form: `df.agg(KmvDistinct.udafFor(64)(col("h")))`. */
   def udafFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KmvDistinct(k))
+
+  /** hashes → state array (the incremental-rollup building block). */
+  def stateUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new KmvState(k))
+
+  /** state arrays → merged estimate. */
+  def mergeUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new KmvMerge(k), KmvOps.bufEncoder)
 
   /** SQL-surface registration (UDAFs register per session, not via
     * SparkSessionExtensions): `SELECT kmv_distinct_64(h) FROM ...`. */

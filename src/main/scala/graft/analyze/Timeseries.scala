@@ -55,6 +55,50 @@ object Timeseries {
           .as("stickiness"))
   }
 
+  /** The scale twin of [[activeUserLadder]] (VERDICT r14 task 7): the
+    * exact form's weekly/monthly `count(distinct)` is a full
+    * (entity, period) shuffle — at 100 TB a MAU re-touches a month of
+    * identity rows. This form computes ONE per-day KMV sketch state
+    * (k-minimum hash values — the [[KmvState]] aggregator, O(k) per
+    * day, mergeable) and rolls week/month up by MERGING day states
+    * ([[KmvMerge]]): the q169 incremental-aggregate discipline —
+    * yesterday's states never recompute, and the rollup shuffles
+    * ~365·k longs per year instead of the identity mass.
+    *
+    * Union-then-trim is EXACT w.r.t. a direct sketch of the union (the
+    * k smallest hashes of a union are a subset of the per-day
+    * k-smallest), so the weekly/monthly estimates are identical to
+    * single-pass sketches, and the estimate error is the standard KMV
+    * bound ~1/√(k−2) (exact below k distinct). Spec-gated against the
+    * exact ladder at both gate SFs; the exact form stays the ORACLE-
+    * gated one (q170). */
+  def activeUserLadderSketch(events: DataFrame, entityCol: String,
+                             tsCol: String, k: Int = 1024): DataFrame = {
+    val state = graft.analyze.KmvDistinct.stateUdaf(k)
+    val merge = graft.analyze.KmvDistinct.mergeUdaf(k)
+    val states = events
+      .filter(col(tsCol).isNotNull && col(entityCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        xxhash64(col(entityCol).cast("string")).as("__h"))
+      .groupBy(col("day")).agg(state(col("__h")).as("__st"))
+    val daily = states.groupBy(col("day"))
+      .agg(merge(col("__st")).as("dau_est"))
+    // one day-grain relation feeds both rollups: states are tiny
+    val weekly = states
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+      .agg(merge(col("__st")).as("wau_est"))
+    val monthly = states
+      .groupBy(to_date(date_trunc("month", col("day"))).as("month"))
+      .agg(merge(col("__st")).as("mau_est"))
+    daily
+      .withColumn("week", to_date(date_trunc("week", col("day"))))
+      .withColumn("month", to_date(date_trunc("month", col("day"))))
+      .join(weekly, Seq("week")).join(monthly, Seq("month"))
+      .select(col("day"), col("dau_est"), col("wau_est"), col("mau_est"),
+        (col("dau_est").cast("double") / col("mau_est").cast("double"))
+          .as("stickiness_est"))
+  }
+
   /** Budget pacing — is each campaign burning its monthly budget
     * ahead or behind the linear schedule: per (key, active day),
     * cumulative DECIMAL-exact spend vs the linear target

@@ -89,6 +89,53 @@ class Round15Spec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("activeUserLadderSketch: within KMV error of the exact ladder at both SFs") {
+    val k = 256
+    val tol = 3.0 / math.sqrt(k - 2.0) // 3 sigma of the KMV bound
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables.load(spark, sf, "events")
+      val exact = graft.analyze.Timeseries
+        .activeUserLadder(ev, "user_id", "ts")
+        .select(col("day"), col("dau"), col("wau"), col("mau"))
+      val sk = graft.analyze.Timeseries
+        .activeUserLadderSketch(ev, "user_id", "ts", k)
+      val j = exact.join(sk, Seq("day")).collect()
+      assert(j.nonEmpty)
+      j.foreach { r =>
+        val (dau, wau, mau) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        val (de, we, me) = (r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(math.abs(de - dau) <= math.max(1, tol * dau),
+          s"$sf dau $dau vs est $de")
+        assert(math.abs(we - wau) <= math.max(1, tol * wau),
+          s"$sf wau $wau vs est $we")
+        assert(math.abs(me - mau) <= math.max(1, tol * mau),
+          s"$sf mau $mau vs est $me")
+        // below k distinct the sketch is EXACT by construction
+        if (dau < k) assert(de == dau, s"$sf exact-below-k dau")
+      }
+    }
+  }
+
+  test("KMV state merge is exact vs a direct single-pass sketch") {
+    val k = 64
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(to_date(date_trunc("week", to_date(col("ts")))).as("week"),
+        to_date(col("ts")).as("day"),
+        xxhash64(col("user_id").cast("string")).as("h"))
+    // rollup of per-day states
+    val viaStates = ev.groupBy(col("day"), col("week"))
+      .agg(graft.analyze.KmvDistinct.stateUdaf(k)(col("h")).as("st"))
+      .groupBy(col("week"))
+      .agg(graft.analyze.KmvDistinct.mergeUdaf(k)(col("st")).as("est"))
+    // direct sketch over the union
+    val direct = ev.groupBy(col("week"))
+      .agg(graft.analyze.KmvDistinct.udafFor(k)(col("h")).as("est"))
+    val a = viaStates.orderBy("week").collect().map(r => (r.getDate(0), r.getLong(1))).toSeq
+    val b = direct.orderBy("week").collect().map(r => (r.getDate(0), r.getLong(1))).toSeq
+    assert(a.map(_.toString) == b.map(_.toString))
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

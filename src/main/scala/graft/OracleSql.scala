@@ -4619,6 +4619,118 @@ SELECT nationkey, n_dims,
 FROM agg
 ORDER BY nationkey"""
 
+  /** Shapley attribution twin (q187): the q153/q177 claim scan with
+    * signup as a third touch channel, then the exact unanimity-game
+    * closed form — per-conversion DISTINCT sorted channel set, credit
+    * 27720 // |set| per member (integer; |set| <= 12 divides L), long
+    * sums, one final IEEE division by the constant L. */
+  private val q187 = """
+WITH slim AS (
+  SELECT user_id AS ent, epoch_us(ts) AS us, event_id AS id,
+    event_type AS typ,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view', 'signup')),
+scanned AS (
+  SELECT *, last_value(
+      CASE WHEN kind = 1 THEN struct_pack(cid := id, cus := us) END
+      IGNORE NULLS)
+    OVER (PARTITION BY ent ORDER BY us DESC, kind DESC, id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM slim),
+assigned AS (
+  SELECT conv.cid AS conv_id, typ
+  FROM scanned
+  WHERE kind = 0 AND conv IS NOT NULL
+    AND conv.cus - us <= 604800000000),
+sets AS (
+  SELECT conv_id, list_sort(list(DISTINCT typ)) AS s
+  FROM assigned GROUP BY 1),
+setcnt AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c FROM sets GROUP BY 1),
+cred AS (
+  SELECT unnest(s) AS channel, c, 27720 // len(s) AS w FROM setcnt)
+SELECT channel,
+  CAST(sum(c) AS BIGINT) AS n_conversions,
+  CAST(sum(c * w) AS BIGINT) AS shapley_num,
+  CAST(CAST(sum(c * w) AS BIGINT) AS DOUBLE) /
+    CAST(27720 AS DOUBLE) AS shapley
+FROM cred GROUP BY 1 ORDER BY 1"""
+
+  /** Adstock/MMM twin (q188): day spine from scalar date bounds, the
+    * identical 13-term dyadic lag sum scaled back by `//` (truncating
+    * ≡ Spark div on nonnegative ints), min-centered HUGEINT moments
+    * CAST TO BIGINT before the double divisions — int64→double is the
+    * hardware conversion in both engines (HUGEINT→double is not). */
+  private val q188 = {
+    val terms = (0 to 12).map(s =>
+      s"coalesce(lag(sp, $s) OVER wch, 0) * ${1L << (12 - s)}")
+      .mkString(" + ")
+    s"""
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events WHERE ts IS NOT NULL),
+days AS (
+  SELECT CAST(unnest(generate_series((SELECT d0 FROM bounds),
+    (SELECT d1 FROM bounds), INTERVAL 1 DAY)) AS DATE) AS day),
+chans AS (SELECT unnest(['click', 'view', 'signup']) AS channel),
+spine AS (SELECT channel, day FROM chans CROSS JOIN days),
+spendd AS (
+  SELECT event_type AS channel, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      AS BIGINT) AS sp0
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'view', 'signup')
+  GROUP BY 1, 2),
+convd AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+  GROUP BY 1),
+filled AS (
+  SELECT s.channel, s.day, coalesce(p.sp0, 0) AS sp,
+    coalesce(c.y, 0) AS y
+  FROM spine s LEFT JOIN spendd p USING (channel, day)
+    LEFT JOIN convd c USING (day)),
+grid AS (
+  SELECT channel, day, ($terms) // 4096 AS x, y
+  FROM filled
+  WINDOW wch AS (PARTITION BY channel ORDER BY day)),
+p1 AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n,
+    min(x) AS cx, min(y) AS cy
+  FROM grid GROUP BY 1),
+moms AS (
+  SELECT g.channel, min(p.n) AS n_days, min(p.cx) AS cx0,
+    min(p.cy) AS cy0,
+    CAST(sum(g.x - p.cx) AS BIGINT) AS s1,
+    CAST(sum(g.y - p.cy) AS BIGINT) AS s2,
+    CAST(sum(CAST(g.x - p.cx AS HUGEINT) * CAST(g.x - p.cx AS HUGEINT))
+      AS BIGINT) AS sxx,
+    CAST(sum(CAST(g.x - p.cx AS HUGEINT) * CAST(g.y - p.cy AS HUGEINT))
+      AS BIGINT) AS sxy,
+    CAST(sum(CAST(g.y - p.cy AS HUGEINT) * CAST(g.y - p.cy AS HUGEINT))
+      AS BIGINT) AS syy
+  FROM grid g JOIN p1 p USING (channel) GROUP BY 1),
+m AS (
+  SELECT channel, n_days, cx0, cy0, s1, s2,
+    CAST(n_days * sxy - s1 * s2 AS BIGINT) AS num,
+    CAST(n_days * sxx - s1 * s1 AS BIGINT) AS den,
+    CAST(n_days * syy - s2 * s2 AS BIGINT) AS deny
+  FROM moms),
+sl AS (
+  SELECT *, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope FROM m)
+SELECT channel, n_days,
+  CASE WHEN den <> 0 THEN slope END AS slope,
+  CASE WHEN den <> 0 THEN
+    (CAST(s2 AS DOUBLE) - slope * CAST(s1 AS DOUBLE))
+      / CAST(n_days AS DOUBLE)
+    + CAST(cy0 AS DOUBLE) - slope * CAST(cx0 AS DOUBLE) END AS intercept,
+  CASE WHEN den <> 0 AND deny <> 0 THEN
+    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+      (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) END AS r2
+FROM sl ORDER BY channel"""
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4765,6 +4877,8 @@ ORDER BY nationkey"""
     "q184_survival_hazard" -> q184,
     "q185_session_conversion" -> q185,
     "q186_lorenz_gini" -> q186,
+    "q187_shapley_attribution" -> q187,
+    "q188_adstock_regression" -> q188,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2251,6 +2251,29 @@ object SparkEntry {
       .drop("gini")
       .orderBy("nationkey")
 
+  private def q187_shapley_attribution(s: SparkSession, dir: String): DataFrame =
+    // Shapley-value attribution: conversions' credit split by the
+    // exact unanimity-game closed form over claimed channel sets —
+    // integer credit sums (L = lcm(1..12)), one display division.
+    graft.relational.Shapley.shapleyAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("click", "view", "signup"),
+        lookbackSeconds = 7L * 24 * 3600)
+      .orderBy("channel")
+
+  private def q188_adstock_regression(s: SparkSession, dir: String): DataFrame =
+    // Media-mix read: exact dyadic adstock (half-life 1 day, 12-day
+    // carryover window, 2^12 fixed point scaled back by truncating
+    // div) of per-channel daily spend, then the grouped min-centered
+    // integer regression of daily purchases on adstocked spend —
+    // slope/intercept/r2 from int64 moments (hardware double casts).
+    graft.analyze.Mmm.adstockRegression(
+        t(s, dir, "events"), channelTypes = Seq("click", "view", "signup"),
+        conversionType = "purchase", tsCol = "ts", typeCol = "event_type",
+        valueCol = "value")
+      .orderBy("channel")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2726,6 +2749,8 @@ object SparkEntry {
     "q184_survival_hazard" -> (q184_survival_hazard _),
     "q185_session_conversion" -> (q185_session_conversion _),
     "q186_lorenz_gini" -> (q186_lorenz_gini _),
+    "q187_shapley_attribution" -> (q187_shapley_attribution _),
+    "q188_adstock_regression" -> (q188_adstock_regression _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -51,7 +51,8 @@ class CorpusPlanSpec extends SparkSpec {
     "q158_audience_overlap" -> "per-audience total scalars",
     "q166_lookalike" -> "seed centroid vector: 1-row relation",
     "q167_gains_table" -> "decile boundaries + conversion-total scalars",
-    "q184_survival_hazard" -> "cohort-size scalar for hazard denominators")
+    "q184_survival_hazard" -> "cohort-size scalar for hazard denominators",
+    "q188_adstock_regression" -> "channel-list literal (1-row relation) crossed with the day spine — metadata x metadata")
 
   /** query -> why its SinglePartition exchange is metadata-sized:
     * either a final scalar/count aggregate over PARTIAL-aggregated

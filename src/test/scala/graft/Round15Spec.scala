@@ -136,6 +136,64 @@ class Round15Spec extends SparkSpec {
     assert(a.map(_.toString) == b.map(_.toString))
   }
 
+  test("shapley: unanimity-game closed form on a hand example") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // conv1 claims {click}; conv2 claims {click, view}
+    // phi(click) = 1 + 1/2 = 1.5 -> num 27720 + 13860 = 41580
+    // phi(view)  = 1/2         -> num 13860 ; sum = 2 conversions * L
+    val ev = Seq(
+      (1L, ts(10), "click", 1L), (1L, ts(20), "purchase", 2L),
+      (2L, ts(10), "click", 3L), (2L, ts(11), "view", 4L),
+      (2L, ts(12), "click", 5L), (2L, ts(20), "purchase", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.relational.Shapley.shapleyAttribution(ev, "user_id",
+        "ts", "event_type", "event_id", "purchase", Seq("click", "view"), 100L)
+      .orderBy("channel")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 2L, 41580L, 41580.0 / 27720.0),
+      ("view", 1L, 13860L, 13860.0 / 27720.0)))
+    assert(got.map(_._3).sum == 2L * graft.relational.Shapley.Lcm)
+  }
+
+  test("shapley: guards and empty-journey behavior") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq((1L, ts(1), "click", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    intercept[IllegalArgumentException] {
+      graft.relational.Shapley.shapleyAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq.empty, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.relational.Shapley.shapleyAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", (1 to 13).map("c" + _), 10L)
+    }
+    // touches with no conversion produce no credit rows
+    assert(graft.relational.Shapley.shapleyAttribution(ev, "user_id", "ts",
+      "event_type", "event_id", "purchase", Seq("click"), 10L).count() == 0L)
+  }
+
+  test("adstockRegression: zero-variance channel yields null fit; responsive channel positive slope") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 12:00:00")
+    // channel 'a': spend grows with day, conversions track it ->
+    // positive slope. channel 'z': never spends -> den = 0 -> nulls.
+    val rows = (1 to 20).flatMap { d =>
+      Seq(("a", ts(d), d * 100.0)) ++
+        (0 until d).map(_ => ("purchase", ts(d), 0.0))
+    }
+    val ev = rows.zipWithIndex.map { case ((t, time, v), i) =>
+      (1L, time, t, i.toLong, v) }
+      .toDF("user_id", "ts", "event_type", "event_id", "value")
+    val got = graft.analyze.Mmm.adstockRegression(ev,
+        channelTypes = Seq("a", "z"), conversionType = "purchase",
+        tsCol = "ts", typeCol = "event_type", valueCol = "value")
+      .orderBy("channel").collect()
+    assert(got.length == 2)
+    val a = got(0); val z = got(1)
+    assert(a.getString(0) == "a" && a.getLong(1) == 20L)
+    assert(a.getDouble(2) > 0 && a.getDouble(4) > 0.5, a.toString)
+    assert(z.getString(0) == "z" && z.isNullAt(2) && z.isNullAt(4))
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

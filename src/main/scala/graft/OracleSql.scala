@@ -4731,6 +4731,152 @@ SELECT channel, n_days,
 FROM sl ORDER BY channel"""
   }
 
+  /** Qini uplift twin (q189): q167's score/ntile skeleton + q172's
+    * md5-UINTEGER variant split; per-tile arm counts, cumulative
+    * windows, cross-multiplied BIGINT Qini numerator, display
+    * divisions as CASE-guarded doubles. */
+  private val q189 = """
+WITH users AS (
+  SELECT user_id,
+    sum(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END) +
+      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+    max(CASE WHEN event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-28 00:00:00' THEN 1 ELSE 0 END)
+      AS converted,
+    CASE WHEN
+      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UINTEGER
+        AS BIGINT) % 20 < 10
+      THEN 'treatment' ELSE 'control' END AS variant
+  FROM events GROUP BY 1),
+tiled AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS INTEGER)
+    AS tile, converted, variant
+  FROM users),
+tiles AS (
+  SELECT tile,
+    CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_t,
+    CAST(sum(CASE WHEN variant <> 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_c,
+    CAST(sum(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END)
+      AS BIGINT) AS conv_t,
+    CAST(sum(CASE WHEN variant <> 'treatment' THEN converted ELSE 0 END)
+      AS BIGINT) AS conv_c
+  FROM tiled GROUP BY 1),
+cum AS (
+  SELECT *,
+    CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+    CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+    CAST(sum(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+    CAST(sum(conv_c) OVER w AS BIGINT) AS cum_conv_c
+  FROM tiles
+  WINDOW w AS (ORDER BY tile
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT tile, n_t, n_c, conv_t, conv_c, cum_conv_t, cum_conv_c,
+  cum_conv_t * cum_n_c - cum_conv_c * cum_n_t AS qini_num,
+  CASE WHEN cum_n_c > 0 THEN
+    CAST(cum_conv_t * cum_n_c - cum_conv_c * cum_n_t AS DOUBLE) /
+      CAST(cum_n_c AS DOUBLE) END AS qini,
+  CASE WHEN cum_n_t > 0 AND cum_n_c > 0 THEN
+    CAST(cum_conv_t AS DOUBLE) / CAST(cum_n_t AS DOUBLE) -
+      CAST(cum_conv_c AS DOUBLE) / CAST(cum_n_c AS DOUBLE)
+    END AS uplift_cum
+FROM cum ORDER BY tile"""
+
+  /** DiD twin (q190): q172's pre/post decimal cells + md5 split; the
+    * identical fixed-shape estimator over exact cell sums. */
+  private val q190 = """
+WITH users AS (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN event_type = 'purchase'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      THEN CAST(value AS DECIMAL(12,2)) END),
+      CAST(0 AS DECIMAL(12,2))) AS pre,
+    coalesce(sum(CASE WHEN event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+      THEN CAST(value AS DECIMAL(12,2)) END),
+      CAST(0 AS DECIMAL(12,2))) AS post,
+    CASE WHEN
+      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UINTEGER
+        AS BIGINT) % 20 < 10
+      THEN 'treatment' ELSE 'control' END AS variant
+  FROM events GROUP BY 1),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treatment,
+    CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    coalesce(sum(CASE WHEN variant = 'treatment' THEN pre END),
+      CAST(0 AS DECIMAL(12,2))) AS s_pre_t,
+    coalesce(sum(CASE WHEN variant = 'treatment' THEN post END),
+      CAST(0 AS DECIMAL(12,2))) AS s_post_t,
+    coalesce(sum(CASE WHEN variant = 'control' THEN pre END),
+      CAST(0 AS DECIMAL(12,2))) AS s_pre_c,
+    coalesce(sum(CASE WHEN variant = 'control' THEN post END),
+      CAST(0 AS DECIMAL(12,2))) AS s_post_c
+  FROM users)
+SELECT n_treatment, n_control,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    CAST(s_pre_t AS DOUBLE) / CAST(n_treatment AS DOUBLE) END
+    AS mean_pre_treatment,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    CAST(s_post_t AS DOUBLE) / CAST(n_treatment AS DOUBLE) END
+    AS mean_post_treatment,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    CAST(s_pre_c AS DOUBLE) / CAST(n_control AS DOUBLE) END
+    AS mean_pre_control,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    CAST(s_post_c AS DOUBLE) / CAST(n_control AS DOUBLE) END
+    AS mean_post_control,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    (CAST(s_post_t AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+      - CAST(s_pre_t AS DOUBLE) / CAST(n_treatment AS DOUBLE))
+    - (CAST(s_post_c AS DOUBLE) / CAST(n_control AS DOUBLE)
+      - CAST(s_pre_c AS DOUBLE) / CAST(n_control AS DOUBLE)) END AS did
+FROM agg"""
+
+  /** Day-of-week seasonality twin (q191): isodow−1 ≡ Spark
+    * pmod(dayofweek+5, 7); cross-multiplied BIGINT index. */
+  private val q191 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+dd AS (SELECT event_type, isodow(day) - 1 AS dow, cnt FROM daily),
+per AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS days_dow,
+    CAST(sum(cnt) AS BIGINT) AS events_dow
+  FROM dd GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS days,
+    CAST(sum(cnt) AS BIGINT) AS events
+  FROM dd GROUP BY 1)
+SELECT p.event_type, p.dow, p.days_dow, p.events_dow,
+  p.events_dow * t.days AS idx_num,
+  p.days_dow * t.events AS idx_den,
+  CAST(p.events_dow * t.days AS DOUBLE) /
+    CAST(p.days_dow * t.events AS DOUBLE) AS seasonal_idx
+FROM per p JOIN tot t USING (event_type)
+ORDER BY event_type, dow"""
+
+  /** Group-aware split twin (q193): md5(text) is the leak group; the
+    * split residue hashes the GROUP hex string through the q172
+    * UINTEGER key. */
+  private val q193 = """
+WITH g AS (
+  SELECT md5("text") AS grp, n_chars FROM documents
+  WHERE "text" IS NOT NULL),
+s AS (
+  SELECT CASE WHEN r < 8 THEN 'train' WHEN r < 9 THEN 'val'
+              ELSE 'test' END AS split, grp, n_chars
+  FROM (SELECT
+    CAST(('0x' || substr(md5(grp), 1, 8))::UINTEGER AS BIGINT) % 10 AS r,
+    grp, n_chars FROM g))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM s GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -4879,6 +5025,10 @@ FROM sl ORDER BY channel"""
     "q186_lorenz_gini" -> q186,
     "q187_shapley_attribution" -> q187,
     "q188_adstock_regression" -> q188,
+    "q189_qini_uplift" -> q189,
+    "q190_did_readout" -> q190,
+    "q191_dow_seasonality" -> q191,
+    "q193_group_split" -> q193,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2274,6 +2274,66 @@ object SparkEntry {
         valueCol = "value")
       .orderBy("channel")
 
+  private def q189_qini_uplift(s: SparkSession, dir: String): DataFrame = {
+    // Qini uplift-by-decile: q167's engagement score and conversion
+    // outcome, q172's md5 hash split; cross-multiplied integer Qini
+    // numerator, display divisions only.
+    import graft.analyze.Experiment
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "click", 2L).otherwise(0L)) +
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+          .as("score"),
+        max(when(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"), 1L)
+          .otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        Experiment.assignVariant(col("user_id"), 20, 0 until 10))
+    Experiment.qiniTable(users, "user_id", "score", "converted", "variant",
+        nTiles = 10)
+      .orderBy("tile")
+  }
+
+  private def q190_did_readout(s: SparkSession, dir: String): DataFrame = {
+    // Difference-in-differences: q172's per-user pre/post purchase
+    // spend and md5 split; the 2x2 decimal-exact cell sums and the
+    // fixed-shape DiD estimator.
+    import graft.analyze.Experiment
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val zero = lit(0).cast("decimal(12,2)")
+    val isP = col("event_type") === "purchase"
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(isP && col("ts") < cut,
+          col("value").cast("decimal(12,2)"))), zero).as("pre"),
+        coalesce(sum(when(isP && col("ts") >= cut,
+          col("value").cast("decimal(12,2)"))), zero).as("post"))
+      .withColumn("variant",
+        Experiment.assignVariant(col("user_id"), 20, 0 until 10))
+    Experiment.didReadout(users, "variant", "pre", "post")
+  }
+
+  private def q191_dow_seasonality(s: SparkSession, dir: String): DataFrame =
+    // Day-of-week seasonality per event type: cross-multiplied integer
+    // index over observed days (weekday 0 = Monday, pinned identically
+    // in both engines), one display division.
+    graft.analyze.Timeseries.dowSeasonality(
+        t(s, dir, "events"), "event_type", "ts")
+      .orderBy("event_type", "dow")
+
+  private def q193_group_split(s: SparkSession, dir: String): DataFrame =
+    // Leakage-safe corpus split: the split key hashes the exact-dup
+    // GROUP (md5 of text), so duplicate documents can never straddle
+    // train/val/test; per split, docs, distinct groups, char mass.
+    graft.analyze.TextAnalysis.groupAwareSplit(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        md5(col("text")),
+        Seq(("train", 8), ("val", 1), ("test", 1)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_groups"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy("split")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2751,6 +2811,10 @@ object SparkEntry {
     "q186_lorenz_gini" -> (q186_lorenz_gini _),
     "q187_shapley_attribution" -> (q187_shapley_attribution _),
     "q188_adstock_regression" -> (q188_adstock_regression _),
+    "q189_qini_uplift" -> (q189_qini_uplift _),
+    "q190_did_readout" -> (q190_did_readout _),
+    "q191_dow_seasonality" -> (q191_dow_seasonality _),
+    "q193_group_split" -> (q193_group_split _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

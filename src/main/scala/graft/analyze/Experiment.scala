@@ -177,4 +177,112 @@ object Experiment {
         ((d(col("n_conv")) / d(col("n"))) /
           (d(col("__tc")) / d(col("__tn")))).as("lift"))
   }
+
+  /** Difference-in-differences readout — the quasi-experimental
+    * companion to [[cupedReadout]]: when assignment isn't random but
+    * both arms are observed BEFORE and AFTER the intervention, the
+    * causal read is the difference of the arms' pre→post changes,
+    *
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    *
+    * which cancels both arm-level baselines and the common time trend
+    * (the parallel-trends assumption does the identification).
+    * `outcomes` is ONE ROW PER ENTITY with decimal pre/post values.
+    * All four sums are exact decimal aggregates; every mean and the
+    * estimator are fixed-shape double expressions over them. One
+    * partial-aggregating pass, one row out. */
+  def didReadout(outcomes: DataFrame, variantCol: String,
+                 preCol: String, postCol: String): DataFrame = {
+    val dec = "decimal(12,2)"
+    val pre = col(preCol).cast(dec)
+    val post = col(postCol).cast(dec)
+    val isT = col(variantCol) === "treatment"
+    val isC = col(variantCol) === "control"
+    val zero = lit(0).cast(dec)
+    val agg = outcomes
+      .filter(col(variantCol).isNotNull && col(preCol).isNotNull &&
+        col(postCol).isNotNull)
+      .agg(
+        sum(when(isT, 1L).otherwise(0L)).as("n_treatment"),
+        sum(when(isC, 1L).otherwise(0L)).as("n_control"),
+        sum(when(isT, pre).otherwise(zero)).as("s_pre_t"),
+        sum(when(isT, post).otherwise(zero)).as("s_post_t"),
+        sum(when(isC, pre).otherwise(zero)).as("s_pre_c"),
+        sum(when(isC, post).otherwise(zero)).as("s_post_c"))
+    def d(c: Column) = c.cast("double")
+    val nT = d(col("n_treatment")); val nC = d(col("n_control"))
+    val mPreT = d(col("s_pre_t")) / nT; val mPostT = d(col("s_post_t")) / nT
+    val mPreC = d(col("s_pre_c")) / nC; val mPostC = d(col("s_post_c")) / nC
+    val ok = col("n_treatment") > 0 && col("n_control") > 0
+    def g(c: Column) = when(ok, c).otherwise(lit(null).cast("double"))
+    agg.select(col("n_treatment"), col("n_control"),
+      g(mPreT).as("mean_pre_treatment"), g(mPostT).as("mean_post_treatment"),
+      g(mPreC).as("mean_pre_control"), g(mPostC).as("mean_post_control"),
+      g((mPostT - mPreT) - (mPostC - mPreC)).as("did"))
+  }
+
+  /** Qini/uplift table — does the model rank PERSUADABLE entities
+    * first, not merely likely converters ([[gainsTable]]'s question
+    * for an A/B-split audience; Radcliffe 2007): entities of BOTH
+    * arms rank together by score DESC into `nTiles` tiles; per tile
+    * and cumulatively, treated/control counts and conversions; the
+    * Qini value at depth k is
+    *
+    *   Q(k) = cumConvT − cumConvC · cumNT / cumNC
+    *
+    * emitted as the exact integer numerator `qini_num =
+    * cumConvT·cumNC − cumConvC·cumNT` (the cross-multiplied form —
+    * no division decides anything) plus the one display division by
+    * cumNC; `uplift_cum` is the cumulative rate difference. Null
+    * doubles when an arm is empty at that depth (no silent NaN).
+    *
+    * Overflow envelope: the cross products need cumulative counts
+    * below ~3·10⁹ per arm (long headroom) — beyond that, Qini on a
+    * uniform entity sample answers the same question.
+    *
+    * Shape: one salted global rank (no single-reducer sort), one tile
+    * aggregation, cumulative windows over nTiles rows. */
+  def qiniTable(scored: DataFrame, idCol: String, scoreCol: String,
+                outcomeCol: String, variantCol: String, nTiles: Int = 10,
+                buckets: Int = 32): DataFrame = {
+    require(nTiles >= 1, s"nTiles must be >= 1; got $nTiles")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = graft.core.Skew.saltedRowNumber(
+        scored.filter(col(variantCol).isNotNull)
+          .select(col(idCol), col(scoreCol),
+            col(outcomeCol).cast("long").as("__out"),
+            col(variantCol).as("__v")),
+        Seq.empty, col(scoreCol), descending = true,
+        tieBreakers = Seq(col(idCol).asc), buckets = buckets, out = "__rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val isT = col("__v") === "treatment"
+    val tiles = ranked.crossJoin(broadcast(n))
+      .select(graft.analyze.Rfm.ntileFromRank(col("__rk").cast("long"),
+          col("__n"), nTiles).cast("int").as("tile"),
+        col("__out"), col("__v"))
+      .groupBy(col("tile"))
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!isT, 1L).otherwise(0L)).as("n_c"),
+        sum(when(isT, col("__out")).otherwise(0L)).as("conv_t"),
+        sum(when(!isT, col("__out")).otherwise(0L)).as("conv_c"))
+    val w = Window.orderBy(col("tile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    tiles
+      .withColumn("cum_n_t", sum(col("n_t")).over(w))
+      .withColumn("cum_n_c", sum(col("n_c")).over(w))
+      .withColumn("cum_conv_t", sum(col("conv_t")).over(w))
+      .withColumn("cum_conv_c", sum(col("conv_c")).over(w))
+      .withColumn("qini_num", col("cum_conv_t") * col("cum_n_c") -
+        col("cum_conv_c") * col("cum_n_t"))
+      .select(col("tile"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"), col("cum_conv_t"), col("cum_conv_c"),
+        col("qini_num"),
+        when(col("cum_n_c") > 0, d(col("qini_num")) / d(col("cum_n_c")))
+          .otherwise(lit(null).cast("double")).as("qini"),
+        when(col("cum_n_t") > 0 && col("cum_n_c") > 0,
+          d(col("cum_conv_t")) / d(col("cum_n_t")) -
+            d(col("cum_conv_c")) / d(col("cum_n_c")))
+          .otherwise(lit(null).cast("double")).as("uplift_cum"))
+  }
 }

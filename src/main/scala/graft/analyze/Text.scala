@@ -354,6 +354,31 @@ object TextAnalysis {
     df.filter(hashSampleKey(col(idCol)) % modulus < keep)
   }
 
+  /** Leakage-safe train/val/test assignment: the split key is a hash
+    * of the GROUP (duplicate cluster, source domain, author — whatever
+    * leaks), never the row id, so every member of a group lands in the
+    * SAME split — the eval-contamination failure mode of row-hash
+    * splits (a near-duplicate of a training doc scoring the val set)
+    * is structurally impossible. `splits` are (name, weight) residue
+    * ranges over the md5 key modulo Σweights — deterministic,
+    * retry-stable, engine-replayable ([[hashSampleKey]]). Narrow (one
+    * projection, no shuffle); adds a `split` column. */
+  def groupAwareSplit(df: DataFrame, groupKey: Column,
+                      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    val modulus = splits.map(_._2).sum
+    val r = pmod(hashSampleKey(groupKey), lit(modulus))
+    val uppers = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val splitCol = splits.zip(uppers).init
+      .foldRight(lit(splits.last._1)) { case (((name, _), hi), rest) =>
+        when(r < hi, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", splitCol)
+  }
+
   /** Deterministic weighted PRIORITY sample (Duffield–Lund–Thorup): keep
     * the k rows minimizing `hash(id) / weight` — inclusion probability
     * grows with weight, yet the sample is a pure function of the ids

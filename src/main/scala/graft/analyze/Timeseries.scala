@@ -99,6 +99,43 @@ object Timeseries {
           .as("stickiness_est"))
   }
 
+  /** Day-of-week seasonality index per key — the first read of any
+    * daily series ("is Tuesday structurally low, or is this dip
+    * real?"): over the key's OBSERVED days, the ratio of the
+    * day-of-week's mean daily count to the key's overall mean daily
+    * count, in exact cross-multiplied integers:
+    *
+    *   idx = (Σcnt_dow / days_dow) / (Σcnt / days)
+    *       → idx_num = Σcnt_dow · days,  idx_den = days_dow · Σcnt
+    *
+    * — no division decides anything; the coefficient is one display
+    * division. Weekday convention 0 = Monday: Spark
+    * `pmod(dayofweek+5, 7)` ≡ DuckDB `isodow − 1`, pinned on both
+    * sides (engines disagree on bare dayofweek numbering). Days the
+    * key never fired are NOT in the denominator (observed-day
+    * normalization — document when feeding sparse keys).
+    *
+    * Shape: one day-grain aggregation (map-side combine) then two
+    * metadata-sized aggs over (key × 7) rows. */
+  def dowSeasonality(events: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame = {
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("dow", pmod(dayofweek(col("__day")) + 5, lit(7)))
+    val per = daily.groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("days_dow"), sum(col("__cnt")).as("events_dow"))
+    val tot = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__days"), sum(col("__cnt")).as("__events"))
+    per.join(broadcast(tot), Seq(keyCol))
+      .select(col(keyCol), col("dow"), col("days_dow"), col("events_dow"),
+        (col("events_dow") * col("__days")).as("idx_num"),
+        (col("days_dow") * col("__events")).as("idx_den"),
+        ((col("events_dow") * col("__days")).cast("double") /
+          (col("days_dow") * col("__events")).cast("double"))
+          .as("seasonal_idx"))
+  }
+
   /** Budget pacing — is each campaign burning its monthly budget
     * ahead or behind the linear schedule: per (key, active day),
     * cumulative DECIMAL-exact spend vs the linear target

@@ -194,6 +194,92 @@ class Round15Spec extends SparkSpec {
     assert(z.getString(0) == "z" && z.isNullAt(2) && z.isNullAt(4))
   }
 
+  test("didReadout: hand 2x2, baseline and trend cancel") {
+    // T: 10 -> 25 (change 15); C: 20 -> 30 (change 10) -> DiD = 5
+    val users = Seq(("treatment", 10.0, 25.0), ("control", 20.0, 30.0))
+      .toDF("variant", "pre", "post")
+    val r = graft.analyze.Experiment.didReadout(users, "variant",
+      "pre", "post").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getDouble(6) == 5.0)
+    // one-armed input -> null estimator, not NaN
+    val one = graft.analyze.Experiment.didReadout(
+      Seq(("treatment", 1.0, 2.0)).toDF("variant", "pre", "post"),
+      "variant", "pre", "post").head()
+    assert(one.isNullAt(6))
+  }
+
+  test("qiniTable: mirrored arms give exactly zero qini at every depth") {
+    // ids pair up (2k, 2k+1): same score, same outcome, one per arm —
+    // each tile holds whole pairs, so cum counts/conversions are
+    // identical across arms and the cross-multiplied numerator is 0
+    val scored = (0 until 200).map { i =>
+      (i.toLong, (i / 2).toLong,
+        if ((i / 2) % 7 == 0) 1L else 0L,
+        if (i % 2 == 0) "treatment" else "control")
+    }.toDF("id", "score", "out", "variant")
+    val rows = graft.analyze.Experiment.qiniTable(scored, "id", "score",
+      "out", "variant", nTiles = 5).orderBy("tile").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"arm sizes: $r")
+      assert(r.getLong(5) == r.getLong(6), s"cum conv: $r")
+      assert(r.getLong(7) == 0L && r.getDouble(8) == 0.0 &&
+        r.getDouble(9) == 0.0, s"qini: $r")
+    }
+    // and a treatment-only lift shifts qini positive at full depth
+    val uplifted = (0 until 200).map { i =>
+      (i.toLong, (i / 2).toLong,
+        if (i % 2 == 0 && (i / 2) % 7 == 0) 1L else 0L,
+        if (i % 2 == 0) "treatment" else "control")
+    }.toDF("id", "score", "out", "variant")
+    val fin = graft.analyze.Experiment.qiniTable(uplifted, "id", "score",
+      "out", "variant", nTiles = 5).orderBy("tile").collect().last
+    assert(fin.getLong(7) > 0L && fin.getDouble(8) > 0.0)
+  }
+
+  test("dowSeasonality: uniform weekday mass indexes to exactly 1") {
+    // 14 consecutive days, constant 3 events/day for one key ->
+    // every dow index is exactly 1 (num == den)
+    val ev = (0 until 14).flatMap { d =>
+      (1 to 3).map { k =>
+        ("a", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 0$k:00:00"))
+      }
+    }.toDF("k", "ts")
+    val got = graft.analyze.Timeseries.dowSeasonality(ev, "k", "ts")
+      .orderBy("dow").collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      assert(r.getLong(2) == 2L && r.getLong(3) == 6L)
+      assert(r.getLong(4) == r.getLong(5))
+      assert(r.getDouble(6) == 1.0)
+    }
+    // 2024-01-01 is a Monday -> dow 0 exists and is first
+    assert(got.head.getInt(1) == 0)
+  }
+
+  test("groupAwareSplit: a group never straddles splits; weights roughly hold") {
+    val df = spark.range(0, 3000).select(
+      col("id"), (col("id") % 300).cast("string").as("grp"))
+    val s = graft.analyze.TextAnalysis.groupAwareSplit(df, col("grp"),
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+    // leakage check: every group maps to exactly one split
+    val perGroup = s.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).head().getLong(0)
+    assert(perGroup == 1L)
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // deterministic: replay equals
+    val again = graft.analyze.TextAnalysis.groupAwareSplit(df, col("grp"),
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

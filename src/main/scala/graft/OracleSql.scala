@@ -4859,6 +4859,62 @@ SELECT p.event_type, p.dow, p.days_dow, p.events_dow,
 FROM per p JOIN tot t USING (event_type)
 ORDER BY event_type, dow"""
 
+  /** EWMA backtest twin (q192): dense calendar via generate_series,
+    * the identical 7-lag dyadic chain (weights 64..1, den 127), exact
+    * BIGINT error sums, one display division each for MAE/bias. */
+  private val q192 = """
+WITH daily AS (
+  SELECT event_type,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+span AS (
+  SELECT event_type, min(day) AS mn, max(day) AS mx,
+    CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1),
+dense AS (
+  SELECT s.event_type, s.n_days, g.day
+  FROM span s, unnest(generate_series(s.mn, s.mx)) AS g(day)),
+filled AS (
+  SELECT d.event_type, d.n_days, d.day, coalesce(c.cnt, 0) AS cnt
+  FROM dense d LEFT JOIN daily c USING (event_type, day)),
+lagd AS (
+  SELECT event_type, n_days, day, cnt,
+    lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2,
+    lag(cnt, 3) OVER w AS l3, lag(cnt, 4) OVER w AS l4,
+    lag(cnt, 5) OVER w AS l5, lag(cnt, 6) OVER w AS l6,
+    lag(cnt, 7) OVER w AS l7
+  FROM filled WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+scored AS (
+  SELECT event_type, n_days,
+    cnt * 127 - (l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7) AS err
+  FROM lagd WHERE l7 IS NOT NULL)
+SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+  CAST(count(*) AS BIGINT) AS n_scored,
+  CAST(sum(abs(err)) AS BIGINT) AS sae, CAST(sum(err) AS BIGINT) AS se,
+  CAST(sum(abs(err)) AS DOUBLE) / CAST(count(*) * 127 AS DOUBLE) AS mae,
+  CAST(sum(err) AS DOUBLE) / CAST(count(*) * 127 AS DOUBLE) AS bias
+FROM scored GROUP BY 1 ORDER BY 1"""
+
+  /** Dow-anomaly twin (q194): q191's isodow-1 convention; the 21/20
+    * spike/dip boundary decided in cross-multiplied BIGINTs. */
+  private val q194 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+dd AS (SELECT event_type, day, isodow(day) - 1 AS dow, cnt FROM daily),
+per AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS days_dow,
+    CAST(sum(cnt) AS BIGINT) AS events_dow
+  FROM dd GROUP BY 1, 2)
+SELECT d.event_type, d.day, d.dow, d.cnt, p.days_dow, p.events_dow,
+  d.cnt * p.days_dow * 20 > p.events_dow * 21 AS spike,
+  d.cnt * p.days_dow * 21 < p.events_dow * 20 AS dip,
+  CAST(d.cnt * p.days_dow AS DOUBLE) / CAST(p.events_dow AS DOUBLE)
+    AS ratio_vs_dow
+FROM dd d JOIN per p USING (event_type, dow)
+ORDER BY event_type, day"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5028,7 +5084,9 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q189_qini_uplift" -> q189,
     "q190_did_readout" -> q190,
     "q191_dow_seasonality" -> q191,
+    "q192_ewma_backtest" -> q192,
     "q193_group_split" -> q193,
+    "q194_dow_anomaly" -> q194,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2334,6 +2334,23 @@ object SparkEntry {
         sum(col("n_chars").cast("long")).as("sum_chars"))
       .orderBy("split")
 
+  private def q192_ewma_backtest(s: SparkSession, dir: String): DataFrame =
+    // Dyadic-weight EWMA one-step forecast backtest per event type:
+    // dense calendar, 7-day lag chain with 2^j weights, constant
+    // denominator 127 — per-day errors exact longs, MAE/bias one
+    // display division each.
+    graft.analyze.Timeseries.ewmaBacktest(
+        t(s, dir, "events"), "event_type", "ts", window = 7)
+      .orderBy("event_type")
+
+  private def q194_dow_anomaly(s: SparkSession, dir: String): DataFrame =
+    // Day-of-week-adjusted spike/dip flags at +/-5% (21/20): the
+    // boundary decision is exact cross-multiplied integers, never a
+    // float compare.
+    graft.analyze.Timeseries.dowAnomalies(
+        t(s, dir, "events"), "event_type", "ts", num = 21, den = 20)
+      .orderBy("event_type", "day")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2814,7 +2831,9 @@ object SparkEntry {
     "q189_qini_uplift" -> (q189_qini_uplift _),
     "q190_did_readout" -> (q190_did_readout _),
     "q191_dow_seasonality" -> (q191_dow_seasonality _),
+    "q192_ewma_backtest" -> (q192_ewma_backtest _),
     "q193_group_split" -> (q193_group_split _),
+    "q194_dow_anomaly" -> (q194_dow_anomaly _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

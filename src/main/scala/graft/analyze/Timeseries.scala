@@ -136,6 +136,120 @@ object Timeseries {
           .as("seasonal_idx"))
   }
 
+  /** Day-of-week-adjusted anomaly flags — the point-anomaly companion
+    * to [[cusumShift]]'s level-shift detector: a day is a SPIKE when
+    * its count exceeds `num/den` × the key's mean for that weekday,
+    * and a DIP when it falls below `den/num` × it. Adjusting against
+    * the day-of-week mean (not the overall mean) is what keeps every
+    * Sunday from alerting on a weekday-heavy channel.
+    *
+    * All decisions are exact cross-multiplied integers over the
+    * [[dowSeasonality]] daily/per-dow aggregates:
+    *
+    *   spike ⟺ cnt·days_dow·den > events_dow·num
+    *   dip   ⟺ cnt·days_dow·num < events_dow·den
+    *
+    * The day itself is INSIDE its weekday mean (no leave-one-out) —
+    * deliberate: the reference point stays a pure group aggregate, the
+    * dilution is ≤ 1/days_dow and shrinks with history, and the same
+    * convention holds on both engines. `ratio_vs_dow` is the one
+    * display division.
+    *
+    * Shape: one day-grain aggregation (map-side combine), one 7-row
+    * per-key broadcast join — the fact table scans once. */
+  def dowAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                   num: Int = 2, den: Int = 1): DataFrame = {
+    require(num > 0 && den > 0 && num > den,
+      s"spike factor num/den must be > 1; got $num/$den")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", pmod(dayofweek(col("day")) + 5, lit(7)))
+    val per = daily.groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("days_dow"), sum(col("cnt")).as("events_dow"))
+    daily.join(broadcast(per), Seq(keyCol, "dow"))
+      .select(col(keyCol), col("day"), col("dow"), col("cnt"),
+        col("days_dow"), col("events_dow"),
+        (col("cnt") * col("days_dow") * den > col("events_dow") * num)
+          .as("spike"),
+        (col("cnt") * col("days_dow") * num < col("events_dow") * den)
+          .as("dip"),
+        ((col("cnt") * col("days_dow")).cast("double") /
+          col("events_dow").cast("double")).as("ratio_vs_dow"))
+  }
+
+  /** EWMA one-step forecast backtest with exact DYADIC weights — the
+    * recency-weighted model the [[seasonalNaiveBacktest]] weekly
+    * baseline competes against. The forecast for day t is the
+    * truncated exponential smooth of the `window` preceding days
+    * (α = 1/2):
+    *
+    *   f_t = Σ_{j=1..W} 2^(W−j)·x_{t−j} / (2^W − 1)
+    *
+    * — the classic α(1−α)^(j−1) profile with the tail mass folded
+    * into the normalizer, so the numerator is a plain integer lag
+    * chain and the denominator the CONSTANT 2^W − 1: every per-day
+    * error e_t = x_t·(2^W−1) − f_num_t is an exact long (the q153
+    * dyadic-weight discipline), and MAE/bias are each ONE display
+    * division by n_scored·(2^W−1).
+    *
+    * The series is zero-filled onto the key's DENSE calendar
+    * [min_day, max_day] first — for event counts an absent day IS
+    * zero volume, and without densification the lag chain would skip
+    * over gaps and smooth non-adjacent days (the opposite convention
+    * from [[seasonalNaiveBacktest]], which scores observed days only;
+    * both documented). Only days with a FULL window of W predecessors
+    * are scored (no partial-window denominator branching).
+    *
+    * Overflow envelope: per-day counts below 2^(62−W) — at W = 7,
+    * ~3.6·10^16 events/day/key (long headroom everywhere).
+    *
+    * Shape: one day-grain aggregation (map-side combine), a per-key
+    * span agg + calendar explode (span-bounded, narrow), one window
+    * shuffle on (key, day) rows for the lag chain, one final per-key
+    * agg. W is a compile-time chain length (≤ 16 enforced), not a
+    * per-row loop. */
+  def ewmaBacktest(events: DataFrame, keyCol: String, tsCol: String,
+                   window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1, 16]; got $window")
+    import org.apache.spark.sql.expressions.Window
+    val den = (1L << window) - 1
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("__mn"), max(col("__day")).as("__mx"),
+        count(lit(1)).as("n_days"))
+    val dense = span
+      .select(col(keyCol), col("n_days"),
+        explode(sequence(col("__mn"), col("__mx"))).as("__day"))
+      .join(daily, Seq(keyCol, "__day"), "left")
+      .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+    val fNum = (1 to window)
+      .map(j => lag(col("__cnt"), j).over(w) * lit(1L << (window - j)))
+      .reduce(_ + _)
+    val scored = dense
+      .withColumn("__fnum", fNum)
+      .withColumn("__full", lag(col("__cnt"), window).over(w).isNotNull)
+      .filter(col("__full"))
+      .withColumn("__err", col("__cnt") * den - col("__fnum"))
+    scored.groupBy(col(keyCol))
+      .agg(max(col("n_days")).as("n_days"),
+        count(lit(1)).as("n_scored"),
+        sum(abs(col("__err"))).as("sae"),
+        sum(col("__err")).as("se"))
+      .select(col(keyCol), col("n_days"), col("n_scored"),
+        col("sae"), col("se"),
+        (col("sae").cast("double") /
+          (col("n_scored") * den).cast("double")).as("mae"),
+        (col("se").cast("double") /
+          (col("n_scored") * den).cast("double")).as("bias"))
+  }
+
   /** Budget pacing — is each campaign burning its monthly budget
     * ahead or behind the linear schedule: per (key, active day),
     * cumulative DECIMAL-exact spend vs the linear target

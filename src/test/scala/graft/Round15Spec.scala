@@ -280,6 +280,56 @@ class Round15Spec extends SparkSpec {
     assert(again == counts)
   }
 
+  test("ewmaBacktest: constant series forecasts itself exactly; gaps fill as zero") {
+    // 20 consecutive days at 5 events/day: every full-window forecast
+    // is 5*(127)/127 = 5 -> zero error, zero MAE/bias
+    val flat = (0 until 20).flatMap { d =>
+      (1 to 5).map(k =>
+        ("a", java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 0$k:00:00")))
+    }.toDF("k", "ts")
+    val r = graft.analyze.Timeseries.ewmaBacktest(flat, "k", "ts").head()
+    assert(r.getLong(1) == 20L && r.getLong(2) == 13L) // 20 days, 20-7 scored
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+    // a missing day is ZERO volume, not skipped: days 1..9 and 11..20
+    // observed, day 10 absent -> n_days=19 observed but the dense grid
+    // still scores 20-7=13 days and the gap perturbs the errors
+    val gap = (0 until 20).filter(_ != 9).flatMap { d =>
+      (1 to 5).map(k =>
+        ("a", java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 0$k:00:00")))
+    }.toDF("k", "ts")
+    val g = graft.analyze.Timeseries.ewmaBacktest(gap, "k", "ts").head()
+    assert(g.getLong(1) == 19L && g.getLong(2) == 13L)
+    assert(g.getLong(3) > 0L) // the zero day and its wake mis-forecast
+    // window bound guard
+    intercept[IllegalArgumentException] {
+      graft.analyze.Timeseries.ewmaBacktest(flat, "k", "ts", window = 17)
+    }
+  }
+
+  test("dowAnomalies: planted 3x Monday spikes flag only on the spike days") {
+    // 4 weeks of 10/day; the last Monday gets 40 (vs its dow mean of
+    // 17.5 -> ratio 2.29), pushing the other Mondays to 10/17.5 = 0.57
+    // strictly below the 2/3 dip line (not AT it — the rule is strict)
+    val base = (0 until 28).flatMap { d =>
+      (1 to 10).map(k =>
+        ("a", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d ${k + 10}:00:00")))
+    }
+    val spike = (11 to 40).map(k => // 2024-01-22 is the 4th Monday
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-22 ${10 + k % 12}%02d:${k}%02d:00")))
+    val out = graft.analyze.Timeseries.dowAnomalies(
+      (base ++ spike).toDF("k", "ts"), "k", "ts", num = 3, den = 2)
+    val flagged = out.filter(col("spike")).collect()
+    assert(flagged.length == 1 &&
+      flagged.head.getDate(1).toString == "2024-01-22")
+    // the other Mondays (10 vs dow-mean 15) dip below 2/3: 10*4*3 < 60*2
+    val dips = out.filter(col("dip")).collect()
+    assert(dips.forall(_.getInt(2) == 0) && dips.length == 3)
+    // boundary is integer-exact: ratio column never decides
+    assert(out.filter(col("spike") &&
+      col("cnt") * col("days_dow") * 2 <= col("events_dow") * 3).isEmpty)
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

@@ -5087,6 +5087,10 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q192_ewma_backtest" -> q192,
     "q193_group_split" -> q193,
     "q194_dow_anomaly" -> q194,
+    // Rollup twins recompute from scratch — the Spark side merges
+    // shard states; merge == recompute is exactly the gated claim.
+    "q195_reach_rollup" -> q182,
+    "q196_pacing_rollup" -> q174,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

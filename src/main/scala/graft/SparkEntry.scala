@@ -2351,6 +2351,49 @@ object SparkEntry {
         t(s, dir, "events"), "event_type", "ts", num = 21, den = 20)
       .orderBy("event_type", "day")
 
+  private def q195_reach_rollup(s: SparkSession, dir: String): DataFrame = {
+    // Incremental reach maintenance gated against full recompute: two
+    // entity-grain frequency states from event-id-parity shards (each
+    // entity appears in BOTH) merge, then finalize to the q182 curve;
+    // the oracle recomputes from scratch — merge == recompute is the
+    // hash-gated claim.
+    import graft.analyze.Reach
+    val ev = t(s, dir, "events")
+    val a = Reach.reachState(
+      ev.filter(col("event_id") % 2 === 0 || col("event_id").isNull),
+      "user_id", "event_type")
+    val b = Reach.reachState(
+      ev.filter(col("event_id") % 2 =!= 0), "user_id", "event_type")
+    Reach.reachFrequencyFromState(
+        Reach.mergeReachStates(a, b, "user_id", "event_type"),
+        "user_id", "event_type")
+      .orderBy(col("event_type"), col("freq"))
+  }
+
+  private def q196_pacing_rollup(s: SparkSession, dir: String): DataFrame = {
+    // Incremental pacing maintenance: two (key, day) decimal spend
+    // states from event-id-parity shards (shards cut ACROSS days)
+    // merge, then finalize to the q174 report; oracle recomputes from
+    // scratch.
+    import s.implicits._
+    import graft.analyze.Timeseries
+    val budgets = Seq(("view", "40000.00"), ("click", "42000.00"),
+        ("purchase", "41000.00"), ("signup", "43000.00"),
+        ("error", "39000.00"))
+      .toDF("event_type", "b")
+      .select(col("event_type"), col("b").cast("decimal(12,2)").as("budget"))
+    val ev = t(s, dir, "events")
+    val a = Timeseries.dailySpendState(
+      ev.filter(col("event_id") % 2 === 0 || col("event_id").isNull),
+      "event_type", "ts", "value")
+    val b = Timeseries.dailySpendState(
+      ev.filter(col("event_id") % 2 =!= 0), "event_type", "ts", "value")
+    Timeseries.pacingFromDaily(
+        Timeseries.mergeDailySpend(a, b, "event_type"), "event_type",
+        budgets)
+      .orderBy("event_type", "day")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2834,6 +2877,8 @@ object SparkEntry {
     "q192_ewma_backtest" -> (q192_ewma_backtest _),
     "q193_group_split" -> (q193_group_split _),
     "q194_dow_anomaly" -> (q194_dow_anomaly _),
+    "q195_reach_rollup" -> (q195_reach_rollup _),
+    "q196_pacing_rollup" -> (q196_pacing_rollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -22,10 +22,39 @@ object Reach {
   /** Per (type, frequency): exact entity count, f+ cumulative reach,
     * and f+ share of the type's reached audience. */
   def reachFrequency(events: DataFrame, entityCol: String,
-                     typeCol: String): DataFrame = {
-    val perEntity = events
-      .groupBy(col(typeCol), col(entityCol))
+                     typeCol: String): DataFrame =
+    reachFrequencyFromState(reachState(events, entityCol, typeCol),
+      entityCol, typeCol)
+
+  /** The MERGEABLE state behind [[reachFrequency]]: per (type, entity)
+    * exposure counts — the q169 incremental-aggregate discipline
+    * applied to audience measurement. Daily/shard states roll up by
+    * [[mergeReachStates]] (counts add), so the nightly reach report
+    * aggregates only the day's delta, never re-scans the archive; the
+    * state is audience-sized (entities x types), the only fact-scale
+    * pass is this one map-side-combining groupBy. */
+  def reachState(events: DataFrame, entityCol: String,
+                 typeCol: String): DataFrame =
+    events.groupBy(col(typeCol), col(entityCol))
       .agg(count(lit(1)).as("freq"))
+
+  /** Combine two [[reachState]] relations (full outer on the keys;
+    * frequencies ADD — an entity reached in both shards is one entity
+    * at the summed exposure count, which a histogram-level merge could
+    * never reconstruct: mergeability lives at the entity grain). */
+  def mergeReachStates(a: DataFrame, b: DataFrame, entityCol: String,
+                       typeCol: String): DataFrame = {
+    val bb = b.select(col(typeCol), col(entityCol), col("freq").as("__f2"))
+    a.join(bb, Seq(typeCol, entityCol), "full_outer")
+      .select(col(typeCol), col(entityCol),
+        (coalesce(col("freq"), lit(0L)) + coalesce(col("__f2"), lit(0L)))
+          .as("freq"))
+  }
+
+  /** Finalize a (merged) [[reachState]] into the histogram + f+ curve
+    * — histogram-cardinality work only. */
+  def reachFrequencyFromState(perEntity: DataFrame, entityCol: String,
+                              typeCol: String): DataFrame = {
     val hist = perEntity
       .groupBy(col(typeCol), col("freq"))
       .agg(count(lit(1)).as("n_entities"))

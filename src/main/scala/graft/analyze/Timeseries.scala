@@ -261,15 +261,49 @@ object Timeseries {
     * over the exact cum, the exact integer day counts, and the budget.
     * One day-grain agg + one key-partitioned cumulative window. */
   def budgetPacing(events: DataFrame, keyCol: String, tsCol: String,
-                   valueCol: String, budgets: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = events.filter(col(tsCol).isNotNull)
+                   valueCol: String, budgets: DataFrame): DataFrame =
+    pacingFromDaily(
+      dailySpendState(events, keyCol, tsCol, valueCol), keyCol, budgets)
+
+  /** The MERGEABLE state behind [[budgetPacing]]: per (key, day) exact
+    * decimal spend — the q169 incremental-aggregate discipline for the
+    * pacing report. Shard/delta states roll up by
+    * [[mergeDailySpend]] (decimal sums add, order-free), so the hourly
+    * pacing refresh aggregates only the new facts; the state is
+    * (keys x days)-sized. The decimal(22,2) width holds 10^20 cents
+    * per (key, day) — re-widening on merge would change the type
+    * [[budgetPacing]] gates, so merge keeps it and overflow is
+    * ANSI-fatal, not silent. */
+  def dailySpendState(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String): DataFrame =
+    events.filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
-      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__spend"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("spend"))
+
+  /** Combine two [[dailySpendState]] relations (full outer on
+    * (key, day); spends ADD — shards may cut ACROSS a day, the merge
+    * reconstructs the day total exactly because decimal addition is
+    * associative). */
+  def mergeDailySpend(a: DataFrame, b: DataFrame,
+                      keyCol: String): DataFrame = {
+    val bb = b.select(col(keyCol), col("day"), col("spend").as("__s2"))
+    a.join(bb, Seq(keyCol, "day"), "full_outer")
+      .select(col(keyCol), col("day"),
+        when(col("spend").isNull, col("__s2"))
+          .when(col("__s2").isNull, col("spend"))
+          .otherwise((col("spend") + col("__s2")).cast("decimal(22,2)"))
+          .as("spend"))
+  }
+
+  /** Finalize a (merged) [[dailySpendState]] into the pacing report —
+    * (keys x days)-cardinality work only. */
+  def pacingFromDaily(daily: DataFrame, keyCol: String,
+                      budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
-      .withColumn("__cum", sum(col("__spend")).over(w))
+      .withColumn("__cum", sum(col("spend")).over(w))
       .join(broadcast(budgets), Seq(keyCol))
       .select(col(keyCol), col("day"),
         col("__cum").cast("double").as("cum_spend"),

@@ -330,6 +330,58 @@ class Round15Spec extends SparkSpec {
       col("cnt") * col("days_dow") * 2 <= col("events_dow") * 3).isEmpty)
   }
 
+  test("reachState merge is entity-grain: cross-shard exposures sum before the histogram") {
+    // user u sees 2 events in shard A and 3 in shard B -> ONE entity at
+    // freq 5; a histogram-level merge would report two entities (2, 3)
+    val a = Seq(("view", "u"), ("view", "u"), ("view", "w"))
+      .toDF("t", "e")
+    val b = Seq(("view", "u"), ("view", "u"), ("view", "u"))
+      .toDF("t", "e")
+    import graft.analyze.Reach
+    val merged = Reach.mergeReachStates(
+      Reach.reachState(a, "e", "t"), Reach.reachState(b, "e", "t"),
+      "e", "t")
+    val out = Reach.reachFrequencyFromState(merged, "e", "t")
+      .orderBy("freq").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (5L, 1L))) // w at 1, u at 5
+    // and merge == recompute on the union
+    val full = Reach.reachFrequency(a.union(b), "e", "t")
+      .orderBy("freq").collect()
+    assert(out.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
+  test("dailySpendState merge reconstructs day totals across shard cuts") {
+    import graft.analyze.Timeseries
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // the same day split across shards; plus a day each only in one
+    val a = Seq(("c", ts("2024-01-10 01:00:00"), 10.50),
+        ("c", ts("2024-01-11 01:00:00"), 1.25))
+      .toDF("k", "ts", "v")
+    val b = Seq(("c", ts("2024-01-10 23:00:00"), 4.50),
+        ("c", ts("2024-01-12 01:00:00"), 2.00))
+      .toDF("k", "ts", "v")
+    val merged = Timeseries.mergeDailySpend(
+      Timeseries.dailySpendState(a, "k", "ts", "v"),
+      Timeseries.dailySpendState(b, "k", "ts", "v"), "k")
+      .orderBy("day").collect()
+    assert(merged.map(r => (r.getDate(1).toString,
+      r.getDecimal(2).toPlainString)).toSeq ==
+      Seq(("2024-01-10", "15.00"), ("2024-01-11", "1.25"),
+        ("2024-01-12", "2.00")))
+    // finalize == the batch pacing on the union
+    val budgets = Seq(("c", "100.00")).toDF("k", "b")
+      .select(col("k"), col("b").cast("decimal(12,2)").as("budget"))
+    val inc = Timeseries.pacingFromDaily(
+      Timeseries.mergeDailySpend(
+        Timeseries.dailySpendState(a, "k", "ts", "v"),
+        Timeseries.dailySpendState(b, "k", "ts", "v"), "k"),
+      "k", budgets).orderBy("day").collect()
+    val batch = Timeseries.budgetPacing(a.union(b), "k", "ts", "v", budgets)
+      .orderBy("day").collect()
+    assert(inc.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

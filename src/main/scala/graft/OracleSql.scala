@@ -4915,6 +4915,63 @@ SELECT d.event_type, d.day, d.dow, d.cnt, p.days_dow, p.events_dow,
 FROM dd d JOIN per p USING (event_type, dow)
 ORDER BY event_type, day"""
 
+  /** MDE/power twin (q197): q189's conversion + md5 split; SRM decided
+    * in cross-multiplied BIGINTs; the MDE/lift doubles replay the
+    * identical fixed-shape arithmetic (sqrt correctly rounded). */
+  private val q197 = """
+WITH users AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-28 00:00:00' THEN 1 ELSE 0 END)
+      AS converted,
+    CASE WHEN
+      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UINTEGER
+        AS BIGINT) % 20 < 10
+      THEN 'treatment' ELSE 'control' END AS variant
+  FROM events GROUP BY 1),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treatment,
+    CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    CAST(sum(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END)
+      AS BIGINT) AS conv_treatment,
+    CAST(sum(CASE WHEN variant = 'control' THEN converted ELSE 0 END)
+      AS BIGINT) AS conv_control
+  FROM users)
+SELECT n_treatment, n_control, conv_treatment, conv_control,
+  CAST((n_treatment - n_control) * (n_treatment - n_control) AS DOUBLE) /
+    CAST(n_treatment + n_control AS DOUBLE) AS srm_chi2,
+  CAST((n_treatment - n_control) * (n_treatment - n_control) AS DOUBLE) >
+    3.841 * CAST(n_treatment + n_control AS DOUBLE) AS srm_suspect,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    CAST(conv_treatment + conv_control AS DOUBLE) /
+      CAST(n_treatment + n_control AS DOUBLE) END AS pooled_rate,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    2.8 * sqrt(
+      (CAST(conv_treatment + conv_control AS DOUBLE) /
+        CAST(n_treatment + n_control AS DOUBLE)) *
+      (1.0 - CAST(conv_treatment + conv_control AS DOUBLE) /
+        CAST(n_treatment + n_control AS DOUBLE)) *
+      (1.0 / CAST(n_treatment AS DOUBLE) +
+       1.0 / CAST(n_control AS DOUBLE))) END AS mde_abs,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) -
+      CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) END
+    AS abs_lift,
+  CASE WHEN n_treatment > 0 AND n_control > 0 THEN
+    abs(CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) -
+        CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)) >
+    2.8 * sqrt(
+      (CAST(conv_treatment + conv_control AS DOUBLE) /
+        CAST(n_treatment + n_control AS DOUBLE)) *
+      (1.0 - CAST(conv_treatment + conv_control AS DOUBLE) /
+        CAST(n_treatment + n_control AS DOUBLE)) *
+      (1.0 / CAST(n_treatment AS DOUBLE) +
+       1.0 / CAST(n_control AS DOUBLE))) END AS detectable
+FROM agg"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5091,6 +5148,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     // shard states; merge == recompute is exactly the gated claim.
     "q195_reach_rollup" -> q182,
     "q196_pacing_rollup" -> q174,
+    "q197_mde_readout" -> q197,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2394,6 +2394,21 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  private def q197_mde_readout(s: SparkSession, dir: String): DataFrame = {
+    // Experiment power + integrity guardrails: SRM chi-square decided
+    // in cross-multiplied integers, MDE at 80%/5% from pooled-rate
+    // fixed-shape IEEE arithmetic (sqrt is correctly rounded), outcome
+    // = q189's late-window conversion (unsaturated).
+    import graft.analyze.Experiment
+    val users = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"), 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        Experiment.assignVariant(col("user_id"), 20, 0 until 10))
+    Experiment.mdeReadout(users, "variant", "converted")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2879,6 +2894,7 @@ object SparkEntry {
     "q194_dow_anomaly" -> (q194_dow_anomaly _),
     "q195_reach_rollup" -> (q195_reach_rollup _),
     "q196_pacing_rollup" -> (q196_pacing_rollup _),
+    "q197_mde_readout" -> (q197_mde_readout _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

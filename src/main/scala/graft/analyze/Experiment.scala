@@ -178,6 +178,66 @@ object Experiment {
           (d(col("__tc")) / d(col("__tn")))).as("lift"))
   }
 
+  /** Experiment POWER + integrity readout — the "can this test even
+    * detect what we care about" guardrails run BEFORE trusting any
+    * lift number:
+    *
+    *  - `srm_chi2` = (nT − nC)² / (nT + nC), the 1-df chi-square for a
+    *    50/50 sample-ratio mismatch (a biased splitter invalidates
+    *    everything downstream); `srm_suspect` flags chi2 > 3.841
+    *    (p < .05). A SINGLE division of exact integers — lint-clean.
+    *  - `mde_abs` = zSum · √(p̂(1−p̂)(1/nT + 1/nC)), the classic
+    *    two-proportion minimum detectable absolute effect at the
+    *    pooled rate p̂; zSum defaults to 2.8 ≈ z_{α/2=.025} + z_{β=.2}
+    *    (80% power, two-sided 5%) — kept as ONE literal so the
+    *    expression shape is fixed. √ is IEEE-correctly-rounded, so the
+    *    chained fixed-shape arithmetic replays bit-exact cross-engine.
+    *  - `abs_lift` and `detectable` = |lift| > mde_abs: both arms'
+    *    doubles derive from the same exact integers, so even the
+    *    boundary compare is deterministic.
+    *
+    * `outcomes` is ONE ROW PER ENTITY with a 0/1 `convCol` (the
+    * [[lift]] readout's grain rule). One partial-aggregating pass,
+    * one row out. Doubles are null (never NaN) when an arm is empty. */
+  def mdeReadout(outcomes: DataFrame, variantCol: String, convCol: String,
+                 zSum: Double = 2.8): DataFrame = {
+    require(zSum > 0, s"zSum must be > 0; got $zSum")
+    val isT = col(variantCol) === "treatment"
+    val isC = col(variantCol) === "control"
+    val agg = outcomes
+      .filter(col(variantCol).isNotNull && col(convCol).isNotNull)
+      .agg(
+        sum(when(isT, 1L).otherwise(0L)).as("n_treatment"),
+        sum(when(isC, 1L).otherwise(0L)).as("n_control"),
+        sum(when(isT, col(convCol).cast("long")).otherwise(0L))
+          .as("conv_treatment"),
+        sum(when(isC, col(convCol).cast("long")).otherwise(0L))
+          .as("conv_control"))
+    def d(c: Column) = c.cast("double")
+    val nT = d(col("n_treatment")); val nC = d(col("n_control"))
+    val p = d(col("conv_treatment") + col("conv_control")) /
+      d(col("n_treatment") + col("n_control"))
+    val mde = lit(zSum) * sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / nT + lit(1.0) / nC))
+    val liftAbs = d(col("conv_treatment")) / nT -
+      d(col("conv_control")) / nC
+    val ok = col("n_treatment") > 0 && col("n_control") > 0
+    def g(c: Column) = when(ok, c).otherwise(lit(null).cast("double"))
+    agg.select(col("n_treatment"), col("n_control"),
+      col("conv_treatment"), col("conv_control"),
+      (d((col("n_treatment") - col("n_control")) *
+          (col("n_treatment") - col("n_control"))) /
+        d(col("n_treatment") + col("n_control"))).as("srm_chi2"),
+      (d((col("n_treatment") - col("n_control")) *
+          (col("n_treatment") - col("n_control"))) >
+        lit(3.841) * d(col("n_treatment") + col("n_control")))
+        .as("srm_suspect"),
+      g(p).as("pooled_rate"), g(mde).as("mde_abs"),
+      g(liftAbs).as("abs_lift"),
+      when(ok, abs(liftAbs) > mde).otherwise(lit(null).cast("boolean"))
+        .as("detectable"))
+  }
+
   /** Difference-in-differences readout — the quasi-experimental
     * companion to [[cupedReadout]]: when assignment isn't random but
     * both arms are observed BEFORE and AFTER the intervention, the

@@ -382,6 +382,35 @@ class Round15Spec extends SparkSpec {
     assert(inc.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("mdeReadout: SRM flags a biased split; detectable tracks lift vs MDE") {
+    import graft.analyze.Experiment
+    // balanced 500/500, conv 100 vs 50: chi2 = 0, lift .1 vs MDE
+    // 2.8*sqrt(.075*.925*(1/500+1/500)) ~ .0466 -> detectable
+    val big = ((0 until 500).map(i => ("treatment", if (i < 100) 1L else 0L)) ++
+      (0 until 500).map(i => ("control", if (i < 50) 1L else 0L)))
+      .toDF("variant", "conv")
+    val r = Experiment.mdeReadout(big, "variant", "conv").head()
+    assert(r.getDouble(4) == 0.0 && !r.getBoolean(5)) // srm
+    assert(r.getDouble(8) == 100.0 / 500.0 - 50.0 / 500.0) // abs_lift
+    assert(r.getBoolean(9)) // lift .1 > mde ~.047
+    // same sizes, tiny lift (102 vs 100): not detectable
+    val tiny = ((0 until 500).map(i => ("treatment", if (i < 102) 1L else 0L)) ++
+      (0 until 500).map(i => ("control", if (i < 100) 1L else 0L)))
+      .toDF("variant", "conv")
+    val t2 = Experiment.mdeReadout(tiny, "variant", "conv").head()
+    assert(!t2.getBoolean(9) && t2.getDouble(7) > 0.004)
+    // planted 900/100 SRM: chi2 = 640000/1000 = 640 > 3.841
+    val srm = ((0 until 900).map(_ => ("treatment", 0L)) ++
+      (0 until 100).map(_ => ("control", 0L))).toDF("variant", "conv")
+    val s3 = Experiment.mdeReadout(srm, "variant", "conv").head()
+    assert(s3.getDouble(4) == 640.0 && s3.getBoolean(5))
+    // one-armed -> null doubles, null detectable
+    val one = Experiment.mdeReadout(
+      Seq(("treatment", 1L)).toDF("variant", "conv"), "variant", "conv")
+      .head()
+    assert(one.isNullAt(7) && one.isNullAt(9))
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

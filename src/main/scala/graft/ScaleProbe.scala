@@ -94,6 +94,12 @@ object ScaleProbe {
   // explosion is touches×convs-in-lookback per entity, and a hot entity
   // makes it quadratic while the window form stays linear in rows.
   private val AttributionProbe = "attribution"
+  // Incremental-rollup probe (round 15, q195): nightly reach refresh as
+  // stored-state merge + delta aggregation vs full recompute over the
+  // fact archive. The claim being measured: incremental reads
+  // |state| + |delta| rows, recompute reads |facts| + |delta| — the
+  // ratio is the per-entity event multiplicity.
+  private val IncrementalProbe = "incremental"
   // Markov-solve probe (VERDICT r14 task 5): the removal-effects
   // absorption runs DRIVER-side over the channel-cardinality state
   // space; this measures that BigInt fixed point at ~10³ states
@@ -121,7 +127,7 @@ object ScaleProbe {
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
                  PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
-                 MarkovProbe
+                 MarkovProbe + IncrementalProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -740,6 +746,68 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
       require(counts.values.forall(_.size == 1),
         s"layouts disagree on filter results: $counts")
+    }
+    if (only.contains(IncrementalProbe)) {
+      import graft.analyze.Reach
+      // n archived facts over n/50 entities x 5 types (~10 events per
+      // (type, entity) state row), 1% nightly delta. Archive facts and
+      // the reach state both live on parquet — the production posture:
+      // the state is a maintained table, not a cached plan.
+      val n = 500000L * scale
+      def ev(start: Long, cnt: Long): DataFrame =
+        spark.range(start, start + cnt).select(
+          pmod(xxhash64(col("id"), lit("u")), lit(n / 50)).as("user_id"),
+          concat(lit("t"),
+            pmod(xxhash64(col("id"), lit("t")), lit(5L))).as("event_type"))
+      val archDir = s"$out/inc_facts"; val stateDir = s"$out/inc_state"
+      ev(0, n).write.mode("overwrite").parquet(archDir)
+      Reach.reachState(spark.read.parquet(archDir), "user_id", "event_type")
+        .write.mode("overwrite").parquet(stateDir)
+      val delta = ev(n, n / 100).cache(); delta.count()
+      def sink(df: DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save()
+        df.count()
+      }
+      def recompute(): DataFrame = Reach.reachFrequency(
+        spark.read.parquet(archDir).unionByName(delta),
+        "user_id", "event_type")
+      def incremental(): DataFrame = Reach.reachFrequencyFromState(
+        Reach.mergeReachStates(spark.read.parquet(stateDir),
+          Reach.reachState(delta, "user_id", "event_type"),
+          "user_id", "event_type"),
+        "user_id", "event_type")
+      // Wall-clock alone undersells the merge in one warm JVM (a local
+      // scan of the archive runs at RAM speed); the term that matters
+      // on a cluster is ROWS ENTERING THE JOB — recompute re-reads the
+      // fact archive every night, incremental reads the state + delta.
+      val inRecords = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val mtr = te.taskMetrics
+          if (mtr != null) inRecords.addAndGet(mtr.inputMetrics.recordsRead)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measured(f: => Unit): (Double, Long) = {
+        val t = best(f)
+        Thread.sleep(500)
+        inRecords.set(0L)
+        f
+        Thread.sleep(500)
+        (t, inRecords.get)
+      }
+      var nr = 0L; var ni = 0L
+      val (tr, rr) = measured { nr = sink(recompute()) }
+      val (ti, ri) = measured { ni = sink(incremental()) }
+      spark.sparkContext.removeSparkListener(listener)
+      require(nr == ni,
+        s"incremental reach row counts differ: $nr vs $ni")
+      val diff = recompute().exceptAll(incremental()).count()
+      require(diff == 0, s"incremental reach curves differ: $diff rows")
+      log.println(f"""{"query":"reach_rollup(probe)","n":$n,"recompute":$tr%.3f,"incremental":$ti%.3f,"speedup":${tr / ti}%.2f,"rows_read_recompute":$rr,"rows_read_incremental":$ri,"read_ratio":${rr.toDouble / ri}%.2f,"curve_rows":$nr}""")
+      delta.unpersist()
     }
     if (only.contains(AttributionProbe)) {
       import graft.relational.Attribution

@@ -4972,6 +4972,41 @@ SELECT n_treatment, n_control, conv_treatment, conv_control,
        1.0 / CAST(n_control AS DOUBLE))) END AS detectable
 FROM agg"""
 
+  /** Split-leakage audit twin (q198): both split keys through the q172
+    * md5-UINTEGER residue; per method, sources straddling splits. */
+  private val q198 = """
+WITH docs AS (
+  SELECT doc_id, source FROM documents
+  WHERE "text" IS NOT NULL AND source IS NOT NULL),
+by_row AS (
+  SELECT source,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+      AS BIGINT) % 10 AS r
+  FROM docs),
+by_grp AS (
+  SELECT source,
+    CAST(('0x' || substr(md5(source), 1, 8))::UINTEGER
+      AS BIGINT) % 10 AS r
+  FROM docs),
+lab AS (
+  SELECT 'row_hash' AS method, source,
+    CASE WHEN r < 8 THEN 'train' WHEN r < 9 THEN 'val' ELSE 'test' END
+      AS split
+  FROM by_row
+  UNION ALL
+  SELECT 'group_hash' AS method, source,
+    CASE WHEN r < 8 THEN 'train' WHEN r < 9 THEN 'val' ELSE 'test' END
+      AS split
+  FROM by_grp),
+per AS (
+  SELECT method, source, count(DISTINCT split) AS k,
+    CAST(count(*) AS BIGINT) AS sz
+  FROM lab GROUP BY 1, 2)
+SELECT method, CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+  CAST(sum(CASE WHEN k > 1 THEN sz ELSE 0 END) AS BIGINT) AS docs_at_risk
+FROM per GROUP BY 1 ORDER BY 1"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5149,6 +5184,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q195_reach_rollup" -> q182,
     "q196_pacing_rollup" -> q174,
     "q197_mde_readout" -> q197,
+    "q198_split_leakage" -> q198,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

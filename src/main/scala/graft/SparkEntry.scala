@@ -2409,6 +2409,35 @@ object SparkEntry {
     Experiment.mdeReadout(users, "variant", "converted")
   }
 
+  private def q198_split_leakage(s: SparkSession, dir: String): DataFrame = {
+    // Split-leakage audit — q193's reason to exist, measured: the same
+    // corpus split by row hash vs by GROUP hash (leak group = source
+    // domain), then per method: how many groups straddle splits and
+    // how many docs sit in straddling groups. Row-hash splits leak
+    // every multi-doc source across train/eval; the group split is
+    // structurally leak-free (0 straddling, whatever the data).
+    import graft.analyze.TextAnalysis
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("source").isNotNull)
+    val splits = Seq(("train", 8), ("val", 1), ("test", 1))
+    def audit(df: DataFrame, method: String): DataFrame =
+      df.groupBy(col("source"))
+        .agg(countDistinct(col("split")).as("__k"),
+          count(lit(1)).as("__sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_straddling"),
+          sum(when(col("__k") > 1, col("__sz")).otherwise(0L))
+            .as("docs_at_risk"))
+        .select(lit(method).as("method"), col("n_groups"),
+          col("n_straddling"), col("docs_at_risk"))
+    audit(TextAnalysis.groupAwareSplit(docs, col("doc_id"), splits),
+        "row_hash")
+      .unionByName(
+        audit(TextAnalysis.groupAwareSplit(docs, col("source"), splits),
+          "group_hash"))
+      .orderBy("method")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2895,6 +2924,7 @@ object SparkEntry {
     "q195_reach_rollup" -> (q195_reach_rollup _),
     "q196_pacing_rollup" -> (q196_pacing_rollup _),
     "q197_mde_readout" -> (q197_mde_readout _),
+    "q198_split_leakage" -> (q198_split_leakage _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

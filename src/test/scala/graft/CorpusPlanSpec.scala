@@ -52,7 +52,8 @@ class CorpusPlanSpec extends SparkSpec {
     "q166_lookalike" -> "seed centroid vector: 1-row relation",
     "q167_gains_table" -> "decile boundaries + conversion-total scalars",
     "q184_survival_hazard" -> "cohort-size scalar for hazard denominators",
-    "q188_adstock_regression" -> "channel-list literal (1-row relation) crossed with the day spine — metadata x metadata")
+    "q188_adstock_regression" -> "channel-list literal (1-row relation) crossed with the day spine — metadata x metadata",
+    "q189_qini_uplift" -> "audience-count scalar for tile assignment: 1-row broadcast relation")
 
   /** query -> why its SinglePartition exchange is metadata-sized:
     * either a final scalar/count aggregate over PARTIAL-aggregated
@@ -83,7 +84,11 @@ class CorpusPlanSpec extends SparkSpec {
     "q167_gains_table" -> "decile boundary + conversion-total scalars",
     "q172_cuped_readout" -> "covariate mean/theta scalars: 1-row stats",
     "q181_abc_classify" -> "global cumsum over AGGREGATED dim rows (catalog-sized; auto-salted above 2M dims, r15)",
-    "q184_survival_hazard" -> "cohort-size scalar")
+    "q184_survival_hazard" -> "cohort-size scalar",
+    "q189_qini_uplift" -> "audience-count scalar + cumulative window over nTiles (<=10) tile rows",
+    "q190_did_readout" -> "2x2 cell readout: 1-row final aggregate over partial aggs",
+    "q197_mde_readout" -> "power/SRM readout: 1-row final aggregate over partial aggs",
+    "q198_split_leakage" -> "audit rollup over source-cardinality groups: 2-row output")
 
   test("no gated plan contains a CartesianProduct; BNLJ/SinglePartition are allowlisted") {
     val offendersCart = scala.collection.mutable.ArrayBuffer[String]()

@@ -411,6 +411,63 @@ class Round15Spec extends SparkSpec {
     assert(one.isNullAt(7) && one.isNullAt(9))
   }
 
+  test("streaming rollup states equal their batch twins; reach state is domain-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingRollup
+
+    // reach: 3 micro-batches, 400 events over 20 entities x 2 types
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingRollup.reachStateStream(
+        mem.toDF().toDF("t", "e"), "e", "t")
+      .writeStream.format("memory").queryName("reach_state")
+      .outputMode("complete").start()
+    val all = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    try {
+      for (b <- 0 until 3) {
+        val batch = (0 until 400).map(i =>
+          (if (i % 2 == 0) "view" else "click", ((b * 7 + i) % 20).toLong))
+        all ++= batch
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("reach_state").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.analyze.Reach.reachState(
+          all.toSeq.toDF("t", "e"), "e", "t").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // state rows == key domain (40), not stream length (1200)
+      val st = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      assert(st == 40L, s"state rows = $st")
+    } finally q.stop()
+
+    // spend: day windows + decimal sums reproduce the batch state
+    val mem2 = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q2 = StreamingRollup.dailySpendStream(
+        mem2.toDF().toDF("k", "ts", "v"), "k", "ts", "v", "1 hour")
+      .writeStream.format("memory").queryName("spend_state")
+      .outputMode("complete").start()
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(("c", ts("2024-01-10 01:00:00"), 10.50),
+      ("c", ts("2024-01-10 23:00:00"), 4.50),
+      ("c", ts("2024-01-11 01:00:00"), 1.25),
+      ("d", ts("2024-01-10 12:00:00"), 2.00))
+    try {
+      mem2.addData(rows: _*)
+      q2.processAllAvailable()
+      val streamed = spark.table("spend_state").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString,
+          r.getDecimal(2).toPlainString)).toSet
+      val batch = graft.analyze.Timeseries.dailySpendState(
+          rows.toDF("k", "ts", "v"), "k", "ts", "v").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString,
+          r.getDecimal(2).toPlainString)).toSet
+      assert(streamed == batch && streamed.contains(("c", "2024-01-10", "15.00")))
+    } finally q2.stop()
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

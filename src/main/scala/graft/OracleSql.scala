@@ -5007,6 +5007,25 @@ SELECT method, CAST(count(*) AS BIGINT) AS n_groups,
   CAST(sum(CASE WHEN k > 1 THEN sz ELSE 0 END) AS BIGINT) AS docs_at_risk
 FROM per GROUP BY 1 ORDER BY 1"""
 
+  /** Frequency-response twin (q199): identical capped bucket + left
+    * join; exact counts, one display division. */
+  private val q199 = """
+WITH exposures AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+conv AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-28 00:00:00'),
+b AS (
+  SELECT least(e.freq, 10) AS freq_bucket,
+    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+  FROM exposures e LEFT JOIN conv c USING (user_id))
+SELECT freq_bucket, CAST(count(*) AS BIGINT) AS n_exposed,
+  CAST(sum(conv) AS BIGINT) AS n_converted,
+  CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+FROM b GROUP BY 1 ORDER BY 1"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5185,6 +5204,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q196_pacing_rollup" -> q174,
     "q197_mde_readout" -> q197,
     "q198_split_leakage" -> q198,
+    "q199_frequency_response" -> q199,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

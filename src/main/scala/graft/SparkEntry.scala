@@ -2438,6 +2438,21 @@ object SparkEntry {
       .orderBy("method")
   }
 
+  private def q199_frequency_response(s: SparkSession, dir: String): DataFrame = {
+    // Optimal-frequency read: view exposures per user (capped 10+
+    // bucket) vs late-window purchase conversion — exact counts from
+    // the reach state grain, one display division.
+    import graft.analyze.Reach
+    val ev = t(s, dir, "events")
+    val exposures = Reach.reachState(
+        ev.filter(col("event_type") === "view"), "user_id", "event_type")
+      .select(col("user_id"), col("freq"))
+    val converters = ev.filter(col("event_type") === "purchase" &&
+      col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+    Reach.frequencyResponse(exposures, "user_id", converters, cap = 10)
+      .orderBy("freq_bucket")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2925,6 +2940,7 @@ object SparkEntry {
     "q196_pacing_rollup" -> (q196_pacing_rollup _),
     "q197_mde_readout" -> (q197_mde_readout _),
     "q198_split_leakage" -> (q198_split_leakage _),
+    "q199_frequency_response" -> (q199_frequency_response _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

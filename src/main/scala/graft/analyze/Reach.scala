@@ -51,6 +51,35 @@ object Reach {
           .as("freq"))
   }
 
+  /** Frequency-response curve — the "optimal frequency" read the
+    * [[reachFrequency]] histogram feeds: per capped exposure-frequency
+    * bucket (1, 2, …, cap+ — the tail pools, every real report caps),
+    * exposed entities, converters among them, and the conversion rate.
+    * `exposures` is a [[reachState]]-shaped (entity, freq) relation
+    * for ONE treatment (pre-filter the type); `converters` is a
+    * distinct entity set. Counts are exact longs from two
+    * audience-sized aggs (the entity grain is the state the rollup
+    * already maintains — this report is a finalize step over it, never
+    * a fact re-scan); the rate is one display division. Entities in
+    * `converters` but never exposed are OUT by construction (left
+    * semi/anti logic — a frequency-response row needs a frequency). */
+  def frequencyResponse(exposures: DataFrame, entityCol: String,
+                        converters: DataFrame, cap: Int = 10): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1; got $cap")
+    val conv = converters.select(col(entityCol)).distinct()
+      .withColumn("__c", lit(1L))
+    exposures
+      .select(col(entityCol), least(col("freq"), lit(cap.toLong))
+        .as("freq_bucket"))
+      .join(conv, Seq(entityCol), "left")
+      .groupBy(col("freq_bucket"))
+      .agg(count(lit(1)).as("n_exposed"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_converted"))
+      .select(col("freq_bucket"), col("n_exposed"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_exposed").cast("double"))
+          .as("conv_rate"))
+  }
+
   /** Finalize a (merged) [[reachState]] into the histogram + f+ curve
     * — histogram-cardinality work only. */
   def reachFrequencyFromState(perEntity: DataFrame, entityCol: String,

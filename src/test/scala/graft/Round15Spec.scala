@@ -468,6 +468,21 @@ class Round15Spec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("frequencyResponse: caps pool the tail; unexposed converters are excluded") {
+    import graft.analyze.Reach
+    val exposures = Seq(("a", 1L), ("b", 3L), ("c", 7L), ("d", 9L))
+      .toDF("e", "freq")
+    val converters = Seq("b", "d", "zz").toDF("e") // zz never exposed
+    val out = Reach.frequencyResponse(exposures, "e", converters, cap = 5)
+      .orderBy("freq_bucket").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 0L), (3L, 1L, 1L), (5L, 2L, 1L))) // 7 and 9 pool at 5+
+    assert(out.last.getDouble(3) == 0.5)
+    intercept[IllegalArgumentException] {
+      Reach.frequencyResponse(exposures, "e", converters, cap = 0)
+    }
+  }
+
   test("journeyTransitions mirrors attributeTouches' guards") {
     val ev = Seq((1L, new java.sql.Timestamp(1000L), "click", 1L))
       .toDF("user_id", "ts", "event_type", "event_id")

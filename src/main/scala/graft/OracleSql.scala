@@ -5026,6 +5026,53 @@ SELECT freq_bucket, CAST(count(*) AS BIGINT) AS n_exposed,
   CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
 FROM b GROUP BY 1 ORDER BY 1"""
 
+  /** Cluster-keyed split twin (q200): q63's pair + transitive-closure
+    * CTEs give the min-label cluster; singletons key by their own id;
+    * the split residue hashes the rep through the q172 UINTEGER key. */
+  private val q200 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks
+  FROM documents WHERE "text" IS NOT NULL),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE)
+    / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+keyed AS (
+  SELECT t.doc_id, c.cluster_id,
+    coalesce(c.cluster_id, t.doc_id) AS rep
+  FROM t LEFT JOIN comp c USING (doc_id)),
+lab AS (
+  SELECT doc_id, cluster_id, rep,
+    CASE WHEN r < 8 THEN 'train' WHEN r < 9 THEN 'val' ELSE 'test' END
+      AS split
+  FROM (SELECT *,
+    CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::UINTEGER
+      AS BIGINT) % 10 AS r
+    FROM keyed))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clustered_docs
+FROM lab GROUP BY 1 ORDER BY 1"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5205,6 +5252,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q197_mde_readout" -> q197,
     "q198_split_leakage" -> q198,
     "q199_frequency_response" -> q199,
+    "q200_cluster_split" -> q200,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2453,6 +2453,31 @@ object SparkEntry {
       .orderBy("freq_bucket")
   }
 
+  private def q200_cluster_split(s: SparkSession, dir: String): DataFrame = {
+    // Decontamination-safe corpus split: the split key is the NEAR-DUP
+    // cluster label (q63's min-label connected component; singletons
+    // key by their own id), so a near-duplicate of a training doc can
+    // never score the eval set — q193's group discipline upgraded from
+    // exact to near duplicates. Per split: docs, distinct groups, and
+    // docs belonging to a multi-doc near-dup cluster.
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.4)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val keyed = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+    graft.analyze.TextAnalysis.groupAwareSplit(keyed,
+        col("rep").cast("string"),
+        Seq(("train", 8), ("val", 1), ("test", 1)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered_docs"))
+      .orderBy("split")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2941,6 +2966,7 @@ object SparkEntry {
     "q197_mde_readout" -> (q197_mde_readout _),
     "q198_split_leakage" -> (q198_split_leakage _),
     "q199_frequency_response" -> (q199_frequency_response _),
+    "q200_cluster_split" -> (q200_cluster_split _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

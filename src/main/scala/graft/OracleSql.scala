@@ -5073,6 +5073,118 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
     AS n_clustered_docs
 FROM lab GROUP BY 1 ORDER BY 1"""
 
+  /** Theil–Sen twin (q201): identical integer sort key
+    * dy · (lcm(1..31) // dx) — HUGEINT here, DECIMAL(34,0) on the
+    * Spark side, both exact and both ORDER-only (never gated) — and
+    * the same rank-⌈n/2⌉ median pick with the (s, dy, dx) tiebreak. */
+  private val q201 = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, b.cnt - a.cnt AS dy, b.day - a.day AS dx,
+    CAST(b.cnt - a.cnt AS HUGEINT) * (72201776446800 // (b.day - a.day)) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day > a.day),
+rk AS (
+  SELECT event_type, dy, dx,
+    row_number() OVER (PARTITION BY event_type ORDER BY s, dy, dx) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+SELECT r.event_type, nd.n_days, CAST(np AS BIGINT) AS n_pairs,
+  CAST(dy AS BIGINT) AS slope_num, CAST(dx AS BIGINT) AS slope_den,
+  dy::DOUBLE / dx::DOUBLE AS slope_per_day, dy > 0 AS trend_up
+FROM rk r JOIN nd USING (event_type)
+WHERE rn = (50 * np + 99) // 100
+ORDER BY event_type"""
+
+  /** KMV audience-overlap twin (q202): the same md5-low64 per-type
+    * k-min sketches (q55 discipline; UBIGINT order here ≡ the Spark
+    * side's sign-flipped long order), union k-min ranking, membership
+    * matches, and exact sizes; the kth-min converts to Spark's signed
+    * two's-complement BIGINT for the gate. */
+  private val q202 = """
+WITH et AS (
+  SELECT DISTINCT event_type AS t, user_id AS e FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value > 100),
+h AS (
+  SELECT DISTINCT t,
+    ('0x' || substr(md5(CAST(e AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM et),
+sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h)
+  WHERE rn <= 64),
+sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM et GROUP BY 1),
+tp AS (
+  SELECT a.t AS type_a, b.t AS type_b, a.n AS exact_a, b.n AS exact_b
+  FROM sizes a JOIN sizes b ON a.t < b.t),
+xi AS (
+  SELECT x.t AS type_a, y.t AS type_b, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM et x JOIN et y ON x.e = y.e AND x.t < y.t GROUP BY 1, 2),
+ph AS (
+  SELECT tp.type_a, tp.type_b, sk.h,
+    max(CASE WHEN sk.t = tp.type_a THEN 1 ELSE 0 END) AS ina,
+    max(CASE WHEN sk.t = tp.type_b THEN 1 ELSE 0 END) AS inb
+  FROM tp JOIN sk ON sk.t IN (tp.type_a, tp.type_b)
+  GROUP BY 1, 2, 3),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM ph),
+u AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_union_sketch,
+    CAST(sum(ina * inb) AS BIGINT) AS inter_matches,
+    max(h) AS kth
+  FROM rk WHERE rn <= 64 GROUP BY 1, 2)
+SELECT u.type_a, u.type_b, tp.exact_a, tp.exact_b,
+  COALESCE(xi.exact_inter, 0) AS exact_inter,
+  tp.exact_a + tp.exact_b - COALESCE(xi.exact_inter, 0) AS exact_union,
+  u.n_union_sketch, u.inter_matches,
+  CAST(CASE WHEN kth >= 9223372036854775808::UBIGINT
+    THEN kth::HUGEINT - 18446744073709551616::HUGEINT
+    ELSE kth::HUGEINT END AS BIGINT) AS union_kth
+FROM u JOIN tp USING (type_a, type_b)
+LEFT JOIN xi USING (type_a, type_b)
+ORDER BY type_a, type_b"""
+
+  /** Water-filling twin (q203): same whitespace token mass, same
+    * md5-residue weights (q172 UINTEGER key), same IEEE ratio ORDER
+    * (correctly-rounded division in both engines, (avail, source)
+    * tiebreak), same HUGEINT cross-multiplied saturation test and
+    * floor allocation. sum() OVER returns HUGEINT here → explicit
+    * BIGINT casts (playbook rule). */
+  private val q203 = """
+WITH d AS (
+  SELECT source, CASE WHEN LENGTH(TRIM("text")) = 0 THEN 0
+    ELSE len(string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ')) END AS tc
+  FROM documents WHERE "text" IS NOT NULL AND source IS NOT NULL),
+a AS (
+  SELECT source, CAST(sum(tc) AS BIGINT) AS available,
+    1 + CAST(('0x' || substr(md5(source), 1, 8))::UINTEGER AS BIGINT) % 9 AS weight
+  FROM d GROUP BY source),
+tot AS (
+  SELECT CAST(sum(available) AS BIGINT) AS ta, CAST(sum(weight) AS BIGINT) AS tw FROM a),
+s AS (
+  SELECT a.*, (tot.ta * 4) // 5 AS budget, tot.tw,
+    COALESCE(CAST(sum(available) OVER w AS BIGINT), 0) AS apre,
+    tot.tw - COALESCE(CAST(sum(weight) OVER w AS BIGINT), 0) AS wsuf
+  FROM a CROSS JOIN tot
+  WINDOW w AS (ORDER BY available::DOUBLE / weight::DOUBLE, available, source
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sat AS (
+  SELECT *, CAST(available AS HUGEINT) * wsuf <= CAST(budget - apre AS HUGEINT) * weight AS saturated
+  FROM s),
+fin AS (
+  SELECT *, CAST(sum(CASE WHEN saturated THEN available ELSE 0 END) OVER () AS BIGINT) AS asat,
+    CAST(sum(CASE WHEN saturated THEN 0 ELSE weight END) OVER () AS BIGINT) AS wunsat
+  FROM sat)
+SELECT source, available, weight, budget, saturated,
+  CASE WHEN saturated THEN available
+    ELSE CAST(CAST(budget - asat AS HUGEINT) * weight // wunsat AS BIGINT) END AS allocated
+FROM fin ORDER BY source"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5253,6 +5365,9 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q198_split_leakage" -> q198,
     "q199_frequency_response" -> q199,
     "q200_cluster_split" -> q200,
+    "q201_theilsen_trend" -> q201,
+    "q202_audience_sketch_overlap" -> q202,
+    "q203_mixture_allocation" -> q203,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2478,6 +2478,48 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  private def q201_theilsen_trend(s: SparkSession, dir: String): DataFrame =
+    // Theil–Sen robust daily trend per event type: median pairwise
+    // slope picked by an exact integer sort key (dy * lcm(1..31)/dx in
+    // DECIMAL(34,0) — rationals order without division); gated output
+    // is the median pair's plain-integer slope_num/slope_den.
+    graft.analyze.Timeseries.theilSenTrend(
+        t(s, dir, "events"), "event_type", "ts")
+      .orderBy("event_type")
+
+  private def q202_audience_sketch_overlap(s: SparkSession, dir: String): DataFrame =
+    // KMV set algebra: pairwise HIGH-VALUE audience overlap (any event
+    // of the type with value > 100) across event types from O(k)
+    // mergeable sketch states — union kth-min hash, sketch
+    // intersection matches, plus exact sizes for evaluation. Gated
+    // INTEGER-ONLY (hash bit patterns + counts); the IEEE estimates
+    // are dropped here and spec-checked (Round15Spec) against the
+    // exact-integer KmvOps.estimate form.
+    graft.analyze.KmvAlgebra.audienceOverlap(
+        t(s, dir, "events").filter(col("value") > 100.0),
+        "user_id", "event_type", k = 64)
+      .drop("est_union", "est_intersection", "jaccard_est")
+      .orderBy("type_a", "type_b")
+
+  private def q203_mixture_allocation(s: SparkSession, dir: String): DataFrame = {
+    // Corpus-budget water-filling: allocate 4/5 of the corpus token
+    // mass across sources by md5-derived target weights (1..9), caps
+    // binding where a source runs out — the closed-form prefix test
+    // decides saturation in exact cross-multiplied DECIMAL(38,0).
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("source").isNotNull)
+    val avail = docs.groupBy(col("source"))
+      .agg(sum(TA.tokenCount(lower(col("text"))).cast("long"))
+        .as("avail_tokens"))
+      .withColumn("w",
+        lit(1L) + pmod(TA.hashSampleKey(col("source")), lit(9L)))
+    graft.analyze.TextAnalysis.mixtureAllocation(
+        avail, "source", "avail_tokens", "w",
+        budgetNum = 4, budgetDen = 5)
+      .drop("fill_frac", "budget_share")
+      .orderBy("source")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -2967,6 +3009,9 @@ object SparkEntry {
     "q198_split_leakage" -> (q198_split_leakage _),
     "q199_frequency_response" -> (q199_frequency_response _),
     "q200_cluster_split" -> (q200_cluster_split _),
+    "q201_theilsen_trend" -> (q201_theilsen_trend _),
+    "q202_audience_sketch_overlap" -> (q202_audience_sketch_overlap _),
+    "q203_mixture_allocation" -> (q203_mixture_allocation _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

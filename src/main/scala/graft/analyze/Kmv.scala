@@ -133,3 +133,106 @@ object KmvDistinct {
       .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
   }
 }
+
+/** Set ALGEBRA over KMV sketches — the piece that makes the k-min
+  * state more than a distinct counter: because the k smallest hashes
+  * of A ∪ B are a subset of A's k-mins ∪ B's k-mins, union sketches
+  * compose EXACTLY from per-segment states, and the classic
+  * intersection estimator (Beyer et al., SIGMOD'07) needs only
+  * membership tests inside the union sketch:
+  *
+  *   K  = k-min(A_sketch ∪ B_sketch)        (= k-min(A ∪ B), exact)
+  *   ρ  = |{h ∈ K : h ∈ A_sketch ∧ h ∈ B_sketch}| / k
+  *   |A ∩ B| ≈ ρ · est(|A ∪ B|)
+  *
+  * At 100 TB this is the audience-overlap matrix that never touches
+  * the fact table twice: per-segment states are O(k) each, every
+  * pair's algebra runs over ≤ 2k METADATA rows. */
+object KmvAlgebra {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.DataFrame
+
+  /** Pairwise audience overlap across segments (`typeCol` values): for
+    * every unordered segment pair, the union sketch's size and kth-min
+    * hash, the intersection match count ρ·k, and — for evaluation at
+    * gate scale — the exact distinct audience sizes and overlap.
+    *
+    * Determinism: everything gated is integer — the kth-min is the
+    * md5-low64 bit pattern itself ([[KmvDistinct.md5Low64]]), match
+    * counts are set cardinalities, exact counts are distinct counts.
+    * The IEEE estimates (`est_union`, `est_intersection`,
+    * `jaccard_est`) are display-only (spec-checked against
+    * [[KmvOps.estimate]]'s exact integer form).
+    *
+    * Shape: ONE fact-scale pass builds the O(k) per-segment states
+    * (partial-aggregating UDAF — the q55 machinery); one distinct
+    * (segment, entity) relation feeds the exact-eval columns (drop it
+    * at true scale: production keeps sketches only). The pair algebra
+    * — type-table cross (T² rows), union ranking, membership counts —
+    * runs entirely over (T² × 2k)-row relations: metadata, whatever
+    * the fact volume. The unsigned hash order Spark lacks natively is
+    * the signed order of `h XOR Long.MinValue` (sign-flip trick; DuckDB
+    * orders its UBIGINT natively — same total order). */
+  def audienceOverlap(events: DataFrame, entityCol: String,
+                      typeCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2; got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .filter(col(typeCol).isNotNull && col(entityCol).isNotNull)
+    val states = base
+      .select(col(typeCol).as("__t"),
+        KmvDistinct.md5Low64(col(entityCol).cast("string")).as("__h"))
+      .groupBy(col("__t"))
+      .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("__st"))
+    val sk = states.select(col("__t"), explode(col("__st")).as("__h"))
+    val et = base
+      .select(col(typeCol).as("__t"), col(entityCol).as("__e")).distinct()
+    val sizes = et.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val tp = sizes.select(col("__t").as("type_a"), col("__n").as("exact_a"))
+      .crossJoin(
+        sizes.select(col("__t").as("type_b"), col("__n").as("exact_b")))
+      .filter(col("type_a") < col("type_b"))
+    val inter = et.select(col("__t").as("__ta"), col("__e"))
+      .join(et.select(col("__t").as("__tb"), col("__e")), Seq("__e"))
+      .filter(col("__ta") < col("__tb"))
+      .groupBy(col("__ta").as("type_a"), col("__tb").as("type_b"))
+      .agg(count(lit(1)).as("__xi"))
+    val ph = tp.select(col("type_a"), col("type_b"))
+      .join(sk,
+        col("__t") === col("type_a") || col("__t") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("__h"))
+      .agg(max(when(col("__t") === col("type_a"), 1).otherwise(0))
+          .as("__ina"),
+        max(when(col("__t") === col("type_b"), 1).otherwise(0))
+          .as("__inb"))
+    val wu = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("__h").bitwiseXOR(lit(Long.MinValue)).asc)
+    val u = ph.withColumn("__rn", row_number().over(wu))
+      .filter(col("__rn") <= k)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_union_sketch"),
+        sum(col("__ina") * col("__inb")).cast("long").as("inter_matches"),
+        max(col("__h").bitwiseXOR(lit(Long.MinValue)))
+          .bitwiseXOR(lit(Long.MinValue)).as("union_kth"))
+    // display-only estimates: unsigned kth as a double via the flipped
+    // value + 2^63 (exact for the magnitude class; gated columns stay
+    // integer)
+    val kthU = col("union_kth").bitwiseXOR(lit(Long.MinValue))
+      .cast("double") + lit(math.pow(2.0, 63))
+    val estU = when(col("n_union_sketch") < k,
+        col("n_union_sketch").cast("double"))
+      .otherwise(lit((k - 1).toDouble * math.pow(2.0, 64)) / kthU)
+    u.join(broadcast(tp), Seq("type_a", "type_b"))
+      .join(broadcast(inter), Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        coalesce(col("__xi"), lit(0L)).as("exact_inter"),
+        (col("exact_a") + col("exact_b") -
+          coalesce(col("__xi"), lit(0L))).as("exact_union"),
+        col("n_union_sketch"), col("inter_matches"), col("union_kth"),
+        estU.as("est_union"),
+        (col("inter_matches").cast("double") / lit(k.toDouble) * estU)
+          .as("est_intersection"),
+        (col("inter_matches").cast("double") / lit(k.toDouble))
+          .as("jaccard_est"))
+  }
+}

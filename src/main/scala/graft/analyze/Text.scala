@@ -379,6 +379,88 @@ object TextAnalysis {
     df.withColumn("split", splitCol)
   }
 
+  /** Capped WATER-FILLING mixture allocation — the corpus-budgeting
+    * closed form: given per-source available token mass `a_i`, target
+    * mixture weights `w_i`, and a token budget B (a `num/den` fraction
+    * of the total mass), allocate B proportionally to the weights
+    * EXCEPT that no source can give more than it has; freed budget
+    * redistributes to the unsaturated sources by weight. This is the
+    * deterministic core of every data-mixture recipe ("30% code, 30%
+    * web, 40% books — but books run out"): DoReMi-style weight tuning
+    * produces the `w_i`, this operator turns them into exact row
+    * budgets downstream samplers ([[stratifiedSample]]) consume.
+    *
+    * Closed form, no iteration: sorted ascending by the fill ratio
+    * `a_i/w_i`, the saturated set is a prefix, and membership is the
+    * per-row test  a_i · Wsuf_i ≤ (B − Apre_i) · w_i  over prefix
+    * sums — PROVABLY consistent row-local (if row i fails the test,
+    * every later row fails: θ_{i+1} < θ_i < r_i ≤ r_{i+1}), so one
+    * window pass decides what a sequential greedy would. Both
+    * cross-products run in DECIMAL(38,0) (no overflow at any corpus
+    * size); unsaturated allocations are floor `(B−A_sat)·w_i / W_unsat`
+    * (remainder ≤ W_unsat tokens stays unallocated — deterministic,
+    * documented). The sort key `a_i/w_i` is ONE correctly-rounded IEEE
+    * division (identical in every engine; ties break by (a_i, key)),
+    * and it only ORDERS — every decision is exact-integer.
+    *
+    * Shape: input is the per-source AGGREGATE (source-cardinality
+    * rows); the global windows are the documented catalog-sized
+    * SinglePartition class (thousands of sources, metadata). The
+    * fact-scale token count happens before this operator, map-side. */
+  def mixtureAllocation(avail: DataFrame, keyCol: String,
+                        availCol: String, weightCol: String,
+                        budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction must be >= 0 with positive denominator; " +
+        s"got $budgetNum/$budgetDen")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = avail
+      .select(col(keyCol),
+        when(col(availCol).isNull || col(availCol) < 0, raise_error(
+            concat(lit("mixtureAllocation: null/negative available for "),
+              col(keyCol).cast("string"))).cast("long"))
+          .otherwise(col(availCol).cast("long")).as("available"),
+        when(col(weightCol).isNull || col(weightCol) <= 0, raise_error(
+            concat(lit("mixtureAllocation: null/non-positive weight for "),
+              col(keyCol).cast("string"))).cast("long"))
+          .otherwise(col(weightCol).cast("long")).as("weight"))
+    val tot = Window.partitionBy()
+    val ord = Window.orderBy(
+      (col("available").cast("double") / col("weight").cast("double")).asc,
+      col("available").asc, col(keyCol).asc)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val budget = call_function("div",
+      sum(col("available")).over(tot).cast(dec) * budgetNum, lit(budgetDen))
+    val staged = base
+      .withColumn("budget", budget)
+      .withColumn("__apre",
+        coalesce(sum(col("available")).over(pre), lit(0L)))
+      .withColumn("__wsuf",
+        sum(col("weight")).over(tot) -
+          coalesce(sum(col("weight")).over(pre), lit(0L)))
+      .withColumn("saturated",
+        col("available").cast(dec) * col("__wsuf") <=
+          (col("budget") - col("__apre")).cast(dec) * col("weight"))
+    staged
+      .withColumn("__asat",
+        sum(when(col("saturated"), col("available")).otherwise(0L))
+          .over(tot))
+      .withColumn("__wunsat",
+        sum(when(col("saturated"), 0L).otherwise(col("weight"))).over(tot))
+      .withColumn("allocated",
+        when(col("saturated"), col("available"))
+          .otherwise(call_function("div",
+            (col("budget") - col("__asat")).cast(dec) * col("weight"),
+            col("__wunsat"))))
+      .select(col(keyCol), col("available"), col("weight"), col("budget"),
+        col("saturated"), col("allocated"),
+        (col("allocated").cast("double") /
+          col("available").cast("double")).as("fill_frac"),
+        (col("allocated").cast("double") /
+          col("budget").cast("double")).as("budget_share"))
+  }
+
   /** Deterministic weighted PRIORITY sample (Duffield–Lund–Thorup): keep
     * the k rows minimizing `hash(id) / weight` — inclusion probability
     * grows with weight, yet the sample is a pure function of the ids

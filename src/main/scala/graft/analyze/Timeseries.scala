@@ -250,6 +250,84 @@ object Timeseries {
           (col("n_scored") * den).cast("double")).as("bias"))
   }
 
+  /** Theil–Sen robust trend per key — the median of all pairwise
+    * slopes over the daily series (Theil 1950; Sen 1968): immune to
+    * the single-day spikes that wreck an OLS slope (breakdown point
+    * ~29%), which is what a channel-health monitor actually needs.
+    *
+    * EXACT median selection, no float anywhere in the decision: every
+    * pair (i<j) gets the integer sort key
+    *
+    *   S = dy · (LCM31 / dx),  LCM31 = lcm(1..31) = 72 201 776 446 800
+    *
+    * — dx ∈ [1, 31] always divides LCM31, so S is an exact integer
+    * proportional to the slope dy/dx and rationals order WITHOUT any
+    * division. S accumulates in DECIMAL(34,0) (dy up to 10^20 per day
+    * cannot overflow it), the median pair is the rank-⌈n/2⌉ pick under
+    * (S, dy, dx) order (the discretePercentiles formula; the (dy, dx)
+    * tiebreak pins WHICH representation of an equal slope is reported,
+    * both engines identically), and the gated output is the pair's
+    * plain-integer `slope_num`/`slope_den` — the display `slope_per_day`
+    * is the one IEEE division.
+    *
+    * The 31-day envelope is structural (divisibility), checked loud
+    * per key via raise_error — longer horizons chunk by calendar month
+    * and compare monthly trends, which is also the statistically sane
+    * read (a 90-day "trend" through two seasonality cycles is not one
+    * number).
+    *
+    * Shape: one day-grain aggregation (map-side combine), then the
+    * O(span²) pair join runs on the AGGREGATED per-key series — ≤ 465
+    * pair rows per key at the full envelope, metadata-sized however
+    * large the fact table. Keys with < 2 observed days have no pairs
+    * and are absent (document: no-trend, not zero-trend). */
+  def theilSenTrend(events: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Lcm31 = 72201776446800L // lcm(1..31)
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__ndays"),
+        (max(col("__day")) - min(col("__day"))).as("__span"))
+    val a = daily.select(col(keyCol), col("__day").as("__d1"),
+      col("__cnt").as("__c1"))
+    val b = daily.select(col(keyCol), col("__day").as("__d2"),
+      col("__cnt").as("__c2"))
+    val pairs = a.join(b, Seq(keyCol))
+      .filter(col("__d2") > col("__d1"))
+      .join(broadcast(span), Seq(keyCol))
+      .withColumn("__dx",
+        when(col("__span") > 31, raise_error(concat(
+            lit("theilSenTrend: series for key="),
+            col(keyCol).cast("string"),
+            lit(" spans > 31 days — chunk by calendar month (the " +
+              "LCM31 divisibility envelope is structural)")))
+          .cast("long"))
+        .otherwise(col("__d2") - col("__d1")))
+      .withColumn("__dy", col("__c2") - col("__c1"))
+      .withColumn("__s",
+        col("__dy").cast("decimal(20,0)") *
+          call_function("div", lit(Lcm31), col("__dx"))
+            .cast("decimal(14,0)"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s").asc, col("__dy").asc, col("__dx").asc)
+    val n = Window.partitionBy(col(keyCol))
+    pairs
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(n))
+      .filter(col("__r") ===
+        call_function("div", lit(50L) * col("n_pairs") + 99L, lit(100L)))
+      .select(col(keyCol), col("__ndays").as("n_days"), col("n_pairs"),
+        col("__dy").as("slope_num"), col("__dx").as("slope_den"),
+        (col("__dy").cast("double") / col("__dx").cast("double"))
+          .as("slope_per_day"),
+        (col("__dy") > 0L).as("trend_up"))
+  }
+
   /** Budget pacing — is each campaign burning its monthly budget
     * ahead or behind the linear schedule: per (key, active day),
     * cumulative DECIMAL-exact spend vs the linear target

@@ -495,4 +495,154 @@ class Round15Spec extends SparkSpec {
         "ts", "event_type", "event_id", "purchase", Seq("click"), 0L)
     }
   }
+
+  // day d of Jan 2024, n events of one type — a daily series
+  private def dayEvents(typ: String, counts: Seq[(Int, Int)]) =
+    counts.flatMap { case (d, n) =>
+      (0 until n).map(i => (typ, java.sql.Timestamp.valueOf(
+        f"2024-01-$d%02d 12:${i / 60}%02d:${i % 60}%02d")))
+    }.toDF("event_type", "ts")
+
+  test("theilSenTrend: exact linear series recovers the slope; median resists one spike") {
+    import graft.analyze.Timeseries
+    // pure line: cnt = 2*d + 1 over 6 days -> every pairwise slope = 2
+    val lin = dayEvents("a", (1 to 6).map(d => (d, 2 * d + 1)))
+    val r = Timeseries.theilSenTrend(lin, "event_type", "ts")
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 6L &&
+      r.getAs[Long]("n_pairs") == 15L)
+    assert(r.getAs[Long]("slope_num").toDouble /
+      r.getAs[Long]("slope_den") == 2.0)
+    assert(r.getAs[Boolean]("trend_up"))
+    // same line with day 4 spiked to 100: 5 of 15 pairs are polluted,
+    // the median slope stays exactly 2 (the OLS slope would not)
+    val spiked = dayEvents("a",
+      (1 to 6).map(d => (d, if (d == 4) 100 else 2 * d + 1)))
+    val rs = Timeseries.theilSenTrend(spiked, "event_type", "ts")
+      .collect().head
+    assert(rs.getAs[Long]("slope_num").toDouble /
+      rs.getAs[Long]("slope_den") == 2.0)
+  }
+
+  test("theilSenTrend: flat series reports zero slope; >31-day span fails loud") {
+    import graft.analyze.Timeseries
+    val flat = dayEvents("a", (1 to 5).map(d => (d, 7)))
+    val r = Timeseries.theilSenTrend(flat, "event_type", "ts")
+      .collect().head
+    assert(r.getAs[Long]("slope_num") == 0L &&
+      !r.getAs[Boolean]("trend_up"))
+    // a 32-day gap (Jan 1 .. Feb 2) must raise, not silently mis-key
+    // (Feb 1 is dx = 31 — still inside the divisibility envelope)
+    val wide = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 12:00:00")),
+        ("a", java.sql.Timestamp.valueOf("2024-02-02 12:00:00")))
+      .toDF("event_type", "ts")
+    val ex = intercept[Exception] {
+      Timeseries.theilSenTrend(wide, "event_type", "ts").collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
+  }
+
+  test("audienceOverlap: below-k audiences make the sketch columns exact") {
+    import graft.analyze.{KmvAlgebra, KmvDistinct}
+    // 30 users in A (u0..u29), 20 in B (u20..u39): inter 10, union 40
+    val ev = ((0 until 30).map(i => ("A", s"u$i")) ++
+      (20 until 40).map(i => ("B", s"u$i")))
+      .toDF("seg", "uid")
+    val r = KmvAlgebra.audienceOverlap(ev, "uid", "seg", k = 64)
+      .collect().head
+    assert(r.getAs[Long]("exact_a") == 30L &&
+      r.getAs[Long]("exact_b") == 20L &&
+      r.getAs[Long]("exact_inter") == 10L &&
+      r.getAs[Long]("exact_union") == 40L)
+    // n < k: the union sketch IS the union, matches ARE the overlap
+    assert(r.getAs[Long]("n_union_sketch") == 40L)
+    assert(r.getAs[Long]("inter_matches") == 10L)
+    // kth-min = unsigned max of all 40 member hashes
+    val hs = ev.select(col("uid")).distinct()
+      .select(KmvDistinct.md5Low64(col("uid")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(r.getAs[Long]("union_kth") ==
+      hs.reduce((a, b) =>
+        if (java.lang.Long.compareUnsigned(a, b) >= 0) a else b))
+    // below k the display estimate is the exact cardinality
+    assert(r.getAs[Double]("est_union") == 40.0)
+  }
+
+  test("audienceOverlap: above-k estimates track the exact KMV estimate") {
+    import graft.analyze.{KmvAlgebra, KmvDistinct}
+    val k = 16
+    val ev = ((0 until 400).map(i => ("A", s"x$i")) ++
+      (200 until 600).map(i => ("B", s"x$i")))
+      .toDF("seg", "uid")
+    val r = KmvAlgebra.audienceOverlap(ev, "uid", "seg", k = k)
+      .collect().head
+    assert(r.getAs[Long]("n_union_sketch") == k.toLong)
+    // the union sketch must equal a direct KMV over the union
+    // (KmvDistinct's public reduce/finish replay the exact kernel)
+    val agg = new KmvDistinct(k)
+    val union = ev.select(col("uid")).distinct()
+      .select(KmvDistinct.md5Low64(col("uid")).as("h"))
+      .collect().map(_.getLong(0))
+    val buf = union.foldLeft(agg.zero)(agg.reduce)
+    assert(r.getAs[Long]("union_kth") == buf(k - 1))
+    val estExact = agg.finish(buf).toDouble
+    val estShown = r.getAs[Double]("est_union")
+    // the exact form TRUNCATES its integer division; the display
+    // double doesn't — they agree to within one unit
+    assert(math.abs(estShown - estExact) < 1.0)
+  }
+
+  test("mixtureAllocation: caps bind, freed budget redistributes by weight, floor exact") {
+    import graft.analyze.TextAnalysis
+    // a=(10,100), w=(1,1), B = 4/5 * 110 = 88: source p saturates at
+    // 10, q takes the rest (78)
+    val avail = Seq(("p", 10L, 1L), ("q", 100L, 1L))
+      .toDF("src", "avail", "w")
+    val r = TextAnalysis.mixtureAllocation(avail, "src", "avail", "w", 4, 5)
+      .orderBy("src").collect()
+    assert(r(0).getAs[Boolean]("saturated") &&
+      r(0).getAs[Long]("allocated") == 10L)
+    assert(!r(1).getAs[Boolean]("saturated") &&
+      r(1).getAs[Long]("allocated") == 78L)
+    assert(r.map(_.getAs[Long]("budget")).distinct.toSeq == Seq(88L))
+  }
+
+  test("mixtureAllocation: matches a sequential greedy reference on random inputs") {
+    import graft.analyze.TextAnalysis
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val rows = (0 until n).map(i =>
+        (s"s$i", (rnd.nextInt(5000) + 1).toLong, (rnd.nextInt(9) + 1).toLong))
+      val (num, den) = (rnd.nextInt(4) + 1, 5)
+      val got = TextAnalysis.mixtureAllocation(
+          rows.toDF("src", "avail", "w"), "src", "avail", "w", num, den)
+        .orderBy("src").collect()
+        .map(x => (x.getAs[String]("src"), x.getAs[Long]("allocated"),
+          x.getAs[Boolean]("saturated"))).toSeq
+      // sequential greedy: repeatedly saturate any source whose fair
+      // share exceeds availability, then split the rest by weight
+      var budget = rows.map(_._2).sum * num / den
+      var active = rows.sortBy(r => (r._2.toDouble / r._3, r._2, r._1))
+      var sat = Map.empty[String, Long]
+      var changed = true
+      while (changed) {
+        changed = false
+        val wsum = active.map(_._3).sum
+        active.find(r => BigInt(r._2) * wsum <= BigInt(budget) * r._3)
+          .foreach { r =>
+            sat += (r._1 -> r._2); budget -= r._2
+            active = active.filterNot(_._1 == r._1); changed = true
+          }
+      }
+      val wsum = active.map(_._3).sum
+      val want = rows.map { r =>
+        sat.get(r._1) match {
+          case Some(a) => (r._1, a, true)
+          case None => (r._1, budget * r._3 / wsum, false)
+        }
+      }.sortBy(_._1)
+      assert(got == want, s"mismatch for rows=$rows num=$num")
+    }
+  }
 }

@@ -5185,6 +5185,27 @@ SELECT source, available, weight, budget, saturated,
     ELSE CAST(CAST(budget - asat AS HUGEINT) * weight // wunsat AS BIGINT) END AS allocated
 FROM fin ORDER BY source"""
 
+  /** KMV rollup twin (q204): the oracle rebuilds each segment's k-min
+    * sketch FROM SCRATCH over the full audience — the Spark side
+    * merges two shard states, so row-for-row hash equality IS the
+    * merge ≡ recompute proof at state granularity. */
+  private val q204 = """
+WITH et AS (
+  SELECT DISTINCT event_type AS t, user_id AS e FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value > 100),
+h AS (
+  SELECT DISTINCT t,
+    ('0x' || substr(md5(CAST(e AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM et),
+rk AS (
+  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h)
+SELECT t AS event_type, CAST(rn AS BIGINT) AS rn,
+  CAST(CASE WHEN h >= 9223372036854775808::UBIGINT
+    THEN h::HUGEINT - 18446744073709551616::HUGEINT
+    ELSE h::HUGEINT END AS BIGINT) AS h
+FROM rk WHERE rn <= 64
+ORDER BY event_type, rn"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5368,6 +5389,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q201_theilsen_trend" -> q201,
     "q202_audience_sketch_overlap" -> q202,
     "q203_mixture_allocation" -> q203,
+    "q204_sketch_rollup" -> q204,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

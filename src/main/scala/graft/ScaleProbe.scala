@@ -111,6 +111,13 @@ object ScaleProbe {
   // vs the naive same-identifier pair self-join (k² per popular
   // identifier) feeding the same connected components.
   private val StitchProbe = "stitching"
+  // Sketch-overlap probe: the audience-overlap matrix recomputed EXACT
+  // from the fact archive (distinct + entity-grain pair self-join)
+  // vs read from the stored O(k) KMV state table
+  // (KmvAlgebra.overlapFromStates) — wall-clock, rows entering the
+  // job, and the estimator's actual relative error, so the
+  // sketch-vs-exact tradeoff is a recorded number.
+  private val SketchOverlapProbe = "sketch_overlap"
 
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
@@ -127,7 +134,7 @@ object ScaleProbe {
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
                  PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
-                 MarkovProbe + IncrementalProbe
+                 MarkovProbe + IncrementalProbe + SketchOverlapProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -808,6 +815,78 @@ object ScaleProbe {
       require(diff == 0, s"incremental reach curves differ: $diff rows")
       log.println(f"""{"query":"reach_rollup(probe)","n":$n,"recompute":$tr%.3f,"incremental":$ti%.3f,"speedup":${tr / ti}%.2f,"rows_read_recompute":$rr,"rows_read_incremental":$ri,"read_ratio":${rr.toDouble / ri}%.2f,"curve_rows":$nr}""")
       delta.unpersist()
+    }
+    if (only.contains(SketchOverlapProbe)) {
+      import graft.analyze.{KmvAlgebra, KmvDistinct}
+      // n (segment, entity) memberships over 5 segments: entity e is in
+      // segment s iff hash(e, s) % 3 == 0 (~1/3 membership, ~1/9
+      // pairwise overlap) — the partial-overlap structure q202 gates.
+      val n = 500000L * scale
+      val k = 1024
+      val facts = spark.range(n).select(
+        pmod(col("id"), lit(n / 5)).as("ent"),
+        concat(lit("s"),
+          call_function("div", col("id") * 5, lit(n))).as("seg"))
+        .filter(pmod(xxhash64(col("ent"), col("seg")), lit(3L)) === 0)
+      val factDir = s"$out/ovl_facts"; val stateDir = s"$out/ovl_state"
+      facts.write.mode("overwrite").parquet(factDir)
+      // state build = the amortized nightly merge cost (fact-scale,
+      // once); the refresh path reads ONLY the state table
+      val tBuild = time {
+        spark.read.parquet(factDir)
+          .select(col("seg"),
+            KmvDistinct.md5Low64(col("ent").cast("string")).as("h"))
+          .groupBy(col("seg"))
+          .agg(KmvDistinct.stateUdaf(k)(col("h")).as("st"))
+          .write.mode("overwrite").parquet(stateDir)
+      }
+      def exactForm(): DataFrame = {
+        val et = spark.read.parquet(factDir).distinct()
+        val ia = et.select(col("seg").as("type_a"), col("ent"))
+        val ib = et.select(col("seg").as("type_b"), col("ent"))
+        val sizes = et.groupBy(col("seg")).agg(count(lit(1)).as("sz"))
+        ia.join(ib, Seq("ent")).filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+          .join(sizes.select(col("seg").as("type_a"),
+            col("sz").as("exact_a")), Seq("type_a"))
+          .join(sizes.select(col("seg").as("type_b"),
+            col("sz").as("exact_b")), Seq("type_b"))
+      }
+      def sketchForm(): DataFrame = KmvAlgebra.overlapFromStates(
+        spark.read.parquet(stateDir), "seg", "st", k)
+      val inRecords = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val mtr = te.taskMetrics
+          if (mtr != null) inRecords.addAndGet(mtr.inputMetrics.recordsRead)
+          ()
+        }
+      }
+      def sink(df: DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); df.count()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measured(f: => Unit): (Double, Long) = {
+        val t = best(f); Thread.sleep(500)
+        inRecords.set(0L); f; Thread.sleep(500)
+        (t, inRecords.get)
+      }
+      val (te2, re) = measured { sink(exactForm()) }
+      val (ts2, rs) = measured { sink(sketchForm()) }
+      spark.sparkContext.removeSparkListener(listener)
+      // estimator quality: max relative error across the 10 pairs
+      val errRow = exactForm()
+        .join(sketchForm(), Seq("type_a", "type_b"))
+        .select(
+          max(abs(col("est_intersection") - col("exact_inter")) /
+            col("exact_inter")).as("mx"),
+          avg(abs(col("est_intersection") - col("exact_inter")) /
+            col("exact_inter")).as("mn"))
+        .head()
+      val (errMax, errMean) = (errRow.getDouble(0), errRow.getDouble(1))
+      log.println(f"""{"query":"sketch_overlap(probe)","n":$n,"k":$k,"exact":$te2%.3f,"sketch":$ts2%.3f,"state_build":$tBuild%.3f,"speedup":${te2 / ts2}%.2f,"rows_read_exact":$re,"rows_read_sketch":$rs,"read_ratio":${re.toDouble / math.max(rs, 1L)}%.2f,"mean_rel_err":$errMean%.4f,"max_rel_err":$errMax%.4f}""")
     }
     if (only.contains(AttributionProbe)) {
       import graft.relational.Attribution

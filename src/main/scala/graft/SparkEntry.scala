@@ -2520,6 +2520,39 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  private def q204_sketch_rollup(s: SparkSession, dir: String): DataFrame = {
+    // Incremental KMV maintenance gated against full recompute (the
+    // q195/q196 discipline on the SKETCH state itself): per-segment
+    // k-min states built from event-id-parity shards, merged by
+    // re-inserting the exploded shard states, then the merged state
+    // DUMPED ROW-BY-ROW (segment, rank, hash) — the oracle rebuilds
+    // the k-mins from scratch, so merge ≡ recompute is hash-gated at
+    // state granularity, sharper than any report-level check. The
+    // state arrays stay sorted-unsigned by construction (KmvOps
+    // invariant), so rank = array position.
+    import graft.analyze.KmvDistinct
+    val ev = t(s, dir, "events")
+      .filter(col("value") > 100.0 && col("event_type").isNotNull &&
+        col("user_id").isNotNull)
+    def state(shard: DataFrame): DataFrame = shard
+      .select(col("event_type"),
+        KmvDistinct.md5Low64(col("user_id").cast("string")).as("__h"))
+      .groupBy(col("event_type"))
+      .agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st"))
+    val a = state(ev.filter(col("event_id") % 2 === 0 ||
+      col("event_id").isNull))
+    val b = state(ev.filter(col("event_id") % 2 =!= 0))
+    val merged = a.unionByName(b)
+      .select(col("event_type"), explode(col("__st")).as("__h"))
+      .groupBy(col("event_type"))
+      .agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st"))
+    merged
+      .select(col("event_type"), posexplode(col("__st")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+        col("col").as("h"))
+      .orderBy("event_type", "rn")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -3012,6 +3045,7 @@ object SparkEntry {
     "q201_theilsen_trend" -> (q201_theilsen_trend _),
     "q202_audience_sketch_overlap" -> (q202_audience_sketch_overlap _),
     "q203_mixture_allocation" -> (q203_mixture_allocation _),
+    "q204_sketch_rollup" -> (q204_sketch_rollup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -176,7 +176,6 @@ object KmvAlgebra {
   def audienceOverlap(events: DataFrame, entityCol: String,
                       typeCol: String, k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2; got $k")
-    import org.apache.spark.sql.expressions.Window
     val base = events
       .filter(col(typeCol).isNotNull && col(entityCol).isNotNull)
     val states = base
@@ -184,7 +183,7 @@ object KmvAlgebra {
         KmvDistinct.md5Low64(col(entityCol).cast("string")).as("__h"))
       .groupBy(col("__t"))
       .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("__st"))
-    val sk = states.select(col("__t"), explode(col("__st")).as("__h"))
+    val sketch = overlapFromStates(states, "__t", "__st", k)
     val et = base
       .select(col(typeCol).as("__t"), col(entityCol).as("__e")).distinct()
     val sizes = et.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
@@ -197,7 +196,34 @@ object KmvAlgebra {
       .filter(col("__ta") < col("__tb"))
       .groupBy(col("__ta").as("type_a"), col("__tb").as("type_b"))
       .agg(count(lit(1)).as("__xi"))
-    val ph = tp.select(col("type_a"), col("type_b"))
+    sketch.join(broadcast(tp), Seq("type_a", "type_b"))
+      .join(broadcast(inter), Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        coalesce(col("__xi"), lit(0L)).as("exact_inter"),
+        (col("exact_a") + col("exact_b") -
+          coalesce(col("__xi"), lit(0L))).as("exact_union"),
+        col("n_union_sketch"), col("inter_matches"), col("union_kth"),
+        col("est_union"), col("est_intersection"), col("jaccard_est"))
+  }
+
+  /** The PRODUCTION read path: the pairwise overlap matrix straight
+    * from a stored/streamed per-segment state table (`segCol`,
+    * `stateCol: array<long>`) — e.g. the output of
+    * [[graft.streaming.StreamingRollup.kmvStateStream]] or a nightly
+    * state merge — WITHOUT touching the fact archive. Everything here
+    * is (segments² × 2k)-row metadata work; the estimates are the
+    * display-only IEEE forms (the exact integer estimator lives in
+    * [[KmvOps.estimate]]/[[KmvDistinct]]). */
+  def overlapFromStates(states: DataFrame, segCol: String,
+                        stateCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2; got $k")
+    import org.apache.spark.sql.expressions.Window
+    val sk = states
+      .select(col(segCol).as("__t"), explode(col(stateCol)).as("__h"))
+    val tp = states.select(col(segCol).as("type_a"))
+      .crossJoin(states.select(col(segCol).as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val ph = tp
       .join(sk,
         col("__t") === col("type_a") || col("__t") === col("type_b"))
       .groupBy(col("type_a"), col("type_b"), col("__h"))
@@ -222,17 +248,12 @@ object KmvAlgebra {
     val estU = when(col("n_union_sketch") < k,
         col("n_union_sketch").cast("double"))
       .otherwise(lit((k - 1).toDouble * math.pow(2.0, 64)) / kthU)
-    u.join(broadcast(tp), Seq("type_a", "type_b"))
-      .join(broadcast(inter), Seq("type_a", "type_b"), "left")
-      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
-        coalesce(col("__xi"), lit(0L)).as("exact_inter"),
-        (col("exact_a") + col("exact_b") -
-          coalesce(col("__xi"), lit(0L))).as("exact_union"),
-        col("n_union_sketch"), col("inter_matches"), col("union_kth"),
-        estU.as("est_union"),
-        (col("inter_matches").cast("double") / lit(k.toDouble) * estU)
-          .as("est_intersection"),
-        (col("inter_matches").cast("double") / lit(k.toDouble))
-          .as("jaccard_est"))
+    u.select(col("type_a"), col("type_b"), col("n_union_sketch"),
+      col("inter_matches"), col("union_kth"),
+      estU.as("est_union"),
+      (col("inter_matches").cast("double") / lit(k.toDouble) * estU)
+        .as("est_intersection"),
+      (col("inter_matches").cast("double") / lit(k.toDouble))
+        .as("jaccard_est"))
   }
 }

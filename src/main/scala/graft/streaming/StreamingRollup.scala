@@ -45,4 +45,24 @@ object StreamingRollup {
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("spend"))
       .select(col(keyCol), to_date(col("window.start")).as("day"),
         col("spend"))
+
+  /** KMV audience sketch over a streaming frame: per segment the O(k)
+    * k-min hash state ([[graft.analyze.KmvState]]), update-mode
+    * upserts. Each micro-batch folds its hashes into the SAME
+    * Aggregator state the batch path builds — insert is idempotent and
+    * merge associative/commutative, so stream ≡ batch-on-the-union by
+    * the engine contract (Round15 spec pins values), and the state is
+    * k longs per segment REGARDLESS of stream length: the segment
+    * overlap matrix ([[graft.analyze.KmvAlgebra.audienceOverlap]])
+    * reads an always-fresh sketch table instead of re-scanning the
+    * archive. No watermark: audiences are lifetime-cumulative, and the
+    * state bound is structural (O(segments × k)), not time-based. */
+  def kmvStateStream(events: DataFrame, entityCol: String,
+                     typeCol: String, k: Int = 64): DataFrame =
+    events
+      .select(col(typeCol).as("segment"),
+        graft.analyze.KmvDistinct.md5Low64(col(entityCol).cast("string"))
+          .as("__h"))
+      .groupBy(col("segment"))
+      .agg(graft.analyze.KmvDistinct.stateUdaf(k)(col("__h")).as("state"))
 }

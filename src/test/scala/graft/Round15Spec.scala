@@ -592,6 +592,66 @@ class Round15Spec extends SparkSpec {
     assert(math.abs(estShown - estExact) < 1.0)
   }
 
+  test("kmvStateStream equals the batch sketch; state is O(segments x k)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.analyze.KmvDistinct
+    val k = 16
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingRollup.kmvStateStream(
+        mem.toDF().toDF("seg", "uid"), "uid", "seg", k = k)
+      .writeStream.format("memory").queryName("kmv_state")
+      .outputMode("complete").start()
+    val all = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    try {
+      for (b <- 0 until 3) {
+        val batch = (0 until 300).map(i =>
+          (if (i % 3 == 0) "A" else "B", s"u${b * 191 + i}"))
+        all ++= batch
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("kmv_state").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+      val batch = all.toSeq.toDF("seg", "uid")
+        .select(col("seg"),
+          KmvDistinct.md5Low64(col("uid")).as("h"))
+        .groupBy(col("seg"))
+        .agg(KmvDistinct.stateUdaf(k)(col("h")).as("st"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList))
+        .toMap
+      assert(streamed == batch)
+      // the state arrays are exactly k long (audiences >> k) and the
+      // streaming state store holds one row per segment
+      assert(streamed.values.forall(_.size == k))
+      val st = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      assert(st == 2L, s"state rows = $st")
+    } finally q.stop()
+  }
+
+  test("q204 shard-merge states equal from-scratch states on any split") {
+    import graft.analyze.KmvDistinct
+    val k = 8
+    val ev = (0 until 500).map(i =>
+      (i.toLong, if (i % 2 == 0) "x" else "y", s"e${i % 113}"))
+      .toDF("id", "seg", "ent")
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("seg"), KmvDistinct.md5Low64(col("ent")).as("h"))
+      .groupBy(col("seg"))
+      .agg(KmvDistinct.stateUdaf(k)(col("h")).as("st"))
+    // 3-way split by id residue, merged pairwise through explode+restate
+    val parts = (0 until 3).map(r => state(ev.filter(col("id") % 3 === r)))
+    val merged = parts.reduce(_ unionByName _)
+      .select(col("seg"), explode(col("st")).as("h"))
+      .groupBy(col("seg"))
+      .agg(KmvDistinct.stateUdaf(k)(col("h")).as("st"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    val full = state(ev)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toMap
+    assert(merged == full)
+  }
+
   test("mixtureAllocation: caps bind, freed budget redistributes by weight, floor exact") {
     import graft.analyze.TextAnalysis
     // a=(10,100), w=(1,1), B = 4/5 * 110 = 88: source p saturates at

@@ -5206,6 +5206,30 @@ SELECT t AS event_type, CAST(rn AS BIGINT) AS rn,
 FROM rk WHERE rn <= 64
 ORDER BY event_type, rn"""
 
+  /** Windowed-funnel twin (q205): the greedy earliest chain as
+    * cascaded argmins — u1 = first step-1, each next step the min us
+    * strictly after the previous fill and within the 24h window
+    * (exact integer micros; epoch_us ≡ unix_micros, the q65 rule). */
+  private val q205 = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND ts IS NOT NULL),
+s1 AS (SELECT user_id, min(us) AS u1 FROM e
+  WHERE event_type = 'click' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(us) AS u2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'view' AND us > u1 AND us - u1 <= 86400000000
+  GROUP BY 1),
+s3 AS (SELECT e.user_id, min(us) AS u3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > u2 AND us - u2 <= 86400000000
+  GROUP BY 1)
+SELECT 0 AS step, 'click' AS event_type,
+  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_entities
+UNION ALL
+SELECT 1, 'view', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+UNION ALL
+SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+ORDER BY step"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5390,6 +5414,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q202_audience_sketch_overlap" -> q202,
     "q203_mixture_allocation" -> q203,
     "q204_sketch_rollup" -> q204,
+    "q205_windowed_funnel" -> q205,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2553,6 +2553,17 @@ object SparkEntry {
       .orderBy("event_type", "rn")
   }
 
+  private def q205_windowed_funnel(s: SparkSession, dir: String): DataFrame =
+    // Time-constrained funnel: click -> view -> purchase with each
+    // step due within 24h of the previous fill, greedy earliest-chain
+    // semantics pinned by the oracle's cascaded argmins; exact integer
+    // micros at every boundary.
+    graft.relational.Relational.funnelCountsWindowed(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "user_id", "ts", "event_type",
+        Seq("click", "view", "purchase"), stepWindowSeconds = 86400L)
+      .orderBy("step")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -3046,6 +3057,7 @@ object SparkEntry {
     "q202_audience_sketch_overlap" -> (q202_audience_sketch_overlap _),
     "q203_mixture_allocation" -> (q203_mixture_allocation _),
     "q204_sketch_rollup" -> (q204_sketch_rollup _),
+    "q205_windowed_funnel" -> (q205_windowed_funnel _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

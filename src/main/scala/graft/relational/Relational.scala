@@ -262,6 +262,86 @@ object Relational {
       .agg(folded.as("step_ts"))
   }
 
+  /** TIME-CONSTRAINED funnel — [[funnelSteps]] with a per-step
+    * deadline: step i+1 must land within `stepWindowSeconds` of the
+    * step-i fill or the chain stalls (the product-analytics "completed
+    * checkout within an hour of add-to-cart" form; an unconstrained
+    * funnel counts a January click converting a December purchase).
+    *
+    * Semantics = greedy earliest chain, pinned identically in the SQL
+    * twin's cascaded argmins: the FIRST step-1 event anchors the
+    * chain; each later step fills at its earliest occurrence strictly
+    * after the previous fill and within the window. Greedy-anchor is
+    * deliberate (and documented): a chain that only completes from a
+    * LATER anchor does not count — same as the min-chain convention
+    * the unconstrained funnel pins on ties.
+    *
+    * All comparisons run in exact integer MICROS (`unix_micros`; the
+    * q65/q171 discipline — never a timestamp diff through seconds
+    * flooring). Same ONE-shuffle shape and the same two state bounds
+    * as [[funnelSteps]]; output `step_us: array<long>`. */
+  def funnelStepsWindowed(events: DataFrame, entityCol: String,
+                          tsCol: String, typeCol: String,
+                          steps: Seq[String], stepWindowSeconds: Long,
+                          maxEventsPerEntity: Int = 0): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(stepWindowSeconds > 0, "step window must be positive")
+    require(maxEventsPerEntity >= 0, "maxEventsPerEntity must be >= 0")
+    val k = steps.size
+    val wUs = stepWindowSeconds * 1000000L
+    val stepArr = array(steps.map(lit): _*)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))))
+    val folded = aggregate(
+      evs,
+      array_repeat(lit(null).cast("long"), k),
+      (acc, e) => {
+        val filled = aggregate(acc, lit(0),
+          (c, v) => c + when(v.isNotNull, 1).otherwise(0))
+        transform(acc, (v, i) =>
+          when(i === filled &&
+            e.getField("et") === element_at(stepArr, filled + 1) &&
+            (filled === 0 ||
+              (e.getField("us") >
+                  element_at(acc, greatest(filled, lit(1))) &&
+                e.getField("us") -
+                  element_at(acc, greatest(filled, lit(1))) <= wUs)),
+            e.getField("us")).otherwise(v))
+      })
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    val capped =
+      if (maxEventsPerEntity == 0) relevant
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(entityCol))
+          .orderBy(col(tsCol).asc, col(typeCol).asc)
+        relevant.withColumn("__fs_rn", row_number().over(w))
+          .filter(col("__fs_rn") <= maxEventsPerEntity)
+          .drop("__fs_rn")
+      }
+    capped.groupBy(col(entityCol))
+      .agg(folded.as("step_us"))
+  }
+
+  /** Per-step reach of the windowed funnel — [[funnelCounts]]' shape
+    * over [[funnelStepsWindowed]]. */
+  def funnelCountsWindowed(events: DataFrame, entityCol: String,
+                           tsCol: String, typeCol: String,
+                           steps: Seq[String],
+                           stepWindowSeconds: Long): DataFrame = {
+    val per = funnelStepsWindowed(events, entityCol, tsCol, typeCol,
+      steps, stepWindowSeconds)
+    val aggs = steps.indices.map(i =>
+      count(element_at(col("step_us"), i + 1)).as(s"n$i"))
+    val counts = per.agg(aggs.head, aggs.tail: _*)
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step"), lit(s).as("event_type"),
+        col(s"n$i").as("n_entities"))
+    }
+    counts.select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_entities"))
+  }
+
   /** Funnel conversion summary: how many entities reached each step.
     * One row per step, in order. */
   def funnelCounts(events: DataFrame, entityCol: String, tsCol: String,

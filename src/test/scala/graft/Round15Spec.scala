@@ -652,6 +652,48 @@ class Round15Spec extends SparkSpec {
     assert(merged == full)
   }
 
+  test("funnelStepsWindowed: deadlines stall chains; greedy anchor pinned; boundary inclusive") {
+    import graft.relational.Relational
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full chain inside 1h windows
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:30:00"), "b"),
+      (1L, ts("2024-01-01 11:00:00"), "c"),
+      // u2: b misses the 1h deadline -> stalls at step a
+      (2L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 11:00:01"), "b"),
+      // u3: greedy anchor — first 'a' at 10:00 stalls (b at 12:00 too
+      // late for it) even though the 11:30 'a' would have chained;
+      // documented greedy-anchor semantics: counts step a only
+      (3L, ts("2024-01-01 10:00:00"), "a"),
+      (3L, ts("2024-01-01 11:30:00"), "a"),
+      (3L, ts("2024-01-01 12:00:00"), "b"),
+      // u4: exactly at the deadline boundary (<= is inclusive)
+      (4L, ts("2024-01-01 10:00:00"), "a"),
+      (4L, ts("2024-01-01 11:00:00"), "b"))
+      .toDF("ent", "ts", "et")
+    val per = Relational.funnelStepsWindowed(ev, "ent", "ts", "et",
+        Seq("a", "b", "c"), stepWindowSeconds = 3600L)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Any](1).map(Option(_)).map(_.isDefined))).toMap
+    assert(per(1L) == Seq(true, true, true))
+    assert(per(2L) == Seq(true, false, false))
+    assert(per(3L) == Seq(true, false, false))
+    assert(per(4L) == Seq(true, true, false))
+    val counts = Relational.funnelCountsWindowed(ev, "ent", "ts", "et",
+        Seq("a", "b", "c"), 3600L)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(counts == Seq(4L, 2L, 1L))
+    // the unconstrained funnel reaches b for ALL FOUR entities (u2's
+    // late b and u3's post-anchor b both count without deadlines) —
+    // the window is exactly what separates 4 from 2
+    val free = Relational.funnelCounts(ev, "ent", "ts", "et",
+        Seq("a", "b", "c"))
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(free == Seq(4L, 4L, 1L))
+  }
+
   test("mixtureAllocation: caps bind, freed budget redistributes by weight, floor exact") {
     import graft.analyze.TextAnalysis
     // a=(10,100), w=(1,1), B = 4/5 * 110 = 88: source p saturates at

@@ -5230,6 +5230,91 @@ UNION ALL
 SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
 ORDER BY step"""
 
+  /** Matched-market twin (q206): identical dense pre-grid (absent
+    * market-days count 0), exact-integer SSE, (sse, control) argmin,
+    * and the plain-long matched DiD; rel_lift the allowlisted
+    * two-division display double. */
+  private val q206 = """
+WITH daily AS (
+  SELECT 'm' || CAST(user_id % 10 AS VARCHAR) AS m, CAST(ts AS DATE) AS d,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
+pre AS (SELECT * FROM daily WHERE d < DATE '2024-01-22'),
+grid AS (
+  SELECT mk.m, dy.d, COALESCE(p.c, 0) AS c
+  FROM (SELECT DISTINCT m FROM daily) mk
+  CROSS JOIN (SELECT DISTINCT d FROM pre) dy
+  LEFT JOIN pre p ON p.m = mk.m AND p.d = dy.d),
+sse AS (
+  SELECT gt.m AS treated_market, gc.m AS control_market,
+    CAST(sum((gt.c - gc.c) * (gt.c - gc.c)) AS BIGINT) AS sse_pre
+  FROM grid gt JOIN grid gc ON gt.d = gc.d
+  WHERE gt.m IN ('m0', 'm3', 'm7') AND gc.m NOT IN ('m0', 'm3', 'm7')
+  GROUP BY 1, 2),
+best AS (
+  SELECT treated_market, control_market, sse_pre FROM (
+    SELECT *, row_number() OVER (PARTITION BY treated_market
+      ORDER BY sse_pre, control_market) AS rn FROM sse)
+  WHERE rn = 1),
+tot AS (
+  SELECT m,
+    CAST(sum(CASE WHEN d < DATE '2024-01-22' THEN c ELSE 0 END) AS BIGINT)
+      AS pre_total,
+    CAST(sum(CASE WHEN d >= DATE '2024-01-22' THEN c ELSE 0 END) AS BIGINT)
+      AS post_total
+  FROM daily GROUP BY 1)
+SELECT treated_market, control_market, sse_pre,
+  tt.pre_total AS pre_t, tt.post_total AS post_t,
+  tc.pre_total AS pre_c, tc.post_total AS post_c,
+  (tt.post_total - tt.pre_total) - (tc.post_total - tc.pre_total) AS did,
+  CASE WHEN tt.pre_total > 0 AND tc.pre_total > 0 THEN
+    tt.post_total::DOUBLE / tt.pre_total::DOUBLE -
+    tc.post_total::DOUBLE / tc.pre_total::DOUBLE END AS rel_lift
+FROM best
+JOIN tot tt ON tt.m = treated_market
+JOIN tot tc ON tc.m = control_market
+ORDER BY treated_market"""
+
+  /** Segment-migration twin (q207): the q155 scoring replayed on two
+    * order periods (DuckDB ntile ≡ ntileFromRank with the same
+    * custkey tiebreaks), inner join per customer, cell counts. */
+  private val q207 = """
+WITH ba AS (
+  SELECT o_custkey AS custkey,
+    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      DATE '1996-01-01') AS BIGINT) AS recency_days,
+    count(*) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1),
+sa AS (
+  SELECT custkey,
+    CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS INTEGER)
+      * 100 +
+    CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS INTEGER) * 10 +
+    CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS INTEGER)
+      AS code_before
+  FROM ba),
+bb AS (
+  SELECT o_custkey AS custkey,
+    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      DATE '2002-01-01') AS BIGINT) AS recency_days,
+    count(*) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1),
+sb AS (
+  SELECT custkey,
+    CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS INTEGER)
+      * 100 +
+    CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS INTEGER) * 10 +
+    CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS INTEGER)
+      AS code_after
+  FROM bb)
+SELECT CAST(code_before AS INTEGER) AS code_before,
+  CAST(code_after AS INTEGER) AS code_after,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM sa JOIN sb USING (custkey)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5415,6 +5500,8 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q203_mixture_allocation" -> q203,
     "q204_sketch_rollup" -> q204,
     "q205_windowed_funnel" -> q205,
+    "q206_matched_market" -> q206,
+    "q207_segment_migration" -> q207,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2564,6 +2564,40 @@ object SparkEntry {
         Seq("click", "view", "purchase"), stepWindowSeconds = 86400L)
       .orderBy("step")
 
+  private def q206_matched_market(s: SparkSession, dir: String): DataFrame =
+    // Geo-lift readout: user_id%10 markets, three treated, each
+    // matched to the donor with minimum exact-integer pre-period SSE
+    // on the dense daily grid, then matched DiD in plain longs.
+    graft.analyze.Experiment.matchedMarketReadout(
+        t(s, dir, "events")
+          .withColumn("market", concat(lit("m"), pmod(col("user_id"), lit(10)))),
+        "market", "ts", treated = Seq("m0", "m3", "m7"),
+        cutoff = lit("2024-01-22").cast("date"))
+      .orderBy("treated_market")
+
+  private def q207_segment_migration(s: SparkSession, dir: String): DataFrame = {
+    // RFM segment migration: the q155 scoring replayed on two order
+    // periods (pre/post 1996), inner-joined per customer, exact counts
+    // per (code_before, code_after) cell — "how many champions
+    // slipped" is THE lifecycle-marketing report.
+    import graft.analyze.Rfm
+    val orders = t(s, dir, "orders")
+    val a = Rfm.rfmScores(
+        orders.filter(col("o_orderdate") < lit("1996-01-01").cast("date")),
+        "o_custkey", "o_orderdate", "o_totalprice",
+        asOf = lit("1996-01-01").cast("date"), nTiles = 5)
+      .select(col("o_custkey").as("custkey"), col("rfm_code").as("code_before"))
+    val b = Rfm.rfmScores(
+        orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("date")),
+        "o_custkey", "o_orderdate", "o_totalprice",
+        asOf = lit("2002-01-01").cast("date"), nTiles = 5)
+      .select(col("o_custkey").as("custkey"), col("rfm_code").as("code_after"))
+    a.join(b, Seq("custkey"))
+      .groupBy(col("code_before"), col("code_after"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("code_before", "code_after")
+  }
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -3058,6 +3092,8 @@ object SparkEntry {
     "q203_mixture_allocation" -> (q203_mixture_allocation _),
     "q204_sketch_rollup" -> (q204_sketch_rollup _),
     "q205_windowed_funnel" -> (q205_windowed_funnel _),
+    "q206_matched_market" -> (q206_matched_market _),
+    "q207_segment_migration" -> (q207_segment_migration _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

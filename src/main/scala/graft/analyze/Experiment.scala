@@ -345,4 +345,79 @@ object Experiment {
             d(col("cum_conv_c")) / d(col("cum_n_c")))
           .otherwise(lit(null).cast("double")).as("uplift_cum"))
   }
+
+  /** Matched-market lift readout — the geo-lift design when no
+    * user-level randomization exists (market-level media tests): each
+    * TREATED market is matched to the donor market whose PRE-period
+    * daily activity tracks it most closely (minimum sum of squared
+    * daily-count differences — exact integer SSE over the dense
+    * market × day grid, absent days count 0), then the readout is the
+    * matched difference-in-differences of post-vs-pre totals:
+    *
+    *   did = (post_t − pre_t) − (post_c − pre_c)   (plain longs)
+    *
+    * SSE ties break on the control key — deterministic. Each treated
+    * market matches independently (two treated markets may pick the
+    * same donor; 1:1 assignment is a different, combinatorial design).
+    *
+    * Scale shape: ONE day-grain partial aggregation collapses the fact
+    * table; everything after — the dense grid (markets × days), the
+    * treated × donor SSE matrix, the argmin — is metadata-sized
+    * (markets², not facts). The daily-count grain also bounds the SSE
+    * integers: markets·days·maxDaily² must fit a long — 10⁶ market-days
+    * at 10⁶ daily events is 10¹⁸, inside 2⁶³; pre-scale beyond that. */
+  def matchedMarketReadout(events: DataFrame, marketCol: String,
+                           tsCol: String, treated: Seq[String],
+                           cutoff: Column): DataFrame = {
+    require(treated.nonEmpty, "need at least one treated market")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col(tsCol).isNotNull && col(marketCol).isNotNull)
+      .groupBy(col(marketCol).as("__m"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val pre = daily.filter(col("__d") < to_date(cutoff))
+    // dense pre-period grid: every market gets every observed pre day
+    // (a market dark on a day differs from that day not existing)
+    val mkts = daily.select(col("__m")).distinct()
+    val days = pre.select(col("__d")).distinct()
+    val grid = mkts.crossJoin(days)
+      .join(pre, Seq("__m", "__d"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val isT = col("__m").isin(treated: _*)
+    val gt = grid.filter(isT)
+      .select(col("__m").as("treated_market"), col("__d"),
+        col("__c").as("__ct"))
+    val gc = grid.filter(!isT)
+      .select(col("__m").as("control_market"), col("__d"),
+        col("__c").as("__cc"))
+    val sse = gt.join(gc, Seq("__d"))
+      .groupBy(col("treated_market"), col("control_market"))
+      .agg(sum((col("__ct") - col("__cc")) * (col("__ct") - col("__cc")))
+        .as("sse_pre"))
+    val wBest = Window.partitionBy(col("treated_market"))
+      .orderBy(col("sse_pre").asc, col("control_market").asc)
+    val matched = sse.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1).drop("__rn")
+    val totals = daily.groupBy(col("__m"))
+      .agg(sum(when(col("__d") < to_date(cutoff), col("__c"))
+          .otherwise(0L)).as("pre_total"),
+        sum(when(col("__d") >= to_date(cutoff), col("__c"))
+          .otherwise(0L)).as("post_total"))
+    matched
+      .join(totals.select(col("__m").as("treated_market"),
+        col("pre_total").as("pre_t"), col("post_total").as("post_t")),
+        Seq("treated_market"))
+      .join(totals.select(col("__m").as("control_market"),
+        col("pre_total").as("pre_c"), col("post_total").as("post_c")),
+        Seq("control_market"))
+      .select(col("treated_market"), col("control_market"),
+        col("sse_pre"), col("pre_t"), col("post_t"), col("pre_c"),
+        col("post_c"),
+        ((col("post_t") - col("pre_t")) -
+          (col("post_c") - col("pre_c"))).as("did"),
+        when(col("pre_t") > 0 && col("pre_c") > 0,
+          (col("post_t").cast("double") / col("pre_t").cast("double")) -
+            (col("post_c").cast("double") / col("pre_c").cast("double")))
+          .otherwise(lit(null).cast("double")).as("rel_lift"))
+  }
 }

@@ -694,6 +694,76 @@ class Round15Spec extends SparkSpec {
     assert(free == Seq(4L, 4L, 1L))
   }
 
+  test("matchedMarketReadout: zero-SSE twin wins the match; dark days count as zero; DiD exact") {
+    import graft.analyze.Experiment
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    def burst(m: String, day: String, n: Int) =
+      (0 until n).map(i => (m, ts(s"2024-01-$day 10:00:${i % 60}")))
+    // pre days 01..03: T = (3,2,4); C1 identical; C2 = (3,2,9) (SSE 25
+    // — and C2 is dark on no days). C3 dark on day 03 entirely: SSE
+    // counts its 0 vs T's 4 (16), plus (0,1) on days 1-2 => SSE > 0.
+    // post day 25: T spikes to 10, C1 stays 3 => did = (10-9)-(3-9) = 7
+    val ev = (burst("T", "01", 3) ++ burst("T", "02", 2) ++
+      burst("T", "03", 4) ++ burst("C1", "01", 3) ++
+      burst("C1", "02", 2) ++ burst("C1", "03", 4) ++
+      burst("C2", "01", 3) ++ burst("C2", "02", 2) ++
+      burst("C2", "03", 9) ++ burst("C3", "01", 4) ++
+      burst("C3", "02", 3) ++
+      burst("T", "25", 10) ++ burst("C1", "25", 3))
+      .toDF("market", "ts")
+    val r = Experiment.matchedMarketReadout(ev, "market", "ts",
+        treated = Seq("T"), cutoff = lit("2024-01-20").cast("date"))
+      .collect().head
+    assert(r.getAs[String]("control_market") == "C1")
+    assert(r.getAs[Long]("sse_pre") == 0L)
+    assert(r.getAs[Long]("did") == 7L)
+    // C3's missing day 03 must have scored as 0 (not dropped): its SSE
+    // vs T is 1+1+16 = 18, beating C2's 25 — verify via the full matrix
+    // by treating C2 as also treated (forces both matches to surface)
+    val r2 = Experiment.matchedMarketReadout(ev, "market", "ts",
+        treated = Seq("T", "C2"), cutoff = lit("2024-01-20").cast("date"))
+      .collect().map(x => (x.getAs[String]("treated_market"),
+        (x.getAs[String]("control_market"), x.getAs[Long]("sse_pre"))))
+      .toMap
+    assert(r2("T") == (("C1", 0L)))
+    // C2's own best donor: C3 at SSE 0+1+49=50? no — C1/C3 both
+    // candidates; C1 SSE = (0,0,25)=25, C3 SSE = (1,1,81)=83 => C1
+    assert(r2("C2")._1 == "C1" && r2("C2")._2 == 25L)
+  }
+
+  test("q207 composition: a customer's tier move lands in exactly one migration cell") {
+    import graft.analyze.Rfm
+    // 10 customers, two periods; customer 1 spends little before and
+    // much after — its (code_before, code_after) cell must be a
+    // single exact count and every customer lands in exactly one cell
+    val ordersA = (1 to 10).map(c =>
+      (c.toLong, java.sql.Date.valueOf("1995-06-01"),
+        if (c == 1) 10.0 else 100.0 * c))
+      .toDF("cust", "d", "amt")
+    val ordersB = (1 to 10).map(c =>
+      (c.toLong, java.sql.Date.valueOf("1997-06-01"),
+        if (c == 1) 5000.0 else 100.0 * c))
+      .toDF("cust", "d", "amt")
+    def codes(df: org.apache.spark.sql.DataFrame, asOf: String) =
+      Rfm.rfmScores(df, "cust", "d", "amt",
+          asOf = lit(asOf).cast("date"), nTiles = 5)
+        .select(col("cust"), col("rfm_code"))
+    val mig = codes(ordersA, "1996-01-01")
+      .withColumnRenamed("rfm_code", "code_before")
+      .join(codes(ordersB, "2002-01-01")
+        .withColumnRenamed("rfm_code", "code_after"), Seq("cust"))
+      .groupBy(col("code_before"), col("code_after"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(mig.map(_.getAs[Long]("n")).sum == 10L)
+    // customer 1: lowest m tier before (m=1), highest after (m=5)
+    val c1b = codes(ordersA, "1996-01-01").filter(col("cust") === 1)
+      .head().getInt(1) % 10
+    val c1a = codes(ordersB, "2002-01-01").filter(col("cust") === 1)
+      .head().getInt(1) % 10
+    assert(c1b == 1 && c1a == 5)
+  }
+
   test("mixtureAllocation: caps bind, freed budget redistributes by weight, floor exact") {
     import graft.analyze.TextAnalysis
     // a=(10,100), w=(1,1), B = 4/5 * 110 = 88: source p saturates at

@@ -5315,6 +5315,84 @@ SELECT CAST(code_before AS INTEGER) AS code_before,
 FROM sa JOIN sb USING (custkey)
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Language-mixing twin (q208): q44's marker scorer per 16-token
+    * chunk (same c DESC, idx DESC verdict tiebreak), 'und' for
+    * marker-free chunks, dominant by (cnt DESC, lang ASC) ≡ the Spark
+    * side's first-maximal-run-of-sorted fold. */
+  private val q208 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE "text" IS NOT NULL AND LENGTH(TRIM("text")) > 0),
+ch AS (
+  SELECT doc_id, unnest(generate_series(0, (len(toks) + 15) // 16 - 1)) AS cidx
+  FROM t),
+ctoks AS (
+  SELECT c.doc_id, c.cidx,
+    unnest(t.toks[c.cidx * 16 + 1 : c.cidx * 16 + 16]) AS tok
+  FROM ch c JOIN t USING (doc_id)),
+markers(code, idx, w) AS (VALUES
+  ('en', 1, 'the'), ('en', 1, 'and'), ('en', 1, 'of'), ('en', 1, 'is'), ('en', 1, 'with'),
+  ('es', 2, 'el'), ('es', 2, 'la'), ('es', 2, 'de'), ('es', 2, 'que'), ('es', 2, 'y'),
+  ('fr', 3, 'le'), ('fr', 3, 'la'), ('fr', 3, 'et'), ('fr', 3, 'les'), ('fr', 3, 'des'),
+  ('de', 4, 'der'), ('de', 4, 'die'), ('de', 4, 'und'), ('de', 4, 'das'), ('de', 4, 'ist')),
+hits AS (
+  SELECT ct.doc_id, ct.cidx, m.code, m.idx, COUNT(*) AS c
+  FROM ctoks ct JOIN markers m ON ct.tok = m.w
+  GROUP BY 1, 2, 3, 4),
+best AS (
+  SELECT doc_id, cidx, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, cidx
+      ORDER BY c DESC, idx DESC) AS rn
+    FROM hits WHERE c > 0)
+  WHERE rn = 1),
+verd AS (
+  SELECT ch.doc_id, ch.cidx, COALESCE(b.code, 'und') AS lang
+  FROM ch LEFT JOIN best b USING (doc_id, cidx)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM verd GROUP BY 1),
+dom AS (
+  SELECT doc_id, lang AS dominant_lang FROM (
+    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+      ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM verd GROUP BY doc_id, lang)
+  WHERE rn = 1)
+SELECT d.doc_id, COALESCE(a.n_chunks, 0) AS n_chunks,
+  COALESCE(a.n_langs, 0) AS n_langs, dom.dominant_lang,
+  COALESCE(a.n_langs, 0) > 1 AS mixed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN dom USING (doc_id)
+ORDER BY d.doc_id"""
+
+  /** Day-N retention twin (q209): same epoch-day integers, same
+    * corpus-end cohort bound, same exact (user, first+N) membership
+    * semi join. */
+  private val q209 = """
+WITH act AS (
+  SELECT DISTINCT user_id AS e,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+f AS (SELECT e, min(d) AS fd FROM act GROUP BY 1),
+mx AS (SELECT max(d) AS mxd FROM act),
+probes AS (
+  SELECT e, fd, n FROM f CROSS JOIN mx
+  CROSS JOIN (VALUES (1), (3), (7), (14)) v(n)
+  WHERE fd + n <= mxd),
+ret AS (
+  SELECT p.n, CAST(count(*) AS BIGINT) AS n_retained
+  FROM probes p JOIN act a ON a.e = p.e AND a.d = p.fd + p.n
+  GROUP BY 1),
+coh AS (SELECT n, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM probes GROUP BY 1)
+SELECT coh.n, coh.n_cohort,
+  COALESCE(ret.n_retained, 0) AS n_retained,
+  COALESCE(ret.n_retained, 0)::DOUBLE / coh.n_cohort::DOUBLE AS retention
+FROM coh LEFT JOIN ret USING (n)
+ORDER BY n"""
+
   /** Group-aware split twin (q193): md5(text) is the leak group; the
     * split residue hashes the GROUP hex string through the q172
     * UINTEGER key. */
@@ -5502,6 +5580,8 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q205_windowed_funnel" -> q205,
     "q206_matched_market" -> q206,
     "q207_segment_migration" -> q207,
+    "q208_language_mixing" -> q208,
+    "q209_dayn_retention" -> q209,
     "q114_audio_neardups" -> q114,
     "q25_identity" -> q25,
     "q26_payload_envelope" -> q26,

@@ -2598,6 +2598,22 @@ object SparkEntry {
       .orderBy("code_before", "code_after")
   }
 
+  private def q208_language_mixing(s: SparkSession, dir: String): DataFrame =
+    // Code-switching detector: 16-token chunks through the q44 marker
+    // scorer, distinct-verdict count ('und' included by convention),
+    // dominant by longest sorted run (ties -> smallest code).
+    graft.analyze.TextAnalysis.languageMixProfile(
+        t(s, dir, "documents"), "doc_id", "text", chunkTokens = 16)
+      .orderBy("doc_id")
+
+  private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
+    // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
+    // observed corpus end (no false churn on unfinished offsets),
+    // exact epoch-day integers, one distinct (user, day) relation.
+    graft.analyze.Timeseries.dayNRetention(
+        t(s, dir, "events"), "user_id", "ts", offsets = Seq(1, 3, 7, 14))
+      .orderBy("n")
+
   private def q123_linear_fit(s: SparkSession, dir: String): DataFrame = {
     // Exact regression of token count on char length: integer centered
     // moments (order-free decimal sums), closed form in fixed-shape
@@ -3094,6 +3110,8 @@ object SparkEntry {
     "q205_windowed_funnel" -> (q205_windowed_funnel _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
+    "q208_language_mixing" -> (q208_language_mixing _),
+    "q209_dayn_retention" -> (q209_dayn_retention _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

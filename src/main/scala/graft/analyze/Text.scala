@@ -112,6 +112,66 @@ object TextAnalysis {
   def langIdHeuristic(text: Column): Column =
     langIdFromTokens(tokens(lower(text)))
 
+  /** Per-document language-MIXING profile — the code-switching /
+    * boilerplate-contamination detector corpus curation needs beyond
+    * whole-doc lang-ID (a doc that is half English half German IDs as
+    * one of them and pollutes both): the token stream splits into
+    * fixed `chunkTokens`-token windows, each window gets the q44
+    * marker-scorer verdict ([[langIdFromTokens]], 'und' when no
+    * markers), and the profile reports
+    * `(n_chunks, n_langs, dominant_lang, mixed)` — `n_langs` counts
+    * DISTINCT chunk verdicts INCLUDING 'und' (a marker-free span is
+    * evidence of foreign/no-language content, documented convention),
+    * `dominant_lang` is the most frequent verdict with count ties
+    * broken by the lexicographically smallest code (pinned identically
+    * in the SQL twin), `mixed` ⟺ n_langs > 1.
+    *
+    * Entirely PER-ROW: chunking is a `sequence`+`slice` transform, the
+    * dominant pick a sorted-run fold — no shuffle, no explode; the
+    * fact table scans once. Empty/whitespace-only docs profile as
+    * zero chunks, no langs, null dominant, not mixed. */
+  def languageMixProfile(df: DataFrame, idCol: String, textCol: String,
+                         chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1; got $chunkTokens")
+    val toks = when(col(textCol).isNull ||
+        length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(tokens(lower(col(textCol))))
+    val nCh = call_function("div",
+      size(col("__toks")).cast("long") + (chunkTokens - 1),
+      lit(chunkTokens.toLong))
+    val chunkLangs = when(col("__nch") === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0L), col("__nch") - 1),
+        i => langIdFromTokens(
+          slice(col("__toks"), (i * chunkTokens + 1).cast("int"),
+            lit(chunkTokens)))))
+    // dominant = longest run of the ASC-sorted verdicts; strict `>`
+    // keeps the FIRST maximal run, i.e. count ties break to the
+    // smallest code
+    val dom = aggregate(
+      array_sort(col("__cl")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(null).cast("string").as("best"), lit(0L).as("bestrun")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"),
+          st.getField("run") + 1).otherwise(lit(1L))
+        val better = run > st.getField("bestrun")
+        struct(x.as("prev"), run.as("run"),
+          when(better, x).otherwise(st.getField("best")).as("best"),
+          when(better, run).otherwise(st.getField("bestrun"))
+            .as("bestrun"))
+      },
+      st => st.getField("best"))
+    df.withColumn("__toks", toks)
+      .withColumn("__nch", nCh)
+      .withColumn("__cl", chunkLangs)
+      .select(col(idCol), col("__nch").as("n_chunks"),
+        size(array_distinct(col("__cl"))).cast("long").as("n_langs"),
+        dom.as("dominant_lang"),
+        (size(array_distinct(col("__cl"))) > 1).as("mixed"))
+  }
+
   /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
     * text — stable across engines (md5 is standard), used for exact dedup. */
   def fingerprint(text: Column): Column =

@@ -328,6 +328,50 @@ object Timeseries {
         (col("__dy") > 0L).as("trend_up"))
   }
 
+  /** Day-N retention curve — per offset N: of the users whose FIRST
+    * activity day is early enough that day N falls inside the observed
+    * corpus (first + N ≤ max observed day — without this bound the
+    * tail offsets report false churn on users whose day N hasn't
+    * happened yet), how many were active ON day first+N exactly (the
+    * classic day-N definition; range/rolling retention is a different
+    * report). Cohort day = min activity day over ALL event types.
+    *
+    * Exact integers end to end: days as epoch-day longs, retention
+    * membership a semi-join of (user, first+N) against the distinct
+    * (user, day) activity relation, one display division.
+    *
+    * Shape: ONE distinct (user, day) relation feeds everything (the
+    * q170 single-scan discipline); offsets explode against the
+    * USER-cardinality first-day relation, never the facts; the corpus
+    * max day is a scalar broadcast. */
+  def dayNRetention(events: DataFrame, entityCol: String, tsCol: String,
+                    offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1),
+      s"offsets must be >= 1; got $offsets")
+    val act = events
+      .filter(col(tsCol).isNotNull && col(entityCol).isNotNull)
+      .select(col(entityCol).as("__e"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("__d"))
+      .distinct()
+    val first = act.groupBy(col("__e")).agg(min(col("__d")).as("__f"))
+    val mx = act.agg(max(col("__d")).as("__mx"))
+    val probes = first.crossJoin(broadcast(mx))
+      .withColumn("n", explode(array(offsets.map(lit): _*)))
+      .filter(col("__f") + col("n") <= col("__mx"))
+      .withColumn("__t", col("__f") + col("n"))
+    probes
+      .join(act.withColumnRenamed("__d", "__t"), Seq("__e", "__t"),
+        "left_semi")
+      .groupBy(col("n")).agg(count(lit(1)).as("n_retained"))
+      .join(probes.groupBy(col("n")).agg(count(lit(1)).as("n_cohort")),
+        Seq("n"), "right")
+      .select(col("n"), col("n_cohort"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_cohort").cast("double")).as("retention"))
+  }
+
   /** Budget pacing — is each campaign burning its monthly budget
     * ahead or behind the linear schedule: per (key, active day),
     * cumulative DECIMAL-exact spend vs the linear target

@@ -51,6 +51,7 @@ class CorpusPlanSpec extends SparkSpec {
     "q158_audience_overlap" -> "per-audience total scalars",
     "q202_audience_sketch_overlap" -> "segment-pair type table (T^2 rows) x O(k) sketch rows: metadata-sized non-equi join by design",
     "q206_matched_market" -> "markets x pre-days dense grid cross: metadata-sized (10 x ~20 rows)",
+    "q209_dayn_retention" -> "corpus-max-day scalar: 1-row broadcast relation",
     "q207_segment_migration" -> "q155's rfm machinery twice: 1-row count relations for ntile boundaries",
     "q166_lookalike" -> "seed centroid vector: 1-row relation",
     "q167_gains_table" -> "decile boundaries + conversion-total scalars",
@@ -94,7 +95,8 @@ class CorpusPlanSpec extends SparkSpec {
     "q197_mde_readout" -> "power/SRM readout: 1-row final aggregate over partial aggs",
     "q198_split_leakage" -> "audit rollup over source-cardinality groups: 2-row output",
     "q203_mixture_allocation" -> "water-filling windows over the per-SOURCE aggregate: catalog-sized global cumsum class",
-    "q207_segment_migration" -> "q155's customer-count scalar aggregates (x2 periods): 1-row relations")
+    "q207_segment_migration" -> "q155's customer-count scalar aggregates (x2 periods): 1-row relations",
+    "q209_dayn_retention" -> "corpus-max-day scalar aggregate + offsets-sized (4-row) final report")
 
   test("no gated plan contains a CartesianProduct; BNLJ/SinglePartition are allowlisted") {
     val offendersCart = scala.collection.mutable.ArrayBuffer[String]()

@@ -764,6 +764,58 @@ class Round15Spec extends SparkSpec {
     assert(c1b == 1 && c1a == 5)
   }
 
+  test("languageMixProfile: chunk verdicts, dominant tiebreak, empty-doc profile") {
+    import graft.analyze.TextAnalysis
+    val en = Seq.fill(4)("the and of is with").mkString(" ")   // 20 en toks
+    val de = Seq.fill(4)("der die und das ist").mkString(" ")  // 20 de toks
+    val docs = Seq(
+      (1L, en),                     // 20 toks -> 2 chunks, both en
+      (2L, s"$en $de"),             // 40 toks -> 2 en chunks + und? no:
+                                    // chunk16 boundaries: c0 en, c1
+                                    // en4+de12 -> de, c2 de -> mixed
+      (3L, "   "),                  // whitespace-only -> empty profile
+      (4L, "zz qq ww"))             // 1 chunk, no markers -> und
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.languageMixProfile(docs, "doc_id", "text",
+        chunkTokens = 16)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getString(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((2L, 1L, "en", false)))
+    assert(r(2L) == ((3L, 2L, "de", true)) ||
+      r(2L) == ((3L, 2L, "en", true)))
+    assert(r(3L) == ((0L, 0L, null, false)))
+    assert(r(4L) == ((1L, 1L, "und", false)))
+    // dominant count tie: 1 en chunk + 1 de chunk -> smallest code (de)
+    val tie = Seq((9L, s"${Seq.fill(3)("the and of is with").mkString(" ")} " +
+        s"x ${Seq.fill(3)("der die und das ist").mkString(" ")} y"))
+      .toDF("doc_id", "text")
+    val rt = TextAnalysis.languageMixProfile(tie, "doc_id", "text", 16)
+      .collect().head
+    assert(rt.getLong(1) == 2L && rt.getString(3) == "de" &&
+      rt.getBoolean(4))
+  }
+
+  test("dayNRetention: exact membership, corpus-end cohort bound, zero-retained offsets") {
+    import graft.analyze.Timeseries
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(8)),   // u1: day1 ret, day7 ret
+      (2L, ts(1)),                             // u2: churned everywhere
+      (3L, ts(14)), (3L, ts(15)),              // u3: day1 ret; day3/7 out of corpus? max day=15; 14+3=17 > 15 -> excluded
+      (4L, ts(15)))                            // u4: too recent for all
+      .toDF("user_id", "ts")
+    val r = Timeseries.dayNRetention(ev, "user_id", "ts", Seq(1, 3, 7))
+      .collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    // day1: cohort u1,u2 (first+1<=15: u1 f=1, u2 f=1, u3 f=14 ok) =>
+    // u1,u2,u3; retained u1 (day2), u3 (day15)
+    assert(r(1) == ((3L, 2L)))
+    // day3: cohort u1,u2 (u3's 14+3=17 > 15 excluded); retained none
+    assert(r(3) == ((2L, 0L)))
+    // day7: cohort u1,u2; retained u1 (day8)
+    assert(r(7) == ((2L, 1L)))
+  }
+
   test("mixtureAllocation: caps bind, freed budget redistributes by weight, floor exact") {
     import graft.analyze.TextAnalysis
     // a=(10,100), w=(1,1), B = 4/5 * 110 = 88: source p saturates at

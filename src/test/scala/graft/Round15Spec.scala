@@ -542,6 +542,44 @@ class Round15Spec extends SparkSpec {
     assert(ex.getMessage != null || ex.getCause != null)
   }
 
+  test("theilSenTrend: random series match an exact BigInt-rational reference (3 seeds)") {
+    import graft.analyze.Timeseries
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      // 2 keys, ~20 observed days inside a 28-day span, counts with
+      // ties and spikes
+      val rows = for {
+        key <- Seq("a", "b")
+        d <- 1 to 28 if rnd.nextDouble() < 0.7
+      } yield (key, d,
+        rnd.nextInt(49) + 1 + (if (rnd.nextInt(10) == 0) 500 else 0))
+      val ev = rows.flatMap { case (k, d, n) =>
+        (0 until n).map(i => (k, java.sql.Timestamp.valueOf(
+          f"2024-01-$d%02d 09:${i / 60}%02d:${i % 60}%02d")))
+      }.toDF("event_type", "ts")
+      val got = Timeseries.theilSenTrend(ev, "event_type", "ts")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den")))).toMap
+      // reference: exact rational sort via BigInt cross-mult comparator,
+      // ties by (dy, dx), rank-ceil(n/2) pick
+      val want = rows.groupBy(_._1).collect {
+        case (k, ds) if ds.size >= 2 =>
+          val daily = ds.map(x => (x._2.toLong, x._3.toLong)).sortBy(_._1)
+          val pairs = for {
+            i <- daily.indices; j <- (i + 1) until daily.size
+          } yield (daily(j)._2 - daily(i)._2, daily(j)._1 - daily(i)._1)
+          val sorted = pairs.sortWith { case ((dy1, dx1), (dy2, dx2)) =>
+            val c = (BigInt(dy1) * dx2).compare(BigInt(dy2) * dx1)
+            if (c != 0) c < 0
+            else if (dy1 != dy2) dy1 < dy2
+            else dx1 < dx2
+          }
+          k -> sorted(((sorted.size + 1) / 2) - 1)
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("audienceOverlap: below-k audiences make the sketch columns exact") {
     import graft.analyze.{KmvAlgebra, KmvDistinct}
     // 30 users in A (u0..u29), 20 in B (u20..u39): inter 10, union 40

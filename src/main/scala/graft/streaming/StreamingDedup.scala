@@ -140,6 +140,49 @@ object StreamingDedup {
       }
   }
 
+  /** Streaming twin of
+    * [[graft.relational.Relational.funnelStepsWindowed]]: the k-slot
+    * state machine with the per-step DEADLINE — slot i+1 fills only
+    * within `stepWindowSeconds` of slot i (exact integer micros,
+    * matching the batch fold). Same O(k)-timestamps state bound and
+    * the same in-order-arrival prerequisite as [[funnelStream]]; a
+    * stalled chain stays stalled (greedy-anchor semantics — the batch
+    * contract). Emits the slot micros on every change. */
+  def funnelStreamWindowed(events: Dataset[FunnelEvent],
+                           steps: Seq[String], stepWindowSeconds: Long)
+      : Dataset[(Long, Seq[Option[Long]])] = {
+    import events.sparkSession.implicits._
+    require(stepWindowSeconds > 0, "step window must be positive")
+    val k = steps.size
+    val wUs = stepWindowSeconds * 1000000L
+    val stepSet = steps.toSet
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.filter(e => stepSet.contains(e.etype))
+      .groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[WindowedFunnelState]) =>
+          val slots = state.getOption.map(_.stepUs.toArray)
+            .getOrElse(Array.fill(k)(Option.empty[Long]))
+          rows.toSeq.sortBy(e => (us(e.ts), e.etype)).foreach { e =>
+            val filled = slots.indexWhere(_.isEmpty) match {
+              case -1 => k
+              case i  => i
+            }
+            val eu = us(e.ts)
+            if (filled < k && e.etype == steps(filled) &&
+                (filled == 0 ||
+                  slots(filled - 1).exists(p => eu > p && eu - p <= wUs)))
+              slots(filled) = Some(eu)
+          }
+          state.update(WindowedFunnelState(slots.toSeq))
+          user -> slots.toSeq
+      }
+  }
+
+  case class WindowedFunnelState(stepUs: Seq[Option[Long]])
+
   case class Scd2Change(key: Long, us: Long, id: Long, attr: String)
   case class Scd2Cur(attr: String, from: Long, version: Int)
   case class Scd2Emit(key: Long, attr: String, validFrom: Long,

@@ -854,6 +854,45 @@ class Round15Spec extends SparkSpec {
     assert(r(7) == ((2L, 1L)))
   }
 
+  test("funnelStreamWindowed equals the batch windowed fold; deadline stalls persist") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.FunnelEvent
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val steps = Seq("a", "b", "c")
+    val batch1 = Seq(
+      FunnelEvent(1L, ts("2024-01-01 10:00:00"), "a"),
+      FunnelEvent(1L, ts("2024-01-01 10:30:00"), "b"),
+      FunnelEvent(2L, ts("2024-01-01 10:00:00"), "a"))
+    val batch2 = Seq(
+      FunnelEvent(1L, ts("2024-01-01 10:50:00"), "c"),
+      // u2's b misses the 1h deadline across batches: stall persists
+      FunnelEvent(2L, ts("2024-01-01 11:00:01"), "b"))
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingDedup.funnelStreamWindowed(mem.toDS(), steps, 3600L)
+      .writeStream.format("memory").queryName("wfunnel_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      import spark.implicits._
+      val rows = spark.table("wfunnel_state")
+        .as[(Long, Seq[Option[Long]])].collect()
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      val all = (batch1 ++ batch2).map(e => (e.user, e.ts, e.etype))
+        .toDF("user_id", "ts", "event_type")
+      val batchGot = graft.relational.Relational.funnelStepsWindowed(
+          all, "user_id", "ts", "event_type", steps, 3600L)
+        .as[(Long, Seq[Option[Long]])].collect().toMap
+      assert(latest(1L) == batchGot(1L) && latest(1L).forall(_.isDefined))
+      assert(latest(2L) == batchGot(2L))
+      assert(batchGot(2L).map(_.isDefined) == Seq(true, false, false))
+    } finally q.stop()
+  }
+
   test("mixtureAllocation: caps bind, freed budget redistributes by weight, floor exact") {
     import graft.analyze.TextAnalysis
     // a=(10,100), w=(1,1), B = 4/5 * 110 = 88: source p saturates at

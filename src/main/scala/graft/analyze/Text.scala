@@ -448,7 +448,7 @@ object TextAnalysis {
     * deterministic core of every data-mixture recipe ("30% code, 30%
     * web, 40% books — but books run out"): DoReMi-style weight tuning
     * produces the `w_i`, this operator turns them into exact row
-    * budgets downstream samplers ([[stratifiedSample]]) consume.
+    * budgets downstream samplers ([[stratifiedHashSample]]) consume.
     *
     * Closed form, no iteration: sorted ascending by the fill ratio
     * `a_i/w_i`, the saturated set is a prefix, and membership is the

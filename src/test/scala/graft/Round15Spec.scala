@@ -908,6 +908,49 @@ class Round15Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("budget")).distinct.toSeq == Seq(88L))
   }
 
+  test("mixtureAllocation drives stratifiedHashSample: budget -> rates -> corpus") {
+    import graft.analyze.TextAnalysis
+    // 4 sources x 400 docs x ~10 tokens; weights force saturation on
+    // the smallest-ratio source at a 1/2 budget
+    val docs = (0 until 1600).map { i =>
+      val src = s"s${i % 4}"
+      (i.toLong, src, Seq.fill(6 + i % 9)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val avail = docs.groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("at"))
+      .withColumn("w",
+        when(col("source") === "s0", 9L).otherwise(1L))
+    val alloc = TextAnalysis.mixtureAllocation(
+        avail, "source", "at", "w", 1, 2)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("available"), r.getAs[Long]("allocated"),
+          r.getAs[Boolean]("saturated")))).toMap
+    // s0 (weight 9, same availability) must saturate at a 1/2 budget
+    assert(alloc("s0")._3 && alloc("s0")._2 == alloc("s0")._1)
+    // rates = floor(allocated * M / available); saturated -> M exactly
+    val M = 1000
+    val rates = alloc.map { case (s, (a, al, _)) =>
+      s -> ((BigInt(al) * M) / BigInt(a)).toInt }
+    assert(rates("s0") == M)
+    val sampled = TextAnalysis.stratifiedHashSample(
+        docs, "doc_id", "source", M, rates, defaultKeep = 0)
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("got"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // saturated source keeps its whole mass; unsaturated land within
+    // 20% of their allocation (the md5-residue draw at 400 docs/source
+    // — s2's fixed draw sits ~2 sigma high; the point is the loop
+    // closes deterministically, not the variance of one draw)
+    assert(sampled("s0") == alloc("s0")._1)
+    for (s <- Seq("s1", "s2", "s3")) {
+      val want = alloc(s)._2.toDouble
+      assert(math.abs(sampled(s) - want) / want < 0.20,
+        s"$s: got ${sampled(s)} want $want")
+    }
+  }
+
   test("mixtureAllocation: matches a sequential greedy reference on random inputs") {
     import graft.analyze.TextAnalysis
     val rnd = new scala.util.Random(4242)

@@ -5076,7 +5076,11 @@ FROM lab GROUP BY 1 ORDER BY 1"""
   /** Theil–Sen twin (q201): identical integer sort key
     * dy · (lcm(1..31) // dx) — HUGEINT here, DECIMAL(34,0) on the
     * Spark side, both exact and both ORDER-only (never gated) — and
-    * the same rank-⌈n/2⌉ median pick with the (s, dy, dx) tiebreak. */
+    * the same rank-⌈n/2⌉ median pick with the (s, dy, dx) tiebreak.
+    * The Spark side's 31-day LCM31 envelope is MIRRORED here (ADVICE
+    * r15): a pair gap > 31 days (⇔ key span > 31, the max pair IS the
+    * span) raises via error() instead of silently truncating the sort
+    * key — out-of-envelope data fails loudly in BOTH engines. */
   private val q201 = """
 WITH daily AS (
   SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
@@ -5084,7 +5088,10 @@ WITH daily AS (
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 pairs AS (
   SELECT a.event_type, b.cnt - a.cnt AS dy, b.day - a.day AS dx,
-    CAST(b.cnt - a.cnt AS HUGEINT) * (72201776446800 // (b.day - a.day)) AS s
+    CAST(b.cnt - a.cnt AS HUGEINT) * (72201776446800 //
+      CASE WHEN b.day - a.day > 31
+        THEN CAST(error('theilSen oracle: pair gap > 31 days - outside the LCM31 divisibility envelope (chunk by calendar month)') AS BIGINT)
+        ELSE b.day - a.day END) AS s
   FROM daily a JOIN daily b
     ON a.event_type = b.event_type AND b.day > a.day),
 rk AS (

@@ -248,12 +248,16 @@ object KmvAlgebra {
     val estU = when(col("n_union_sketch") < k,
         col("n_union_sketch").cast("double"))
       .otherwise(lit((k - 1).toDouble * math.pow(2.0, 64)) / kthU)
+    // rho denominator = effective sketch size: below k the union sketch
+    // holds the WHOLE union, so dividing by the constant k would shrink
+    // exact answers (k=64, union 40, inter 10 must read 10, not 6.25).
+    val rhoDen = least(col("n_union_sketch"), lit(k.toLong)).cast("double")
     u.select(col("type_a"), col("type_b"), col("n_union_sketch"),
       col("inter_matches"), col("union_kth"),
       estU.as("est_union"),
-      (col("inter_matches").cast("double") / lit(k.toDouble) * estU)
+      (col("inter_matches").cast("double") / rhoDen * estU)
         .as("est_intersection"),
-      (col("inter_matches").cast("double") / lit(k.toDouble))
+      (col("inter_matches").cast("double") / rhoDen)
         .as("jaccard_est"))
   }
 }

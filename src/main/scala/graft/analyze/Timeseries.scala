@@ -533,8 +533,14 @@ object Timeseries {
     // the guard's own Σ|v| accumulates in DECIMAL(38,0) so it cannot
     // itself overflow (ANSI would fail it with the generic message
     // before this one could fire)
-    val guardBad = sum(abs(col(valueCol)).cast("decimal(38,0)")).over(byKey) >
-      (lit(Long.MaxValue) / (dCnt * mThr)).cast("decimal(38,0)")
+    // threshold by EXACT integral division (`div`), never Divide —
+    // Divide casts long operands to double and rounding of 2^63 could
+    // let inputs within ~2^11 of the envelope slip past (ADVICE r15)
+    val guardThr = call_function("div",
+      lit(Long.MaxValue).cast("decimal(38,0)"),
+      dCnt.cast("decimal(38,0)") * lit(mThr))
+    val guardBad =
+      sum(abs(col(valueCol)).cast("decimal(38,0)")).over(byKey) > guardThr
     series
       .withColumn("__w", sum(dev).over(cum))
       .withColumn("s_scaled",

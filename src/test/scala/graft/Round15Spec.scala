@@ -602,8 +602,12 @@ class Round15Spec extends SparkSpec {
     assert(r.getAs[Long]("union_kth") ==
       hs.reduce((a, b) =>
         if (java.lang.Long.compareUnsigned(a, b) >= 0) a else b))
-    // below k the display estimate is the exact cardinality
+    // below k the display estimates are the EXACT answers: the rho
+    // denominator is the effective sketch size min(n_union_sketch, k),
+    // not the constant k (ADVICE r15 — 10/64·40 = 6.25 was wrong)
     assert(r.getAs[Double]("est_union") == 40.0)
+    assert(r.getAs[Double]("est_intersection") == 10.0)
+    assert(r.getAs[Double]("jaccard_est") == 0.25)
   }
 
   test("audienceOverlap: above-k estimates track the exact KMV estimate") {

@@ -5237,6 +5237,46 @@ UNION ALL
 SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
 ORDER BY step"""
 
+  /** Re-anchored windowed-funnel twin (q210): EVERY step-1 event is an
+    * anchor; per anchor the same greedy cascaded argmins as q205
+    * (earliest next step strictly after the previous fill, within the
+    * 24h window, exact integer micros), per user the MAX depth over
+    * anchors — "any anchor's chain completes" is the re-anchoring
+    * product-analytics convention q205's first-anchor greedy form
+    * deliberately lacks. u3 can only bind when u2 did (the join
+    * predicate references u2; NULL comparisons never match). */
+  private val q210 = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND ts IS NOT NULL),
+a AS (SELECT user_id, us AS u1 FROM e WHERE event_type = 'click'),
+c2 AS (
+  SELECT a.user_id, a.u1, min(x.us) AS u2
+  FROM a LEFT JOIN e x
+    ON x.user_id = a.user_id AND x.event_type = 'view'
+    AND x.us > a.u1 AND x.us - a.u1 <= 86400000000
+  GROUP BY 1, 2),
+c3 AS (
+  SELECT c2.user_id, c2.u1, c2.u2, min(x.us) AS u3
+  FROM c2 LEFT JOIN e x
+    ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+    AND x.us > c2.u2 AND x.us - c2.u2 <= 86400000000
+  GROUP BY 1, 2, 3),
+per AS (
+  SELECT user_id,
+    max(1 + CASE WHEN u2 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN u3 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+  FROM c3 GROUP BY 1)
+SELECT 0 AS step, 'click' AS event_type,
+  (SELECT CAST(count(*) AS BIGINT) FROM per WHERE depth >= 1) AS n_entities
+UNION ALL
+SELECT 1, 'view',
+  (SELECT CAST(count(*) AS BIGINT) FROM per WHERE depth >= 2)
+UNION ALL
+SELECT 2, 'purchase',
+  (SELECT CAST(count(*) AS BIGINT) FROM per WHERE depth >= 3)
+ORDER BY step"""
+
   /** Matched-market twin (q206): identical dense pre-grid (absent
     * market-days count 0), exact-integer SSE, (sse, control) argmin,
     * and the plain-long matched DiD; rel_lift the allowlisted
@@ -5585,6 +5625,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q203_mixture_allocation" -> q203,
     "q204_sketch_rollup" -> q204,
     "q205_windowed_funnel" -> q205,
+    "q210_anchored_funnel" -> q210,
     "q206_matched_market" -> q206,
     "q207_segment_migration" -> q207,
     "q208_language_mixing" -> q208,

@@ -2606,6 +2606,19 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", chunkTokens = 16)
       .orderBy("doc_id")
 
+  private def q210_anchored_funnel(s: SparkSession, dir: String): DataFrame =
+    // RE-ANCHORED windowed funnel (the product-analytics semantics):
+    // click -> view -> purchase, each step due within 24h of the
+    // previous fill, conversion counted when ANY click anchor's greedy
+    // chain completes — vs q205's first-anchor-only greedy form. The
+    // oracle replays per-anchor cascaded argmins and takes max depth
+    // per user.
+    graft.relational.Relational.funnelCountsWindowedAnchored(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "user_id", "ts", "event_type",
+        Seq("click", "view", "purchase"), stepWindowSeconds = 86400L)
+      .orderBy("step")
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3108,6 +3121,7 @@ object SparkEntry {
     "q203_mixture_allocation" -> (q203_mixture_allocation _),
     "q204_sketch_rollup" -> (q204_sketch_rollup _),
     "q205_windowed_funnel" -> (q205_windowed_funnel _),
+    "q210_anchored_funnel" -> (q210_anchored_funnel _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

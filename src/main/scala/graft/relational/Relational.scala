@@ -323,6 +323,116 @@ object Relational {
       .agg(folded.as("step_us"))
   }
 
+  /** RE-ANCHORED time-constrained funnel — the product-analytics
+    * semantics [[funnelStepsWindowed]] deliberately does not have: an
+    * entity reaches step j if the chain from ANY of its step-1 events
+    * (anchors) fills slot j, each chain built greedily (every next
+    * step = its earliest occurrence strictly after the previous fill
+    * and within `stepWindowSeconds` of it — pinned identically by the
+    * oracle's per-anchor cascaded argmins). Greedy stalls where a
+    * later anchor converts ("click Mon, click Fri 9:00, buy Fri 9:05"
+    * with a 1h window: greedy reports depth 1, this reports the
+    * conversion) — Amplitude-style funnels re-anchor, so a user
+    * comparing against them needs this form.
+    *
+    * Two pinned conventions, both mirrored in the SQL twin:
+    *  - PER ANCHOR the chain is greedy-earliest (not best-possible
+    *    subsequence): taking a later in-window step extends the next
+    *    step's deadline, so greedy-per-anchor can under-reach a
+    *    clairvoyant scheduler — but greedy is what every SQL/product
+    *    tool computes, is O(events) per anchor, and is deterministic.
+    *  - The reported `step_us` is the chain of MAXIMUM depth, earliest
+    *    anchor on ties — so per-step reach counts are monotone and
+    *    `element_at(step_us, j)` is non-null iff the entity reached
+    *    step j from some anchor.
+    *
+    * Shape: the [[funnelStepsWindowed]] single shuffle; the per-entity
+    * fold is O(anchors × events) on the collected (capped) array —
+    * bounded by `maxEventsPerEntity`² when set. Output: entity,
+    * `n_anchors: long`, `step_us: array<long>` (all-null when the
+    * entity has relevant events but no anchor). */
+  def funnelStepsWindowedAnchored(events: DataFrame, entityCol: String,
+                                  tsCol: String, typeCol: String,
+                                  steps: Seq[String],
+                                  stepWindowSeconds: Long,
+                                  maxEventsPerEntity: Int = 0): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(stepWindowSeconds > 0, "step window must be positive")
+    require(maxEventsPerEntity >= 0, "maxEventsPerEntity must be >= 0")
+    val k = steps.size
+    val wUs = stepWindowSeconds * 1000000L
+    val stepArr = array(steps.map(lit): _*)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))))
+    // greedy chain from one anchor: slot 1 pre-filled, the windowed
+    // fold fills the rest (events at/before the anchor fail the
+    // strict `>`; filled starts at 1 so the filled===0 arm is dead)
+    def chainFor(evsC: Column, anchorUs: Column): Column = aggregate(
+      evsC,
+      concat(array(anchorUs),
+        array_repeat(lit(null).cast("long"), k - 1)),
+      (acc, e) => {
+        val filled = aggregate(acc, lit(0),
+          (c, v) => c + when(v.isNotNull, 1).otherwise(0))
+        transform(acc, (v, i) =>
+          when(i === filled && filled < k &&
+            e.getField("et") === element_at(stepArr, least(filled, lit(k - 1)) + 1) &&
+            e.getField("us") > element_at(acc, greatest(least(filled, lit(k - 1)), lit(1))) &&
+            e.getField("us") - element_at(acc, greatest(least(filled, lit(k - 1)), lit(1))) <= wUs,
+            e.getField("us")).otherwise(v))
+      })
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    val capped =
+      if (maxEventsPerEntity == 0) relevant
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(entityCol))
+          .orderBy(col(tsCol).asc, col(typeCol).asc)
+        relevant.withColumn("__fs_rn", row_number().over(w))
+          .filter(col("__fs_rn") <= maxEventsPerEntity)
+          .drop("__fs_rn")
+      }
+    val grouped = capped.groupBy(col(entityCol)).agg(evs.as("__evs"))
+    def depth(c: Column): Column = aggregate(c, lit(0),
+      (n, v) => n + when(v.isNotNull, 1).otherwise(0))
+    grouped
+      .withColumn("__anchors",
+        filter(col("__evs"), e => e.getField("et") === lit(steps.head)))
+      .withColumn("__chains",
+        transform(col("__anchors"),
+          a => chainFor(col("__evs"), a.getField("us"))))
+      // anchors ascend in us, so keeping the incumbent unless STRICTLY
+      // deeper pins the earliest-anchor tiebreak
+      .withColumn("__best",
+        aggregate(col("__chains"), lit(null).cast("array<bigint>"),
+          (b, c) => when(b.isNull || depth(c) > depth(b), c).otherwise(b)))
+      .select(col(entityCol),
+        size(col("__anchors")).cast("long").as("n_anchors"),
+        coalesce(col("__best"),
+          array_repeat(lit(null).cast("long"), k)).as("step_us"))
+  }
+
+  /** Per-step reach of the RE-ANCHORED windowed funnel —
+    * [[funnelCounts]]' shape over [[funnelStepsWindowedAnchored]].
+    * Per step j the count is "entities whose best chain reached j":
+    * ≥ the greedy [[funnelCountsWindowed]] count at every step. */
+  def funnelCountsWindowedAnchored(events: DataFrame, entityCol: String,
+                                   tsCol: String, typeCol: String,
+                                   steps: Seq[String],
+                                   stepWindowSeconds: Long): DataFrame = {
+    val per = funnelStepsWindowedAnchored(events, entityCol, tsCol,
+      typeCol, steps, stepWindowSeconds)
+    val aggs = steps.indices.map(i =>
+      count(element_at(col("step_us"), i + 1)).as(s"n$i"))
+    val counts = per.agg(aggs.head, aggs.tail: _*)
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step"), lit(s).as("event_type"),
+        col(s"n$i").as("n_entities"))
+    }
+    counts.select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_entities"))
+  }
+
   /** Per-step reach of the windowed funnel — [[funnelCounts]]' shape
     * over [[funnelStepsWindowed]]. */
   def funnelCountsWindowed(events: DataFrame, entityCol: String,

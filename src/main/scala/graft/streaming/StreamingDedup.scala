@@ -183,6 +183,89 @@ object StreamingDedup {
 
   case class WindowedFunnelState(stepUs: Seq[Option[Long]])
 
+  /** Streaming twin of
+    * [[graft.relational.Relational.funnelStepsWindowedAnchored]]: the
+    * RE-ANCHORED windowed funnel. State per key is the set of ACTIVE
+    * anchor chains (each a filled-prefix of ≤ k micros) plus one O(k)
+    * best-so-far chain and the anchor counter — O(k × active anchors),
+    * and active anchors are BOUNDED by eviction: under the in-order
+    * arrival prerequisite all twins share, a chain whose frontier is
+    * more than `stepWindowSeconds` behind the max seen event time can
+    * never advance (every future event is ≥ that max), and a complete
+    * chain never advances — both fold into the best-so-far summary and
+    * leave the state. So live state holds only anchors whose window is
+    * still open.
+    *
+    * Emits `(user, (n_anchors, step_us))` on every change, where
+    * step_us is the max-depth / earliest-anchor chain over evicted AND
+    * live chains — the batch form's exact tiebreak (chains are created
+    * in anchor order and `better` replaces only on strictly deeper or
+    * strictly earlier anchor at equal depth). */
+  def funnelStreamWindowedAnchored(events: Dataset[FunnelEvent],
+                                   steps: Seq[String],
+                                   stepWindowSeconds: Long)
+      : Dataset[(Long, (Long, Seq[Option[Long]]))] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(stepWindowSeconds > 0, "step window must be positive")
+    val k = steps.size
+    val wUs = stepWindowSeconds * 1000000L
+    val stepSet = steps.toSet
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // (depth, anchor) order: deeper wins; earlier anchor at equal depth
+    def better(a: Seq[Long], b: Seq[Long]): Boolean =
+      a.size > b.size || (a.size == b.size && a.nonEmpty && b.nonEmpty &&
+        a.head < b.head)
+    events.filter(e => stepSet.contains(e.etype))
+      .groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[AnchoredFunnelState]) =>
+          val st = state.getOption
+            .getOrElse(AnchoredFunnelState(0L, Seq.empty, Seq.empty, Long.MinValue))
+          var active = st.active.map(_.toBuffer)
+          var best = st.best
+          var nAnchors = st.nAnchors
+          var maxUs = st.maxSeenUs
+          rows.toSeq.sortBy(e => (us(e.ts), e.etype)).foreach { e =>
+            val eu = us(e.ts)
+            maxUs = math.max(maxUs, eu)
+            // advance every live chain this event extends (greedy: the
+            // first valid event in order IS the earliest)
+            active.foreach { c =>
+              if (c.size < k && e.etype == steps(c.size) &&
+                  eu > c.last && eu - c.last <= wUs)
+                c += eu
+            }
+            // then maybe open a new anchor (after, so an event never
+            // advances its own chain — matches the batch strict `>`)
+            if (e.etype == steps.head) {
+              active = active :+ scala.collection.mutable.Buffer(eu)
+              nAnchors += 1L
+            }
+          }
+          // evict complete chains and stalled chains (frontier expired
+          // vs max seen time) into the best-so-far summary
+          val (evict, live) = active.partition(c =>
+            c.size == k || (c.size < k && maxUs - c.last > wUs))
+          evict.map(_.toSeq).foreach { c =>
+            if (best.isEmpty || better(c, best)) best = c
+          }
+          val liveSeqs = live.map(_.toSeq)
+          state.update(AnchoredFunnelState(nAnchors, best, liveSeqs, maxUs))
+          val top = (liveSeqs :+ best).filter(_.nonEmpty)
+            .reduceOption((a, b) => if (better(b, a)) b else a)
+            .getOrElse(Seq.empty)
+          val padded = top.map(Option(_)) ++
+            Seq.fill(k - top.size)(Option.empty[Long])
+          user -> (nAnchors, padded)
+      }
+  }
+
+  case class AnchoredFunnelState(nAnchors: Long, best: Seq[Long],
+                                 active: Seq[Seq[Long]], maxSeenUs: Long)
+
   case class Scd2Change(key: Long, us: Long, id: Long, attr: String)
   case class Scd2Cur(attr: String, from: Long, version: Int)
   case class Scd2Emit(key: Long, attr: String, validFrom: Long,

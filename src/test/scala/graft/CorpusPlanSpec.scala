@@ -75,6 +75,7 @@ class CorpusPlanSpec extends SparkSpec {
     "q117_heavy_hitters" -> "support threshold scalar; candidates <= D rows/partition",
     "q118_funnel" -> "funnel stage totals: stages-sized final aggregate",
     "q205_windowed_funnel" -> "funnel stage totals: stages-sized final aggregate over partial aggs",
+    "q210_anchored_funnel" -> "funnel stage totals: stages-sized final aggregate over partial aggs",
     "q123_linear_fit" -> "closed-form regression moment scalars: 1 row",
     "q129_corr_matrix" -> "d^2 correlation cells over partial moment aggs",
     "q141_token_drift" -> "per-epoch token-total scalars",

@@ -28,4 +28,129 @@ class Round16Spec extends SparkSpec {
       .cusumShift(ok, "key", "d", "v", 1, 1).collect()
     assert(r.length == 2)
   }
+
+  private def ev(rows: (Long, Long, String)*) = {
+    // (user, offset seconds, type) -> timestamped events
+    rows.toSeq.map { case (u, s, t) =>
+      (u, new java.sql.Timestamp(1704067200000L + s * 1000L), t)
+    }.toDF("user_id", "ts", "event_type")
+  }
+
+  test("anchored funnel: re-anchoring completes where greedy stalls") {
+    import graft.relational.Relational
+    val steps = Seq("A", "B")
+    // A@0 (anchor 1), A@50 (anchor 2), B@55; window 10s: greedy chain
+    // from A@0 stalls (55 > 10), anchor 2's chain completes
+    val e = ev((1L, 0L, "A"), (1L, 50L, "A"), (1L, 55L, "B"))
+    val greedy = Relational.funnelStepsWindowed(
+      e, "user_id", "ts", "event_type", steps, 10L).collect().head
+    assert(greedy.getAs[collection.Seq[Any]]("step_us").count(_ != null) == 1)
+    val anch = Relational.funnelStepsWindowedAnchored(
+      e, "user_id", "ts", "event_type", steps, 10L).collect().head
+    assert(anch.getAs[Long]("n_anchors") == 2L)
+    val base = 1704067200000000L
+    assert(anch.getAs[collection.Seq[Any]]("step_us") ==
+      Seq(base + 50000000L, base + 55000000L))
+  }
+
+  test("anchored funnel: max depth wins; earliest anchor pinned on depth ties") {
+    import graft.relational.Relational
+    val steps = Seq("A", "B", "C")
+    // anchor A@0 reaches [0,10] then stalls (C@70 is 60s past B@10,
+    // window 50); anchor A@20 reaches [20,30,70]: deeper chain wins
+    // even with a later anchor
+    val e1 = ev((1L, 0L, "A"), (1L, 10L, "B"), (1L, 20L, "A"),
+      (1L, 30L, "B"), (1L, 70L, "C"))
+    val r1 = Relational.funnelStepsWindowedAnchored(
+      e1, "user_id", "ts", "event_type", steps, 50L).collect().head
+    val base = 1704067200000000L
+    assert(r1.getAs[collection.Seq[Any]]("step_us") ==
+      Seq(base + 20000000L, base + 30000000L, base + 70000000L))
+    // equal depth (both stall at 2): EARLIEST anchor's chain reported
+    val e2 = ev((1L, 0L, "A"), (1L, 10L, "B"), (1L, 20L, "A"),
+      (1L, 30L, "B"))
+    val r2 = Relational.funnelStepsWindowedAnchored(
+      e2, "user_id", "ts", "event_type", steps, 50L).collect().head
+    assert(r2.getAs[Long]("n_anchors") == 2L)
+    assert(r2.getAs[collection.Seq[Any]]("step_us") ==
+      Seq(base + 0L, base + 10000000L, null))
+  }
+
+  test("anchored funnel counts dominate greedy counts step-by-step") {
+    import graft.relational.Relational
+    val steps = Seq("click", "view", "purchase")
+    // deterministic pseudo-random soup over 40 users (dense enough for
+    // in-window chains) + 5 planted greedy-stall users where only the
+    // re-anchored form converts
+    val soup = (0 until 1200).map { i =>
+      val u = (i * 2654435761L) % 40
+      val t = (i * 1103515245L + 12345L) % 5000L
+      val et = Seq("click", "view", "purchase", "noise")(
+        ((i * 48271L) % 4L).toInt)
+      (u, t, et)
+    }
+    val planted = (100L until 105L).flatMap(u => Seq(
+      (u, 0L, "click"), (u, 4800L, "click"),
+      (u, 5000L, "view"), (u, 5100L, "purchase")))
+    val e = ev(soup ++ planted: _*)
+    def cts(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect().map(_.getAs[Long]("n_entities")).toSeq
+    val g = cts(Relational.funnelCountsWindowed(
+      e, "user_id", "ts", "event_type", steps, 600L))
+    val a = cts(Relational.funnelCountsWindowedAnchored(
+      e, "user_id", "ts", "event_type", steps, 600L))
+    assert(a.zip(g).forall { case (ai, gi) => ai >= gi },
+      s"anchored $a must dominate greedy $g")
+    assert(a != g, "fixture should exercise an actual divergence")
+    // counts are monotone down the funnel
+    assert(a == a.sorted.reverse)
+  }
+
+  test("funnelStreamWindowedAnchored equals the batch anchored fold across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.FunnelEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val steps = Seq("A", "B", "C")
+    // u1: anchor@0 stalls (B at 700 out of 600s window), anchor@650
+    //     completes in batch 2 — and anchor@0 is EVICTED after batch 1's
+    //     max(700) - 0 > 600.
+    // u2: anchor@0 completes, later anchor@900 stalls — best must stay
+    //     the earlier deeper chain.
+    val batch1 = Seq(
+      FunnelEvent(1L, ts(0L), "A"), FunnelEvent(1L, ts(650L), "A"),
+      FunnelEvent(1L, ts(700L), "B"),
+      FunnelEvent(2L, ts(0L), "A"), FunnelEvent(2L, ts(10L), "B"))
+    val batch2 = Seq(
+      FunnelEvent(1L, ts(750L), "C"),
+      FunnelEvent(2L, ts(20L), "C"), FunnelEvent(2L, ts(900L), "A"))
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingDedup.funnelStreamWindowedAnchored(
+        mem.toDS(), steps, 600L)
+      .writeStream.format("memory").queryName("afunnel_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      import spark.implicits._
+      val rows = spark.table("afunnel_state")
+        .as[(Long, (Long, Seq[Option[Long]]))].collect()
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      val all = (batch1 ++ batch2).map(e => (e.user, e.ts, e.etype))
+        .toDF("user_id", "ts", "event_type")
+      val batchGot = graft.relational.Relational
+        .funnelStepsWindowedAnchored(
+          all, "user_id", "ts", "event_type", steps, 600L)
+        .select(col("user_id"), col("n_anchors"), col("step_us"))
+        .as[(Long, Long, Seq[Option[Long]])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(latest(1L) == batchGot(1L))
+      assert(latest(2L) == batchGot(2L))
+      assert(latest(1L)._2.forall(_.isDefined)) // u1 converted via re-anchor
+      assert(latest(2L)._1 == 2L &&
+        latest(2L)._2.forall(_.isDefined)) // u2 kept the earlier deep chain
+    } finally q.stop()
+  }
 }

@@ -5277,6 +5277,173 @@ SELECT 2, 'purchase',
   (SELECT CAST(count(*) AS BIGINT) FROM per WHERE depth >= 3)
 ORDER BY step"""
 
+  /** NB-classifier twin (q211): replays the exact integer pipeline —
+    * md5-low64 % 4096 hashed-token buckets (power-of-two modulus, so
+    * the UBIGINT residue equals Spark's signed pmod), per-class
+    * (bucket, cnt) counts on the %10<8 train split, and the add-one-
+    * collapsed rational score class_docs·(n+S)/(class_tokens+4096)
+    * arg-maxed by pairwise HUGEINT cross-multiplication (ties to the
+    * smaller label) — no float anywhere, the q201 discipline. */
+  private val q211 = """
+WITH p AS (
+  SELECT doc_id,
+    ['alpha', 'beta', 'gamma'][CAST(doc_id % 3 AS INT) + 1] AS cls,
+    text || ' ' || repeat('zz' ||
+        ['alpha', 'beta', 'gamma'][CAST(doc_id % 3 AS INT) + 1] || ' ',
+      CAST(length(text) // 100 + 1 AS INT)) AS ptext
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+tr AS (
+  SELECT cls,
+    string_split(trim(regexp_replace(lower(ptext), '\s+', ' ', 'g')), ' ') AS toks
+  FROM p WHERE doc_id % 10 < 8),
+trb AS (
+  SELECT cls,
+    CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 4096 AS BIGINT) AS bucket
+  FROM (SELECT cls, unnest(toks) AS w FROM tr)),
+cnts AS (SELECT cls, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM trb GROUP BY 1, 2),
+ctok AS (SELECT cls, CAST(count(*) AS BIGINT) AS class_tokens
+  FROM trb GROUP BY 1),
+cdoc AS (SELECT cls, CAST(count(*) AS BIGINT) AS class_docs
+  FROM tr GROUP BY 1),
+sc AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(ptext), '\s+', ' ', 'g')), ' ') AS toks
+  FROM p WHERE doc_id % 10 >= 8),
+scb AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 4096 AS BIGINT) AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS w FROM sc)),
+tf AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+  FROM scb GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM scb GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, c.cls, CAST(sum(tf.tf * c.cnt) AS BIGINT) AS s_match
+  FROM tf JOIN cnts c USING (bucket) GROUP BY 1, 2),
+f AS MATERIALIZED (
+  SELECT n.doc_id, n.n_tokens, cd.cls, COALESCE(s.s_match, 0) AS s_match,
+    cd.class_docs, ct.class_tokens
+  FROM n CROSS JOIN cdoc cd
+  JOIN ctok ct ON ct.cls = cd.cls
+  LEFT JOIN s ON s.doc_id = n.doc_id AND s.cls = cd.cls),
+best AS (
+  SELECT f.doc_id, f.n_tokens, f.cls AS pred_cls, f.s_match
+  FROM f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM f g WHERE g.doc_id = f.doc_id AND (
+      CAST(g.class_docs AS HUGEINT) * (g.n_tokens + g.s_match)
+        * (f.class_tokens + 4096) >
+      CAST(f.class_docs AS HUGEINT) * (f.n_tokens + f.s_match)
+        * (g.class_tokens + 4096)
+      OR (CAST(g.class_docs AS HUGEINT) * (g.n_tokens + g.s_match)
+            * (f.class_tokens + 4096) =
+          CAST(f.class_docs AS HUGEINT) * (f.n_tokens + f.s_match)
+            * (g.class_tokens + 4096)
+          AND g.cls < f.cls))))
+SELECT b.doc_id, b.n_tokens, b.pred_cls, b.s_match, p.cls AS actual_cls,
+  b.pred_cls = p.cls AS correct
+FROM best b JOIN p USING (doc_id)
+ORDER BY b.doc_id"""
+
+  /** NB-vs-percentile-gate agreement twin (q212): q90's quality +
+    * percent_rank CTEs produce the keep/drop labels, the q211 NB
+    * machinery (minus planting) trains on the %10<8 labels and scores
+    * the held-out split, and the report is the exact (gate_label,
+    * nb_pred) count matrix. */
+  private val q212 = """
+WITH n0 AS (
+  SELECT doc_id, source, "text",
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks,
+    regexp_extract_all("text", '[A-Za-z]+') AS words,
+    CASE WHEN "text" IS NULL OR LENGTH(TRIM("text")) = 0 THEN 0
+         ELSE len(string_split(TRIM(regexp_replace("text", '\s+', ' ', 'g')), ' '))
+         END AS ntok
+  FROM documents),
+c0 AS (
+  SELECT doc_id, source, ntok,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> list_contains(
+        ['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN LENGTH("text") > 0 THEN
+      CAST(LENGTH(regexp_replace("text", '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        / CAST(LENGTH("text") AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN
+      CAST(list_sum(list_transform(words, w -> LENGTH(w))) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE) ELSE 0.0 END AS mean_word_len
+  FROM n0),
+scored0 AS (
+  SELECT doc_id, source,
+    (CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END) * 0.25
+    + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.25
+    AS quality
+  FROM c0),
+lab AS MATERIALIZED (
+  SELECT d.doc_id, d.text,
+    CASE WHEN r.pr >= 0.5 THEN 'keep' ELSE 'drop' END AS gate_label
+  FROM documents d JOIN (
+    SELECT doc_id, percent_rank() OVER (PARTITION BY source
+      ORDER BY quality ASC, doc_id ASC) AS pr FROM scored0) r
+    USING (doc_id)),
+tr AS (
+  SELECT gate_label AS cls,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM lab
+  WHERE doc_id % 10 < 8 AND text IS NOT NULL AND length(trim(text)) > 0),
+trb AS (
+  SELECT cls,
+    CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 4096 AS BIGINT) AS bucket
+  FROM (SELECT cls, unnest(toks) AS w FROM tr)),
+cnts AS (SELECT cls, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM trb GROUP BY 1, 2),
+ctok AS (SELECT cls, CAST(count(*) AS BIGINT) AS class_tokens
+  FROM trb GROUP BY 1),
+cdoc AS (SELECT cls, CAST(count(*) AS BIGINT) AS class_docs
+  FROM tr GROUP BY 1),
+sc AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM lab
+  WHERE doc_id % 10 >= 8 AND text IS NOT NULL AND length(trim(text)) > 0),
+scb AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 4096 AS BIGINT) AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS w FROM sc)),
+tf AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+  FROM scb GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM scb GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, c.cls, CAST(sum(tf.tf * c.cnt) AS BIGINT) AS s_match
+  FROM tf JOIN cnts c USING (bucket) GROUP BY 1, 2),
+f AS MATERIALIZED (
+  SELECT n.doc_id, n.n_tokens, cd.cls, COALESCE(s.s_match, 0) AS s_match,
+    cd.class_docs, ct.class_tokens
+  FROM n CROSS JOIN cdoc cd
+  JOIN ctok ct ON ct.cls = cd.cls
+  LEFT JOIN s ON s.doc_id = n.doc_id AND s.cls = cd.cls),
+best AS (
+  SELECT f.doc_id, f.cls AS nb_pred
+  FROM f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM f g WHERE g.doc_id = f.doc_id AND (
+      CAST(g.class_docs AS HUGEINT) * (g.n_tokens + g.s_match)
+        * (f.class_tokens + 4096) >
+      CAST(f.class_docs AS HUGEINT) * (f.n_tokens + f.s_match)
+        * (g.class_tokens + 4096)
+      OR (CAST(g.class_docs AS HUGEINT) * (g.n_tokens + g.s_match)
+            * (f.class_tokens + 4096) =
+          CAST(f.class_docs AS HUGEINT) * (f.n_tokens + f.s_match)
+            * (g.class_tokens + 4096)
+          AND g.cls < f.cls))))
+SELECT l.gate_label, b.nb_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM best b JOIN lab l USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Matched-market twin (q206): identical dense pre-grid (absent
     * market-days count 0), exact-integer SSE, (sse, control) argmin,
     * and the plain-long matched DiD; rel_lift the allowlisted
@@ -5392,6 +5559,72 @@ best AS (
     SELECT *, row_number() OVER (PARTITION BY doc_id, cidx
       ORDER BY c DESC, idx DESC) AS rn
     FROM hits WHERE c > 0)
+  WHERE rn = 1),
+verd AS (
+  SELECT ch.doc_id, ch.cidx, COALESCE(b.code, 'und') AS lang
+  FROM ch LEFT JOIN best b USING (doc_id, cidx)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM verd GROUP BY 1),
+dom AS (
+  SELECT doc_id, lang AS dominant_lang FROM (
+    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+      ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM verd GROUP BY doc_id, lang)
+  WHERE rn = 1)
+SELECT d.doc_id, COALESCE(a.n_chunks, 0) AS n_chunks,
+  COALESCE(a.n_langs, 0) AS n_langs, dom.dominant_lang,
+  COALESCE(a.n_langs, 0) > 1 AS mixed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN dom USING (doc_id)
+ORDER BY d.doc_id"""
+
+  /** NB-mixing twin (q213): q208's chunking and dominant/mixed rollup,
+    * chunk verdicts from the trained NB model — one doc per language
+    * (the marker corpus), so classes are SYMMETRIC (class_docs = 1,
+    * class_tokens = 5) and the exact rational argmax
+    * class_docs·(n+S)/(class_tokens+B) reduces to match-mass S DESC
+    * with smallest-code ties; 'und' when no class matches. Matching is
+    * by md5-low64 % 4096 BUCKET (not string) — hash collisions replay
+    * identically in both engines. */
+  private val q213 = """
+WITH t AS (
+  SELECT doc_id,
+    string_split(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE "text" IS NOT NULL AND LENGTH(TRIM("text")) > 0),
+ch AS (
+  SELECT doc_id, unnest(generate_series(0, (len(toks) + 15) // 16 - 1)) AS cidx
+  FROM t),
+ctoks AS (
+  SELECT c.doc_id, c.cidx,
+    unnest(t.toks[c.cidx * 16 + 1 : c.cidx * 16 + 16]) AS tok
+  FROM ch c JOIN t USING (doc_id)),
+nbtr(code, w) AS (VALUES
+  ('en', 'the'), ('en', 'and'), ('en', 'of'), ('en', 'is'), ('en', 'with'),
+  ('es', 'el'), ('es', 'la'), ('es', 'de'), ('es', 'que'), ('es', 'y'),
+  ('fr', 'le'), ('fr', 'la'), ('fr', 'et'), ('fr', 'les'), ('fr', 'des'),
+  ('de', 'der'), ('de', 'die'), ('de', 'und'), ('de', 'das'), ('de', 'ist')),
+cnts AS (
+  SELECT code,
+    CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 4096 AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM nbtr GROUP BY 1, 2),
+hits AS (
+  SELECT cb.doc_id, cb.cidx, c.code, CAST(sum(c.cnt) AS BIGINT) AS s
+  FROM (
+    SELECT doc_id, cidx,
+      CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 4096 AS BIGINT)
+        AS bucket
+    FROM ctoks) cb
+  JOIN cnts c USING (bucket)
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT doc_id, cidx, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, cidx
+      ORDER BY s DESC, code ASC) AS rn
+    FROM hits WHERE s > 0)
   WHERE rn = 1),
 verd AS (
   SELECT ch.doc_id, ch.cidx, COALESCE(b.code, 'und') AS lang
@@ -5626,6 +5859,9 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q204_sketch_rollup" -> q204,
     "q205_windowed_funnel" -> q205,
     "q210_anchored_funnel" -> q210,
+    "q211_nb_classifier" -> q211,
+    "q212_nb_gate_agreement" -> q212,
+    "q213_language_mixing_nb" -> q213,
     "q206_matched_market" -> q206,
     "q207_segment_migration" -> q207,
     "q208_language_mixing" -> q208,

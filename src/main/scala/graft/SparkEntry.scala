@@ -2619,6 +2619,96 @@ object SparkEntry {
         Seq("click", "view", "purchase"), stepWindowSeconds = 86400L)
       .orderBy("step")
 
+  private def q211_nb_classifier(s: SparkSession, dir: String): DataFrame = {
+    // Trained classifier gate (the FineWeb-Edu/CCNet pattern, zero-dep
+    // form): integer-count Naive Bayes over md5-hashed token buckets.
+    // The synthetic corpus has no text↔label correlation, so the
+    // separable classes are PLANTED: class = doc_id%3, and each doc
+    // carries its class marker token with mass proportional to length
+    // (1 + len/100 repeats) — the classifier must RECOVER the class on
+    // the held-out %10>=8 split from training on %10<8 alone. The
+    // decision is an exact cross-multiplied rational argmax — no libm,
+    // no float; the oracle replays counts + pairwise NOT EXISTS.
+    import graft.analyze.TextAnalysis
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    val cls = element_at(
+      array(lit("alpha"), lit("beta"), lit("gamma")),
+      pmod(col("doc_id"), lit(3)).cast("int") + 1)
+    val reps = (call_function("div",
+      length(col("text")).cast("long"), lit(100L)) + 1L).cast("int")
+    val planted = docs.select(col("doc_id"), cls.as("cls"),
+      concat(col("text"), lit(" "),
+        repeat(concat(lit("zz"), cls, lit(" ")), reps)).as("ptext"))
+    val model = TextAnalysis.nbTrain(
+      planted.filter(pmod(col("doc_id"), lit(10)) < 8), "cls", "ptext")
+    TextAnalysis.nbScore(
+        planted.filter(pmod(col("doc_id"), lit(10)) >= 8), model,
+        "doc_id", "ptext")
+      .join(planted.select(col("doc_id"), col("cls").as("actual_cls")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pred_label").as("pred_cls"), col("s_match"),
+        col("actual_cls"),
+        (col("pred_label") === col("actual_cls")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  private def q212_nb_gate_agreement(s: SparkSession, dir: String): DataFrame = {
+    // Composition: does a TRAINED gate agree with the heuristic
+    // percentile gate it would replace? q90's per-source top-half
+    // verdict labels the corpus, the NB classifier trains on the
+    // %10<8 split's labels, scores the held-out split, and the report
+    // is the (gate_label, nb_pred) agreement matrix — the q92
+    // pairAgreement discipline applied to quality gating. Measured
+    // finding this matrix exists to surface: on this corpus the
+    // unigram sum-form classifier recalls 100% of keeps but 0% of
+    // drops (predicts keep everywhere) — the percentile gate keys on
+    // length/punct thresholds that unigram match mass cannot express,
+    // so the trained gate is NOT a drop-in replacement here. That is
+    // the measurement, not a defect: the report is how a pipeline
+    // decides whether to swap gates.
+    import graft.analyze.TextAnalysis
+    val docs = t(s, dir, "documents")
+    val kept = TextAnalysis.stratumQuantileGate(
+        docs.withColumn("quality", TA.qualityScore(col("text"))),
+        "source", col("quality"), col("doc_id"), keepFrac = 0.5)
+      .select(col("doc_id"), lit(1).as("__k"))
+    val labeled = docs.join(kept, Seq("doc_id"), "left")
+      .withColumn("gate_label",
+        when(col("__k").isNotNull, lit("keep")).otherwise(lit("drop")))
+    val model = TextAnalysis.nbTrain(
+      labeled.filter(pmod(col("doc_id"), lit(10)) < 8),
+      "gate_label", "text")
+    TextAnalysis.nbScore(
+        labeled.filter(pmod(col("doc_id"), lit(10)) >= 8), model,
+        "doc_id", "text")
+      .join(labeled.select(col("doc_id"), col("gate_label")), Seq("doc_id"))
+      .groupBy(col("gate_label"), col("pred_label").as("nb_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("gate_label", "nb_pred")
+  }
+
+  private def q213_language_mixing_nb(s: SparkSession, dir: String): DataFrame = {
+    // q208's mixing profile with the chunk scorer RE-POINTED at the
+    // trained NB classifier (VERDICT r15 #4): the model trains
+    // in-query on the marker corpus (one doc per language — symmetric
+    // classes, so the oracle's argmax is exactly match-mass DESC with
+    // smallest-code ties), each 16-token chunk gets the exact-rational
+    // NB verdict ('und' when no class has match mass), and the
+    // dominant/mixed rollup is q208's.
+    import graft.analyze.TextAnalysis
+    val trainRows = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)
+      .map { case (code, ws) => (code, ws.mkString(" ")) }
+    import s.implicits._
+    val train = trainRows.toDF("code", "mtext")
+    val model = TextAnalysis.nbModelCollect(
+      TextAnalysis.nbTrain(train, "code", "mtext"))
+    TextAnalysis.languageMixProfileNb(
+        t(s, dir, "documents"), "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3122,6 +3212,9 @@ object SparkEntry {
     "q204_sketch_rollup" -> (q204_sketch_rollup _),
     "q205_windowed_funnel" -> (q205_windowed_funnel _),
     "q210_anchored_funnel" -> (q210_anchored_funnel _),
+    "q211_nb_classifier" -> (q211_nb_classifier _),
+    "q212_nb_gate_agreement" -> (q212_nb_gate_agreement _),
+    "q213_language_mixing_nb" -> (q213_language_mixing_nb _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

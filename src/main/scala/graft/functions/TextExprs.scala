@@ -184,10 +184,111 @@ case class DeletionNeighborhoodExpr(child: Expression, maxDeletes: Int)
     copy(child = c)
 }
 
+/** Native Naive-Bayes chunk classifier over a token array — the
+  * trained twin of [[LangIdExpr]]'s marker scorer, evaluating a
+  * COLLECTED [[graft.analyze.TextAnalysis.nbTrain]] model (metadata-
+  * sized: ≤ classes × buckets entries, the centroid/codebook
+  * convention) in one pass per chunk. Same exact arithmetic as
+  * nbScore: bucket = md5-low64(token) & (buckets−1) (power-of-two
+  * modulus ≡ Spark pmod ≡ DuckDB UBIGINT %), score the cross-
+  * multiplied rational class_docs·(n+S_c)/(class_tokens+B) via BigInt
+  * (no float), ties to the smallest label — and 'und' when NO class
+  * has any match mass (S_c = 0 ∀c), the mixing-profile convention for
+  * evidence-free chunks. */
+case class NbClassifyExpr(child: Expression,
+                          labels: Seq[String],
+                          counts: Seq[Map[Long, Long]],
+                          classTokens: Seq[Long],
+                          classDocs: Seq[Long],
+                          buckets: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+  require(labels.nonEmpty && labels.size == counts.size &&
+    labels.size == classTokens.size && labels.size == classDocs.size,
+    "model arrays must align and be non-empty")
+  require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+    s"buckets must be a power of two >= 2; got $buckets")
+  override protected def resultJava: String =
+    "org.apache.spark.unsafe.types.UTF8String"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nb_classify expects array<string>, got $t")
+  }
+
+  // label-sorted model, bucket -> per-class count vector (one lookup
+  // per token, not one per (token, class))
+  @transient private lazy val order: Array[Int] =
+    labels.indices.sortBy(labels(_)).toArray
+  @transient private lazy val names: Array[UTF8String] =
+    order.map(i => UTF8String.fromString(labels(i)))
+  @transient private lazy val ctok: Array[Long] =
+    order.map(classTokens(_))
+  @transient private lazy val cdoc: Array[Long] = order.map(classDocs(_))
+  @transient private lazy val byBucket: java.util.HashMap[Long, Array[Long]] = {
+    val m = new java.util.HashMap[Long, Array[Long]]()
+    order.zipWithIndex.foreach { case (orig, c) =>
+      counts(orig).foreach { case (b, cnt) =>
+        val v = m.computeIfAbsent(b, _ => new Array[Long](order.length))
+        v(c) += cnt
+      }
+    }
+    m
+  }
+
+  private val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val k = names.length
+    val s = new Array[Long](k)
+    var n = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        n += 1L
+        val b = TokenHash.md5Low64(arr.getUTF8String(i)) & (buckets - 1).toLong
+        val hit = byBucket.get(b)
+        if (hit != null) {
+          var c = 0
+          while (c < k) { s(c) += hit(c); c += 1 }
+        }
+      }
+      i += 1
+    }
+    var any = false
+    var c = 0
+    while (c < k && !any) { any = s(c) > 0L; c += 1 }
+    if (!any) return und
+    // argmax of cdoc(c)·(n+s(c)) / (ctok(c)+B) — exact cross-multiply;
+    // strictly-greater wins, so the first (smallest) label keeps ties
+    var best = 0
+    var bestNum = BigInt(cdoc(0)) * (n + s(0))
+    var bestDen = BigInt(ctok(0)) + buckets
+    c = 1
+    while (c < k) {
+      val num = BigInt(cdoc(c)) * (n + s(c))
+      val den = BigInt(ctok(c)) + buckets
+      if (num * bestDen > bestNum * den) {
+        best = c; bestNum = num; bestDen = den
+      }
+      c += 1
+    }
+    names(best)
+  }
+  override protected def withNewChildInternal(c: Expression): NbClassifyExpr =
+    copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def langId(tokens: Column, markers: Map[String, Seq[String]]): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(tokens), markers.toSeq))
+  def nbClassify(tokens: Column, labels: Seq[String],
+                 counts: Seq[Map[Long, Long]], classTokens: Seq[Long],
+                 classDocs: Seq[Long], buckets: Int): Column =
+    ColumnBridge.column(NbClassifyExpr(ColumnBridge.expression(tokens),
+      labels, counts, classTokens, classDocs, buckets))
   def nfcNormalize(s: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(s)))
   def stripAccents(s: Column): Column =

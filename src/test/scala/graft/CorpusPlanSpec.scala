@@ -57,7 +57,9 @@ class CorpusPlanSpec extends SparkSpec {
     "q167_gains_table" -> "decile boundaries + conversion-total scalars",
     "q184_survival_hazard" -> "cohort-size scalar for hazard denominators",
     "q188_adstock_regression" -> "channel-list literal (1-row relation) crossed with the day spine — metadata x metadata",
-    "q189_qini_uplift" -> "audience-count scalar for tile assignment: 1-row broadcast relation")
+    "q189_qini_uplift" -> "audience-count scalar for tile assignment: 1-row broadcast relation",
+    "q211_nb_classifier" -> "NB class-stats cross join: classes-sized (<= 3 rows) broadcast relation",
+    "q212_nb_gate_agreement" -> "NB class-stats cross join: classes-sized (2 rows) broadcast relation")
 
   /** query -> why its SinglePartition exchange is metadata-sized:
     * either a final scalar/count aggregate over PARTIAL-aggregated

@@ -106,6 +106,72 @@ class Round16Spec extends SparkSpec {
     assert(a == a.sorted.reverse)
   }
 
+  test("nbScore: hand-computed rational argmax; unseen-token mass never zeroes") {
+    import graft.analyze.TextAnalysis
+    // class a: "cat cat dog" (3 tokens, 1 doc); b: "bird" (1 token, 1 doc)
+    val train = Seq(("a", "cat cat dog"), ("b", "bird")).toDF("label", "text")
+    val model = TextAnalysis.nbTrain(train, "label", "text")
+    // "cat bird bird": S_a = 2 (two cats trained... tf(cat)=1 * cnt=2),
+    // S_b = 2 (tf(bird)=2 * cnt=1). num_a = 1*(3+2) = 5 over 3+4096;
+    // num_b = 1*(3+2) = 5 over 1+4096 → b wins on the smaller
+    // denominator (cross-multiplied exactly)
+    val r = TextAnalysis.nbScore(
+      Seq((1L, "cat bird bird")).toDF("id", "text"), model, "id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[String]("pred_label") == "b")
+    assert(r.getAs[Long]("s_match") == 2L)
+    // ENTIRELY unseen tokens: both s_match 0, score falls back to
+    // class_docs*n/(class_tokens+B) — never zero; a has the bigger
+    // prior/denominator ratio here (1*2/(3+4096) vs 1*2/(1+4096))...
+    // larger denominator LOSES: pred must be b again
+    val u = TextAnalysis.nbScore(
+      Seq((2L, "zebra quokka")).toDF("id", "text"), model, "id", "text")
+      .collect().head
+    assert(u.getAs[Long]("s_match") == 0L)
+    assert(u.getAs[String]("pred_label") == "b")
+    // exact tie (symmetric classes, unseen doc): smaller label wins
+    val sym = Seq(("a", "cat"), ("b", "dog")).toDF("label", "text")
+    val m2 = TextAnalysis.nbTrain(sym, "label", "text")
+    val t2 = TextAnalysis.nbScore(
+      Seq((3L, "zebra")).toDF("id", "text"), m2, "id", "text")
+      .collect().head
+    assert(t2.getAs[String]("pred_label") == "a")
+    // no-token docs are unclassifiable and ABSENT
+    val e = TextAnalysis.nbScore(
+      Seq((4L, "   "), (5L, null.asInstanceOf[String]))
+        .toDF("id", "text"), m2, "id", "text")
+    assert(e.count() == 0L)
+  }
+
+  test("NbClassifyExpr (chunk scorer) agrees with nbScore's rational argmax") {
+    import graft.analyze.TextAnalysis
+    val train = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)
+      .map { case (code, ws) => (code, ws.mkString(" ")) }
+      .toDF("code", "mtext")
+    val model = TextAnalysis.nbTrain(train, "code", "mtext")
+    val local = TextAnalysis.nbModelCollect(model)
+    val docs = Seq(
+      (1L, "the cat and the dog is with a hat"),
+      (2L, "el perro y la casa de que"),
+      (3L, "der hund und die katze ist"),
+      (4L, "xylophone zebra quartz")).toDF("id", "text")
+    // whole doc as ONE chunk: profile dominant == nbScore pred (except
+    // the zero-mass doc, where the expression says 'und' and nbScore
+    // still picks the prior argmax — pinned difference)
+    val prof = TextAnalysis.languageMixProfileNb(
+        docs, "id", "text", local, chunkTokens = 1000)
+      .select(col("id"), col("dominant_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = TextAnalysis.nbScore(docs, model, "id", "text")
+      .select(col("id"), col("pred_label"), col("s_match")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(prof(1L) == "en" && scored(1L)._1 == "en")
+    assert(prof(2L) == "es" && scored(2L)._1 == "es")
+    assert(prof(3L) == "de" && scored(3L)._1 == "de")
+    assert(prof(4L) == "und" && scored(4L)._2 == 0L)
+  }
+
   test("funnelStreamWindowedAnchored equals the batch anchored fold across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingDedup

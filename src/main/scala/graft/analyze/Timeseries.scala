@@ -328,6 +328,69 @@ object Timeseries {
         (col("__dy") > 0L).as("trend_up"))
   }
 
+  /** [[theilSenTrend]] for horizons past the 31-day envelope: partition
+    * the series by CALENDAR MONTH (exactly the chunking the envelope's
+    * error message prescribes) and report one exact per-month trend row
+    * per key — which is also the statistically sane read (a 90-day
+    * "trend" through seasonality cycles is not one number; comparing
+    * monthly medians is). Within a calendar month max(day) − min(day)
+    * ≤ 30 STRUCTURALLY, so the LCM31 divisibility always holds and no
+    * runtime guard is needed — the monthly boundary IS the envelope.
+    *
+    * Same exact machinery per (key, month): integer sort key
+    * dy·(LCM31/dx) in DECIMAL(34,0), rank-⌈n/2⌉ median with the
+    * (S, dy, dx) tiebreak, plain-integer slope_num/slope_den output.
+    * A caller wanting one robust number across months takes the median
+    * of the monthly slopes (estimator caveat: that is a median-of-
+    * medians, not the global pairwise median — document, don't blur).
+    *
+    * Scale: pair work is ≤ C(31,2) = 465 rows per key-month however
+    * large the fact table (the day-grain aggregation runs first), and
+    * the pair join partitions on (key, month) — finer than
+    * [[theilSenTrend]]'s key-only partition, so hot keys spread across
+    * months instead of concentrating. (Key, month)s with < 2 observed
+    * days have no pairs and are absent. */
+  def theilSenTrendChunked(events: DataFrame, keyCol: String,
+                           tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Lcm31 = 72201776446800L // lcm(1..31)
+    val daily = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol),
+        trunc(to_date(col(tsCol)), "month").as("month"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    val nd = daily.groupBy(col(keyCol), col("month"))
+      .agg(count(lit(1)).as("__ndays"))
+    val a = daily.select(col(keyCol), col("month"),
+      col("__day").as("__d1"), col("__cnt").as("__c1"))
+    val b = daily.select(col(keyCol), col("month"),
+      col("__day").as("__d2"), col("__cnt").as("__c2"))
+    val pairs = a.join(b, Seq(keyCol, "month"))
+      .filter(col("__d2") > col("__d1"))
+      .withColumn("__dx", col("__d2") - col("__d1"))
+      .withColumn("__dy", col("__c2") - col("__c1"))
+      .withColumn("__s",
+        col("__dy").cast("decimal(20,0)") *
+          call_function("div", lit(Lcm31), col("__dx"))
+            .cast("decimal(14,0)"))
+    val w = Window.partitionBy(col(keyCol), col("month"))
+      .orderBy(col("__s").asc, col("__dy").asc, col("__dx").asc)
+    val n = Window.partitionBy(col(keyCol), col("month"))
+    pairs
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(n))
+      .filter(col("__r") ===
+        call_function("div", lit(50L) * col("n_pairs") + 99L, lit(100L)))
+      .join(nd, Seq(keyCol, "month"))
+      .select(col(keyCol), col("month"), col("__ndays").as("n_days"),
+        col("n_pairs"),
+        col("__dy").as("slope_num"), col("__dx").as("slope_den"),
+        (col("__dy").cast("double") / col("__dx").cast("double"))
+          .as("slope_per_day"),
+        (col("__dy") > 0L).as("trend_up"))
+  }
+
   /** Day-N retention curve — per offset N: of the users whose FIRST
     * activity day is early enough that day N falls inside the observed
     * corpus (first + N ≤ max observed day — without this bound the

@@ -144,6 +144,56 @@ class Round16Spec extends SparkSpec {
     assert(e.count() == 0L)
   }
 
+  test("theilSenTrendChunked: 90-day series matches per-month manual references") {
+    import graft.analyze.Timeseries
+    // deterministic daily counts over Jan 1 .. Mar 30, 2024 (90 days,
+    // 3 calendar months), with spikes so medians aren't trivial
+    val days = (0 until 90).map { i =>
+      val cnt = 50L + (i % 7) * 3L - (i % 11) * 2L +
+        (if (i % 13 == 0) 40L else 0L)
+      (s"k", new java.sql.Timestamp(1704067200000L + i * 86400000L), cnt)
+    }
+    // expand to one event ROW per count (the operator aggregates to
+    // the day grain itself)
+    val rows = days.flatMap { case (k, ts, c) =>
+      (0L until c).map(_ => (k, ts))
+    }
+    val e = rows.toDF("key", "ts")
+    // the UNchunked form must refuse the 90-day span
+    val err = intercept[Exception] {
+      Timeseries.theilSenTrend(e, "key", "ts").collect()
+    }
+    assert(err.getMessage.contains("spans > 31 days"))
+    val got = Timeseries.theilSenTrendChunked(e, "key", "ts")
+      .orderBy("month").collect()
+      .map(r => (r.getAs[java.sql.Date]("month").toString,
+        r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den")))
+    // manual per-month reference: exact rational median of pairwise
+    // slopes with the (s, dy, dx) tiebreak (the Round15Spec comparator)
+    val byMonth = days.zipWithIndex.groupBy { case (_, i) =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      java.time.LocalDate.of(d.getYear, d.getMonth, 1).toString
+    }
+    val want = byMonth.toSeq.sortBy(_._1).map { case (m, ds) =>
+      val daily = ds.map { case ((_, _, c), i) => (i.toLong, c) }
+      val pairs = for {
+        x <- daily; y <- daily if y._1 > x._1
+      } yield (y._2 - x._2, y._1 - x._1)
+      val sorted = pairs.sortWith { case ((dy1, dx1), (dy2, dx2)) =>
+        val cc = (BigInt(dy1) * dx2).compare(BigInt(dy2) * dx1)
+        if (cc != 0) cc < 0
+        else if (dy1 != dy2) dy1 < dy2 else dx1 < dx2
+      }
+      val med = sorted(((sorted.size + 1) / 2) - 1)
+      (m, daily.size.toLong, pairs.size.toLong, med._1, med._2)
+    }
+    assert(got.length == 3 && got.toSeq == want,
+      s"got ${got.toSeq}\nwant $want")
+    // pair bound: <= C(31,2) = 465 per key-month
+    assert(got.forall(_._3 <= 465L))
+  }
+
   test("NbClassifyExpr (chunk scorer) agrees with nbScore's rational argmax") {
     import graft.analyze.TextAnalysis
     val train = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)

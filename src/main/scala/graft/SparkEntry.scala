@@ -2575,28 +2575,20 @@ object SparkEntry {
         cutoff = lit("2024-01-22").cast("date"))
       .orderBy("treated_market")
 
-  private def q207_segment_migration(s: SparkSession, dir: String): DataFrame = {
-    // RFM segment migration: the q155 scoring replayed on two order
-    // periods (pre/post 1996), inner-joined per customer, exact counts
-    // per (code_before, code_after) cell — "how many champions
-    // slipped" is THE lifecycle-marketing report.
-    import graft.analyze.Rfm
-    val orders = t(s, dir, "orders")
-    val a = Rfm.rfmScores(
-        orders.filter(col("o_orderdate") < lit("1996-01-01").cast("date")),
-        "o_custkey", "o_orderdate", "o_totalprice",
-        asOf = lit("1996-01-01").cast("date"), nTiles = 5)
-      .select(col("o_custkey").as("custkey"), col("rfm_code").as("code_before"))
-    val b = Rfm.rfmScores(
-        orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("date")),
-        "o_custkey", "o_orderdate", "o_totalprice",
-        asOf = lit("2002-01-01").cast("date"), nTiles = 5)
-      .select(col("o_custkey").as("custkey"), col("rfm_code").as("code_after"))
-    a.join(b, Seq("custkey"))
-      .groupBy(col("code_before"), col("code_after"))
-      .agg(count(lit(1)).as("n_customers"))
+  private def q207_segment_migration(s: SparkSession, dir: String): DataFrame =
+    // RFM segment migration: the q155 scoring on two order periods
+    // (pre/post 1996), inner-joined per customer, exact counts per
+    // (code_before, code_after) cell — "how many champions slipped" is
+    // THE lifecycle-marketing report. r16: ONE conditional-aggregation
+    // scan over orders feeds both periods (the order-cardinality
+    // stage); only the customer-grain rank stages run twice. Output
+    // hash-identical to the two-scan form (the r15 gate).
+    graft.analyze.Rfm.rfmMigration(
+        t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice",
+        cutoff = lit("1996-01-01").cast("date"),
+        asOfA = lit("1996-01-01").cast("date"),
+        asOfB = lit("2002-01-01").cast("date"), nTiles = 5)
       .orderBy("code_before", "code_after")
-  }
 
   private def q208_language_mixing(s: SparkSession, dir: String): DataFrame =
     // Code-switching detector: 16-token chunks through the q44 marker

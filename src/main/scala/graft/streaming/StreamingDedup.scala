@@ -482,17 +482,20 @@ object StreamingDedup {
       .drop(r(key)) // single unambiguous key column in the output
   }
 
-  /** Streaming egress: the streaming twin of HttpSink.sendBatchesKeyed.
-    * Each micro-batch runs the batch sink with an idempotency key
-    * prefixed by the epoch id — Structured Streaming replays whole
-    * epochs on failure, so (epochId, content-hash) is stable across
-    * replays and destinations can dedupe. `collectResults` receives the
-    * per-batch SinkResults for observability — TEST/SMALL-TOPOLOGY USE:
-    * it collects each epoch's results to the driver. For production
-    * scale prefer `egressStreamToPath`, which keeps results distributed. */
-  def egressStream(payloads: DataFrame, payloadCol: String, batchSize: Int,
-                   send: (String, Seq[String]) => (Int, String),
-                   collectResults: (Long, Seq[graft.sink.SinkResult]) => Unit):
+  /** Streaming egress, COLLECTED form: the streaming twin of
+    * HttpSink.sendBatchesKeyed. Each micro-batch runs the batch sink
+    * with an idempotency key prefixed by the epoch id — Structured
+    * Streaming replays whole epochs on failure, so (epochId,
+    * content-hash) is stable across replays and destinations can
+    * dedupe. `collectResults` receives the per-batch SinkResults for
+    * observability — the name says it: each epoch's results COLLECT to
+    * the driver, the test/small-topology form. [[egressStreamToPath]]
+    * is the default reach at scale (results stay distributed; only
+    * totals hit the driver). */
+  def egressStreamCollected(payloads: DataFrame, payloadCol: String,
+                            batchSize: Int,
+                            send: (String, Seq[String]) => (Int, String),
+                            collectResults: (Long, Seq[graft.sink.SinkResult]) => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     payloads.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       val results = graft.sink.HttpSink.sendBatchesKeyed(
@@ -500,11 +503,20 @@ object StreamingDedup {
         (key, rows) => send(s"$epochId-$key", rows)).collect().toSeq
       if (results.length > 10000)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"egressStream epoch $epochId collected ${results.length} sink " +
-            "results to the driver — this is the TEST/SMALL-topology form; " +
-            "use egressStreamToPath for production volumes")
+          s"egressStreamCollected epoch $epochId collected ${results.length} " +
+            "sink results to the driver — this is the TEST/SMALL-topology " +
+            "form; use egressStreamToPath for production volumes")
       collectResults(epochId, results)
     }
+
+  @deprecated("renamed: the short name hid the per-epoch driver collect; " +
+    "use egressStreamCollected (test/small) or egressStreamToPath (scale)",
+    "round 16")
+  def egressStream(payloads: DataFrame, payloadCol: String, batchSize: Int,
+                   send: (String, Seq[String]) => (Int, String),
+                   collectResults: (Long, Seq[graft.sink.SinkResult]) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    egressStreamCollected(payloads, payloadCol, batchSize, send, collectResults)
 
   /** Driver-light streaming egress (the at-scale form, mirroring the
     * batch jobs): per-epoch results are WRITTEN to

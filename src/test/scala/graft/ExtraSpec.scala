@@ -327,7 +327,7 @@ class ExtraSpec extends SparkSpec {
     // send runs on executor tasks (closure is serialized — can't collect
     // through it); collectResults runs driver-side per epoch.
     val results = new java.util.concurrent.CopyOnWriteArrayList[graft.sink.SinkResult]()
-    val q = StreamingDedup.egressStream(
+    val q = StreamingDedup.egressStreamCollected(
         StreamingDedup.changelogStream(spark, s"$dir/in", schema),
         "payload", batchSize = 10,
         (_, _) => (200, "ok"),

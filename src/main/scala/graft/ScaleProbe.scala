@@ -119,6 +119,21 @@ object ScaleProbe {
   // sketch-vs-exact tradeoff is a recorded number.
   private val SketchOverlapProbe = "sketch_overlap"
 
+  // Martech-analytics scale points (VERDICT r15 task 7): Shapley
+  // attribution and matched-market geo-lift at 1M/4M events. The claim
+  // being measured: both are dominated by their ONE fact-scale stage
+  // (Shapley's claim-scan window / matched-market's day-grain
+  // aggregation) — exponent ~1 — while the set algebra (≤ |T|-element
+  // channel sets) and the treated×donor SSE grid stay metadata-sized.
+  private val MartechProbe = "martech_scale"
+  // CC A/B probe (VERDICT r15 task 5): min-label propagation (rounds =
+  // diameter) vs large-star/small-star edge rewriting (rounds =
+  // O(log² n)) on three graph shapes — shallow hub-heavy (what dedup
+  // and identity stitching actually produce), a div-2 tree (moderate
+  // diameter ~2·log n), and 96-long chains (the high-diameter case the
+  // star algorithm exists for). Records rounds AND wall at two edge
+  // scales; label maps are required identical.
+  private val CcAbProbe = "cc_ab"
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
   // three physical layouts of the same table: unsorted, sorted by x,
@@ -134,7 +149,8 @@ object ScaleProbe {
                else Queries.toSet + SpanProbe + PerceptualProbe + HeavyProbe +
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
                  PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
-                 MarkovProbe + IncrementalProbe + SketchOverlapProbe
+                 MarkovProbe + IncrementalProbe + SketchOverlapProbe +
+                 CcAbProbe + MartechProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -992,6 +1008,71 @@ object ScaleProbe {
       val tn = best { cn = checksum(naiveForm()) }
       require(cs == cn, s"stitching star/naive person maps differ: $cs vs $cn")
       log.println(f"""{"query":"stitching(probe)","n":$n,"star":$ts%.3f,"naive_pairs":$tn%.3f,"speedup":${tn / ts}%.2f,"entities":${cs._1}}""")
+    }
+    if (only.contains(MartechProbe)) {
+      import graft.relational.Shapley
+      import graft.analyze.Experiment
+      def evts(n: Long): DataFrame = spark.range(n).select(
+        pmod(col("id"), lit(math.max(100L, n / 100L))).as("ent"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit("t")), lit(5184000L))).as("ts"),
+        when(col("id") % 10 === 0, lit("conv"))
+          .otherwise(concat(lit("ch"),
+            pmod(xxhash64(col("id"), lit("c")), lit(8L)))).as("et"),
+        col("id").as("eid"))
+      def shap(n: Long): Long =
+        Shapley.shapleyAttribution(evts(n), "ent", "ts", "et", "eid",
+          "conv", (0 until 8).map("ch" + _), lookbackSeconds = 86400L * 7)
+          .count()
+      def mm(n: Long): Long =
+        Experiment.matchedMarketReadout(
+          evts(n).withColumn("market",
+            concat(lit("m"), pmod(col("ent"), lit(20L)))),
+          "market", "ts", treated = Seq("m0", "m3", "m7"),
+          cutoff = lit("2023-12-15").cast("date")).count()
+      val mBase = 1000000L
+      for ((tag, f) <- Seq[(String, Long => Long)](
+          ("shapley", shap), ("matched_market", mm))) {
+        var r1 = 0L; var rS = 0L
+        val t1 = best { r1 = f(mBase) }
+        val tS = best { rS = f(mBase * scale) }
+        val exp = math.log(tS / t1) / math.log(scale.toDouble)
+        log.println(f"""{"query":"martech_$tag(probe)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f,"out1":$r1,"out$scale":$rS}""")
+      }
+    }
+    if (only.contains(CcAbProbe)) {
+      import graft.dedup.Dedup
+      def hubGraph(n: Long): DataFrame =
+        spark.range(n).select((col("id") + 1024L).as("a"),
+            pmod(col("id"), lit(1024L)).as("b"))
+          .union(spark.range(1, 1024L).select(col("id").as("a"),
+            lit(0L).as("b")))
+      def treeGraph(n: Long): DataFrame =
+        spark.range(1, n).select(col("id").as("a"),
+          call_function("div", col("id"), lit(2L)).as("b"))
+      def chainGraph(n: Long): DataFrame =
+        spark.range(1, n).filter(col("id") % 96 =!= 0)
+          .select(col("id").as("a"), (col("id") - 1).as("b"))
+      def checksum(df: DataFrame): (Long, String) = {
+        val r = df.agg(count(lit(1)),
+            sum(xxhash64(col("id"), col("cluster_id")).cast("decimal(38,0)")))
+          .head()
+        (r.getLong(0), r.getDecimal(1).toString)
+      }
+      for ((shape, mk) <- Seq[(String, Long => DataFrame)](
+          ("hub", hubGraph), ("tree", treeGraph), ("chain", chainGraph));
+           m <- Seq(1000000L, 1000000L * scale)) {
+        val pairs = mk(m).localCheckpoint(true)
+        var mlR = 0; var stR = 0
+        var mlCs = (0L, ""); var stCs = (0L, "")
+        val mlT = best { mlCs = checksum(Dedup.connectedComponents(
+          pairs, "a", "b", maxIter = 200, onConverge = mlR = _)) }
+        val stT = best { stCs = checksum(Dedup.connectedComponentsStar(
+          pairs, "a", "b", maxIter = 64, onConverge = stR = _)) }
+        require(mlCs == stCs,
+          s"cc_ab $shape@$m: label maps differ $mlCs vs $stCs")
+        log.println(f"""{"query":"cc_ab_$shape(probe)","edges":$m,"minlabel_s":$mlT%.3f,"minlabel_rounds":$mlR,"star_s":$stT%.3f,"star_rounds":$stR,"star_speedup":${mlT / stT}%.2f,"nodes":${mlCs._1}}""")
+      }
     }
     if (only.contains(MarkovProbe)) {
       import graft.relational.MarkovAttribution

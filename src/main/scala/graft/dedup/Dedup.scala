@@ -545,13 +545,16 @@ object Dedup extends graft.core.Logging {
     * broadcast (true cluster scale). It is OFF by default because it was
     * MEASURED to regress at bench scale: with a broadcastable label side
     * AQE never shuffles edges at all, so the upfront repartition is pure
-    * added cost (sf0.1: 3.7s → 5.6s). For power-law graphs at extreme
-    * scale swap in large-star/small-star (Kiveris et al., CIKM'14);
-    * dedup pair graphs are near-forests and converge in a few rounds. */
+    * added cost (sf0.1: 3.7s → 5.6s). For HIGH-DIAMETER graphs use
+    * [[connectedComponentsStar]] (large-star/small-star, rounds
+    * independent of diameter — A/B'd in SCALE.md `cc_ab`: it wins on
+    * trees/chains, loses on the shallow hub-heavy graphs dedup pair
+    * sets actually are, so THIS form stays the gated default). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           copartitionEdges: Option[Int] = None,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          onConverge: Int => Unit = _ => ()): DataFrame = {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     // The union below references `pairs` twice; for an expensive pair
@@ -605,8 +608,97 @@ object Dedup extends graft.core.Logging {
       // the result is already materialized (checkpointed, O(1)-plan);
       // never collected — clusters can be huge. Checkpoint blocks free
       // via the ContextCleaner once each round's RDD is unreferenced.
+      onConverge(i)
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Connected components by LARGE-STAR / SMALL-STAR edge rewriting
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    * Components in MapReduce and Beyond", SoCC'14): instead of
+    * propagating labels one hop per round (rounds = graph diameter),
+    * each round REWRITES the edge set toward the fixed point where
+    * every component is a star rooted at its min id —
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *                  m = min(Γ(u) ∪ {u})
+    *   small-star(u): every smaller neighbor (and u itself)
+    *                  re-attaches to m = min of that set
+    *
+    * — converging in O(log² n) rounds independent of diameter. Same
+    * output contract as [[connectedComponents]] (cluster_id = min id
+    * of the component; nodes appearing in `pairs` only), same
+    * materialize-per-round lineage discipline. Edges stay canonical
+    * (bigger id first) through both rewrites by construction
+    * (everything re-attaches to a strictly smaller min).
+    *
+    * A/B status (SCALE.md `cc_ab`, measured): WINS on high-diameter
+    * graphs — rounds stay flat where min-label pays one round per
+    * diameter hop — and LOSES on the shallow hub-heavy graphs dedup
+    * and identity-stitching actually produce (each star round runs
+    * two groupBy-rewrites where min-label runs one join+agg, and at
+    * diameter ≤ ~6 the round count difference can't repay it). Kept as
+    * the explicit long-diameter escape hatch the min-label scaladoc
+    * has always pointed at; the gated operators stay on min-label. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 64,
+                              reliable: Boolean = false,
+                              onConverge: Int => Unit = _ => ()): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val dec = "decimal(38,0)"
+    // canonical (u > v), self-loops dropped
+    var edges = materialize(pairs
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct())
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(dec)),
+          lit(0L).cast(dec))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = adj.groupBy(col("u")).agg(min(col("v")).as("__vmin"))
+        .select(col("u"), least(col("__vmin"), col("u")).as("__m"))
+      adj.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges are already keyed by the larger endpoint
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("__m"))
+      val amongSmall = e.join(m, Seq("u"))
+        .filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+      amongSmall.union(m.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var cs = checksum(edges)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val next = materialize(smallStar(largeStar(edges)))
+      val ns = checksum(next)
+      converged = ns == cs
+      edges = next
+      cs = ns
+      i += 1
+    }
+    onConverge(i)
+    // fixed point = stars: children point at roots; roots self-label
+    val children = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(children.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    materialize(children.union(roots))
   }
 
   /** Identity stitching (cross-device/cross-channel person resolution)

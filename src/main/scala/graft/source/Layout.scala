@@ -105,4 +105,74 @@ object Layout {
       .drop("__zkey")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  case class CompactionStats(rows: Long, files: Int, bytesPerRow: Long,
+                             targetFileBytes: Long, totalBytes: Long)
+
+  /** Target-file-size compacting writer — the 100 TB small-file /
+    * skewed-file problem next to Z-order: a naive `df.write.parquet`
+    * emits ONE file per task partition, so a skewed upstream (one hot
+    * key's partition 100× the median) lands as one 100×-sized file
+    * next to thousands of KB-sized ones, and every later scan pays
+    * listing overhead per tiny file while the giant file serializes
+    * one task. AQE coalesces SHUFFLE partitions, not bytes-per-output-
+    * file on an already-partitioned write — this is the writer-side
+    * knob (what Delta OPTIMIZE bin-packing does for existing tables).
+    *
+    * Mechanics: (1) the input is lazily checkpointed (count + sizing +
+    * final write must not re-run an expensive upstream three times);
+    * (2) real on-disk bytes/row come from writing a `sampleRows`-row
+    * SAMPLE as actual parquet and measuring it — compressed width is
+    * not derivable from the schema, and a logical-plan estimate misses
+    * encoding wins entirely (the sample slightly UNDER-benefits from
+    * dictionary/RLE vs the full file, so files land a little under
+    * target — the safe side); (3) rows/file = target / bytesPerRow,
+    * file count = ⌈rows / rowsPerFile⌉, ROUND-ROBIN repartition to
+    * that count. Round-robin, not range: each output file gets an
+    * arbitrary interleaving of input rows, so per-file byte sizes
+    * CONCENTRATE around the mean regardless of input skew (sort-
+    * preserving compaction is [[writeZOrdered]]'s job — this writer
+    * trades ordering for uniform file sizes). Layout-only: the row SET
+    * is untouched (spec-gated).
+    *
+    * At 100 TB: the sizing sample is one tiny extra job; the
+    * repartition is the one unavoidable full shuffle (you cannot remix
+    * bytes into right-sized files without moving them); file count
+    * scales with data volume, never with upstream partitioning
+    * accidents. */
+  def writeCompacted(df: DataFrame, path: String, targetFileBytes: Long,
+                     sampleRows: Int = 20000): CompactionStats = {
+    require(targetFileBytes >= 64 * 1024,
+      s"targetFileBytes must be >= 64 KiB; got $targetFileBytes")
+    require(sampleRows >= 100, s"sampleRows must be >= 100; got $sampleRows")
+    val spark = df.sparkSession
+    val src = df.localCheckpoint(false)
+    val total = src.count()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      fs.listStatus(hp).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    if (total == 0L) {
+      src.write.mode(SaveMode.Overwrite).parquet(path)
+      return CompactionStats(0L, 1, 0L, targetFileBytes, dirBytes(path))
+    }
+    val sizingPath = path.stripSuffix("/") + "__sizing"
+    val sRows = math.min(sampleRows.toLong, total)
+    src.limit(sRows.toInt).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(sizingPath)
+    val bytesPerRow = math.max(1L, dirBytes(sizingPath) / sRows)
+    new org.apache.hadoop.fs.Path(sizingPath)
+      .getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(sizingPath), true)
+    val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)
+    val nFiles = math.min(((total + rowsPerFile - 1) / rowsPerFile),
+      1000000L).toInt
+    src.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
+    CompactionStats(total, nFiles, bytesPerRow, targetFileBytes,
+      dirBytes(path))
+  }
 }

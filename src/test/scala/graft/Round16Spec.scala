@@ -194,6 +194,64 @@ class Round16Spec extends SparkSpec {
     assert(got.forall(_._3 <= 465L))
   }
 
+  test("writeCompacted: uniform file sizes from a skewed input; row set untouched") {
+    import graft.source.Layout
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // skewed input: 12 partitions, one holding ~90% of the rows (the
+    // hot-key aftermath shape), wide-ish payload so bytes are real
+    val df = spark.range(0, 40000)
+      .withColumn("part",
+        when(col("id") % 10 < 9, lit(0)).otherwise(pmod(col("id"), lit(12))))
+      .repartition(12, col("part"))
+      .select(col("id"), concat_ws("-",
+        (0 until 20).map(_ => md5(col("id").cast("string"))): _*).as("pay"))
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sorted
+    df.write.mode("overwrite").parquet(s"$dir/naive")
+    val naive = files(s"$dir/naive")
+    // the skew shows up as file-size spread in the naive write
+    assert(naive.max.toDouble / naive.min >= 5.0,
+      s"fixture not skewed enough: ${naive.toSeq}")
+    val target = 256L * 1024
+    val stats = Layout.writeCompacted(df, s"$dir/compact", target)
+    val comp = files(s"$dir/compact")
+    assert(stats.files == comp.length && stats.rows == 40000L)
+    // uniform: every file within a 2x band of each other and no file
+    // grossly over target (sample sizing may under/overshoot a bit)
+    assert(comp.max.toDouble / comp.min <= 2.0, s"spread: ${comp.toSeq}")
+    assert(comp.max <= target * 2, s"oversized file: ${comp.max}")
+    assert(comp.length > 1)
+    // layout invariance: identical row SET
+    val a = spark.read.parquet(s"$dir/naive").orderBy("id").collect()
+    val b = spark.read.parquet(s"$dir/compact").orderBy("id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("connectedComponentsStar equals min-label CC; rounds stay flat on chains") {
+    import graft.dedup.Dedup
+    // pseudo-random sparse graph + a long chain + a hub star, one soup
+    val rand = (0 until 600).map { i =>
+      val a = (i * 2654435761L) % 300
+      val b = (i * 1103515245L + 7L) % 300
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val chain = (1000L until 1128L).map(i => (i, i - 1)) // 128-long chain
+    val hub = (2000L until 2400L).map(i => (i, 2000L))
+    val pairs = (rand ++ chain ++ hub).toDF("a", "b")
+    var mlRounds = 0; var stRounds = 0
+    val ml = Dedup.connectedComponents(pairs, "a", "b", maxIter = 200,
+      onConverge = mlRounds = _)
+    val st = Dedup.connectedComponentsStar(pairs, "a", "b",
+      onConverge = stRounds = _)
+    assert(ml.orderBy("id").collect().toSeq ==
+      st.orderBy("id").collect().toSeq)
+    // the chain forces min-label through ~diameter rounds; the star
+    // form stays logarithmic
+    assert(mlRounds > 100, s"min-label rounds: $mlRounds")
+    assert(stRounds <= 12, s"star rounds: $stRounds")
+  }
+
   test("NbClassifyExpr (chunk scorer) agrees with nbScore's rational argmax") {
     import graft.analyze.TextAnalysis
     val train = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)

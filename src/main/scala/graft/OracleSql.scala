@@ -5107,6 +5107,42 @@ FROM rk r JOIN nd USING (event_type)
 WHERE rn = (50 * np + 99) // 100
 ORDER BY event_type"""
 
+  /** Chunked Theil–Sen twin (q214): q201's integer sort key and
+    * rank-⌈n/2⌉ median per (event_type, calendar month) over the
+    * +40-day-shifted union; within a month dx ≤ 30 always divides
+    * LCM31, so the `//` is exact with no guard needed (the guard IS
+    * the month boundary). */
+  private val q214 = """
+WITH src AS (
+  SELECT event_type, ts FROM events WHERE ts IS NOT NULL
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 40 DAY FROM events WHERE ts IS NOT NULL),
+daily AS (
+  SELECT event_type,
+    CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM src GROUP BY 1, 2, 3),
+pairs AS (
+  SELECT a.event_type, a.month, b.cnt - a.cnt AS dy, b.day - a.day AS dx,
+    CAST(b.cnt - a.cnt AS HUGEINT) * (72201776446800 // (b.day - a.day)) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.month = b.month AND b.day > a.day),
+rk AS (
+  SELECT event_type, month, dy, dx,
+    row_number() OVER (PARTITION BY event_type, month ORDER BY s, dy, dx)
+      AS rn,
+    count(*) OVER (PARTITION BY event_type, month) AS np
+  FROM pairs),
+nd AS (SELECT event_type, month, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1, 2)
+SELECT r.event_type, r.month, nd.n_days, CAST(np AS BIGINT) AS n_pairs,
+  CAST(dy AS BIGINT) AS slope_num, CAST(dx AS BIGINT) AS slope_den,
+  dy::DOUBLE / dx::DOUBLE AS slope_per_day, dy > 0 AS trend_up
+FROM rk r JOIN nd USING (event_type, month)
+WHERE rn = (50 * np + 99) // 100
+ORDER BY event_type, month"""
+
   /** KMV audience-overlap twin (q202): the same md5-low64 per-type
     * k-min sketches (q55 discipline; UBIGINT order here ≡ the Spark
     * side's sign-flipped long order), union k-min ranking, membership
@@ -5862,6 +5898,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q211_nb_classifier" -> q211,
     "q212_nb_gate_agreement" -> q212,
     "q213_language_mixing_nb" -> q213,
+    "q214_theilsen_chunked" -> q214,
     "q206_matched_market" -> q206,
     "q207_segment_migration" -> q207,
     "q208_language_mixing" -> q208,

@@ -1012,11 +1012,14 @@ object ScaleProbe {
     if (only.contains(MartechProbe)) {
       import graft.relational.Shapley
       import graft.analyze.Experiment
+      // conversion pick is HASH-based, never id%k: an arithmetic pick
+      // correlates with the id%E entity assignment (10 | E made every
+      // entity all-conv or all-touch — zero credit rows)
       def evts(n: Long): DataFrame = spark.range(n).select(
         pmod(col("id"), lit(math.max(100L, n / 100L))).as("ent"),
         timestamp_seconds(lit(1700000000L) +
           pmod(xxhash64(col("id"), lit("t")), lit(5184000L))).as("ts"),
-        when(col("id") % 10 === 0, lit("conv"))
+        when(pmod(xxhash64(col("id"), lit("k")), lit(10L)) === 0, lit("conv"))
           .otherwise(concat(lit("ch"),
             pmod(xxhash64(col("id"), lit("c")), lit(8L)))).as("et"),
         col("id").as("eid"))

@@ -2653,13 +2653,14 @@ object SparkEntry {
     // %10<8 split's labels, scores the held-out split, and the report
     // is the (gate_label, nb_pred) agreement matrix — the q92
     // pairAgreement discipline applied to quality gating. Measured
-    // finding this matrix exists to surface: on this corpus the
-    // unigram sum-form classifier recalls 100% of keeps but 0% of
-    // drops (predicts keep everywhere) — the percentile gate keys on
-    // length/punct thresholds that unigram match mass cannot express,
-    // so the trained gate is NOT a drop-in replacement here. That is
-    // the measurement, not a defect: the report is how a pipeline
-    // decides whether to swap gates.
+    // finding this matrix exists to surface: the unigram sum-form
+    // classifier tracks the percentile gate only weakly — at sf0.01 it
+    // predicts keep everywhere (100% keep recall, 0% drop recall); at
+    // sf0.1 it recovers some drops (110/500) but misclassifies 69
+    // keeps. The percentile gate keys on length/punct thresholds that
+    // unigram match mass cannot fully express, so the trained gate is
+    // NOT a drop-in replacement here — that is the measurement, not a
+    // defect: the report is how a pipeline decides whether to swap.
     import graft.analyze.TextAnalysis
     val docs = t(s, dir, "documents")
     val kept = TextAnalysis.stratumQuantileGate(
@@ -2699,6 +2700,19 @@ object SparkEntry {
     TextAnalysis.languageMixProfileNb(
         t(s, dir, "documents"), "doc_id", "text", model)
       .orderBy("doc_id")
+  }
+
+  private def q214_theilsen_chunked(s: SparkSession, dir: String): DataFrame = {
+    // Monthly-chunked Theil–Sen on a 70-day horizon (events ∪ events
+    // shifted +40 days — sf events span ~30 days, so the union crosses
+    // three calendar months): per-(type, month) exact integer-sort-key
+    // medians, the >31-day read q201's envelope prescribes. dx ≤ 30
+    // within a month structurally — no guard, no truncation hazard.
+    val e = t(s, dir, "events").select(col("event_type"), col("ts"))
+    val shifted = e.union(
+      e.select(col("event_type"), (col("ts") + expr("INTERVAL 40 DAYS")).as("ts")))
+    graft.analyze.Timeseries.theilSenTrendChunked(shifted, "event_type", "ts")
+      .orderBy("event_type", "month")
   }
 
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
@@ -3207,6 +3221,7 @@ object SparkEntry {
     "q211_nb_classifier" -> (q211_nb_classifier _),
     "q212_nb_gate_agreement" -> (q212_nb_gate_agreement _),
     "q213_language_mixing_nb" -> (q213_language_mixing_nb _),
+    "q214_theilsen_chunked" -> (q214_theilsen_chunked _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

@@ -5944,6 +5944,9 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q61_column_profile" -> q61,
     "q62_quantized_topk" -> q62,
     "q63_neardup_clusters" -> q63,
+    // incremental refresh must equal the from-scratch closure: the
+    // oracle IS q63's — merge ≡ recompute at the gate (q204 discipline)
+    "q215_incremental_components" -> q63,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -134,6 +134,15 @@ object ScaleProbe {
   // star algorithm exists for). Records rounds AND wall at two edge
   // scales; label maps are required identical.
   private val CcAbProbe = "cc_ab"
+  // Incremental-CC probe (round 16, q215): nightly cluster refresh as
+  // stored-labels (star edges, diameter <= 2) + delta pairs vs a full
+  // rebuild over the edge archive. The measured claim: refresh cost
+  // follows the DELTA's bridging structure (few rounds), not the
+  // archive's diameter (the tree costs min-label ~23 rounds from
+  // scratch), and the job reads |labels| + |delta| rows, not the
+  // archive (here the archive is a 10x-observed multigraph — dedup
+  // detectors re-emit pairs nightly).
+  private val CcIncProbe = "cc_incremental"
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
   // three physical layouts of the same table: unsorted, sorted by x,
@@ -150,7 +159,7 @@ object ScaleProbe {
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
                  PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
                  MarkovProbe + IncrementalProbe + SketchOverlapProbe +
-                 CcAbProbe + MartechProbe
+                 CcAbProbe + MartechProbe + CcIncProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -1075,6 +1084,39 @@ object ScaleProbe {
         require(mlCs == stCs,
           s"cc_ab $shape@$m: label maps differ $mlCs vs $stCs")
         log.println(f"""{"query":"cc_ab_$shape(probe)","edges":$m,"minlabel_s":$mlT%.3f,"minlabel_rounds":$mlR,"star_s":$stT%.3f,"star_rounds":$stR,"star_speedup":${mlT / stT}%.2f,"nodes":${mlCs._1}}""")
+      }
+    }
+    if (only.contains(CcIncProbe)) {
+      import graft.dedup.Dedup
+      def checksum(df: DataFrame): (Long, String) = {
+        val r = df.agg(count(lit(1)),
+            sum(xxhash64(col("id"), col("cluster_id")).cast("decimal(38,0)"))
+          ).head()
+        (r.getLong(0), r.getDecimal(1).toString)
+      }
+      for (m <- Seq(1000000L, 1000000L * scale)) {
+        // div-2 tree, each pair observed 10x (the re-emitting detector)
+        val tree = spark.range(1, m).select(col("id").as("a"),
+          call_function("div", col("id"), lit(2L)).as("b"))
+        val archive = tree.crossJoin(
+            spark.range(10).select(col("id").as("__rep"))).drop("__rep")
+          .localCheckpoint(true)
+        val isDelta = pmod(xxhash64(col("a"), col("b"), lit("d")),
+          lit(100L)) === 0
+        val stored = Dedup.connectedComponents(
+          archive.filter(!isDelta), "a", "b", maxIter = 200)
+          .localCheckpoint(true)
+        val delta = archive.filter(isDelta).localCheckpoint(true)
+        val nLbl = stored.count(); val nDelta = delta.count()
+        var incR = 0; var fullR = 0
+        var ci = (0L, ""); var cf = (0L, "")
+        val ti = best { ci = checksum(Dedup.incrementalComponents(
+          stored, delta, "a", "b", maxIter = 200, onConverge = incR = _)) }
+        // the full rebuild's min-label rounds follow the TREE diameter
+        val tf = best { cf = checksum(Dedup.connectedComponents(
+          archive, "a", "b", maxIter = 200, onConverge = fullR = _)) }
+        require(ci == cf, s"cc_incremental@$m: merge != rebuild $ci vs $cf")
+        log.println(f"""{"query":"cc_incremental(probe)","edges":${m * 10},"labels":$nLbl,"delta":$nDelta,"incremental_s":$ti%.3f,"incremental_rounds":$incR,"rebuild_s":$tf%.3f,"rebuild_rounds":$fullR,"speedup":${tf / ti}%.2f}""")
       }
     }
     if (only.contains(MarkovProbe)) {

@@ -2715,6 +2715,25 @@ object SparkEntry {
       .orderBy("event_type", "month")
   }
 
+  private def q215_incremental_components(s: SparkSession, dir: String): DataFrame = {
+    // Incremental cluster refresh (the q82/q195/q204 discipline on
+    // GRAPHS): q63's pair set splits by hash into an "archived" 80%
+    // and a "nightly delta" 20%; stored labels (the archived CC) merge
+    // with the delta through incrementalComponents — star edges ∪
+    // delta, never the archive — and the result must equal the
+    // from-scratch closure over ALL pairs (the q63 oracle, verbatim).
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      "doc_id", "text", shingleN = 3, threshold = 0.4)
+    val isDelta =
+      pmod(xxhash64(col("id_a"), col("id_b"), lit("delta")), lit(5)) === 0
+    val stored = Dedup.connectedComponents(
+      pairs.filter(!isDelta), "id_a", "id_b")
+    Dedup.incrementalComponents(stored, pairs.filter(isDelta),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3222,6 +3241,7 @@ object SparkEntry {
     "q212_nb_gate_agreement" -> (q212_nb_gate_agreement _),
     "q213_language_mixing_nb" -> (q213_language_mixing_nb _),
     "q214_theilsen_chunked" -> (q214_theilsen_chunked _),
+    "q215_incremental_components" -> (q215_incremental_components _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

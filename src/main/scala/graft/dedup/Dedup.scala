@@ -701,6 +701,49 @@ object Dedup extends graft.core.Logging {
     materialize(children.union(roots))
   }
 
+  /** INCREMENTAL connected components — the nightly identity-stitching
+    * / dedup-cluster refresh that never re-reads the edge archive (the
+    * q82/q195/q204 incremental discipline applied to graphs): stored
+    * per-node labels are a LOSSLESS state for connectivity, because
+    * label rows (id, cluster_id) are exactly the star edges of the
+    * converged components — re-running CC over (stored star edges ∪
+    * delta pairs) reaches every answer a full rebuild over (archived
+    * edges ∪ delta) would: within an old component every member stays
+    * connected through its old root, and a delta edge bridging two old
+    * components merges them with the new min as the root (min-of-union
+    * — min-label's contract). Rows into the job: |labels| + |delta|,
+    * never |edge archive|; and the star graph has diameter ≤ 2, so the
+    * propagation converges in O(log) rounds of the DELTA's bridging
+    * structure regardless of how deep the original graph was.
+    *
+    * New nodes appearing only in `deltaPairs` join as usual; stored
+    * singletons (label = own id) are preserved if passed in, or may be
+    * omitted (they re-emerge as singletons only if the delta touches
+    * them — same absent-singleton convention as
+    * [[connectedComponents]]). Output: the refreshed (id, cluster_id)
+    * label table. */
+  def incrementalComponents(labels: DataFrame, deltaPairs: DataFrame,
+                            aCol: String, bCol: String,
+                            maxIter: Int = 20,
+                            onConverge: Int => Unit = _ => ()): DataFrame = {
+    val starEdges = labels
+      .select(col("id").as("__a"), col("cluster_id").as("__b"))
+      .filter(col("__a") =!= col("__b")) // self-labels carry no edge
+    val selfOnly = labels.filter(col("id") === col("cluster_id"))
+      .select(col("id"))
+    val delta = deltaPairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val merged = connectedComponents(
+      starEdges.union(delta), "__a", "__b", maxIter = maxIter,
+      onConverge = onConverge)
+    // stored singletons untouched by the delta have no edge rows in the
+    // union — restore them explicitly (they ARE state, unlike the
+    // batch form's never-seen nodes)
+    val untouched = selfOnly.join(merged.select(col("id")), Seq("id"),
+        "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    merged.union(untouched)
+  }
+
   /** Identity stitching (cross-device/cross-channel person resolution)
     * — the martech identity-graph core: entities sharing ANY
     * identifier (email, device id, phone…) merge into one person;

@@ -252,6 +252,28 @@ class Round16Spec extends SparkSpec {
     assert(stRounds <= 12, s"star rounds: $stRounds")
   }
 
+  test("incrementalComponents: delta merge equals full rebuild; singletons persist") {
+    import graft.dedup.Dedup
+    // archived graph: components {1,2}, {3,4}, {7,8,9}; stored labels
+    val old = Seq((1L, 2L), (3L, 4L), (7L, 8L), (8L, 9L)).toDF("a", "b")
+    val stored = Dedup.connectedComponents(old, "a", "b")
+      // plus a stored SINGLETON 42 (state, must persist untouched)
+      .union(Seq((42L, 42L)).toDF("id", "cluster_id"))
+    // delta: bridges {1,2}~{3,4}, brings a NEW node 10 into {7,8,9}
+    val delta = Seq((2L, 3L), (10L, 7L)).toDF("a", "b")
+    val got = Dedup.incrementalComponents(stored, delta, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Dedup.connectedComponents(
+        old.union(delta), "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.filter(_._1 != 42L) == full)
+    assert(got.contains((42L, 42L)))
+    // merged component re-rooted at the min of the UNION
+    assert(got.filter(t => Seq(1L, 2L, 3L, 4L).contains(t._1))
+      .forall(_._2 == 1L))
+    assert(got.find(_._1 == 10L).map(_._2).contains(7L))
+  }
+
   test("NbClassifyExpr (chunk scorer) agrees with nbScore's rational argmax") {
     import graft.analyze.TextAnalysis
     val train = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)

@@ -5143,6 +5143,48 @@ FROM rk r JOIN nd USING (event_type, month)
 WHERE rn = (50 * np + 99) // 100
 ORDER BY event_type, month"""
 
+  /** HDR quantile-rollup twin (q216): identical log-bucket layout —
+    * exact region below 2^6, else bin = (e−6)·64 + (v >> (e−6)) with
+    * e = length(bin(v))−1 (DuckDB's bin() emits the same unpadded
+    * binary string as Spark's) — shard split/merge collapses under
+    * count addition so the twin aggregates once, and the read is the
+    * same integer rank test cum·100 ≥ p·n with the bin lower bound
+    * (64 + bin mod 64) << (bin div 64 − 1) reported. */
+  private val q216 = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id FROM events
+  WHERE ts IS NOT NULL),
+g AS (
+  SELECT event_type,
+    us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+      AS gap
+  FROM e),
+v AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+b AS (
+  SELECT event_type,
+    CAST(CASE WHEN gap < 64 THEN gap
+      ELSE (length(bin(gap)) - 1 - 6) * 64 +
+           (gap >> (length(bin(gap)) - 1 - 6)) END AS BIGINT) AS bin
+  FROM v),
+st AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM st),
+p(p) AS (VALUES (50), (90), (99)),
+q AS (
+  SELECT c.event_type, p.p, CAST(max(c.n) AS BIGINT) AS n,
+    min(c.bin) AS bin
+  FROM cum c CROSS JOIN p
+  WHERE c.cum * 100 >= p.p * c.n
+  GROUP BY 1, 2)
+SELECT event_type, CAST(p AS INT) AS p, n, bin,
+  CAST(CASE WHEN bin < 64 THEN bin
+    ELSE (64 + bin % 64) << (bin // 64 - 1) END AS BIGINT) AS q_low
+FROM q ORDER BY event_type, p"""
+
   /** KMV audience-overlap twin (q202): the same md5-low64 per-type
     * k-min sketches (q55 discipline; UBIGINT order here ≡ the Spark
     * side's sign-flipped long order), union k-min ranking, membership
@@ -5947,6 +5989,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     // incremental refresh must equal the from-scratch closure: the
     // oracle IS q63's — merge ≡ recompute at the gate (q204 discipline)
     "q215_incremental_components" -> q63,
+    "q216_hdr_quantile_rollup" -> q216,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }
 }

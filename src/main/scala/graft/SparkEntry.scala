@@ -2734,6 +2734,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q216_hdr_quantile_rollup(s: SparkSession, dir: String): DataFrame = {
+    // Mergeable quantile rollup (the rollup family's quantile member,
+    // q195/q204 discipline): q171's positive inter-event gaps build
+    // TWO shard HDR states (event_id parity split), the states MERGE
+    // (exact count addition), and p50/90/99 read from the merged
+    // state — smallest bin reaching rank ⌈p·n/100⌉, reported as the
+    // bin lower bound (within 2^-6 relative of the exact discrete
+    // percentile; exact below 64 µs). All integer; the oracle replays
+    // binning, merge, and read.
+    import graft.analyze.Hdr
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+    val gaps = t(s, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull && col("gap_us") > 0)
+    val a = Hdr.hdrState(
+      gaps.filter(pmod(col("event_id"), lit(2)) === 0), "event_type", "gap_us")
+    val b = Hdr.hdrState(
+      gaps.filter(pmod(col("event_id"), lit(2)) === 1), "event_type", "gap_us")
+    Hdr.hdrQuantiles(Hdr.mergeHdrStates("event_type", a, b),
+        "event_type", Seq(50, 90, 99))
+      .orderBy("event_type", "p")
+  }
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3242,6 +3267,7 @@ object SparkEntry {
     "q213_language_mixing_nb" -> (q213_language_mixing_nb _),
     "q214_theilsen_chunked" -> (q214_theilsen_chunked _),
     "q215_incremental_components" -> (q215_incremental_components _),
+    "q216_hdr_quantile_rollup" -> (q216_hdr_quantile_rollup _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

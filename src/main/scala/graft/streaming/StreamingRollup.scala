@@ -65,4 +65,20 @@ object StreamingRollup {
           .as("__h"))
       .groupBy(col("segment"))
       .agg(graft.analyze.KmvDistinct.stateUdaf(k)(col("__h")).as("state"))
+
+  /** Streaming twin of [[graft.analyze.Hdr.hdrState]]: the per-(key,
+    * bin) count table maintained continuously (update-mode
+    * aggregation). Counts add, so stream ≡ batch-on-the-union by the
+    * engine contract, and the state bound is STRUCTURAL — ≤
+    * (64−s)·2^s bins per key regardless of stream length (no
+    * watermark needed; the quantile read
+    * [[graft.analyze.Hdr.hdrQuantiles]] runs over the always-fresh
+    * state table instead of the archive). */
+  def hdrStateStream(events: DataFrame, keyCol: String, valueCol: String,
+                     subBits: Int = 6): DataFrame =
+    events
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .groupBy(col(keyCol),
+        graft.analyze.Hdr.hdrBin(col(valueCol), subBits).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
 }

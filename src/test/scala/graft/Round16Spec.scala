@@ -252,6 +252,81 @@ class Round16Spec extends SparkSpec {
     assert(stRounds <= 12, s"star rounds: $stRounds")
   }
 
+  test("Hdr: bin/low envelope, exact region, merge == recompute, read bound") {
+    import graft.analyze.Hdr
+    // bin/low roundtrip over a wide value sweep: low(bin(v)) <= v and
+    // v/low < 1 + 2^-6; exact (low == v) below 64
+    val vals = (1L to 200L) ++ Seq(63L, 64L, 65L, 127L, 128L, 1000L,
+      123456L, 987654321L, 1234567890123L, Long.MaxValue / 3)
+    val df = vals.toDF("v")
+      .withColumn("bin", Hdr.hdrBin(col("v"), 6))
+      .withColumn("low", Hdr.hdrLow(col("bin"), 6))
+    df.collect().foreach { r =>
+      val (v, low) = (r.getAs[Long]("v"), r.getAs[Long]("low"))
+      assert(low <= v, s"v=$v low=$low")
+      assert(v.toDouble / low < 1.0 + 1.0 / 64, s"v=$v low=$low")
+      if (v < 64) assert(low == v)
+    }
+    // monotone: bins never decrease with v
+    val bins = df.orderBy("v").collect().map(_.getAs[Long]("bin"))
+    assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    // merge == single-pass recompute, row-identical
+    val facts = (0 until 5000).map(i =>
+      (s"k${i % 3}", 1L + ((i * 2654435761L) % 100000L).abs))
+      .toDF("key", "v")
+    val whole = Hdr.hdrState(facts, "key", "v")
+    val m = Hdr.mergeHdrStates("key",
+      Hdr.hdrState(facts.filter(col("v") % 2 === 0), "key", "v"),
+      Hdr.hdrState(facts.filter(col("v") % 2 =!= 0), "key", "v"))
+    assert(whole.orderBy("key", "bin").collect().toSeq ==
+      m.orderBy("key", "bin").collect().toSeq)
+    // read bound vs the exact discrete percentile
+    val qs = Hdr.hdrQuantiles(whole, "key", Seq(50, 90, 99)).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("p")) -> r.getAs[Long]("q_low"))
+      .toMap
+    val grouped = (0 until 5000).map(i =>
+      (s"k${i % 3}", 1L + ((i * 2654435761L) % 100000L).abs))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((k, vs) <- grouped; p <- Seq(50, 90, 99)) {
+      val exact = vs(((p * vs.size + 99) / 100) - 1)
+      val low = qs((k, p))
+      assert(low <= exact && exact < low + math.max(1L, low / 64 + 1),
+        s"k=$k p=$p exact=$exact low=$low")
+    }
+    // non-positive values fail loud
+    val err = intercept[Exception] {
+      Hdr.hdrState(Seq(("k", 0L)).toDF("key", "v"), "key", "v").collect()
+      Seq(("k", -5L)).toDF("key", "v")
+        .select(Hdr.hdrBin(col("v"), 6)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("hdrStateStream equals the batch state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingRollup.hdrStateStream(
+        mem.toDF().toDF("key", "v"), "key", "v")
+      .writeStream.format("memory").queryName("hdr_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(("a", 5L), ("a", 100L), ("b", 77L)); q.processAllAvailable()
+      mem.addData(("a", 100L), ("a", 5L), ("b", 1L)); q.processAllAvailable()
+      import spark.implicits._
+      val rows = spark.table("hdr_state")
+        .as[(String, Long, Long)].collect()
+      val latest = rows.zipWithIndex.groupBy(t => (t._1._1, t._1._2))
+        .map { case (kb, rs) => kb -> rs.maxBy(_._2)._1._3 }
+      val batch = graft.analyze.Hdr.hdrState(
+          Seq(("a", 5L), ("a", 100L), ("b", 77L), ("a", 100L), ("a", 5L),
+            ("b", 1L)).toDF("key", "v"), "key", "v")
+        .as[(String, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(latest == batch)
+    } finally q.stop()
+  }
+
   test("incrementalComponents: delta merge equals full rebuild; singletons persist") {
     import graft.dedup.Dedup
     // archived graph: components {1,2}, {3,4}, {7,8,9}; stored labels

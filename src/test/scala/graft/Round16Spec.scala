@@ -349,6 +349,70 @@ class Round16Spec extends SparkSpec {
     assert(got.find(_._1 == 10L).map(_._2).contains(7L))
   }
 
+  test("incrementalComponents: CHAINED nightly refreshes equal one full rebuild") {
+    import graft.dedup.Dedup
+    // three nights of deltas applied sequentially over a seeded graph;
+    // labels after night 3 must equal CC over everything — the
+    // property that makes the stored labels a real STATE, not a cache
+    val seed = Seq((1L, 2L), (5L, 6L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val nights = Seq(
+      Seq((2L, 5L)),               // merge {1,2}+{5,6}
+      Seq((30L, 31L), (11L, 20L)), // new comp + merge {10,11}+{20,21}
+      Seq((6L, 10L)))              // merge the two big components
+      .map(_.toDF("a", "b"))
+    var labels = Dedup.connectedComponents(seed, "a", "b")
+    nights.foreach { d =>
+      labels = Dedup.incrementalComponents(labels, d, "a", "b")
+    }
+    val full = Dedup.connectedComponents(
+      nights.foldLeft(seed)(_ union _), "a", "b")
+    assert(labels.orderBy("id").collect().toSeq ==
+      full.orderBy("id").collect().toSeq)
+    // everything except {30,31} collapsed into the min-1 component
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 5L, 6L, 10L, 11L, 20L, 21L).forall(m(_) == 1L))
+    assert(m(30L) == 30L && m(31L) == 30L)
+  }
+
+  test("Hdr: bin continuity/monotonicity exhaustive at small subBits") {
+    import graft.analyze.Hdr
+    // s=2: exhaustively check 1..1024 — bins are monotone non-decreasing,
+    // contiguous (no index skipped within the covered range), and
+    // low(bin(v)) <= v < low(bin(v)+1)
+    val rows = (1L to 1024L).toDF("v")
+      .withColumn("bin", Hdr.hdrBin(col("v"), 2))
+      .withColumn("low", Hdr.hdrLow(col("bin"), 2))
+      .withColumn("nextLow", Hdr.hdrLow(col("bin") + 1, 2))
+      .orderBy("v").collect()
+    var prev = 0L // bin 0 is v=0, excluded (positive-only domain)
+    rows.foreach { r =>
+      val (v, b, low, nl) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(b >= prev && b - prev <= 1, s"bin jump at v=$v: $prev -> $b")
+      assert(low <= v && v < nl, s"v=$v not in [$low, $nl)")
+      prev = b
+    }
+  }
+
+  test("anchored funnel: maxEventsPerEntity truncation is monotone") {
+    import graft.relational.Relational
+    val steps = Seq("A", "B", "C")
+    val e = ev((1L, 0L, "A"), (1L, 5L, "B"), (1L, 8L, "A"),
+      (1L, 12L, "C"), (1L, 20L, "A"), (1L, 22L, "B"), (1L, 25L, "C"))
+    def depth(cap: Int): Int =
+      Relational.funnelStepsWindowedAnchored(
+        e, "user_id", "ts", "event_type", steps, 30L,
+        maxEventsPerEntity = cap).collect().head
+        .getAs[collection.Seq[Any]]("step_us").count(_ != null)
+    // progress reached within the first n events is reported
+    // identically at any larger cap
+    val depths = Seq(2, 3, 4, 5, 6, 7, 0).map(depth)
+    assert(depths.zip(depths.tail).forall { case (a, b) => a <= b },
+      s"non-monotone: $depths")
+    assert(depths.last == 3) // uncapped completes
+  }
+
   test("NbClassifyExpr (chunk scorer) agrees with nbScore's rational argmax") {
     import graft.analyze.TextAnalysis
     val train = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)

@@ -143,6 +143,14 @@ object ScaleProbe {
   // archive (here the archive is a 10x-observed multigraph — dedup
   // detectors re-emit pairs nightly).
   private val CcIncProbe = "cc_incremental"
+  // Anchored-funnel probe (round 16, q210): the re-anchored fold is
+  // O(anchors × events) per entity on the collected array — fine on
+  // human entities (a handful of anchors), quadratic on a bot. This
+  // measures (a) the corpus cost at 1M/4M events with normal entities
+  // (expect ~linear), and (b) one bot entity at growing event counts
+  // with and without maxEventsPerEntity — the number that proves the
+  // cap is the bound, not a vibe.
+  private val AnchoredProbe = "anchored_funnel"
   // Storage-layout probe: measures BYTES READ (not wall-clock — local
   // page cache makes every layout look fast) for selective filters over
   // three physical layouts of the same table: unsorted, sorted by x,
@@ -159,7 +167,7 @@ object ScaleProbe {
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
                  PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
                  MarkovProbe + IncrementalProbe + SketchOverlapProbe +
-                 CcAbProbe + MartechProbe + CcIncProbe
+                 CcAbProbe + MartechProbe + CcIncProbe + AnchoredProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -1084,6 +1092,41 @@ object ScaleProbe {
         require(mlCs == stCs,
           s"cc_ab $shape@$m: label maps differ $mlCs vs $stCs")
         log.println(f"""{"query":"cc_ab_$shape(probe)","edges":$m,"minlabel_s":$mlT%.3f,"minlabel_rounds":$mlR,"star_s":$stT%.3f,"star_rounds":$stR,"star_speedup":${mlT / stT}%.2f,"nodes":${mlCs._1}}""")
+      }
+    }
+    if (only.contains(AnchoredProbe)) {
+      import graft.relational.Relational
+      val steps = Seq("s0", "s1", "s2")
+      def corpus(n: Long): DataFrame = spark.range(n).select(
+        pmod(col("id"), lit(n / 50L)).as("ent"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit("t")), lit(864000L))).as("ts"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit("e")), lit(3L)))
+          .as("et"))
+      // noop sink, NOT count(): count() prunes the fold columns and
+      // times an empty plan (the playbook's naive-list-agg trap)
+      def runSteps(df: DataFrame, cap: Int): Long = {
+        val out = Relational.funnelStepsWindowedAnchored(
+          df, "ent", "ts", "et", steps, stepWindowSeconds = 3600L,
+          maxEventsPerEntity = cap)
+        out.write.format("noop").mode("overwrite").save()
+        0L
+      }
+      val mBase = 1000000L
+      val t1 = best { runSteps(corpus(mBase), 0) }
+      val tS = best { runSteps(corpus(mBase * scale), 0) }
+      val exp = math.log(tS / t1) / math.log(scale.toDouble)
+      log.println(f"""{"query":"anchored_corpus(probe)","t1":$t1%.3f,"t$scale":$tS%.3f,"ratio":${tS / t1}%.2f,"exponent":$exp%.2f}""")
+      // one bot entity: all events one user, dense anchors
+      def bot(n: Long): DataFrame = spark.range(n).select(
+        lit(0L).as("ent"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit("e")), lit(3L)))
+          .as("et"))
+      for (n <- Seq(4000L, 16000L)) {
+        val tUncap = best { runSteps(bot(n), 0) }
+        val tCap = best { runSteps(bot(n), 512) }
+        log.println(f"""{"query":"anchored_bot(probe)","events":$n,"uncapped_s":$tUncap%.3f,"capped512_s":$tCap%.3f,"blowup":${tUncap / tCap}%.2f}""")
       }
     }
     if (only.contains(CcIncProbe)) {

@@ -520,6 +520,28 @@ j AS (
   FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
 
+  /** Containment twin (q217): quadratic exact over distinct gram
+    * STRINGS (hash-invariant — the q42 discipline), ORDERED pairs
+    * (a ≠ b both directions), |A∩B|/|A| ≥ 0.6 as the same fixed-shape
+    * double compare the Spark side runs. */
+  private val q217 = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM gd GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, sa.sz AS sz_a, inter,
+  CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+FROM pairs JOIN sz sa ON sa.doc_id = id_a
+WHERE CAST(inter AS DOUBLE) >= 0.6 * CAST(sa.sz AS DOUBLE)
+ORDER BY id_a, id_b"""
+
   /** q40: MinHash+LSH near-dups vs BRUTE-FORCE exact Jaccard. The LSH
     * stage is candidate generation only — every surviving pair is verified
     * with exact Jaccard, so the output equals the brute-force pair set
@@ -5234,6 +5256,44 @@ FROM u JOIN tp USING (type_a, type_b)
 LEFT JOIN xi USING (type_a, type_b)
 ORDER BY type_a, type_b"""
 
+  /** Rolling-reach twin (q218): per-day k-min sketches (q202's md5
+    * UBIGINT order), each stored hash serving the ≤ 7 trailing target
+    * days via BETWEEN, distinct-per-(day, hash), union k-min rank,
+    * kth-min converted to Spark's signed bits; exact eval from the
+    * distinct (day, hash) relation over the same window. Target days
+    * are the observed days only. */
+  private val q218 = """
+WITH e AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+ed AS (SELECT DISTINCT d, h FROM e),
+daily AS (
+  SELECT d, h FROM (
+    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+    FROM ed)
+  WHERE rn <= 64),
+spine AS (SELECT DISTINCT d AS day FROM ed),
+contrib AS (
+  SELECT DISTINCT s.day, dd.h
+  FROM daily dd JOIN spine s ON s.day BETWEEN dd.d AND dd.d + 6),
+sk AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth
+  FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM contrib)
+  WHERE rn <= 64 GROUP BY 1),
+ex AS (
+  SELECT s.day, CAST(count(DISTINCT ed.h) AS BIGINT) AS exact_reach
+  FROM ed JOIN spine s ON s.day BETWEEN ed.d AND ed.d + 6
+  GROUP BY 1)
+SELECT sk.day, sk.n_sketch,
+  CAST(CASE WHEN kth >= 9223372036854775808::UBIGINT
+    THEN kth::HUGEINT - 18446744073709551616::HUGEINT
+    ELSE kth::HUGEINT END AS BIGINT) AS kth_min,
+  ex.exact_reach
+FROM sk JOIN ex USING (day) ORDER BY day"""
+
   /** Water-filling twin (q203): same whitespace token mass, same
     * md5-residue weights (q172 UINTEGER key), same IEEE ratio ORDER
     * (correctly-rounded division in both engines, (avail, source)
@@ -5990,6 +6050,8 @@ FROM s GROUP BY 1 ORDER BY 1"""
     // oracle IS q63's — merge ≡ recompute at the gate (q204 discipline)
     "q215_incremental_components" -> q63,
     "q216_hdr_quantile_rollup" -> q216,
+    "q217_containment_pairs" -> q217,
+    "q218_rolling_reach" -> q218,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }
 }

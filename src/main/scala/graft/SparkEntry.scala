@@ -2759,6 +2759,30 @@ object SparkEntry {
       .orderBy("event_type", "p")
   }
 
+  private def q217_containment_pairs(s: SparkSession, dir: String): DataFrame =
+    // Asymmetric containment dedup: ordered (contained, container)
+    // pairs with |A∩B|/|A| >= 0.6 over distinct 3-gram sets — the
+    // subset-duplication class (license blocks, embedded quotes)
+    // symmetric Jaccard misses; the one-sided pigeonhole prefix filter
+    // blocks, the exact intersect verifies, the oracle is quadratic
+    // exact over gram strings (hash-invariant, the q42 discipline).
+    graft.dedup.Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  private def q218_rolling_reach(s: SparkSession, dir: String): DataFrame =
+    // Rolling 7-day reach timeline from stored DAILY KMV states — the
+    // q202/q204 set algebra composed over a trailing window: each
+    // day's sketch reads the window's state rows, never the archive.
+    // Gated INTEGER-ONLY (union sketch size, kth-min bit pattern,
+    // exact eval count); the IEEE estimate is display-only and
+    // spec-checked (q202 discipline).
+    graft.analyze.KmvAlgebra.rollingReachFromDaily(
+        t(s, dir, "events"), "user_id", "ts", windowDays = 7)
+      .drop("est_reach")
+      .orderBy("day")
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3268,6 +3292,8 @@ object SparkEntry {
     "q214_theilsen_chunked" -> (q214_theilsen_chunked _),
     "q215_incremental_components" -> (q215_incremental_components _),
     "q216_hdr_quantile_rollup" -> (q216_hdr_quantile_rollup _),
+    "q217_containment_pairs" -> (q217_containment_pairs _),
+    "q218_rolling_reach" -> (q218_rolling_reach _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

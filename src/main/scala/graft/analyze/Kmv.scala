@@ -260,4 +260,66 @@ object KmvAlgebra {
       (col("inter_matches").cast("double") / rhoDen)
         .as("jaccard_est"))
   }
+
+  /** ROLLING reach from stored DAILY sketch states — the 7-day-active
+    * timeline without re-scanning the fact archive: k-min sketches
+    * compose under union (k-min(∪ days) ⊆ ∪ day k-mins), so each
+    * day's trailing-`windowDays` reach reads only the window's daily
+    * state rows. Each stored hash fans out to the ≤ `windowDays`
+    * target days it can serve (sequence + explode — days × k × w
+    * metadata rows, never facts), distinct-per-(day, hash) collapses
+    * cross-day repeats, and the per-day union sketch ranks by the
+    * unsigned order (sign-flip trick). Target days are the OBSERVED
+    * days (a day with no events reports no row — absence, not zero).
+    *
+    * Gated INTEGER-ONLY columns (q202 discipline): the union sketch
+    * size, the kth-min hash bit pattern, and — for gate-scale
+    * evaluation — the exact rolling distinct count (drop it at true
+    * scale: production keeps states only). `est_reach` is the
+    * display-only IEEE estimate, exact below k. */
+  def rollingReachFromDaily(events: DataFrame, entityCol: String,
+                            tsCol: String, windowDays: Int,
+                            k: Int = 64): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1; got $windowDays")
+    require(k >= 2, s"k must be >= 2; got $k")
+    val base = events
+      .filter(col(tsCol).isNotNull && col(entityCol).isNotNull)
+      .select(
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("__day"),
+        KmvDistinct.md5Low64(col(entityCol).cast("string")).as("__h"))
+    val daily = base.groupBy(col("__day"))
+      .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("__st"))
+    val spine = daily.select(col("__day").as("day"))
+    // each stored hash serves target days srcDay .. srcDay + w - 1
+    val contrib = daily
+      .select(col("__day"), explode(col("__st")).as("__h"))
+      .withColumn("day",
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .join(spine, Seq("day"), "left_semi")
+      .select(col("day"), col("__h")).distinct()
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+      .orderBy(col("__h").bitwiseXOR(lit(Long.MinValue)).asc)
+    val sk = contrib.withColumn("__rn", row_number().over(wu))
+      .filter(col("__rn") <= k)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sketch"),
+        max(col("__h").bitwiseXOR(lit(Long.MinValue)))
+          .bitwiseXOR(lit(Long.MinValue)).as("kth_min"))
+    // gate-scale exact eval: distinct entities in each trailing window
+    val exact = base.select(col("__day"), col("__h")).distinct()
+      .withColumn("day",
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .join(spine, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__h")).as("exact_reach"))
+    val kthU = col("kth_min").bitwiseXOR(lit(Long.MinValue))
+      .cast("double") + lit(math.pow(2.0, 63))
+    sk.join(exact, Seq("day"))
+      .select(col("day"), col("n_sketch"), col("kth_min"),
+        col("exact_reach"),
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 64)) / kthU)
+          .as("est_reach"))
+  }
 }

@@ -1151,6 +1151,61 @@ object Dedup extends graft.core.Logging {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** ASYMMETRIC containment near-dup pairs — C(A→B) = |A∩B| / |A| ≥ t
+    * over the distinct shingle sets: the SUBSET-duplication detector
+    * symmetric Jaccard structurally misses (a 50-gram license block
+    * embedded verbatim in a 5 000-gram document has containment 1.0
+    * and Jaccard ~0.01 — Lee et al. 2022 dedup this class by
+    * containment, not Jaccard). Ordered pairs: (id_a contained-in
+    * id_b); both directions can qualify.
+    *
+    * Blocking is the same pigeonhole prefix filter as
+    * [[ngramJaccardPairs]], but ONE-SIDED: if |A∩B| ≥ ⌈t·|A|⌉, ANY
+    * (|A|−⌈t·|A|⌉+1)-subset of A intersects B, so only A's
+    * rarest-gram prefix joins — against the FULL posting list of the
+    * other side (containment puts no lower bound on |B|, so the
+    * Jaccard length filter does not apply; the rarity order keeps the
+    * hot-gram blowup down and the exact intersect verify keeps the
+    * result exact). Shuffles carry (gram, id) rows only; texts never
+    * move; the verify joins the two shingle arrays on candidate pairs
+    * only. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       gramHash: String = "xxhash64"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]; got $threshold")
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN, gramHash).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+    val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val prefix = ex.join(dfreq, Seq("g"))
+      .withColumn("rnk", row_number().over(wOrd))
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("g"), col("id").as("id_a"))
+    val cand = prefix
+      .join(ex.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.HashFunctions.sortedIntersectSize(
+          col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("inter").cast("double") >=
+        lit(threshold) * col("sz_a").cast("double"))
+      .select(col("id_a"), col("id_b"), col("sz_a").cast("long").as("sz_a"),
+        col("inter"),
+        (col("inter").cast("double") / col("sz_a").cast("double"))
+          .as("containment"))
+  }
+
   /** Agreement report between two near-dup PAIR sets — the tuning
     * metric for every sketch in this file: precision = how many of the
     * candidate detector's pairs the reference confirms, recall = how

@@ -413,6 +413,83 @@ class Round16Spec extends SparkSpec {
     assert(depths.last == 3) // uncapped completes
   }
 
+  test("containmentPairs: catches the embedded-block class Jaccard misses") {
+    import graft.dedup.Dedup
+    val block = (1 to 30).map(i => s"lic$i").mkString(" ")
+    val filler = (1 to 400).map(i => s"body$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),                 // the license block alone
+      (2L, s"$filler $block"),     // embedded verbatim in a big doc
+      (3L, (1 to 200).map(i => s"other$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    // 1 ⊂ 2 at containment 1.0; the reverse direction does NOT qualify
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), s"got ${cont.toSeq}")
+    // symmetric Jaccard at ANY threshold above |A|/|B| misses it
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    assert(jac.count() == 0L)
+    // exactness vs brute force on a pseudo-random soup
+    val soup = (0 until 40).map { i =>
+      val toks = (0 until 30).map(j =>
+        s"w${(i * 7 + j * 13) % 50}")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(soup, "doc_id", "text",
+      shingleN = 3, threshold = 0.6)
+      .select("id_a", "id_b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over distinct gram sets
+    def grams(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(3).map(_.toSeq).toSet
+    val gsets = soup.collect().map(r => r.getLong(0) -> grams(r.getString(1)))
+    val want = (for {
+      (a, ga) <- gsets; (b, gb) <- gsets if a != b
+      inter = (ga intersect gb).size
+      if inter.toDouble >= 0.6 * ga.size
+    } yield (a, b, inter.toLong)).toSet
+    assert(got == want)
+  }
+
+  test("rollingReachFromDaily: window union exact below k; estimate tracks above") {
+    import graft.analyze.KmvAlgebra
+    def ts(day: Int) = new java.sql.Timestamp(1704067200000L +
+      day * 86400000L)
+    // 3-day window over 5 days: users overlap across days
+    val ev = Seq(
+      (1L, ts(0)), (2L, ts(0)),
+      (2L, ts(1)), (3L, ts(1)),
+      (4L, ts(2)),
+      (1L, ts(3)), (5L, ts(3)),
+      (6L, ts(4))).toDF("user_id", "ts")
+    val r = KmvAlgebra.rollingReachFromDaily(ev, "user_id", "ts",
+        windowDays = 3, k = 64)
+      .orderBy("day").collect()
+    // trailing-3-day exact reach per observed day:
+    // d0:{1,2}=2 d1:{1,2,3}=3 d2:{1,2,3,4}=4 d3:{2,3,4,1,5}=5 d4:{4,1,5,6}=4
+    val want = Seq(2L, 3L, 4L, 5L, 4L)
+    assert(r.map(_.getAs[Long]("exact_reach")).toSeq == want)
+    // below k the sketch IS the window set: n_sketch == exact, est exact
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_sketch") == row.getAs[Long]("exact_reach"))
+      assert(row.getAs[Double]("est_reach") ==
+        row.getAs[Long]("exact_reach").toDouble)
+    }
+    // above k: 400 users active every day -> estimate within the
+    // 1/sqrt(k-2) ballpark of 400
+    val big = (0 until 1200).map(i =>
+      (i % 400L, ts(i % 3))).toDF("user_id", "ts")
+    val rb = KmvAlgebra.rollingReachFromDaily(big, "user_id", "ts",
+        windowDays = 3, k = 64).orderBy("day").collect()
+    rb.foreach { row =>
+      assert(row.getAs[Long]("n_sketch") == 64L)
+      val est = row.getAs[Double]("est_reach")
+      assert(math.abs(est - 400.0) / 400.0 < 0.4, s"est=$est")
+    }
+  }
+
   test("NbClassifyExpr (chunk scorer) agrees with nbScore's rational argmax") {
     import graft.analyze.TextAnalysis
     val train = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)

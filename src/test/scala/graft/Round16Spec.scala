@@ -490,6 +490,32 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: brute-force equality across seeds and thresholds") {
+    import graft.dedup.Dedup
+    def grams(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.toSeq).toSet
+    for (seed <- Seq(11, 23, 47); thr <- Seq(0.4, 0.7)) {
+      val soup = (0 until 30).map { i =>
+        val len = 8 + (i * seed) % 25
+        val toks = (0 until len).map(j => s"w${(i * seed + j * 13) % 40}")
+        (i.toLong, toks.mkString(" "))
+      }
+      val df = soup.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleN = 3, threshold = thr)
+        .select("id_a", "id_b", "inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val gsets = soup.map { case (id, t) => id -> grams(t) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, ga) <- gsets; (b, gb) <- gsets if a != b
+        inter = (ga intersect gb).size
+        if inter.toDouble >= thr * ga.size
+      } yield (a, b, inter.toLong)).toSet
+      assert(got == want, s"seed=$seed thr=$thr")
+    }
+  }
+
   test("NbClassifyExpr (chunk scorer) agrees with nbScore's rational argmax") {
     import graft.analyze.TextAnalysis
     val train = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)

@@ -274,12 +274,22 @@ object KmvAlgebra {
     *
     * Gated INTEGER-ONLY columns (q202 discipline): the union sketch
     * size, the kth-min hash bit pattern, and — for gate-scale
-    * evaluation — the exact rolling distinct count (drop it at true
-    * scale: production keeps states only). `est_reach` is the
-    * display-only IEEE estimate, exact below k. */
+    * evaluation only when `includeExact = true` — the exact rolling
+    * distinct count. Set `includeExact = false` at true scale: the
+    * exact branch explodes the fact-grain distinct (day, hash)
+    * relation windowDays× and inner-joins it, i.e. it pays exactly
+    * the fact-scale recompute the sketch exists to avoid; with the
+    * flag off, that relation and the join are never built (plan-
+    * gated — the sketch-only timeline is a pure read of the daily
+    * states). For a production read of PRE-STORED states, use
+    * [[dailyReachStates]] (the nightly writer) +
+    * [[rollingReachFromStates]] (the state-only reader) — this
+    * function is the two composed plus the optional exact anchor.
+    * `est_reach` is the display-only IEEE estimate, exact below k. */
   def rollingReachFromDaily(events: DataFrame, entityCol: String,
                             tsCol: String, windowDays: Int,
-                            k: Int = 64): DataFrame = {
+                            k: Int = 64,
+                            includeExact: Boolean = true): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1; got $windowDays")
     require(k >= 2, s"k must be >= 2; got $k")
     val base = events
@@ -290,12 +300,60 @@ object KmvAlgebra {
         KmvDistinct.md5Low64(col(entityCol).cast("string")).as("__h"))
     val daily = base.groupBy(col("__day"))
       .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("__st"))
-    val spine = daily.select(col("__day").as("day"))
-    // each stored hash serves target days srcDay .. srcDay + w - 1
-    val contrib = daily
-      .select(col("__day"), explode(col("__st")).as("__h"))
+      .select(col("__day").as("day"), col("__st").as("state"))
+    val sketchTimeline = rollingReachFromStates(daily, windowDays, k)
+    if (!includeExact) return sketchTimeline
+    val spine = daily.select(col("day"))
+    // gate-scale exact eval: distinct entities in each trailing window
+    val exact = base.select(col("__day"), col("__h")).distinct()
       .withColumn("day",
         explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .join(spine, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__h")).as("exact_reach"))
+    sketchTimeline.join(exact, Seq("day"))
+      .select(col("day"), col("n_sketch"), col("kth_min"),
+        col("exact_reach"), col("est_reach"))
+  }
+
+  /** The nightly DAILY-STATE writer for [[rollingReachFromStates]]:
+    * one (day, state) row per observed day, state = the day's k-min
+    * hash array over distinct entities. This is the only stage that
+    * reads facts; persist its output and every downstream rolling
+    * window is a state-only read. */
+  def dailyReachStates(events: DataFrame, entityCol: String,
+                       tsCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2; got $k")
+    events
+      .filter(col(tsCol).isNotNull && col(entityCol).isNotNull)
+      .select(
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("__day"),
+        KmvDistinct.md5Low64(col(entityCol).cast("string")).as("__h"))
+      .groupBy(col("__day"))
+      .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("state"))
+      .select(col("__day").as("day"), col("state"))
+  }
+
+  /** The PRODUCTION rolling-reach read: trailing-`windowDays`
+    * distinct-entity timeline from stored (day, state) rows ONLY —
+    * the plan never touches the fact archive (spec-gated). Each
+    * stored hash fans out to the ≤ `windowDays` target days it can
+    * serve (sequence + explode — days × k × w metadata rows),
+    * distinct-per-(day, hash) collapses cross-day repeats, and the
+    * per-day union sketch ranks by the unsigned order (sign-flip
+    * trick). Target days are the OBSERVED days (a day with no state
+    * row reports no row — absence, not zero). */
+  def rollingReachFromStates(dailyStates: DataFrame, windowDays: Int,
+                             k: Int = 64): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1; got $windowDays")
+    require(k >= 2, s"k must be >= 2; got $k")
+    val spine = dailyStates.select(col("day"))
+    // each stored hash serves target days srcDay .. srcDay + w - 1
+    val contrib = dailyStates
+      .select(col("day").as("__srcday"), explode(col("state")).as("__h"))
+      .withColumn("day",
+        explode(sequence(col("__srcday"), col("__srcday") + (windowDays - 1))))
       .join(spine, Seq("day"), "left_semi")
       .select(col("day"), col("__h")).distinct()
     val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
@@ -306,20 +364,11 @@ object KmvAlgebra {
       .agg(count(lit(1)).as("n_sketch"),
         max(col("__h").bitwiseXOR(lit(Long.MinValue)))
           .bitwiseXOR(lit(Long.MinValue)).as("kth_min"))
-    // gate-scale exact eval: distinct entities in each trailing window
-    val exact = base.select(col("__day"), col("__h")).distinct()
-      .withColumn("day",
-        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
-      .join(spine, Seq("day"), "left_semi")
-      .groupBy(col("day"))
-      .agg(countDistinct(col("__h")).as("exact_reach"))
     val kthU = col("kth_min").bitwiseXOR(lit(Long.MinValue))
       .cast("double") + lit(math.pow(2.0, 63))
-    sk.join(exact, Seq("day"))
-      .select(col("day"), col("n_sketch"), col("kth_min"),
-        col("exact_reach"),
-        when(col("n_sketch") < k, col("n_sketch").cast("double"))
-          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 64)) / kthU)
-          .as("est_reach"))
+    sk.select(col("day"), col("n_sketch"), col("kth_min"),
+      when(col("n_sketch") < k, col("n_sketch").cast("double"))
+        .otherwise(lit((k - 1).toDouble * math.pow(2.0, 64)) / kthU)
+        .as("est_reach"))
   }
 }

@@ -554,7 +554,8 @@ object Dedup extends graft.core.Logging {
                           maxIter: Int = 20,
                           copartitionEdges: Option[Int] = None,
                           reliable: Boolean = false,
-                          onConverge: Int => Unit = _ => ()): DataFrame = {
+                          onConverge: Int => Unit = _ => (),
+                          requireConverged: Boolean = false): DataFrame = {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     // The union below references `pairs` twice; for an expensive pair
@@ -608,6 +609,15 @@ object Dedup extends graft.core.Logging {
       // the result is already materialized (checkpointed, O(1)-plan);
       // never collected — clusters can be huge. Checkpoint blocks free
       // via the ContextCleaner once each round's RDD is unreferenced.
+      // Without requireConverged a maxIter-exhausted run returns
+      // partially-propagated labels — structurally valid rows (one per
+      // node) whose clusters may still be split; callers for whom a
+      // split cluster is silently wrong (incrementalComponents) opt
+      // into the loud failure.
+      require(!requireConverged || converged,
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(label propagation needs ~1 round per diameter hop); raise " +
+          "maxIter or use connectedComponentsStar for long-diameter graphs")
       onConverge(i)
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist(blocking = false)
@@ -627,8 +637,15 @@ object Dedup extends graft.core.Logging {
     *
     * — converging in O(log² n) rounds independent of diameter. Same
     * output contract as [[connectedComponents]] (cluster_id = min id
-    * of the component; nodes appearing in `pairs` only), same
-    * materialize-per-round lineage discipline. Edges stay canonical
+    * of the component; nodes appearing in `pairs` only — including
+    * nodes whose only pairs are self-loops, emitted as self-labeled
+    * singletons), same materialize-per-round lineage discipline.
+    * THROWS on non-convergence within `maxIter`: unlike min-label's
+    * partially-propagated (but structurally valid) labels, the star
+    * extraction below reads roots off a fixed-point edge set — on a
+    * non-converged set a node can still appear as `u` in multiple
+    * edges, yielding duplicate ids with conflicting cluster_ids, so
+    * returning it would be silently wrong. Edges stay canonical
     * (bigger id first) through both rewrites by construction
     * (everything re-attaches to a strictly smaller min).
     *
@@ -648,9 +665,13 @@ object Dedup extends graft.core.Logging {
       if (reliable) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     val dec = "decimal(38,0)"
-    // canonical (u > v), self-loops dropped
-    var edges = materialize(pairs
-      .select(col(aCol).as("a"), col(bCol).as("b"))
+    val rawPairs = materialize(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    // canonical (u > v), self-loops dropped from the EDGE set (they
+    // carry no connectivity) but their endpoints kept aside: a node
+    // whose only pairs are self-loops is still a node, and the
+    // contract emits it as a self-labeled singleton
+    var edges = materialize(rawPairs
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
@@ -692,13 +713,25 @@ object Dedup extends graft.core.Logging {
       cs = ns
       i += 1
     }
+    require(converged, s"connectedComponentsStar did not converge in " +
+      s"$maxIter rounds — the star extraction is structurally invalid " +
+      "on a non-fixed-point edge set (duplicate ids with conflicting " +
+      "cluster_ids); raise maxIter or use connectedComponents")
     onConverge(i)
     // fixed point = stars: children point at roots; roots self-label
     val children = edges.select(col("u").as("id"), col("v").as("cluster_id"))
     val roots = edges.select(col("v").as("id")).distinct()
       .join(children.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    materialize(children.union(roots))
+    val connected = children.union(roots)
+    // self-loop-only nodes: endpoints of (a = b) pairs never seen in
+    // a real edge — restore as singletons (contract parity with
+    // connectedComponents, which keeps them via its src-node spine)
+    val selfOnly = rawPairs.filter(col("a") === col("b"))
+      .select(col("a").as("id")).distinct()
+      .join(connected.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    materialize(connected.union(selfOnly))
   }
 
   /** INCREMENTAL connected components — the nightly identity-stitching
@@ -712,9 +745,17 @@ object Dedup extends graft.core.Logging {
     * connected through its old root, and a delta edge bridging two old
     * components merges them with the new min as the root (min-of-union
     * — min-label's contract). Rows into the job: |labels| + |delta|,
-    * never |edge archive|; and the star graph has diameter ≤ 2, so the
-    * propagation converges in O(log) rounds of the DELTA's bridging
-    * structure regardless of how deep the original graph was.
+    * never |edge archive|. Round count: min-label needs ~1 round per
+    * diameter hop of the MERGED graph (stored star edges ∪ delta) —
+    * each star contributes diameter ≤ 2, so rounds scale with the
+    * longest CHAIN of old components the delta bridges (a delta
+    * daisy-chaining c components costs ~3c hops), NOT with how deep
+    * the original graph was before it collapsed to stars. The
+    * propagation runs with `requireConverged = true`: a delta that
+    * chains more components than `maxIter` rounds can close fails
+    * loudly (raise maxIter — rounds are |labels|-scale cheap — or run
+    * the pathological batch through [[connectedComponentsStar]])
+    * instead of returning silently split clusters.
     *
     * New nodes appearing only in `deltaPairs` join as usual; stored
     * singletons (label = own id) are preserved if passed in, or may be
@@ -734,7 +775,7 @@ object Dedup extends graft.core.Logging {
     val delta = deltaPairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
     val merged = connectedComponents(
       starEdges.union(delta), "__a", "__b", maxIter = maxIter,
-      onConverge = onConverge)
+      onConverge = onConverge, requireConverged = true)
     // stored singletons untouched by the delta have no edge rows in the
     // union — restore them explicitly (they ARE state, unlike the
     // batch form's never-seen nodes)

@@ -160,9 +160,21 @@ object Layout {
       src.write.mode(SaveMode.Overwrite).parquet(path)
       return CompactionStats(0L, 1, 0L, targetFileBytes, dirBytes(path))
     }
-    val sizingPath = path.stripSuffix("/") + "__sizing"
-    val sRows = math.min(sampleRows.toLong, total)
-    src.limit(sRows.toInt).coalesce(1)
+    // UNIFORM seeded sample, not limit(n): the first N rows of an
+    // input ordered by a width-correlated column (growing strings,
+    // nulls-first) systematically misestimate bytes/row and files
+    // land far from target. Unique temp dir (UUID suffix), not a
+    // predictable sibling — a fixed "__sizing" name could clobber
+    // pre-existing data on re-entrant/concurrent runs. Same FS as the
+    // destination: executors must reach it, and measured compression
+    // should see the destination codec defaults.
+    val sizingPath = path.stripSuffix("/") + "__sizing_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val frac = math.min(1.0, sampleRows.toDouble / total * 1.1)
+    val sample = src.sample(withReplacement = false, frac, seed = 42L)
+      .localCheckpoint(true)
+    val sRows = math.max(1L, sample.count())
+    sample.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(sizingPath)
     val bytesPerRow = math.max(1L, dirBytes(sizingPath) / sRows)
     new org.apache.hadoop.fs.Path(sizingPath)

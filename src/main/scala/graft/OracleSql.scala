@@ -5294,6 +5294,53 @@ SELECT sk.day, sk.n_sketch,
   ex.exact_reach
 FROM sk JOIN ex USING (day) ORDER BY day"""
 
+  /** Drift-union twin (q219): the three mixed-schema batches written
+    * out as explicitly ALIGNED selects — each branch lists the full
+    * evolved column set (event_id, event_type, score VARCHAR, channel)
+    * with typed NULLs where the batch lacks the column and the widened
+    * VARCHAR cast where batch 0/1 carried score as INTEGER — i.e. the
+    * oracle spells by hand exactly what SchemaDrift.unionEvolved
+    * derives from the schemas. Integer-exact throughout (playbook:
+    * DuckDB sum(int) → HUGEINT, cast BIGINT). */
+  private val q219 = """
+WITH b0 AS (
+  SELECT event_id, event_type,
+    CAST(CAST(event_id % 100 AS INTEGER) AS VARCHAR) AS score,
+    CAST(NULL AS VARCHAR) AS channel
+  FROM events WHERE event_id % 3 = 0),
+b1 AS (
+  SELECT event_id, event_type,
+    CAST(CAST(event_id % 100 AS INTEGER) AS VARCHAR) AS score,
+    'ch_' || CAST(event_id % 5 AS VARCHAR) AS channel
+  FROM events WHERE event_id % 3 = 1),
+b2 AS (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS event_type,
+    CAST(event_id % 100 AS VARCHAR) AS score,
+    'ch_' || CAST(event_id % 5 AS VARCHAR) AS channel
+  FROM events WHERE event_id % 3 = 2),
+u AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+SELECT COALESCE(channel, '(none)') AS channel_g,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(event_type) AS BIGINT) AS n_event_type,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+  CAST(sum(CAST(score AS INTEGER)) AS BIGINT) AS score_sum
+FROM u GROUP BY 1 ORDER BY 1"""
+
+  /** Drift-report twin (q220): the expected schema diff of the q219
+    * batch fixture, pinned as literals — batch 1 adds `channel`,
+    * batch 2 removes `event_type` and re-types `score` int → string
+    * (Spark simpleString spellings). */
+  private val q220 = """
+SELECT CAST(batch_idx AS INTEGER) AS batch_idx, "column", change,
+  from_type, to_type
+FROM (VALUES
+  (1, 'channel', 'added', '', 'string'),
+  (2, 'event_type', 'removed', 'string', ''),
+  (2, 'score', 'type_changed', 'int', 'string'))
+  AS t(batch_idx, "column", change, from_type, to_type)
+ORDER BY batch_idx, change, "column""""
+
   /** Water-filling twin (q203): same whitespace token mass, same
     * md5-residue weights (q172 UINTEGER key), same IEEE ratio ORDER
     * (correctly-rounded division in both engines, (avail, source)
@@ -6052,6 +6099,8 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q216_hdr_quantile_rollup" -> q216,
     "q217_containment_pairs" -> q217,
     "q218_rolling_reach" -> q218,
+    "q219_drift_union" -> q219,
+    "q220_drift_report" -> q220,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -2783,6 +2783,48 @@ object SparkEntry {
       .drop("est_reach")
       .orderBy("day")
 
+  /** The q219/q220 mixed-schema changelog fixture: three batches carved
+    * deterministically from events with DIFFERENT schemas — batch 1
+    * ADDS `channel`, batch 2 REMOVES `event_type` and re-types `score`
+    * int → string (the wide-evolving profile table of SURVEY §1.3,
+    * reproduced as data). */
+  private def driftBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val ev = t(s, dir, "events")
+    val score = (col("event_id") % 100).cast("int")
+    val channel = concat(lit("ch_"), (col("event_id") % 5).cast("string"))
+    Seq(
+      ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("event_type"), score.as("score")),
+      ev.filter(col("event_id") % 3 === 1)
+        .select(col("event_id"), col("event_type"), score.as("score"),
+          channel.as("channel")),
+      ev.filter(col("event_id") % 3 === 2)
+        .select(col("event_id"), score.cast("string").as("score"),
+          channel.as("channel")))
+  }
+
+  private def q219_drift_union(s: SparkSession, dir: String): DataFrame =
+    // Schema-drift-tolerant union: align by name, missing-as-null,
+    // types widened (score: int ∨ string → string). The gate
+    // aggregates over the null-filled result — count(event_type)
+    // proves batch-2 rows carry NULL there, the score sum proves the
+    // widened column still round-trips integer-exactly.
+    graft.source.SchemaDrift.unionEvolved(driftBatches(s, dir))
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel_g"))
+      .agg(count(lit(1)).as("n"),
+        count(col("event_type")).as("n_event_type"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("score").cast("int")).as("score_sum"))
+      .orderBy("channel_g")
+
+  private def q220_drift_report(s: SparkSession, dir: String): DataFrame =
+    // Per-batch drift audit (snapshotDiff on schemas): batch 1 adds
+    // `channel`; batch 2 removes `event_type` and flips `score`
+    // int → string. Footer-metadata work only — the report never
+    // scans data.
+    graft.source.SchemaDrift.driftReport(s, driftBatches(s, dir).map(_.schema))
+      .orderBy("batch_idx", "change", "column")
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3294,6 +3336,8 @@ object SparkEntry {
     "q216_hdr_quantile_rollup" -> (q216_hdr_quantile_rollup _),
     "q217_containment_pairs" -> (q217_containment_pairs _),
     "q218_rolling_reach" -> (q218_rolling_reach _),
+    "q219_drift_union" -> (q219_drift_union _),
+    "q220_drift_report" -> (q220_drift_report _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

@@ -62,7 +62,16 @@ object UserProfileJob {
         * e.g. bot accounts with millions of changes). Both forms are
         * semantically identical under the (tsCol, tiebreakCol) order —
         * JobSpec proves it on a skewed fixture. */
-      dedupForm: String = "window") {
+      dedupForm: String = "window",
+      /** Drift-tolerant changelog read: treat `changelogPath`'s
+        * sub-directories as per-batch parquet with possibly DIFFERENT
+        * schemas (union by name, missing-as-null, widened types — the
+        * wide-evolving profile table of SURVEY §1.3). The mapping-
+        * driven attribute selection downstream already tolerates
+        * absent columns, so a drifted batch flows through end-to-end;
+        * JobSpec proves it. Off by default: the plain single-schema
+        * read skips the footer listing. */
+      driftTolerant: Boolean = false) {
     /** Where per-batch sink results land (parquet). A sibling of the
       * bookmark store by default — NOT nested inside it, which would
       * corrupt the bookmark parquet directory. */
@@ -97,9 +106,16 @@ object UserProfileJob {
     // 1. bookmark lookup (metadata-sized; absent ⇒ full history)
     val bookmark = Bookmarks.lookup(spark, conf.bookmarkPath, conf.jobName)
 
-    // 2. incremental changelog read — timestamp filter pushed into the scan
-    val changes = new ChangelogTableSource(spark, conf.changelogPath, conf.tsCol)
-      .since(bookmark)
+    // 2. incremental changelog read — timestamp filter pushed into the
+    //    scan; drift-tolerant form unions mixed-schema batch dirs by
+    //    name (missing-as-null) so an evolving producer can't fail the
+    //    nightly run
+    val feed: graft.source.ChangeFeedSource =
+      if (conf.driftTolerant)
+        new graft.source.DriftTolerantChangelogSource(
+          spark, conf.changelogPath, conf.tsCol)
+      else new ChangelogTableSource(spark, conf.changelogPath, conf.tsCol)
+    val changes = feed.since(bookmark)
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

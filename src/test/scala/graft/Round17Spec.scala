@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
   * non-convergence, writeCompacted uniform sampling + unique temp
   * path, and the severable exact branch in rollingReachFromDaily
   * (state-only production read path). */
+/** JVM-wide capture for the drifted-batch job test: send closures are
+  * serialized into task closures even in local mode, so a captured
+  * local list would be a per-task COPY (same pattern as
+  * [[JobSpecSendCounter]]). */
+object Round17SendCapture {
+  val bodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+}
+
 class Round17Spec extends SparkSpec {
   import spark.implicits._
 
@@ -107,6 +115,133 @@ class Round17Spec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got.nonEmpty && got.forall(_._2 == 0L),
       s"daisy-chained delta must collapse everything to min id 0: $got")
+  }
+
+  // ---- schema drift: widening, union, report, changelog source ----
+
+  test("SchemaDrift.widen: lattice covers integrals, decimals, temporal, flips") {
+    import graft.source.SchemaDrift.widen
+    import org.apache.spark.sql.types._
+    assert(widen(IntegerType, LongType) == LongType)
+    assert(widen(ByteType, ShortType) == ShortType)
+    assert(widen(FloatType, DoubleType) == DoubleType)
+    assert(widen(LongType, DoubleType) == DoubleType)
+    assert(widen(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
+    assert(widen(LongType, DecimalType(10, 2)) == DecimalType(22, 2))
+    assert(widen(DateType, TimestampType) == TimestampType)
+    assert(widen(NullType, IntegerType) == IntegerType)
+    assert(widen(IntegerType, StringType) == StringType)   // type flip
+    assert(widen(BooleanType, IntegerType) == StringType)  // disagreement
+  }
+
+  test("DriftTolerantChangelogSource: mixed-schema batch dirs union by name; bookmark filter; report") {
+    val root = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "m1", ts("2024-01-01 10:00:00")))
+      .toDF("id", "mobile", "_commit_timestamp")
+      .write.parquet(s"$root/log/batch=0001")
+    Seq((2L, 77, ts("2024-01-02 10:00:00")))
+      .toDF("id", "reward", "_commit_timestamp")   // mobile gone, reward new
+      .write.parquet(s"$root/log/batch=0002")
+    val src = new graft.source.DriftTolerantChangelogSource(spark, s"$root/log")
+    val all = src.since(None).orderBy("id")
+    assert(all.columns.toSeq == Seq("id", "mobile", "_commit_timestamp", "reward"))
+    val rows = all.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("mobile") == "m1" && rows(0).isNullAt(3))
+    assert(rows(1).getAs[Int]("reward") == 77 &&
+      rows(1).getAs[String]("mobile") == null)
+    assert(src.since(Some(ts("2024-01-01 10:00:00"))).count() == 1)
+    val rep = src.report.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(rep == Set((1, "reward", "added"), (1, "mobile", "removed")))
+  }
+
+  test("UserProfileJob survives a drifted batch (driftTolerant=true)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = java.nio.file.Files.createTempDirectory("graft-driftjob").toString
+    // batch 1: mobile era; batch 2: the producer dropped mobile and
+    // started sending reward — the nightly job must keep running
+    Seq(("1", "9876543210", "insert", ts("2024-01-01 10:00:00"), 1L))
+      .toDF("customer_id", "mobile", "_change_type", "_commit_timestamp",
+        "_commit_version")
+      .write.parquet(s"$root/changelog/batch=0001")
+    Seq(("2", "50.5", "insert", ts("2024-01-02 10:00:00"), 2L))
+      .toDF("customer_id", "reward", "_change_type", "_commit_timestamp",
+        "_commit_version")
+      .write.parquet(s"$root/changelog/batch=0002")
+    Seq(("mobile", true), ("reward", true))
+      .toDF("property_name", "clevertap").write.parquet(s"$root/mapping")
+    val conf = graft.jobs.UserProfileJob.Conf(
+      jobName = "drift_test", changelogPath = s"$root/changelog",
+      bookmarkPath = s"$root/bookmarks", keyCol = "customer_id",
+      tsCol = "_commit_timestamp", tiebreakCol = "_commit_version",
+      platform = "clevertap", mappingPath = s"$root/mapping",
+      typeMap = Map("mobile" -> "mobile_sanity", "reward" -> "modify_reward"),
+      swapKeyMap = Map("customer_id" -> "identity_id"),
+      driftTolerant = true)
+    Round17SendCapture.bodies.clear()
+    val res = graft.jobs.UserProfileJob.run(spark, conf,
+      b => { b.foreach(Round17SendCapture.bodies.add); (200, "ok") })
+    assert(res.validRows == 2 && res.invalidRows == 0)
+    val body = Round17SendCapture.bodies.toArray.map(_.toString).mkString
+    assert(body.contains(""""identity":"1"""") && body.contains(""""mobile":"9876543210""""))
+    assert(body.contains(""""identity":"2"""") && body.contains(""""reward":"5050""""))
+    // the flag is load-bearing: a PLAIN parquet read of the same
+    // mixed-schema root silently LOSES drifted columns (partition
+    // discovery plus first-file schema — the failure mode the
+    // drift-tolerant read exists to prevent)
+    val rigidCols = spark.read.parquet(s"$root/changelog").columns.toSet
+    assert(!(rigidCols.contains("mobile") && rigidCols.contains("reward")),
+      s"expected the rigid read to drop a drifted column, got $rigidCols")
+  }
+
+  // ---- malformed-record quarantine (PERMISSIVE ingress) ----
+
+  test("QuarantinedRead.csv: malformed rows quarantined with raw line; clean rows unaffected; counts ride one action") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    val csv = s"$dir/in.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "id,score,name\n" +
+        "1,10,alpha\n" +
+        "2,notanint,beta\n" +   // untypeable field
+        "3,30,gamma\n" +
+        "4,40\n")               // token-count mismatch
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", IntegerType),
+      StructField("name", StringType)))
+    val obs = org.apache.spark.sql.Observation()
+    val q = graft.source.QuarantinedRead.csv(spark, csv, schema, obs = Some(obs))
+    // single egress action: write clean rows; counters ride it
+    q.clean.write.mode("overwrite").parquet(s"$dir/clean")
+    assert(obs.get("records_clean") == 2L)
+    assert(obs.get("records_quarantined") == 2L)
+    val clean = spark.read.parquet(s"$dir/clean")
+      .orderBy("id").collect()
+    assert(clean.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(clean.map(_.getString(2)).toSeq == Seq("alpha", "gamma"))
+    // quarantine preserves the raw malformed line — never silently drops
+    val quar = q.quarantine.collect()
+    assert(quar.length == 2)
+    val raws = quar.map(_.getAs[String]("_corrupt_record")).toSet
+    assert(raws == Set("2,notanint,beta", "4,40"))
+  }
+
+  test("QuarantinedRead.json: invalid lines quarantined; valid parsed") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarj").toString
+    val path = s"$dir/in.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"id":1,"name":"a"}""" + "\n" +
+        """{nope""" + "\n" +
+        """{"id":2,"name":"b"}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val q = graft.source.QuarantinedRead.json(spark, path, schema)
+    assert(q.clean.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val bad = q.quarantine.collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record") == "{nope")
   }
 
   // ---- writeCompacted: uniform sizing sample + unique temp path ----

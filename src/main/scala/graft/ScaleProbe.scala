@@ -143,6 +143,13 @@ object ScaleProbe {
   // archive (here the archive is a 10x-observed multigraph — dedup
   // detectors re-emit pairs nightly).
   private val CcIncProbe = "cc_incremental"
+  // Nightly-composite probe (round 17, q221): the whole incremental
+  // family chained — label refresh → state re-key → agg/HDR/KMV state
+  // merges — against the from-scratch rebuild, at 1% and 10% deltas.
+  // The number that matters is rows INTO each job: the incremental
+  // path reads labels + state rows + the delta; the rebuild re-reads
+  // the fact archive and the edge archive.
+  private val CompositeProbe = "nightly_composite"
   // Anchored-funnel probe (round 16, q210): the re-anchored fold is
   // O(anchors × events) per entity on the collected array — fine on
   // human entities (a handful of anchors), quadratic on a bot. This
@@ -167,7 +174,8 @@ object ScaleProbe {
                  LayoutProbe + IntervalProbe + EditDistProbe + GraphProbe +
                  PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
                  MarkovProbe + IncrementalProbe + SketchOverlapProbe +
-                 CcAbProbe + MartechProbe + CcIncProbe + AnchoredProbe
+                 CcAbProbe + MartechProbe + CcIncProbe + AnchoredProbe +
+                 CompositeProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -1160,6 +1168,125 @@ object ScaleProbe {
           archive, "a", "b", maxIter = 200, onConverge = fullR = _)) }
         require(ci == cf, s"cc_incremental@$m: merge != rebuild $ci vs $cf")
         log.println(f"""{"query":"cc_incremental(probe)","edges":${m * 10},"labels":$nLbl,"delta":$nDelta,"incremental_s":$ti%.3f,"incremental_rounds":$incR,"rebuild_s":$tf%.3f,"rebuild_rounds":$fullR,"speedup":${tf / ti}%.2f}""")
+      }
+    }
+    if (only.contains(CompositeProbe)) {
+      import graft.dedup.Dedup
+      import graft.relational.Relational
+      import graft.analyze.{Hdr, KmvDistinct}
+      // M entities in chain-blocks of B (clusters), EV events each.
+      // Stored state = labels + per-cluster agg/HDR/KMV states, built
+      // once OUTSIDE the timed region (they're last night's output).
+      val M = 1000000L; val B = 10L; val EV = 5L
+      val facts = spark.range(0, M * EV).select(
+          call_function("div", col("id"), lit(EV)).as("e"),
+          (pmod(col("id"), lit(997L)) + 1L).as("v"),
+          concat(lit("s"), pmod(col("id"), lit(50L))).as("source"))
+        .localCheckpoint(true)
+      val archivePairs = spark.range(0, M)
+        .filter(pmod(col("id"), lit(B)) =!= B - 1)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+        .localCheckpoint(true)
+      // closed-form CC of the block chains (≡ connectedComponents
+      // output on archivePairs: min member labels the block)
+      val storedLabels = spark.range(0, M).select(col("id"),
+          (col("id") - pmod(col("id"), lit(B))).as("cluster_id"))
+        .localCheckpoint(true)
+      val histLab = facts.join(storedLabels,
+          facts("e") === storedLabels("id"))
+        .select(col("cluster_id").as("cid_old"), col("v"), col("source"))
+      val storedAgg = Relational.aggState(histLab, Seq("cid_old"), "v")
+        .localCheckpoint(true)
+      val storedHdr = Hdr.hdrState(histLab, "cid_old", "v")
+        .localCheckpoint(true)
+      val storedKmv = histLab
+        .select(col("cid_old"), KmvDistinct.md5Low64(col("source")).as("__h"))
+        .groupBy("cid_old")
+        .agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st"))
+        .localCheckpoint(true)
+      def checksumOut(df: DataFrame): (Long, String) = {
+        val r = df.agg(count(lit(1)),
+            sum(xxhash64(col("cluster_id"), col("n"), col("sum_v"),
+              col("min_v"), col("max_v"), col("p50_bin"), col("n_sk"),
+              col("kth")).cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1).toString)
+      }
+      def finalReport(agg: DataFrame, hdr: DataFrame,
+                      kmv: DataFrame): DataFrame =
+        agg.join(Hdr.hdrQuantiles(hdr, "cluster_id", Seq(50))
+            .select(col("cluster_id"), col("bin").as("p50_bin")),
+          Seq("cluster_id"))
+        .join(kmv.select(col("cluster_id"),
+            size(col("__st")).cast("long").as("n_sk"),
+            element_at(col("__st"), -1).as("kth")), Seq("cluster_id"))
+      for (fPct <- Seq(1, 10)) {
+        val step = 100L / fPct
+        // bridges: every step-th block chains to its successor
+        val deltaPairs = spark.range(0, M / B - 1)
+          .filter(pmod(col("id"), lit(step)) === 0)
+          .select((col("id") * B).as("a"), ((col("id") + 1L) * B).as("b"))
+          .localCheckpoint(true)
+        // delta facts: f% of the nightly event volume, spread over
+        // existing entities
+        val deltaFacts = spark.range(0, M * EV * fPct / 100).select(
+            pmod(col("id") * 7919L, lit(M)).as("e"),
+            (pmod(col("id"), lit(997L)) + 1L).as("v"),
+            concat(lit("s"), pmod(col("id"), lit(50L))).as("source"))
+          .localCheckpoint(true)
+        var ci = (0L, ""); var cf = (0L, "")
+        val ti = best {
+          val refreshed = Dedup.incrementalComponents(storedLabels,
+            deltaPairs, "a", "b", maxIter = 60)
+          val rootMap = refreshed.select(col("id").as("cid_old"),
+            col("cluster_id").as("cid_new"))
+          def rekey(st: DataFrame): DataFrame = st
+            .join(rootMap, Seq("cid_old"), "left")
+            .withColumn("cluster_id",
+              coalesce(col("cid_new"), col("cid_old")))
+            .drop("cid_old", "cid_new")
+          val dLab = deltaFacts.join(refreshed
+              .select(col("id"), col("cluster_id").as("__c")),
+              deltaFacts("e") === col("id"), "left")
+            .select(coalesce(col("__c"), col("e")).as("cluster_id"),
+              col("v"), col("source"))
+          val agg = Relational.mergeAggStates(
+            Relational.reduceAggState(rekey(storedAgg), Seq("cluster_id")),
+            Relational.aggState(dLab, Seq("cluster_id"), "v"),
+            Seq("cluster_id"))
+          val hdr = Hdr.mergeHdrStates("cluster_id", rekey(storedHdr),
+            Hdr.hdrState(dLab, "cluster_id", "v"))
+          val kmv = rekey(storedKmv).unionByName(dLab
+              .select(col("cluster_id"),
+                KmvDistinct.md5Low64(col("source")).as("__h"))
+              .groupBy("cluster_id")
+              .agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st")))
+            .select(col("cluster_id"), explode(col("__st")).as("__h"))
+            .groupBy("cluster_id")
+            .agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st"))
+          ci = checksumOut(finalReport(agg, hdr, kmv))
+        }
+        val tf = best {
+          val clusters = Dedup.connectedComponents(
+            archivePairs.unionByName(deltaPairs), "a", "b", maxIter = 200)
+          val allF = facts.unionByName(deltaFacts)
+          val lab = allF.join(clusters, allF("e") === clusters("id"), "left")
+            .select(coalesce(col("cluster_id"), col("e")).as("cluster_id"),
+              col("v"), col("source"))
+          val agg = Relational.aggState(lab, Seq("cluster_id"), "v")
+          val hdr = Hdr.hdrState(lab, "cluster_id", "v")
+          val kmv = lab.select(col("cluster_id"),
+              KmvDistinct.md5Low64(col("source")).as("__h"))
+            .groupBy("cluster_id")
+            .agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st"))
+          cf = checksumOut(finalReport(agg, hdr, kmv))
+        }
+        require(ci == cf, s"nightly_composite@$fPct%: merge != rebuild $ci vs $cf")
+        val rowsInc = storedLabels.count() + storedAgg.count() +
+          storedHdr.count() + storedKmv.count() +
+          deltaFacts.count() + deltaPairs.count()
+        val rowsFull = facts.count() + archivePairs.count() +
+          deltaFacts.count() + deltaPairs.count()
+        log.println(f"""{"query":"nightly_composite(probe)","delta_pct":$fPct,"rows_incremental":$rowsInc,"rows_rebuild":$rowsFull,"incremental_s":$ti%.3f,"rebuild_s":$tf%.3f,"speedup":${tf / ti}%.2f,"rows_ratio":${rowsFull.toDouble / rowsInc}%.2f}""")
       }
     }
     if (only.contains(MarkovProbe)) {

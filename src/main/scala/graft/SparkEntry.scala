@@ -2825,6 +2825,141 @@ object SparkEntry {
     graft.source.SchemaDrift.driftReport(s, driftBatches(s, dir).map(_.schema))
       .orderBy("batch_idx", "change", "column")
 
+  private def q221_nightly_composite(s: SparkSession, dir: String): DataFrame = {
+    // The NIGHTLY INCREMENTAL COMPOSITE — one delta batch drives the
+    // whole incremental family IN ONE JOB, with the stages
+    // INTERACTING (the q84 discipline applied to incrementality):
+    //   1. incremental exact dedup (q82): the delta's exact COPIES of
+    //      archived docs are killed against the stored history
+    //      fingerprints — without this stage they would flood stage 2
+    //      with J=1 pairs;
+    //   2. incremental CC (q215): the surviving delta's near-dup
+    //      pairs refresh stored cluster labels — star edges ∪ delta;
+    //      the delta's BRIDGE docs bind pairs of history docs, so a
+    //      delta pair MERGES previously-distinct stored clusters;
+    //   3. incremental agg states (q169): stored per-cluster states
+    //      RE-KEY under the refreshed labels — merged clusters
+    //      COLLIDE and their states combine (reduceAggState), the
+    //      interaction no per-stage gate can see — then merge with
+    //      the delta's own state;
+    //   4. HDR rollup (q216): same re-key + count-table merge, p50
+    //      read from the merged state;
+    //   5. KMV rollup (q204): same re-key + k-min re-insertion merge.
+    // Delta fixture (derived deterministically, both engines):
+    // BRIDGES — doc_id 1e6+k, text = normalized text of two
+    // n_chars-adjacent real docs (doc_id % 11 = 3, ranked by
+    // (n_chars, doc_id), consecutive ranks pair up) joined by one
+    // space: Jaccard vs each half ≈ sz₁/(sz₁+sz₂) ≈ 0.45 ≥ the 0.3
+    // gate threshold, so each bridge near-dups BOTH endpoints and
+    // merges their stored clusters. COPIES — doc_id 2e6+d for every
+    // real doc d % 7 = 0, text verbatim (stage-1 fodder). The oracle
+    // recomputes EVERYTHING from scratch over the surviving corpus —
+    // merge ≡ recompute end-to-end, at output granularity.
+    // From-scratch dedup semantics: history takes precedence within a
+    // fingerprint (the archive was ingested first), then lowest id.
+    import graft.relational.Relational
+    import graft.analyze.{Hdr, KmvDistinct}
+    val real = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+    val ntext = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val wSz = Window.orderBy(col("n_chars"), col("doc_id"))
+    val bridges = real.filter(pmod(col("doc_id"), lit(11)) === 3)
+      .select(col("doc_id"), ntext.as("ntext"), col("n_chars"))
+      .withColumn("rn", row_number().over(wSz))
+      .withColumn("k", ((col("rn") + 1) / 2).cast("long"))
+      .groupBy(col("k"))
+      .agg(max(when(col("rn") % 2 === 1, col("ntext"))).as("t1"),
+        max(when(col("rn") % 2 === 0, col("ntext"))).as("t2"),
+        count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select((lit(1000000L) + col("k")).as("doc_id"),
+        concat(col("t1"), lit(" "), col("t2")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("bridge"))
+    val copies = real.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        col("n_chars"), col("source"))
+    val docs = real.unionByName(bridges).unionByName(copies)
+      .withColumn("fp", TA.fingerprint(col("text")))
+    val isDelta = col("doc_id") >= 1000000L
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+
+    // stage 1 — incremental exact dedup
+    val keptHist = docs.filter(!isDelta)
+      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+      .drop("rn")
+    val keptDelta = docs.filter(isDelta)
+      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+      .drop("rn")
+      .join(keptHist.select("fp").distinct(), Seq("fp"), "left_anti")
+    val survivors = keptHist.unionByName(keptDelta)
+
+    // stage 2 — incremental CC: the delta's pairs (either endpoint in
+    // the batch) merge into stored labels built from archive-only pairs
+    val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
+      shingleN = 3, threshold = 0.3)
+    val touchesDelta = col("id_a") >= 1000000L || col("id_b") >= 1000000L
+    val stored = Dedup.connectedComponents(pairs.filter(!touchesDelta),
+      "id_a", "id_b")
+    val refreshed = Dedup.incrementalComponents(stored,
+      pairs.filter(touchesDelta), "id_a", "id_b")
+
+    // label views: old (stored) key per history doc, the old→new root
+    // mapping, and the new key per delta doc
+    val rootMap = refreshed
+      .select(col("id").as("cid_old"), col("cluster_id").as("cid_new"))
+    val histLab = keptHist.join(
+        stored.select(col("id"), col("cluster_id").as("__c")),
+        col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cid_old"),
+        col("n_chars"), col("source"))
+    val deltaLab = keptDelta.join(
+        refreshed.select(col("id"), col("cluster_id").as("__c")),
+        col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cluster_id"),
+        col("n_chars"), col("source"))
+    def rekey(state: DataFrame): DataFrame = state
+      .join(rootMap, Seq("cid_old"), "left")
+      .withColumn("cluster_id", coalesce(col("cid_new"), col("cid_old")))
+      .drop("cid_old", "cid_new")
+
+    // stage 3 — agg states: rekey (collisions = merged clusters) + merge
+    val agg = Relational.mergeAggStates(
+      Relational.reduceAggState(
+        rekey(Relational.aggState(histLab, Seq("cid_old"), "n_chars")),
+        Seq("cluster_id")),
+      Relational.aggState(deltaLab, Seq("cluster_id"), "n_chars"),
+      Seq("cluster_id"))
+
+    // stage 4 — HDR count-table states: rekey + exact merge + p50 read
+    val hdrMerged = Hdr.mergeHdrStates("cluster_id",
+      rekey(Hdr.hdrState(histLab, "cid_old", "n_chars")),
+      Hdr.hdrState(deltaLab, "cluster_id", "n_chars"))
+    val p50 = Hdr.hdrQuantiles(hdrMerged, "cluster_id", Seq(50))
+      .select(col("cluster_id"), col("bin").as("p50_bin"),
+        col("q_low").as("p50_low"))
+
+    // stage 5 — KMV k-min states: rekey + re-insertion merge
+    def kmvState(df: DataFrame, key: String): DataFrame = df
+      .filter(col("source").isNotNull)
+      .select(col(key), KmvDistinct.md5Low64(col("source")).as("__h"))
+      .groupBy(col(key)).agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st"))
+    val kmv = rekey(kmvState(histLab, "cid_old"))
+      .unionByName(kmvState(deltaLab, "cluster_id"))
+      .select(col("cluster_id"), explode(col("__st")).as("__h"))
+      .groupBy(col("cluster_id"))
+      .agg(KmvDistinct.stateUdaf(64)(col("__h")).as("__st"))
+      .select(col("cluster_id"), size(col("__st")).cast("long").as("n_src_sketch"),
+        element_at(col("__st"), -1).as("src_kth_min"))
+
+    agg.select(col("cluster_id"), col("n").as("n_docs"),
+        col("sum_v").cast("long").as("sum_chars"),
+        col("min_v").as("min_chars"), col("max_v").as("max_chars"))
+      .join(p50, Seq("cluster_id"))
+      .join(kmv, Seq("cluster_id"))
+      .orderBy("cluster_id")
+  }
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3338,6 +3473,7 @@ object SparkEntry {
     "q218_rolling_reach" -> (q218_rolling_reach _),
     "q219_drift_union" -> (q219_drift_union _),
     "q220_drift_report" -> (q220_drift_report _),
+    "q221_nightly_composite" -> (q221_nightly_composite _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

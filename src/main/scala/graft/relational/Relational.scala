@@ -635,6 +635,20 @@ object Relational {
           .otherwise(greatest(col("max_v"), col("__mx2"))).as("max_v")): _*)
   }
 
+  /** Collapse MULTIPLE [[aggState]] rows per key into one — the
+    * re-keying companion to [[mergeAggStates]]: when a state table is
+    * re-keyed (e.g. cluster labels refreshed by incremental CC merge
+    * two old clusters into one), several state rows land on the same
+    * new key and must combine. Same decomposable pieces (counts add,
+    * exact decimal sums add, min/max fold), so
+    * reduce(rekey(state)) ≡ state(rekeyed rows) exactly. */
+  def reduceAggState(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_v")).cast("decimal(22,2)").as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
   /** Frequency-cap AUDIT: for every event, the count of the entity's
     * events in the trailing `windowSeconds` (inclusive, RANGE frame on
     * exact integer micros — equal timestamps are peers and all count),

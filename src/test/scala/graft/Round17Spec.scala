@@ -244,6 +244,68 @@ class Round17Spec extends SparkSpec {
     assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record") == "{nope")
   }
 
+  // ---- nightly composite: re-key collision state merge ----
+
+  test("reduceAggState: collapsing rekeyed state rows equals state over rekeyed rows") {
+    import graft.relational.Relational
+    val rows = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L), ("d", 1L))
+      .toDF("k", "v")
+    // rekey map merges a,b -> x and keeps c,d apart (the incremental-CC
+    // label refresh shape: two old clusters collide on one new label)
+    val rekeyMap = Map("a" -> "x", "b" -> "x", "c" -> "y", "d" -> "d")
+    val rk = udf((k: String) => rekeyMap(k))
+    val viaStates = Relational.reduceAggState(
+      Relational.aggState(rows, Seq("k"), "v")
+        .withColumn("k2", rk(col("k"))).drop("k")
+        .withColumnRenamed("k2", "k"),
+      Seq("k"))
+    val direct = Relational.aggState(rows.withColumn("k", rk(col("k"))),
+      Seq("k"), "v")
+    val a = viaStates.orderBy("k").collect().map(_.toSeq).toSeq
+    val b = direct.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == b, s"viaStates=$a direct=$b")
+  }
+
+  test("q221 composite fixture exercises every interaction at sf0.001") {
+    // the gate passes trivially if the delta never merges stored
+    // clusters — pin the fixture's interaction counts so a testdata
+    // regeneration that kills them is caught loudly
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    import graft.dedup.Dedup
+    val ntext = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val wSz = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    val bridges = docs.filter(pmod(col("doc_id"), lit(11)) === 3)
+      .select(col("doc_id"), ntext.as("ntext"), col("n_chars"))
+      .withColumn("rn", row_number().over(wSz))
+      .withColumn("k", ((col("rn") + 1) / 2).cast("long"))
+      .groupBy(col("k"))
+      .agg(max(when(col("rn") % 2 === 1, col("ntext"))).as("t1"),
+        max(when(col("rn") % 2 === 0, col("ntext"))).as("t2"),
+        count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select((lit(1000000L) + col("k")).as("doc_id"),
+        concat(col("t1"), lit(" "), col("t2")).as("text"))
+    assert(bridges.count() > 0, "no bridges at sf0.001")
+    val aug = docs.select(col("doc_id"), col("text")).unionByName(bridges)
+    val pairs = Dedup.ngramJaccardPairs(aug, "doc_id", "text",
+      shingleN = 3, threshold = 0.3)
+    val deltaPairs = pairs.filter(col("id_a") >= 1000000L ||
+      col("id_b") >= 1000000L)
+    assert(deltaPairs.count() > 0, "bridges bound nothing: no delta pairs")
+    // each surviving bridge must bind BOTH its halves — i.e. at least
+    // one bridge has >= 2 distinct history neighbors => a cluster merge
+    val merges = deltaPairs
+      .select(greatest(col("id_a"), col("id_b")).as("bridge"),
+        least(col("id_a"), col("id_b")).as("doc"))
+      .filter(col("bridge") >= 1000000L && col("doc") < 1000000L)
+      .groupBy("bridge").agg(countDistinct(col("doc")).as("nh"))
+      .filter(col("nh") >= 2)
+    assert(merges.count() > 0,
+      "no bridge bound two history docs: cluster-merge interaction dead")
+  }
+
   // ---- writeCompacted: uniform sizing sample + unique temp path ----
 
   test("writeCompacted: width-correlated input order no longer skews sizing; no sizing leftovers") {

@@ -6218,6 +6218,9 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q219_drift_union" -> q219,
     "q220_drift_report" -> q220,
     "q221_nightly_composite" -> q221,
+    // SQL-surface twin: same operator, same oracle (q41's) — the gate
+    // proves the registered-function path hash-matches the Scala API
+    "q222_sql_twin" -> q41,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -2960,6 +2960,46 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  private def q222_sql_twin(s: SparkSession, dir: String): DataFrame = {
+    // The PURE-SQL reachability proof: q41 (simhash near-dup pairs,
+    // radius 8, md5-compatible signatures) re-written entirely as
+    // spark.sql over temp views + the registered kernel functions
+    // (GraftExtensions.registerAll on the driver-owned session — the
+    // runtime path a notebook/SQL-only consumer uses). Chunk layout
+    // replicates hammingPairsFromSigs for nChunks = 9: widths 64/9 = 7
+    // with the first chunk taking the remainder bit (8), offsets
+    // cumulative. Gated against q41's oracle — the SQL surface must
+    // hash-match the Scala API exactly.
+    graft.functions.GraftExtensions.registerAll(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+    s.sql("""
+      WITH sigs AS (
+        SELECT doc_id,
+          simhash64(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '),
+                    true) AS sig
+        FROM graft_documents),
+      chunks AS (
+        SELECT doc_id, sig, c.i AS i,
+          shiftright(sig, c.off) & c.mask AS key
+        FROM sigs
+        LATERAL VIEW explode(array(
+          named_struct('i', 0, 'off',  0, 'mask', 255L),
+          named_struct('i', 1, 'off',  8, 'mask', 127L),
+          named_struct('i', 2, 'off', 15, 'mask', 127L),
+          named_struct('i', 3, 'off', 22, 'mask', 127L),
+          named_struct('i', 4, 'off', 29, 'mask', 127L),
+          named_struct('i', 5, 'off', 36, 'mask', 127L),
+          named_struct('i', 6, 'off', 43, 'mask', 127L),
+          named_struct('i', 7, 'off', 50, 'mask', 127L),
+          named_struct('i', 8, 'off', 57, 'mask', 127L))) t AS c)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(a.sig ^ b.sig) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(a.sig ^ b.sig) <= 8
+      ORDER BY id_a, id_b""")
+  }
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3474,6 +3514,7 @@ object SparkEntry {
     "q219_drift_union" -> (q219_drift_union _),
     "q220_drift_report" -> (q220_drift_report _),
     "q221_nightly_composite" -> (q221_nightly_composite _),
+    "q222_sql_twin" -> (q222_sql_twin _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

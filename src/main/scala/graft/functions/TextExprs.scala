@@ -280,6 +280,62 @@ case class NbClassifyExpr(child: Expression,
     copy(child = c)
 }
 
+/** Compact literal form of a trained NB model, so SQL-only consumers
+  * can carry a model into `nb_classify(tokens, model)` as one string
+  * literal (a SQL surface cannot pass Scala Seqs/Maps):
+  *
+  *   buckets=64|<label>:docs=D,toks=T,c=B1:C1;B2:C2;...|<label>:...
+  *
+  * — one `|`-separated segment per class after the buckets header;
+  * `c=` lists the bucket→count entries `;`-separated (empty allowed).
+  * Labels must not contain `| : , ;` (enforced). Round-trips exactly
+  * (spec-gated); [[TextFunctions.nbClassify]] and the SQL function
+  * build the identical NbClassifyExpr from either form. */
+object NbModel {
+  def serialize(labels: Seq[String], counts: Seq[Map[Long, Long]],
+                classTokens: Seq[Long], classDocs: Seq[Long],
+                buckets: Int): String = {
+    require(labels.size == counts.size && labels.size == classTokens.size &&
+      labels.size == classDocs.size, "model arrays must align")
+    labels.foreach(l => require(!l.exists("|:,;".contains(_)),
+      s"label '$l' contains a reserved separator (| : , ;)"))
+    val classes = labels.indices.map { i =>
+      val cs = counts(i).toSeq.sorted.map { case (b, c) => s"$b:$c" }
+        .mkString(";")
+      s"${labels(i)}:docs=${classDocs(i)},toks=${classTokens(i)},c=$cs"
+    }
+    (s"buckets=$buckets" +: classes).mkString("|")
+  }
+
+  def parse(s: String): (Seq[String], Seq[Map[Long, Long]], Seq[Long],
+      Seq[Long], Int) = {
+    val segs = s.split('|')
+    require(segs.nonEmpty && segs.head.startsWith("buckets="),
+      s"model must start with buckets=N; got '${segs.headOption.getOrElse("")}'")
+    val buckets = segs.head.stripPrefix("buckets=").toInt
+    val parsed = segs.tail.toSeq.map { seg =>
+      val i = seg.indexOf(':')
+      require(i > 0, s"class segment missing label: '$seg'")
+      val label = seg.substring(0, i)
+      val parts = seg.substring(i + 1).split(',')
+      require(parts.length == 3 && parts(0).startsWith("docs=") &&
+        parts(1).startsWith("toks=") && parts(2).startsWith("c="),
+        s"class segment must be label:docs=D,toks=T,c=...; got '$seg'")
+      val cnts = parts(2).stripPrefix("c=") match {
+        case "" => Map.empty[Long, Long]
+        case cs => cs.split(';').map { e =>
+          val Array(b, c) = e.split(':')
+          b.toLong -> c.toLong
+        }.toMap
+      }
+      (label, cnts, parts(1).stripPrefix("toks=").toLong,
+        parts(0).stripPrefix("docs=").toLong)
+    }
+    (parsed.map(_._1), parsed.map(_._2), parsed.map(_._3),
+      parsed.map(_._4), buckets)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def langId(tokens: Column, markers: Map[String, Seq[String]]): Column =

@@ -12,6 +12,28 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. `expression(c)` returns a
+    * lazy ColumnNodeExpression that only materializes when the Column
+    * flows through the Dataset API — embedded directly in a SQL
+    * function's expression tree it survives to codegen and dies with
+    * "Cannot generate code for expression: columnnodeexpression".
+    * Function builders that compose Column-layer library functions
+    * must convert eagerly. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a function on a LIVE session's FunctionRegistry — the
+    * runtime complement to builder-time SparkSessionExtensions
+    * injection (which cannot reach an already-built session, e.g. the
+    * driver-owned one a gated query receives). `sessionState` is
+    * `private[sql]`; this shim is the sanctioned access point. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
+
   /** Unwrap a sort Column (`col.desc` / `col.asc`) into (value column,
     * descending flag, default-null-ordering flag). Sort direction lives
     * in the ColumnNode layer in Spark 4 (`internal.SortOrder`), NOT in

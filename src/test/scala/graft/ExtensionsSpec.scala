@@ -60,4 +60,88 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("registerAll: every registered function callable on a live session; spec covers the full list") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the RUNTIME path — no builder access needed (q222's route)
+    graft.functions.GraftExtensions.registerAll(spark)
+
+    val tested = scala.collection.mutable.Set[String]()
+    def q(name: String, sql: String): org.apache.spark.sql.Row = {
+      tested += name; spark.sql(sql).head
+    }
+
+    assert(q("simhash64", "SELECT simhash64(array('a','b')) v").getLong(0) != 0L)
+    assert(q("minhash_sig",
+      "SELECT minhash_sig(shingle_hashes(array('a','b','c','d'), 2), 8) v")
+      .getSeq[Long](0).size == 8)
+    // md5Gram variant differs from the xxhash64 default
+    tested += "shingle_hashes"
+    assert(spark.sql("SELECT shingle_hashes(array('a','b','c'), 2, true) v")
+      .head.getSeq[Long](0) !=
+      spark.sql("SELECT shingle_hashes(array('a','b','c'), 2) v")
+        .head.getSeq[Long](0))
+    assert(q("sorted_intersect_size",
+      "SELECT sorted_intersect_size(array(1L,2L,5L), array(2L,5L,9L)) v")
+      .getLong(0) == 2L)
+    tested += "winnow_fingerprints"
+    assert(spark.sql(
+      "SELECT winnow_fingerprints(array('a','b','c','d','e','f'), 3, 2, false) v")
+      .head.getSeq[Long](0).nonEmpty)
+    assert(q("dot_exact",
+      "SELECT dot_exact(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) v").getDouble(0) == 4.0)
+    assert(q("lsh_sig",
+      "SELECT lsh_sig(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 16, 2) v")
+      .getLong(0) >= 0L)
+    assert(math.abs(q("l2_normalize",
+      "SELECT l2_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) v")
+      .getSeq[Double](0).head - 0.6) < 1e-12)
+    // deletion_neighborhood: "ab" with 1 delete -> {ab, b, a}
+    assert(q("deletion_neighborhood",
+      "SELECT deletion_neighborhood('ab', 1) v")
+      .getSeq[String](0).toSet == Set("ab", "a", "b"))
+    assert(q("nfc_normalize",
+      "SELECT nfc_normalize('é') v").getString(0) == "é")
+    assert(q("strip_accents",
+      "SELECT strip_accents('élève') v").getString(0) == "eleve")
+    // hdr_bin / hdr_low parity with the Column API (q216 kernel)
+    tested += "hdr_bin"; tested += "hdr_low"
+    val binSql = spark.sql("SELECT hdr_bin(1000L, 6) b, hdr_low(hdr_bin(1000L, 6), 6) l").head
+    val binCol = Seq(1000L).toDF("v").select(
+      graft.analyze.Hdr.hdrBin(col("v"), 6).as("b")).head.getLong(0)
+    assert(binSql.getLong(0) == binCol)
+    assert(binSql.getLong(1) <= 1000L && binSql.getLong(1) > 0L)
+    assert(q("url_normalize",
+      "SELECT url_normalize('HTTP://WWW.Example.com:80/a/?b=2&a=1#frag') v")
+      .getString(0) == "http://example.com/a?a=1&b=2")
+    assert(q("url_host",
+      "SELECT url_host('https://www.example.co.uk/x') v")
+      .getString(0) == "example.co.uk")
+    // nb_classify via the compact model literal (round-trips exactly)
+    val model = graft.functions.NbModel.serialize(
+      Seq("en", "fr"),
+      Seq(Map(1L -> 3L, 9L -> 1L), Map(2L -> 4L)),
+      Seq(100L, 50L), Seq(5L, 2L), 64)
+    val parsed = graft.functions.NbModel.parse(model)
+    assert(parsed == ((Seq("en", "fr"),
+      Seq(Map(1L -> 3L, 9L -> 1L), Map(2L -> 4L)),
+      Seq(100L, 50L), Seq(5L, 2L), 64)), s"round-trip broke: $parsed")
+    tested += "nb_classify"
+    val nbSql = spark.sql(
+      s"SELECT nb_classify(array('the','a'), '$model') v").head.getString(0)
+    val nbCol = Seq(Seq("the", "a")).toDF("t").select(
+      graft.functions.TextFunctions.nbClassify(col("t"), Seq("en", "fr"),
+        Seq(Map(1L -> 3L, 9L -> 1L), Map(2L -> 4L)),
+        Seq(100L, 50L), Seq(5L, 2L), 64)).head.getString(0)
+    assert(nbSql == nbCol)
+
+    // completeness: this spec exercises EVERY registered function
+    val registered = graft.functions.GraftExtensions.registrations
+      .map(_._1.funcName).toSet
+    assert(tested.toSet == registered,
+      s"untested: ${registered -- tested}; stale: ${tested.toSet -- registered}")
+  }
 }

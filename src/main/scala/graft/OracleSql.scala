@@ -5457,6 +5457,74 @@ SELECT a.cluster_id, a.n_docs, a.sum_chars, a.min_chars, a.max_chars,
 FROM agg a JOIN hq USING (cluster_id) JOIN kk USING (cluster_id)
 ORDER BY cluster_id"""
 
+  /** Unigram-segmentation twin (q223), GENERATED from the frozen
+    * [[graft.analyze.UnigramFixture]] (the q94 replay discipline):
+    * a forward-only integer Viterbi DP, unrolled per end-position
+    * (b1..b12 CTEs — the corpus max word length is 8; a longer word
+    * trips the loud error() guard rather than silently truncating).
+    * Edge weight = 16·cost + 1 (the expression's combined
+    * cost/piece-count metric: c%16 = piece count, c//16 = total cost
+    * while words stay under 16 chars), single chars absent from the
+    * vocabulary fall back to the fixture's unkCost. Equality with the
+    * Spark side's BACKTRACKED segments proves the reconstruction
+    * achieves the forward optimum. */
+  private val q223 = {
+    import graft.analyze.UnigramFixture._
+    val maxUnroll = 12
+    val vocabVals = vocab.map { case (p, _, c) => s"('$p', $c)" }
+      .mkString(",\n    ")
+    // AS MATERIALIZED is load-bearing: each b_j references every
+    // b_i (i < j), and DuckDB INLINES single-purpose CTEs — without
+    // materialization the expansion is exponential in the unroll
+    // depth (measured: the 12-level DP never finished planning)
+    val dp = (1 to maxUnroll).map { j =>
+      val prior = (0 until j)
+        .map(i => s"SELECT w, $i AS pos, c FROM b$i").mkString(" UNION ALL ")
+      s"""b$j AS MATERIALIZED (
+  SELECT e.w, min(p.c + e.wt) AS c
+  FROM ($prior) p
+  JOIN e ON e.w = p.w AND e.i = p.pos AND e.j = $j
+  GROUP BY 1)"""
+    }.mkString(",\n")
+    val bestU = (1 to maxUnroll)
+      .map(j => s"SELECT w, $j AS len, c FROM b$j").mkString(" UNION ALL ")
+    s"""
+WITH voc(p, cost) AS (VALUES
+    $vocabVals),
+tok0 AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower("text")), '\\s+')) AS w
+  FROM documents),
+tok AS (SELECT doc_id, w FROM tok0 WHERE length(w) > 0),
+wds AS (
+  SELECT w FROM (SELECT DISTINCT w FROM tok)
+  WHERE CASE WHEN length(w) > $maxUnroll
+    THEN error('q223 oracle unrolled to $maxUnroll; longer word in corpus')
+    ELSE true END),
+sub AS (
+  SELECT wd.w AS w, t.i AS i, t.i + ll.l AS j,
+    substr(wd.w, t.i + 1, ll.l) AS p, ll.l AS l
+  FROM wds wd,
+    UNNEST(generate_series(0, length(wd.w) - 1)) AS t(i),
+    UNNEST(generate_series(1, $maxPieceLen)) AS ll(l)
+  WHERE t.i + ll.l <= length(wd.w)),
+e AS MATERIALIZED (
+  SELECT s.w, s.i, s.j,
+    CASE WHEN v.cost IS NOT NULL THEN 16 * v.cost + 1
+         ELSE 16 * $unkCost + 1 END AS wt
+  FROM sub s LEFT JOIN voc v ON v.p = s.p
+  WHERE v.cost IS NOT NULL OR s.l = 1),
+b0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS c FROM wds),
+$dp,
+best AS (
+  SELECT x.w, x.c FROM ($bestU) x
+  JOIN wds ON wds.w = x.w AND x.len = length(wds.w))
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(b.c % 16) AS BIGINT) AS n_subwords,
+  CAST(sum(b.c // 16) AS BIGINT) AS total_cost
+FROM tok t JOIN best b ON b.w = t.w
+GROUP BY 1 ORDER BY doc_id"""
+  }
+
   /** Water-filling twin (q203): same whitespace token mass, same
     * md5-residue weights (q172 UINTEGER key), same IEEE ratio ORDER
     * (correctly-rounded division in both engines, (avail, source)
@@ -6221,6 +6289,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     // SQL-surface twin: same operator, same oracle (q41's) — the gate
     // proves the registered-function path hash-matches the Scala API
     "q222_sql_twin" -> q41,
+    "q223_unigram_segment" -> q223,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }
 }

@@ -150,6 +150,10 @@ object ScaleProbe {
   // path reads labels + state rows + the delta; the rebuild re-reads
   // the fact archive and the edge archive.
   private val CompositeProbe = "nightly_composite"
+  // HDR rollup probe (round 17, q216): state-size vs fact-volume (state
+  // rows must stay flat at <= (64-s)*2^s per key while the exact
+  // percentile input grows linearly), 7-shard merge cost, read cost.
+  private val HdrProbe = "hdr_rollup"
   // Anchored-funnel probe (round 16, q210): the re-anchored fold is
   // O(anchors × events) per entity on the collected array — fine on
   // human entities (a handful of anchors), quadratic on a bot. This
@@ -175,7 +179,7 @@ object ScaleProbe {
                  PageProbe + InvIdxProbe + AttributionProbe + StitchProbe +
                  MarkovProbe + IncrementalProbe + SketchOverlapProbe +
                  CcAbProbe + MartechProbe + CcIncProbe + AnchoredProbe +
-                 CompositeProbe
+                 CompositeProbe + HdrProbe
     val out = s"/tmp/graft_scale$scale"
     val base = "/tmp/graft_scale_base1"
     val log = new java.io.PrintWriter(
@@ -1287,6 +1291,48 @@ object ScaleProbe {
         val rowsFull = facts.count() + archivePairs.count() +
           deltaFacts.count() + deltaPairs.count()
         log.println(f"""{"query":"nightly_composite(probe)","delta_pct":$fPct,"rows_incremental":$rowsInc,"rows_rebuild":$rowsFull,"incremental_s":$ti%.3f,"rebuild_s":$tf%.3f,"speedup":${tf / ti}%.2f,"rows_ratio":${rowsFull.toDouble / rowsInc}%.2f}""")
+      }
+    }
+    if (only.contains(HdrProbe)) {
+      import graft.analyze.Hdr
+      // heavy-tailed positive values (exp-ish via bit tricks), K keys
+      val K = 50L
+      def facts(m: Long) = spark.range(0, m).select(
+          col("id"),
+          concat(lit("k"), pmod(col("id"), lit(K))).as("k"),
+          (pmod(xxhash64(col("id")), lit(1000000L)) *
+            pmod(xxhash64(col("id"), lit(7)), lit(1000L)) + 1L).as("v"))
+        .localCheckpoint(true)
+      for (m <- Seq(1000000L, 1000000L * scale)) {
+        val f = facts(m)
+        var stRows = 0L
+        val tBuild = best {
+          stRows = Hdr.hdrState(f, "k", "v").count()
+        }
+        // 7 DISJOINT shards (row-identity split) built once; merge +
+        // read timed
+        val shards = (0 until 7).map(i =>
+          Hdr.hdrState(f.filter(pmod(col("id"), lit(7)) === i), "k", "v")
+            .localCheckpoint(true))
+        var mergedRows = 0L
+        val tMerge = best {
+          mergedRows = Hdr.mergeHdrStates("k", shards: _*).count()
+        }
+        val merged = Hdr.mergeHdrStates("k", shards: _*).localCheckpoint(true)
+        // merge == recompute at state granularity (the q216 gate's claim)
+        def stChecksum(df: DataFrame) = df.agg(
+          sum(xxhash64(col("k"), col("bin"), col("cnt"))
+            .cast("decimal(38,0)"))).head().getDecimal(0)
+        require(stChecksum(merged) == stChecksum(Hdr.hdrState(f, "k", "v")),
+          s"hdr 7-shard merge != full recompute at $m facts")
+        val tRead = best {
+          require(Hdr.hdrQuantiles(merged, "k", Seq(50, 90, 99))
+            .count() == K * 3)
+        }
+        val bound = (64 - 6) * 64 // (64-s)*2^s at s=6
+        require(stRows <= K * bound,
+          s"hdr state rows $stRows exceed structural bound ${K * bound}")
+        log.println(f"""{"query":"hdr_rollup(probe)","facts":$m,"state_rows":$stRows,"bound_per_key":$bound,"build_s":$tBuild%.3f,"merge7_s":$tMerge%.3f,"merged_rows":$mergedRows,"read_s":$tRead%.3f}""")
       }
     }
     if (only.contains(MarkovProbe)) {

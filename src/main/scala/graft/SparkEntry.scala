@@ -3000,6 +3000,36 @@ object SparkEntry {
       ORDER BY id_a, id_b""")
   }
 
+  private def q223_unigram_segment(s: SparkSession, dir: String): DataFrame = {
+    // Unigram-LM (SentencePiece-style) segmentation with a FROZEN
+    // vocabulary (UnigramFixture — Viterbi-EM-trained once on
+    // sf0.001, shipped as an artifact: the q94 discipline applied to
+    // the BPE sibling). Per token, the native UnigramSegmentExpr
+    // Viterbi (integer milli-nat costs, combined 16·cost+pieces
+    // metric) picks the optimal piece sequence; the gate sums piece
+    // counts and exact integer costs per doc, so the oracle's
+    // forward-only unrolled DP (same combined metric, generated from
+    // the same fixture) must agree with the backtracked segments —
+    // a suboptimal backtrack breaks the hash. Narrow map, no shuffle.
+    import graft.analyze.UnigramFixture
+    val words = filter(TA.tokens(lower(col("text"))), w => length(w) > 0)
+    val segsOf: Column => Column = w => graft.functions.TextFunctions
+      .unigramSegment(w, UnigramFixture.pieces, UnigramFixture.costs,
+        UnigramFixture.unkCost, UnigramFixture.maxPieceLen)
+    val costMap = map(UnigramFixture.vocab.flatMap { case (p, _, c) =>
+      Seq(lit(p), lit(c)) }: _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"), words.as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"),
+        flatten(transform(col("__w"), segsOf)).as("__segs"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__segs")).cast("long").as("n_subwords"),
+        aggregate(col("__segs"), lit(0L), (acc, p) => acc +
+          coalesce(element_at(costMap, p), lit(UnigramFixture.unkCost)))
+          .as("total_cost"))
+      .orderBy("doc_id")
+  }
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3515,6 +3545,7 @@ object SparkEntry {
     "q220_drift_report" -> (q220_drift_report _),
     "q221_nightly_composite" -> (q221_nightly_composite _),
     "q222_sql_twin" -> (q222_sql_twin _),
+    "q223_unigram_segment" -> (q223_unigram_segment _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

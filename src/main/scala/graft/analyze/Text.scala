@@ -1003,6 +1003,100 @@ object TextAnalysis {
     flatten(transform(words, w => split(segmentWord(w), " ")))
   }
 
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING —
+    * the BPE sibling: instead of greedy pair merges, a piece VOCABULARY
+    * with costs, fit by hard (Viterbi) EM:
+    *
+    *   seed  — every substring of length ≤ `maxPieceLen` of the
+    *           DISTINCT-word table (the q116 collapse: corpus tokens →
+    *           unique words × counts), weighted by word count; the top
+    *           `vocabSize` by (freq desc, piece asc) plus ALL single
+    *           characters (coverage);
+    *   E     — segment each distinct word by Viterbi under the current
+    *           integer milli-nat costs
+    *           ([[graft.functions.UnigramSegmentExpr]] — the model is
+    *           metadata-sized and rides the expression, so the E-step
+    *           is ONE distributed narrow pass over the word table);
+    *   M     — piece counts from the segmentation (weighted by word
+    *           count, exact integer aggregation) → new costs
+    *           cost(p) = round(−1000·ln(count_p / Σcounts));
+    *   prune — keep single chars + the top multi-char pieces by
+    *           (count desc, piece asc) — an integer/lexicographic
+    *           decision, no float in the keep/drop rule.
+    *
+    * MONOTONICITY (spec-gated): per round, the total integer Viterbi
+    * cost Σ_w cnt_w · cost(viterbi_w) is non-increasing up to the
+    * documented rounding slack — the E-step minimizes cost under the
+    * current model, the M-step minimizes expected cost under the new
+    * counts (Gibbs), and the only leak is the ±0.5 milli-nat rounding
+    * of each piece cost, bounded by half the total piece occurrences.
+    * Full soft-EM (forward-backward expected counts) trades this
+    * integer audit trail for marginally better likelihood; the hard-EM
+    * form is the one whose every decision an oracle can replay.
+    *
+    * Scale shape: rounds × one job over DISTINCT words (never corpus
+    * tokens); the model is a ≤ vocabSize collect per round (the
+    * centroid/codebook convention); segmentation at inference is the
+    * frozen-fixture gated operator (q223, the q94 discipline).
+    * Returns (vocab as (piece, count, costMilli) sorted by piece,
+    * per-round total Viterbi costs). */
+  def unigramTrainWithStats(docs: DataFrame, textCol: String,
+                            vocabSize: Int, maxPieceLen: Int = 4,
+                            emRounds: Int = 4, unkCost: Long = 20000L)
+      : (Seq[(String, Long, Long)], Seq[Long]) = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1; got $vocabSize")
+    require(emRounds >= 1, s"emRounds must be >= 1; got $emRounds")
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+
+    def toCosts(counts: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val total = counts.map(_._2).sum.toDouble
+      counts.map { case (p, c) =>
+        (p, c, math.round(1000.0 * math.log(total / c))) }
+    }
+    def pruned(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val (singles, multi) = counts.partition(_._1.length == 1)
+      singles ++ multi.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - singles.size))
+    }
+
+    // seed vocabulary from substring frequencies
+    val subFreq = words.select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1),
+              least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("p").asc)
+      .limit(vocabSize * 4) // metadata-sized: bounded by 4x target vocab
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var vocab = toCosts(pruned(subFreq))
+
+    val roundCosts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to emRounds) {
+      val segs = graft.functions.TextFunctions.unigramSegment(col("w"),
+        vocab.map(_._1), vocab.map(_._3), unkCost, maxPieceLen)
+      val costMap = map(vocab.flatMap { case (p, _, c) =>
+        Seq(lit(p), lit(c)) }: _*)
+      // ONE pass: per-word segments + their exact integer cost
+      val seg = words.select(col("cnt"), segs.as("segs"))
+        .withColumn("wcost", aggregate(col("segs"), lit(0L),
+          (acc, p) => acc + coalesce(element_at(costMap, p), lit(unkCost))))
+        .localCheckpoint(eager = false)
+      val r = seg.agg(sum(col("cnt") * col("wcost"))).head()
+      roundCosts += (if (r.isNullAt(0)) 0L else r.getLong(0))
+      val newCounts = seg
+        .select(col("cnt"), explode(col("segs")).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+        .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toSeq
+      vocab = toCosts(pruned(newCounts))
+    }
+    (vocab.sortBy(_._1), roundCosts.toSeq)
+  }
+
   /** Corpus-LM fluency proxy: per document, the mean corpus frequency of
     * its word bigrams. Documents whose bigrams are common corpus-wide
     * read as fluent (or templated); documents full of corpus-rare

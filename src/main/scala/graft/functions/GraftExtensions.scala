@@ -122,6 +122,14 @@ object GraftExtensions {
           NbModel.parse(strArg(args(1), "nb_classify"))
         NbClassifyExpr(args.head, labels, counts, toks, docs, buckets)
       }),
+    (new FunctionIdentifier("unigram_segment"),
+      new ExpressionInfo(classOf[UnigramSegmentExpr].getName,
+        "unigram_segment"),
+      (args: Seq[Expression]) => {
+        val (pieces, costs, unk, maxLen) =
+          UnigramModel.parse(strArg(args(1), "unigram_segment"))
+        UnigramSegmentExpr(args.head, pieces, costs, unk, maxLen)
+      }),
     (new FunctionIdentifier("hdr_bin"),
       new ExpressionInfo(graft.analyze.Hdr.getClass.getName, "hdr_bin"),
       (args: Seq[Expression]) => viaColumn(

@@ -280,6 +280,128 @@ case class NbClassifyExpr(child: Expression,
     copy(child = c)
 }
 
+/** Viterbi segmentation of ONE word under a frozen unigram-LM
+  * vocabulary (SentencePiece's inference step, Kudo 2018) — the
+  * subword tokenizer's hot path, as a native expression so the 100 TB
+  * segmentation pass stays inside whole-stage codegen with the model
+  * (metadata-sized, like the NB classifier's) baked into the kernel.
+  *
+  * Costs are PINNED INTEGER MILLI-NATS (−1000·ln p, rounded once at
+  * model-freeze time), so the optimum is an exact integer comparison
+  * any engine replays bit-for-bit. The DP minimizes the combined
+  * metric 16·cost + n_pieces — exactly lexicographic (cost, pieces)
+  * for words up to 15 chars (n_pieces ≤ length < 16); for longer
+  * words it remains a well-defined deterministic optimum of the same
+  * combined metric (the oracle replays the identical metric, so
+  * parity is length-independent). A single character absent from the
+  * vocabulary costs `unkCost` (coverage fallback — never fails).
+  * Backtrack tie-break: among minimal predecessors the SMALLEST start
+  * index (longest last piece) wins — first-strict-improvement in an
+  * ascending scan, deterministic. */
+case class UnigramSegmentExpr(child: Expression,
+                              pieces: Seq[String], costs: Seq[Long],
+                              unkCost: Long, maxPieceLen: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+  require(pieces.size == costs.size, "pieces and costs must align")
+  require(maxPieceLen >= 1 && maxPieceLen <= 15,
+    s"maxPieceLen must be in 1..15; got $maxPieceLen")
+  require(unkCost >= 0, s"unkCost must be >= 0; got $unkCost")
+  override protected def resultJava: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment expects a string word, got $t")
+  }
+
+  // values BOXED explicitly: with a scala.Long value type, `get` on a
+  // missing key auto-unboxes null to 0L — every out-of-vocab substring
+  // would silently cost nothing
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pieces.indices.foreach(i =>
+      m.put(pieces(i), java.lang.Long.valueOf(costs(i))))
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = v.asInstanceOf[UTF8String].toString
+    val n = w.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val INF = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(INF); best(0) = 0L
+    val back = Array.fill(n + 1)(-1)
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) < INF) {
+          val p = w.substring(i, j)
+          val c = vocab.get(p)
+          val cost: Long =
+            if (c != null) c.longValue()
+            else if (j - i == 1) unkCost
+            else -1L
+          if (cost >= 0L) {
+            val cand = best(i) + 16L * cost + 1L
+            if (cand < best(j)) { best(j) = cand; back(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var k = n
+    while (k > 0) {
+      val i = back(k)
+      segs += UTF8String.fromString(w.substring(i, k))
+      k = i
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      segs.reverse.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramSegmentExpr =
+    copy(child = c)
+}
+
+/** Compact literal form of a frozen unigram-LM vocabulary for the SQL
+  * surface (`unigram_segment(word, model)`):
+  *
+  *   maxlen=4,unk=20000|<piece>:<costMilli>|<piece>:<costMilli>|...
+  *
+  * Pieces must not contain `| : ,` (enforced). Round-trips exactly
+  * (spec-gated). */
+object UnigramModel {
+  def serialize(pieces: Seq[String], costs: Seq[Long], unkCost: Long,
+                maxPieceLen: Int): String = {
+    require(pieces.size == costs.size, "pieces and costs must align")
+    pieces.foreach(p => require(p.nonEmpty && !p.exists("|:,".contains(_)),
+      s"piece '$p' is empty or contains a reserved separator (| : ,)"))
+    (s"maxlen=$maxPieceLen,unk=$unkCost" +:
+      pieces.indices.map(i => s"${pieces(i)}:${costs(i)}")).mkString("|")
+  }
+
+  def parse(s: String): (Seq[String], Seq[Long], Long, Int) = {
+    val segs = s.split('|')
+    val head = segs.head.split(',')
+    require(head.length == 2 && head(0).startsWith("maxlen=") &&
+      head(1).startsWith("unk="),
+      s"model must start with maxlen=N,unk=C; got '${segs.head}'")
+    val entries = segs.tail.toSeq.map { e =>
+      val i = e.lastIndexOf(':')
+      require(i > 0, s"vocab entry must be piece:cost; got '$e'")
+      (e.substring(0, i), e.substring(i + 1).toLong)
+    }
+    (entries.map(_._1), entries.map(_._2),
+      head(1).stripPrefix("unk=").toLong,
+      head(0).stripPrefix("maxlen=").toInt)
+  }
+}
+
 /** Compact literal form of a trained NB model, so SQL-only consumers
   * can carry a model into `nb_classify(tokens, model)` as one string
   * literal (a SQL surface cannot pass Scala Seqs/Maps):
@@ -351,4 +473,8 @@ object TextFunctions {
     ColumnBridge.column(StripAccentsExpr(ColumnBridge.expression(s)))
   def deletionNeighborhood(s: Column, maxDeletes: Int): Column =
     ColumnBridge.column(DeletionNeighborhoodExpr(ColumnBridge.expression(s), maxDeletes))
+  def unigramSegment(word: Column, pieces: Seq[String], costs: Seq[Long],
+                     unkCost: Long, maxPieceLen: Int): Column =
+    ColumnBridge.column(UnigramSegmentExpr(ColumnBridge.expression(word),
+      pieces, costs, unkCost, maxPieceLen))
 }

@@ -138,6 +138,21 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         Seq(100L, 50L), Seq(5L, 2L), 64)).head.getString(0)
     assert(nbSql == nbCol)
 
+    // unigram_segment via the compact model literal (round-trips)
+    val um = graft.functions.UnigramModel.serialize(
+      graft.analyze.UnigramFixture.pieces,
+      graft.analyze.UnigramFixture.costs,
+      graft.analyze.UnigramFixture.unkCost,
+      graft.analyze.UnigramFixture.maxPieceLen)
+    assert(graft.functions.UnigramModel.parse(um) ==
+      ((graft.analyze.UnigramFixture.pieces,
+        graft.analyze.UnigramFixture.costs,
+        graft.analyze.UnigramFixture.unkCost,
+        graft.analyze.UnigramFixture.maxPieceLen)))
+    tested += "unigram_segment"
+    assert(spark.sql(s"SELECT unigram_segment('window', '$um') v")
+      .head.getSeq[String](0).toSeq == Seq("w", "indo", "w"))
+
     // completeness: this spec exercises EVERY registered function
     val registered = graft.functions.GraftExtensions.registrations
       .map(_._1.funcName).toSet

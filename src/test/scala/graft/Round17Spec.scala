@@ -306,6 +306,84 @@ class Round17Spec extends SparkSpec {
       "no bridge bound two history docs: cluster-merge interaction dead")
   }
 
+  // ---- unigram-LM tokenizer (q223) ----
+
+  test("unigramTrain: per-round Viterbi cost monotone non-increasing; converges to the frozen fixture") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val (vocab, rounds) = graft.analyze.TextAnalysis
+      .unigramTrainWithStats(docs, "text", vocabSize = 64,
+        maxPieceLen = 4, emRounds = 4)
+    // hard-EM monotonicity on PINNED integer milli-nats: E-step
+    // minimizes under the current costs, M-step is Gibbs-optimal up to
+    // the +-0.5 milli rounding per piece type — on this corpus the
+    // sequence is exactly non-increasing (round 1 includes the
+    // improper overlapping-substring seed and still dominates)
+    rounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"Viterbi cost increased: $rounds")
+    }
+    assert(rounds == Seq(342635053L, 315565464L, 315565464L, 315565464L),
+      s"training no longer reproduces the frozen fixture's path: $rounds")
+    assert(vocab == graft.analyze.UnigramFixture.vocab,
+      "converged vocabulary drifted from UnigramFixture — refreeze or fix")
+  }
+
+  test("unigramSegment: frozen-fixture segmentations, UNK fallback, tie-breaks") {
+    import graft.analyze.UnigramFixture._
+    import graft.functions.TextFunctions.unigramSegment
+    def seg(w: String, p: Seq[String] = pieces, c: Seq[Long] = costs,
+            u: Long = unkCost): Seq[String] =
+      Seq(w).toDF("w")
+        .select(unigramSegment(col("w"), p, c, u, maxPieceLen).as("s"))
+        .head.getSeq[String](0).toSeq
+    // hand-verified optima under the frozen model
+    assert(seg("scan") == Seq("scan"))
+    assert(seg("window") == Seq("w", "indo", "w"))
+    assert(seg("column") == Seq("co", "lumn"))
+    assert(seg("merge") == Seq("mer", "g", "e"))
+    // 'z' is outside the corpus charset, 'n' was dropped by EM — both
+    // ride the UNK single-char fallback, never fail
+    assert(seg("zebra") == Seq("z", "e", "b", "r", "a"))
+    assert(seg("partition") == Seq("par", "t", "i", "t", "i", "o", "n"))
+    assert(seg("") == Seq.empty)
+    // tie-break: equal total cost -> fewer pieces wins
+    assert(seg("ab", Seq("ab", "a", "b"), Seq(10L, 5L, 5L), 20000L)
+      == Seq("ab"))
+  }
+
+  test("q223 per-doc totals equal a driver-side Viterbi replay at sf0.001") {
+    import graft.analyze.UnigramFixture
+    val vocabMap = UnigramFixture.vocab.map(v => v._1 -> v._3).toMap
+    def viterbi(w: String): Long = { // combined metric, forward only
+      val n = w.length
+      val INF = Long.MaxValue / 4
+      val best = Array.fill(n + 1)(INF); best(0) = 0L
+      for (j <- 1 to n; i <- math.max(0, j - UnigramFixture.maxPieceLen) until j) {
+        val p = w.substring(i, j)
+        val c = vocabMap.get(p).orElse(
+          if (j - i == 1) Some(UnigramFixture.unkCost) else None)
+        c.foreach { cc =>
+          if (best(i) < INF && best(i) + 16 * cc + 1 < best(j))
+            best(j) = best(i) + 16 * cc + 1
+        }
+      }
+      best(n)
+    }
+    val got = SparkEntry.queries("q223_unigram_segment")(
+      spark, "/root/testdata/sf0.001").collect()
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.take(50).foreach { r =>
+      val words = docs(r.getLong(0)).toLowerCase
+        .trim.split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("total_cost") ==
+        words.map(w => viterbi(w) / 16).sum)
+      assert(r.getAs[Long]("n_subwords") ==
+        words.map(w => viterbi(w) % 16).sum)
+      assert(r.getAs[Long]("n_tokens") == words.length.toLong)
+    }
+  }
+
   // ---- writeCompacted: uniform sizing sample + unique temp path ----
 
   test("writeCompacted: width-correlated input order no longer skews sizing; no sizing leftovers") {

@@ -238,6 +238,48 @@ object QuarantinedRead {
     split(parsed, corruptCol, obs)
   }
 
+  /** STREAMING twin of the quarantine contract (the continuous-ingest
+    * form): a file-source JSON-lines stream parsed PERMISSIVE; each
+    * micro-batch is split ONCE — clean rows append under `cleanPath`,
+    * malformed rows (raw line preserved, stamped with the batch id)
+    * append under `quarantinePath`. Malformed producers can never
+    * fail the stream or silently lose rows; the quarantine table is
+    * the replayable audit. Exactly-once across restarts rides the
+    * checkpoint + per-batch idempotent appends (foreachBatch
+    * re-executes a batch id on recovery; downstream dedup on
+    * `_batch_id` covers the at-least-once corner, documented).
+    * Schema DRIFT in a stream is handled upstream by the batch-dir
+    * convention ([[DriftTolerantChangelogSource]]) — a running stream
+    * has a fixed parse schema by construction, so a drifted producer
+    * lands its new columns via a new batch directory, not mid-query.
+    * Returns the started query; callers own awaitTermination. */
+  def jsonStream(spark: SparkSession, srcDir: String, schema: StructType,
+                 cleanPath: String, quarantinePath: String,
+                 checkpointDir: String,
+                 corruptCol: String = "_corrupt_record")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField(corruptCol, StringType, nullable = true))
+    val parsed = spark.readStream
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(withCorrupt)
+      .json(srcDir)
+    parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(col(corruptCol).isNull).drop(corruptCol)
+            .write.mode("append").parquet(cleanPath)
+          b.filter(col(corruptCol).isNotNull)
+            .withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(quarantinePath)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** JSON lines, same contract. */
   def json(spark: SparkSession, path: String, schema: StructType,
            corruptCol: String = "_corrupt_record",

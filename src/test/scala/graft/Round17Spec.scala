@@ -244,6 +244,32 @@ class Round17Spec extends SparkSpec {
     assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record") == "{nope")
   }
 
+  test("jsonStream: continuous quarantine — clean and malformed split per micro-batch, nothing dropped") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+    val src = s"$root/src"; java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/b1.json"),
+      """{"id":1,"name":"a"}""" + "\n" + """{broken""" + "\n")
+    val q = graft.source.QuarantinedRead.jsonStream(spark, src, schema,
+      s"$root/clean", s"$root/quar", s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      // second micro-batch arrives later: appends, never rewrites
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/b2.json"),
+        """{"id":2,"name":"b"}""" + "\n" + """also broken""" + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    val clean = spark.read.parquet(s"$root/clean").orderBy("id").collect()
+    assert(clean.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val quar = spark.read.parquet(s"$root/quar").collect()
+    assert(quar.map(_.getAs[String]("_corrupt_record")).toSet ==
+      Set("{broken", "also broken"))
+    assert(quar.map(_.getAs[Long]("_batch_id")).distinct.length == 2,
+      "malformed rows must carry their micro-batch id")
+  }
+
   // ---- nightly composite: re-key collision state merge ----
 
   test("reduceAggState: collapsing rekeyed state rows equals state over rekeyed rows") {

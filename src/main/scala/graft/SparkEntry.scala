@@ -2884,20 +2884,25 @@ object SparkEntry {
     val isDelta = col("doc_id") >= 1000000L
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
 
-    // stage 1 — incremental exact dedup
+    // stage 1 — incremental exact dedup. keptHist/keptDelta feed four
+    // consumers each (pair detection + three state families) and the
+    // pair set feeds BOTH CC calls — materialize once (the
+    // connectedComponents lineage discipline) so the dedup windows and
+    // the candidate detector run once, not per consumer.
     val keptHist = docs.filter(!isDelta)
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn").localCheckpoint(true)
     val keptDelta = docs.filter(isDelta)
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
       .drop("rn")
       .join(keptHist.select("fp").distinct(), Seq("fp"), "left_anti")
+      .localCheckpoint(true)
     val survivors = keptHist.unionByName(keptDelta)
 
     // stage 2 — incremental CC: the delta's pairs (either endpoint in
     // the batch) merge into stored labels built from archive-only pairs
     val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
-      shingleN = 3, threshold = 0.3)
+      shingleN = 3, threshold = 0.3).localCheckpoint(true)
     val touchesDelta = col("id_a") >= 1000000L || col("id_b") >= 1000000L
     val stored = Dedup.connectedComponents(pairs.filter(!touchesDelta),
       "id_a", "id_b")

@@ -410,6 +410,97 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  // ---- post-sweep fuzz (test-only): unigram DP + widen lattice ----
+
+  test("unigramSegment fuzz: optimal vs brute-force enumeration across random vocabularies") {
+    import graft.functions.TextFunctions.unigramSegment
+    val rnd = new scala.util.Random(1742)
+    val alphabet = "abcd"
+    def allSegs(w: String, pieces: Set[String]): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val h = w.take(l)
+        if (pieces.contains(h) || l == 1)
+          allSegs(w.drop(l), pieces).map(h +: _)
+        else Seq.empty
+      }
+    for (trial <- 0 until 25) {
+      // random vocabulary: all single chars sometimes missing (UNK
+      // path), a handful of random multi-char pieces
+      val singles = alphabet.map(_.toString).filter(_ => rnd.nextBoolean())
+      val multis = (0 until 6).map(_ =>
+        (0 until (2 + rnd.nextInt(3))).map(_ =>
+          alphabet(rnd.nextInt(4))).mkString).distinct
+      val pieces = (singles ++ multis).distinct
+      val costs = pieces.map(_ => 1000L + rnd.nextInt(9000).toLong)
+      val unk = 15000L
+      val vocabMap = pieces.zip(costs).toMap
+      def segCost(segs: Seq[String]): Long =
+        segs.map(p => 16L * vocabMap.getOrElse(p, unk) + 1L).sum
+      val words = (0 until 8).map(_ =>
+        (0 until (1 + rnd.nextInt(7))).map(_ =>
+          alphabet(rnd.nextInt(4))).mkString)
+      val got = words.toDF("w")
+        .select(col("w"), unigramSegment(col("w"), pieces, costs, unk, 4)
+          .as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+        .toMap
+      words.foreach { w =>
+        val segs = got(w)
+        // (1) a valid segmentation: concatenates back, every piece in
+        // vocab or a single UNK char
+        assert(segs.mkString == w, s"trial $trial '$w': $segs")
+        segs.foreach(p => assert(vocabMap.contains(p) || p.length == 1))
+        // (2) achieves the brute-force optimum of the combined metric
+        val best = allSegs(w, vocabMap.keySet).map(segCost).min
+        assert(segCost(segs) == best,
+          s"trial $trial '$w': got ${segCost(segs)} best $best ($segs)")
+      }
+    }
+  }
+
+  test("SchemaDrift.widen fuzz: commutative, idempotent, null-absorbing, lossless-or-string") {
+    import graft.source.SchemaDrift.widen
+    import org.apache.spark.sql.types._
+    val types: Seq[DataType] = Seq(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, DecimalType(10, 2),
+      DecimalType(22, 4), DecimalType(38, 10), DateType, TimestampType,
+      StringType, BooleanType, BinaryType, NullType,
+      ArrayType(LongType), ArrayType(StringType))
+    for (a <- types; b <- types) {
+      val w = widen(a, b)
+      assert(w == widen(b, a), s"not commutative: $a, $b")
+      assert(widen(a, a) == a, s"not idempotent: $a")
+      assert(widen(w, a) == w && widen(w, b) == w,
+        s"not absorbing: widen($a,$b)=$w but re-widening moves")
+      if (a == NullType) assert(w == b)
+      // the carrier rule: a widened type is one of the inputs, a
+      // numeric/temporal widening, or the string carrier — never a
+      // surprise third family
+      val ok = w == a || w == b || w == StringType ||
+        (w.isInstanceOf[DecimalType] &&
+          (a.isInstanceOf[DecimalType] || b.isInstanceOf[DecimalType])) ||
+        w == DoubleType || w == TimestampType
+      assert(ok, s"unexpected widen($a, $b) = $w")
+    }
+  }
+
+  test("unionEvolved fuzz: every source value survives the widened union losslessly") {
+    import graft.source.SchemaDrift
+    // three frames whose shared columns widen within the exact lattice
+    val b0 = Seq((1, 10.toShort, "x")).toDF("id", "v", "s")
+    val b1 = Seq((2L, 20, "y")).toDF("id", "v", "s") // id long, v int
+    val b2 = Seq((3L, BigDecimal("30.25"))).toDF("id", "v") // s absent
+    val u = SchemaDrift.unionEvolved(Seq(b0, b1, b2)).orderBy("id")
+    val rows = u.collect()
+    assert(u.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(u.schema("v").dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getDecimal(1).doubleValue).toSeq == Seq(10.0, 20.0, 30.25))
+    assert(rows.map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("x"), Some("y"), None))
+  }
+
   // ---- writeCompacted: uniform sizing sample + unique temp path ----
 
   test("writeCompacted: width-correlated input order no longer skews sizing; no sizing leftovers") {

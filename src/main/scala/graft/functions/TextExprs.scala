@@ -305,7 +305,13 @@ case class UnigramSegmentExpr(child: Expression,
   require(pieces.size == costs.size, "pieces and costs must align")
   require(maxPieceLen >= 1 && maxPieceLen <= 15,
     s"maxPieceLen must be in 1..15; got $maxPieceLen")
-  require(unkCost >= 0, s"unkCost must be >= 0; got $unkCost")
+  // 2^40 milli-nats is far beyond any probability's -log; the bound
+  // makes the 16*cost accumulation overflow-free for any realistic
+  // word (length * 2^44 stays far under Long.MaxValue)
+  require(unkCost >= 0 && unkCost <= (1L << 40),
+    s"unkCost must be in [0, 2^40]; got $unkCost")
+  require(costs.forall(c => c >= 0 && c <= (1L << 40)),
+    "piece costs must be in [0, 2^40] milli-nats")
   override protected def resultJava: String =
     "org.apache.spark.sql.catalyst.util.ArrayData"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

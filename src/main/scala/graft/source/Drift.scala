@@ -176,8 +176,20 @@ class DriftTolerantChangelogSource(spark: SparkSession, rootPath: String,
   def since(bookmark: Option[Timestamp]): DataFrame = {
     val unioned = SchemaDrift.unionEvolved(batches)
     bookmark match {
-      case Some(ts) => unioned.filter(col(tsCol) > lit(ts))
-      case None     => unioned
+      case Some(ts) =>
+        // a batch that DROPPED the commit-timestamp column would have
+        // its rows null-filled and then silently excluded by the
+        // bookmark filter — the exact silent-loss failure mode this
+        // source exists to prevent. Fail loudly instead: a changelog
+        // batch without commit timestamps is malformed, not drifted.
+        val missing = batchPaths.zip(batchSchemas).collect {
+          case (p, s) if !s.fieldNames.exists(_.equalsIgnoreCase(tsCol)) => p
+        }
+        require(missing.isEmpty,
+          s"changelog batches lack the '$tsCol' column (their rows would " +
+            s"silently miss every bookmark read): ${missing.mkString(", ")}")
+        unioned.filter(col(tsCol) > lit(ts))
+      case None => unioned
     }
   }
 

@@ -155,6 +155,15 @@ class Round17Spec extends SparkSpec {
     val rep = src.report.collect().map(r =>
       (r.getInt(0), r.getString(1), r.getString(2))).toSet
     assert(rep == Set((1, "reward", "added"), (1, "mobile", "removed")))
+    // a batch that DROPPED the commit-ts column: bookmark reads must
+    // fail loudly (null-filled rows would silently miss every read)
+    Seq((9L, 1)).toDF("id", "x").write.parquet(s"$root/log/batch=0003")
+    val src2 = new graft.source.DriftTolerantChangelogSource(spark, s"$root/log")
+    assert(src2.since(None).count() == 3) // full read still fine
+    val e = intercept[IllegalArgumentException] {
+      src2.since(Some(ts("2024-01-01 10:00:00"))).count()
+    }
+    assert(e.getMessage.contains("_commit_timestamp"))
   }
 
   test("UserProfileJob survives a drifted batch (driftTolerant=true)") {

@@ -212,7 +212,16 @@ object QuarantinedRead {
     * parsed node — when an `Observation` was passed to the read, the
     * clean/quarantined counters ride the FIRST action that executes
     * either side (the R21 idiom: the observe node sits above the
-    * split, sees every parsed row once, and costs no second pass). */
+    * split, sees every parsed row once, and costs no second pass).
+    *
+    * COUNTING: use the observation counters riding a DATA-reading
+    * action (the R21 egress shape — a write, a collect, an aggregate
+    * over data columns). Any plan whose referenced columns prune down
+    * to the corrupt column alone — including a bare `count()` on
+    * either split, with or without the observation — is rejected by
+    * Spark by design (corrupt-ness is only defined while the data
+    * columns are being parsed:
+    * UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). */
   case class Quarantined(clean: DataFrame, quarantine: DataFrame,
                          corruptCol: String)
 

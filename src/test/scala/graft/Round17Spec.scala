@@ -510,6 +510,86 @@ class Round17Spec extends SparkSpec {
       Seq(Some("x"), Some("y"), None))
   }
 
+  test("model literals: malformed NbModel/UnigramModel strings fail loudly, never misparse") {
+    import graft.functions.{NbModel, UnigramModel}
+    // missing header, mangled class segment, non-numeric count
+    intercept[IllegalArgumentException](NbModel.parse("en:docs=1,toks=2,c="))
+    intercept[IllegalArgumentException](NbModel.parse("buckets=64|en=broken"))
+    intercept[Exception](NbModel.parse("buckets=64|en:docs=1,toks=x,c="))
+    intercept[IllegalArgumentException](UnigramModel.parse("a:1|b:2"))
+    intercept[Exception](UnigramModel.parse("maxlen=4,unk=2|noCost"))
+    // reserved separators in labels/pieces rejected at serialize time
+    intercept[IllegalArgumentException](
+      NbModel.serialize(Seq("a|b"), Seq(Map.empty), Seq(1L), Seq(1L), 64))
+    intercept[IllegalArgumentException](
+      UnigramModel.serialize(Seq("a:b"), Seq(1L), 1L, 4))
+  }
+
+  test("QuarantinedRead.csv property: well-formed rows are NEVER quarantined") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(99)
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarprop").toString
+    val rows = (0 until 200).map { i =>
+      s"$i,${rnd.nextInt(1000)},${"n" + rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString}"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      ("id,score,name" +: rows).mkString("\n") + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", IntegerType),
+      StructField("name", StringType)))
+    // counting goes through the observe idiom riding a DATA-reading
+    // action (the R21 egress shape): any plan whose referenced
+    // columns reduce to the corrupt column alone — including a bare
+    // count() over the observed split — is rejected by Spark by
+    // design (scaladoc'd on Quarantined)
+    val obs = org.apache.spark.sql.Observation()
+    val q = graft.source.QuarantinedRead.csv(spark, s"$dir/in.csv", schema,
+      obs = Some(obs))
+    assert(q.clean.agg(count(col("id"))).head.getLong(0) == 200L)
+    assert(obs.get("records_quarantined") == 0L)
+    assert(obs.get("records_clean") == 200L)
+  }
+
+  test("SchemaDrift.conform fuzz: values survive conform to the evolved schema across random batch schemas") {
+    import graft.source.SchemaDrift
+    val rnd = new scala.util.Random(7)
+    val allCols = Seq("c0", "c1", "c2", "c3")
+    for (trial <- 0 until 10) {
+      // random subsets/orders of an int-typed column pool per batch
+      val schemas = (0 until 3).map { _ =>
+        rnd.shuffle(allCols).take(1 + rnd.nextInt(4))
+      }
+      val frames = schemas.zipWithIndex.map { case (cols, bi) =>
+        val row = org.apache.spark.sql.Row.fromSeq(
+          cols.indices.map(ci => (bi * 100 + ci).toLong))
+        spark.createDataFrame(
+          java.util.Arrays.asList(row),
+          org.apache.spark.sql.types.StructType(cols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.LongType))))
+      }
+      val u = SchemaDrift.unionEvolved(frames)
+      assert(u.count() == 3, s"trial $trial")
+      // every source value appears under its own column; absent
+      // columns are null
+      val byBatch = u.collect()
+      frames.zip(schemas).zipWithIndex.foreach { case ((_, cols), bi) =>
+        val r = byBatch.find(r =>
+          cols.indices.exists(ci =>
+            !r.isNullAt(r.fieldIndex(cols(ci))) &&
+              r.getLong(r.fieldIndex(cols(ci))) == bi * 100 + ci)).get
+        cols.zipWithIndex.foreach { case (c, ci) =>
+          assert(r.getLong(r.fieldIndex(c)) == bi * 100 + ci,
+            s"trial $trial batch $bi col $c")
+        }
+        (allCols.toSet -- cols).foreach { c =>
+          if (u.columns.contains(c))
+            assert(r.isNullAt(r.fieldIndex(c)), s"trial $trial batch $bi absent $c")
+        }
+      }
+    }
+  }
+
   // ---- writeCompacted: uniform sizing sample + unique temp path ----
 
   test("writeCompacted: width-correlated input order no longer skews sizing; no sizing leftovers") {

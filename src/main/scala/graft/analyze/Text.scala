@@ -1058,21 +1058,36 @@ object TextAnalysis {
         (p, c, math.round(1000.0 * math.log(total / c))) }
     }
     def pruned(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
-      val (singles, multi) = counts.partition(_._1.length == 1)
+      // "single char" = single CODE POINT (Spark's substr/length and
+      // the segmenter's UNK fallback are both code-point based)
+      val (singles, multi) =
+        counts.partition(p => p._1.codePointCount(0, p._1.length) == 1)
       singles ++ multi.sortBy { case (p, c) => (-c, p) }
         .take(math.max(0, vocabSize - singles.size))
     }
 
     // seed vocabulary from substring frequencies
-    val subFreq = words.select(col("cnt"), explode(flatten(
+    val pieceCounts = words.select(col("cnt"), explode(flatten(
         transform(sequence(lit(1), length(col("w"))), i =>
           transform(sequence(lit(1),
               least(lit(maxPieceLen), length(col("w")) - i + 1)),
             l => col("w").substr(i, l))))).as("p"))
       .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
-      .orderBy(col("n").desc, col("p").asc)
-      .limit(vocabSize * 4) // metadata-sized: bounded by 4x target vocab
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .persist()
+    // top substrings by frequency, PLUS every single character: the
+    // alphabet is metadata-sized, and a rare single outside the top
+    // 4x substrings must still enter the seed vocab (coverage — UNK
+    // is the fallback for unseen text, not for the training corpus's
+    // own alphabet)
+    val subFreq = try {
+      val top = pieceCounts
+        .orderBy(col("n").desc, col("p").asc)
+        .limit(vocabSize * 4) // metadata-sized: bounded by 4x target vocab
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val singles = pieceCounts.filter(length(col("p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (top ++ singles).distinct.toSeq
+    } finally { pieceCounts.unpersist(blocking = false); () }
     var vocab = toCosts(pruned(subFreq))
 
     val roundCosts = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -290,11 +290,14 @@ case class NbClassifyExpr(child: Expression,
   * model-freeze time), so the optimum is an exact integer comparison
   * any engine replays bit-for-bit. The DP minimizes the combined
   * metric 16·cost + n_pieces — exactly lexicographic (cost, pieces)
-  * for words up to 15 chars (n_pieces ≤ length < 16); for longer
-  * words it remains a well-defined deterministic optimum of the same
-  * combined metric (the oracle replays the identical metric, so
-  * parity is length-independent). A single character absent from the
-  * vocabulary costs `unkCost` (coverage fallback — never fails).
+  * for words up to 15 code points (n_pieces ≤ length < 16); for
+  * longer words it remains a well-defined deterministic optimum of
+  * the same combined metric (the oracle replays the identical metric,
+  * so parity is length-independent). Lengths and piece boundaries are
+  * CODE POINTS (matching Spark substr/length and DuckDB substr — a
+  * non-BMP character is one atomic unit, never a surrogate pair split
+  * in two). A single code point absent from the vocabulary costs
+  * `unkCost` (coverage fallback — never fails).
   * Backtrack tie-break: among minimal predecessors the SMALLEST start
   * index (longest last piece) wins — first-strict-improvement in an
   * ascending scan, deterministic. */
@@ -333,10 +336,24 @@ case class UnigramSegmentExpr(child: Expression,
 
   override def nullSafeEval(v: Any): Any = {
     val w = v.asInstanceOf[UTF8String].toString
-    val n = w.length
-    if (n == 0)
+    val nUnits = w.length
+    if (nUnits == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Any])
+    // The DP runs over CODE POINTS, not UTF-16 units: `off(k)` is the
+    // UTF-16 offset where code point k starts, and every substring is
+    // taken between code-point boundaries — a non-BMP character
+    // (emoji, supplementary-plane CJK) is one atomic unit, so the UNK
+    // fallback can never emit a lone surrogate half, and the length
+    // units agree with Spark's substr/length and DuckDB's substr (the
+    // oracle replays the identical metric on identical units).
+    val off = new Array[Int](w.codePointCount(0, nUnits) + 1)
+    var u = 0
+    var n = 0
+    while (u < nUnits) {
+      off(n) = u; u += Character.charCount(w.codePointAt(u)); n += 1
+    }
+    off(n) = nUnits
     val INF = Long.MaxValue / 4
     val best = Array.fill(n + 1)(INF); best(0) = 0L
     val back = Array.fill(n + 1)(-1)
@@ -345,7 +362,7 @@ case class UnigramSegmentExpr(child: Expression,
       var i = math.max(0, j - maxPieceLen)
       while (i < j) {
         if (best(i) < INF) {
-          val p = w.substring(i, j)
+          val p = w.substring(off(i), off(j))
           val c = vocab.get(p)
           val cost: Long =
             if (c != null) c.longValue()
@@ -364,7 +381,7 @@ case class UnigramSegmentExpr(child: Expression,
     var k = n
     while (k > 0) {
       val i = back(k)
-      segs += UTF8String.fromString(w.substring(i, k))
+      segs += UTF8String.fromString(w.substring(off(i), off(k)))
       k = i
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(

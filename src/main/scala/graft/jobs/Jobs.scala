@@ -112,8 +112,11 @@ object UserProfileJob {
     //    nightly run
     val feed: graft.source.ChangeFeedSource =
       if (conf.driftTolerant)
+        // _change_type is required in every batch: the isin filter
+        // below would silently drop a whole null-filled batch otherwise
         new graft.source.DriftTolerantChangelogSource(
-          spark, conf.changelogPath, conf.tsCol)
+          spark, conf.changelogPath, conf.tsCol,
+          requiredCols = Seq("_change_type"))
       else new ChangelogTableSource(spark, conf.changelogPath, conf.tsCol)
     val changes = feed.since(bookmark)
       .filter(col("_change_type").isin("insert", "update_postimage"))

@@ -47,15 +47,20 @@ object SchemaDrift {
       if (integralRank(x) >= integralRank(y)) x else y
     case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
     // decimal ∨ decimal widens losslessly; an integral mixed with a
-    // decimal stays exact too (a long needs 20 integer digits)
+    // decimal stays exact too (a long needs 20 integer digits). When
+    // the lossless union needs more than 38 digits (e.g. decimal(38,0)
+    // ∨ decimal(30,25)), NO decimal can hold both sides — capping the
+    // precision would make conform's cast silently null overflowing
+    // values, so such pairs fall to the StringType universal carrier
+    // like every other lossy disagreement (the report flags it).
     case (x: DecimalType, y: DecimalType) =>
-      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
-      val scale = math.max(x.scale, y.scale)
-      DecimalType(math.min(38, intDigits + scale), scale)
+      boundedDecimal(
+        math.max(x.precision - x.scale, y.precision - y.scale),
+        math.max(x.scale, y.scale))
     case (x, d: DecimalType) if isIntegral(x) =>
-      DecimalType(math.min(38, math.max(d.precision - d.scale, 20) + d.scale), d.scale)
+      boundedDecimal(math.max(d.precision - d.scale, 20), d.scale)
     case (d: DecimalType, y) if isIntegral(y) =>
-      DecimalType(math.min(38, math.max(d.precision - d.scale, 20) + d.scale), d.scale)
+      boundedDecimal(math.max(d.precision - d.scale, 20), d.scale)
     // a producer mixing integral and float/double history has chosen
     // floating semantics — double (the report flags it type_changed)
     case (x, y) if isIntegral(x) && isFloating(y) => DoubleType
@@ -63,6 +68,13 @@ object SchemaDrift {
     case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
     case _ => StringType
   }
+
+  /** A decimal wide enough for `intDigits` + `scale` — or the string
+    * carrier when that exceeds decimal's 38-digit ceiling (lossless or
+    * nothing; see the decimal cases in [[widen]]). */
+  private def boundedDecimal(intDigits: Int, scale: Int): DataType =
+    if (intDigits + scale <= 38) DecimalType(intDigits + scale, scale)
+    else StringType
 
   /** The evolved target schema over a batch sequence: first-seen
     * column order (new columns append in arrival order — stable,
@@ -157,7 +169,8 @@ object SchemaDrift {
   * parquet footers only — listing + footers is driver metadata work,
   * the data plan is a union of per-batch scans with pushdown intact. */
 class DriftTolerantChangelogSource(spark: SparkSession, rootPath: String,
-                                   tsCol: String = "_commit_timestamp")
+                                   tsCol: String = "_commit_timestamp",
+                                   requiredCols: Seq[String] = Nil)
     extends ChangeFeedSource {
   private val fsOps = new FsOps(spark)
 
@@ -173,21 +186,31 @@ class DriftTolerantChangelogSource(spark: SparkSession, rootPath: String,
 
   def batchSchemas: Seq[StructType] = batches.map(_.schema)
 
+  /** A batch that DROPPED a filter-bearing column would have its rows
+    * null-filled and then silently excluded by the downstream
+    * predicate — the exact silent-loss failure mode this source exists
+    * to prevent. Fail loudly instead: a changelog batch without its
+    * commit timestamps / change types is malformed, not drifted. */
+  private def requireInEveryBatch(c: String, why: String): Unit = {
+    val missing = batchPaths.zip(batchSchemas).collect {
+      case (p, s) if !s.fieldNames.exists(_.equalsIgnoreCase(c)) => p
+    }
+    require(missing.isEmpty,
+      s"changelog batches lack the '$c' column ($why): " +
+        missing.mkString(", "))
+  }
+
   def since(bookmark: Option[Timestamp]): DataFrame = {
+    // columns the caller filters on downstream (e.g. `_change_type`
+    // isin(...)) must exist in EVERY batch, bookmark or not — a batch
+    // missing one would have all its rows null-filled then dropped
+    requiredCols.foreach(requireInEveryBatch(_,
+      "their null-filled rows would silently fail every downstream filter"))
     val unioned = SchemaDrift.unionEvolved(batches)
     bookmark match {
       case Some(ts) =>
-        // a batch that DROPPED the commit-timestamp column would have
-        // its rows null-filled and then silently excluded by the
-        // bookmark filter — the exact silent-loss failure mode this
-        // source exists to prevent. Fail loudly instead: a changelog
-        // batch without commit timestamps is malformed, not drifted.
-        val missing = batchPaths.zip(batchSchemas).collect {
-          case (p, s) if !s.fieldNames.exists(_.equalsIgnoreCase(tsCol)) => p
-        }
-        require(missing.isEmpty,
-          s"changelog batches lack the '$tsCol' column (their rows would " +
-            s"silently miss every bookmark read): ${missing.mkString(", ")}")
+        requireInEveryBatch(tsCol,
+          "their rows would silently miss every bookmark read")
         unioned.filter(col(tsCol) > lit(ts))
       case None => unioned
     }
@@ -261,14 +284,18 @@ object QuarantinedRead {
 
   /** STREAMING twin of the quarantine contract (the continuous-ingest
     * form): a file-source JSON-lines stream parsed PERMISSIVE; each
-    * micro-batch is split ONCE — clean rows append under `cleanPath`,
-    * malformed rows (raw line preserved, stamped with the batch id)
-    * append under `quarantinePath`. Malformed producers can never
-    * fail the stream or silently lose rows; the quarantine table is
-    * the replayable audit. Exactly-once across restarts rides the
-    * checkpoint + per-batch idempotent appends (foreachBatch
-    * re-executes a batch id on recovery; downstream dedup on
-    * `_batch_id` covers the at-least-once corner, documented).
+    * micro-batch is split ONCE — clean rows land under `cleanPath`,
+    * malformed rows (raw line preserved) under `quarantinePath`, each
+    * side written into a `batch_id=<id>` partition directory with
+    * mode=overwrite. Malformed producers can never fail the stream or
+    * silently lose rows; the quarantine table is the replayable audit.
+    * Exactly-once across restarts is GENUINE, not dedup-assisted: when
+    * foreachBatch re-executes a batch id on recovery (a crash between
+    * the two writes, or between the writes and the checkpoint commit),
+    * the replay overwrites exactly its own partition on BOTH sides —
+    * idempotent, no duplicate clean or quarantined rows, no downstream
+    * dedup required. Readers of either root see `batch_id` as a
+    * discovered partition column.
     * Schema DRIFT in a stream is handled upstream by the batch-dir
     * convention ([[DriftTolerantChangelogSource]]) — a running stream
     * has a fixed parse schema by construction, so a drifted producer
@@ -291,11 +318,13 @@ object QuarantinedRead {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
+          // overwrite THIS batch's partition only: a replayed batch id
+          // rewrites its own directory — idempotent on both sides
           b.filter(col(corruptCol).isNull).drop(corruptCol)
-            .write.mode("append").parquet(cleanPath)
+            .write.mode("overwrite").parquet(s"$cleanPath/batch_id=$batchId")
           b.filter(col(corruptCol).isNotNull)
-            .withColumn("_batch_id", lit(batchId))
-            .write.mode("append").parquet(quarantinePath)
+            .write.mode("overwrite")
+            .parquet(s"$quarantinePath/batch_id=$batchId")
         } finally { b.unpersist(); () }
       }
       .start()

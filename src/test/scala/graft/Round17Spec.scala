@@ -272,10 +272,14 @@ class Round17Spec extends SparkSpec {
     } finally q.stop()
     val clean = spark.read.parquet(s"$root/clean").orderBy("id").collect()
     assert(clean.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // both sides carry the batch id as a discovered partition column
+    // (the per-batch overwrite directories that make replays idempotent)
+    assert(clean.map(_.getAs[Int]("batch_id")).distinct.length == 2,
+      "clean rows must carry their micro-batch id")
     val quar = spark.read.parquet(s"$root/quar").collect()
     assert(quar.map(_.getAs[String]("_corrupt_record")).toSet ==
       Set("{broken", "also broken"))
-    assert(quar.map(_.getAs[Long]("_batch_id")).distinct.length == 2,
+    assert(quar.map(_.getAs[Int]("batch_id")).distinct.length == 2,
       "malformed rows must carry their micro-batch id")
   }
 

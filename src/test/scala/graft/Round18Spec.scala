@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18 specs: the ADVICE r17 fixes — lossless-or-string decimal
+  * widening, genuinely idempotent quarantine-stream replays (per-batch
+  * partition overwrite, pinned with a forced crash-replay), the
+  * `_change_type` silent-loss guard on the drift-tolerant changelog,
+  * unigram seed coverage for rare single characters, and code-point
+  * (not UTF-16-unit) Viterbi segmentation. */
+class Round18Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- widen: decimal pairs that cannot merge losslessly ----
+
+  test("SchemaDrift.widen: decimal pairs past 38 digits fall to the string carrier, never a lossy decimal") {
+    import graft.source.SchemaDrift.widen
+    import org.apache.spark.sql.types._
+    // lossless unions still widen to decimal
+    assert(widen(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
+    assert(widen(DecimalType(38, 0), DecimalType(38, 0)) == DecimalType(38, 0))
+    // 38 integer digits ∨ 25-digit scale needs 63 digits — no decimal
+    // holds both; a capped decimal(38,25) would silently null every
+    // large decimal(38,0) value on conform
+    assert(widen(DecimalType(38, 0), DecimalType(30, 25)) == StringType)
+    assert(widen(DecimalType(30, 25), DecimalType(38, 0)) == StringType)
+    // integral ∨ very-high-scale decimal: long needs 20 int digits
+    assert(widen(LongType, DecimalType(30, 25)) == StringType)
+    assert(widen(DecimalType(30, 25), IntegerType) == StringType)
+    // boundary: exactly 38 total stays decimal
+    assert(widen(DecimalType(20, 0), DecimalType(18, 18)) == DecimalType(38, 18))
+  }
+
+  test("SchemaDrift.unionEvolved: an overflow decimal pair survives conform losslessly via string") {
+    import org.apache.spark.sql.types._
+    val big = new java.math.BigDecimal("99999999999999999999999999999999999999") // 38 nines
+    val frac = new java.math.BigDecimal("0.1234567890123456789012345")
+    val a = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(big)),
+      StructType(Seq(StructField("v", DecimalType(38, 0)))))
+    val b = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(frac)),
+      StructType(Seq(StructField("v", DecimalType(30, 25)))))
+    val u = graft.source.SchemaDrift.unionEvolved(Seq(a, b))
+    assert(u.schema("v").dataType == StringType)
+    val vals = u.collect().map(_.getString(0)).toSet
+    // neither side nulled or truncated
+    assert(vals.exists(_.startsWith("9999")), vals.toString)
+    assert(vals.exists(_.contains("0.1234567890123456789012345")), vals.toString)
+  }
+
+  // ---- quarantine stream: genuine replay idempotency ----
+
+  test("jsonStream: a crash-replayed micro-batch overwrites its own partition — no duplicate clean or quarantined rows") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-qreplay").toString
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/b1.json"),
+      """{"id":1,"name":"a"}""" + "\n" + """{broken""" + "\n")
+    val q1 = graft.source.QuarantinedRead.jsonStream(spark, src, schema,
+      s"$root/clean", s"$root/quar", s"$root/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate a crash AFTER the batch-0 sink writes but BEFORE the
+    // checkpoint commit: delete the commit marker — restart must
+    // re-execute batch 0 against the already-written outputs
+    // the checkpoint stays registered as in-use until the stopped query
+    // fully deregisters — wait it out before restarting on the same dir
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.streams.active.isEmpty, "first query never deregistered")
+    val commit = java.nio.file.Paths.get(s"$root/ckpt/commits/0")
+    assert(java.nio.file.Files.exists(commit), "expected commit marker for batch 0")
+    java.nio.file.Files.delete(commit)
+    // the local checksum FS keeps a sibling .crc — a stale one makes the
+    // replayed commit's atomic rename fail with a misleading error
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/ckpt/commits/.0.crc"))
+    val q2 = graft.source.QuarantinedRead.jsonStream(spark, src, schema,
+      s"$root/clean", s"$root/quar", s"$root/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    val clean = spark.read.parquet(s"$root/clean").collect()
+    assert(clean.length == 1, s"replayed batch duplicated clean rows: ${clean.length}")
+    assert(clean.head.getLong(clean.head.fieldIndex("id")) == 1L)
+    val quar = spark.read.parquet(s"$root/quar").collect()
+    assert(quar.length == 1, s"replayed batch duplicated quarantine rows: ${quar.length}")
+    assert(quar.head.getAs[String]("_corrupt_record") == "{broken")
+  }
+
+  // ---- drift-tolerant changelog: _change_type silent-loss guard ----
+
+  test("DriftTolerantChangelogSource: a batch missing a required downstream-filter column fails loudly") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = java.nio.file.Files.createTempDirectory("graft-ctguard").toString
+    Seq((1L, "insert", ts("2024-01-01 10:00:00")))
+      .toDF("id", "_change_type", "_commit_timestamp")
+      .write.parquet(s"$root/log/batch=0001")
+    Seq((2L, ts("2024-01-02 10:00:00")))
+      .toDF("id", "_commit_timestamp") // _change_type DROPPED
+      .write.parquet(s"$root/log/batch=0002")
+    val guarded = new graft.source.DriftTolerantChangelogSource(
+      spark, s"$root/log", requiredCols = Seq("_change_type"))
+    val e = intercept[IllegalArgumentException](guarded.since(None))
+    assert(e.getMessage.contains("_change_type"), e.getMessage)
+    assert(e.getMessage.contains("batch=0002"), e.getMessage)
+    // without the requirement the union itself still works (null-filled)
+    val open = new graft.source.DriftTolerantChangelogSource(spark, s"$root/log")
+    assert(open.since(None).count() == 2)
+  }
+
+  // ---- unigram seeding: rare singles enter the seed vocab ----
+
+  test("unigramTrainWithStats: a rare single character outside the top-4x substrings still enters the vocab") {
+    // 'aaaa' dominates: substrings a/aa/aaa/aaaa fill the top 4 slots
+    // at vocabSize=1; 'z' appears once — before the fix it never
+    // entered the seed and survived only via the UNK fallback
+    val docs = (Seq.fill(100)("aaaa") :+ "z").toDF("text")
+    val (vocab, _) = graft.analyze.TextAnalysis
+      .unigramTrainWithStats(docs, "text", vocabSize = 1, maxPieceLen = 4,
+        emRounds = 1)
+    assert(vocab.exists(_._1 == "z"),
+      s"rare single 'z' missing from vocab: ${vocab.map(_._1)}")
+    assert(vocab.exists(_._1 == "a"))
+  }
+
+  // ---- segmentation: code points, not UTF-16 units ----
+
+  test("unigramSegment: non-BMP characters segment as atomic code points, never surrogate halves") {
+    val df = Seq("a😀b").toDF("w") // a😀b
+    val segs = df.select(graft.functions.TextFunctions
+        .unigramSegment(col("w"), Seq("a"), Seq(100L),
+          unkCost = 20000L, maxPieceLen = 4).as("s"))
+      .head().getSeq[String](0)
+    assert(segs == Seq("a", "😀", "b"), segs.toString)
+    // every piece is valid UTF-16 (no lone surrogates)
+    segs.foreach { p =>
+      assert(!p.exists(c => Character.isSurrogate(c) && p.length == 1),
+        s"lone surrogate piece: ${p.map(_.toInt)}")
+    }
+    // round-trips
+    assert(segs.mkString == "a😀b")
+  }
+
+  test("unigramSegment: a multi-code-point piece containing an emoji is matched whole") {
+    val df = Seq("😀😀x").toDF("w") // 😀😀x
+    val segs = df.select(graft.functions.TextFunctions
+        .unigramSegment(col("w"),
+          Seq("😀😀"), Seq(50L),
+          unkCost = 20000L, maxPieceLen = 4).as("s"))
+      .head().getSeq[String](0)
+    // the 2-code-point vocab piece (4 UTF-16 units) must win over two
+    // UNK singles: 16*50+1 < 2*(16*20000+1)
+    assert(segs == Seq("😀😀", "x"), segs.toString)
+  }
+}

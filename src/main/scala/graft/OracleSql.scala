@@ -5327,6 +5327,38 @@ SELECT COALESCE(channel, '(none)') AS channel_g,
   CAST(sum(CAST(score AS INTEGER)) AS BIGINT) AS score_sum
 FROM u GROUP BY 1 ORDER BY 1"""
 
+  /** Quarantine twin (q224): replay the planted-corruption rule over
+    * events directly — rows `% 13 = 0` carry an untypeable score
+    * token `bad<id>`, rows `% 13 = 5` lose the score field, the rest
+    * are well-formed. Clean side: per-event_type counts + exact score
+    * sums. Quarantined side: per-reason counts, the sum of the
+    * PARTIALLY-parsed event_ids (PERMISSIVE keeps tokens that did
+    * parse), and the total byte length of the reconstructed raw lines
+    * (the lines are pure ASCII — length == bytes in both engines). */
+  private val q224 = """
+WITH cls AS (
+  SELECT event_id, event_type, CAST(event_id % 100 AS INTEGER) AS score,
+    CASE WHEN event_id % 13 = 0 THEN 'untypeable'
+         WHEN event_id % 13 = 5 THEN 'short'
+         ELSE 'clean' END AS reason
+  FROM events)
+SELECT 'clean:' || event_type AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  CAST(sum(score) AS BIGINT) AS detail
+FROM cls WHERE reason = 'clean' GROUP BY event_type
+UNION ALL
+SELECT 'quarantined:' || reason AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  CAST(sum(length(CASE WHEN reason = 'untypeable'
+    THEN CAST(event_id AS VARCHAR) || ',' || event_type || ',bad' ||
+         CAST(event_id AS VARCHAR)
+    ELSE CAST(event_id AS VARCHAR) || ',' || event_type END)) AS BIGINT)
+    AS detail
+FROM cls WHERE reason <> 'clean' GROUP BY reason
+ORDER BY bucket"""
+
   /** Drift-report twin (q220): the expected schema diff of the q219
     * batch fixture, pinned as literals — batch 1 adds `channel`,
     * batch 2 removes `event_type` and re-types `score` int → string
@@ -6285,6 +6317,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q218_rolling_reach" -> q218,
     "q219_drift_union" -> q219,
     "q220_drift_report" -> q220,
+    "q224_quarantine_gate" -> q224,
     "q221_nightly_composite" -> q221,
     // SQL-surface twin: same operator, same oracle (q41's) — the gate
     // proves the registered-function path hash-matches the Scala API

@@ -3035,6 +3035,65 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q224_quarantine_gate(s: SparkSession, dir: String): DataFrame = {
+    // Malformed-record QUARANTINE, oracle-gated (the q219/q220 fixture
+    // discipline applied to dirty DATA instead of drifted schemas): a
+    // CSV batch is derived deterministically from events — rows with
+    // event_id % 13 == 0 get an untypeable score token ("bad<id>"),
+    // rows with event_id % 13 == 5 lose their score field entirely
+    // (token-count mismatch), the rest are well-formed — written as
+    // text, then read back through QuarantinedRead.csv (PERMISSIVE +
+    // _corrupt_record). The gate checks BOTH sides of the split:
+    // clean rows aggregate per event_type (count + exact score sum —
+    // proving no malformed row leaked in and no clean row was lost),
+    // quarantined rows aggregate per failure reason with their
+    // PARTIALLY-PARSED event_id sum (PERMISSIVE keeps the tokens that
+    // did parse) and the total raw-line length (proving the raw line
+    // survives byte-exact for replay). The DuckDB twin replays the
+    // same planted-corruption rule over events directly.
+    // Reference anchor: the pandas-inferred CSV ingress
+    // (operators/clevertap_user_profile.py:91) whose malformed-row
+    // behavior the reference never defined — here it is a contract.
+    import org.apache.spark.sql.types._
+    val ev = t(s, dir, "events")
+    val id = col("event_id").cast("string")
+    val reasonCol = when(pmod(col("event_id"), lit(13)) === 0, lit("untypeable"))
+      .when(pmod(col("event_id"), lit(13)) === 5, lit("short"))
+      .otherwise(lit("clean"))
+    val line = when(reasonCol === "untypeable",
+        concat_ws(",", id, col("event_type"), concat(lit("bad"), id)))
+      .when(reasonCol === "short", concat_ws(",", id, col("event_type")))
+      .otherwise(concat_ws(",", id, col("event_type"),
+        pmod(col("event_id"), lit(100)).cast("string")))
+    // unique temp dir per invocation (the writeCompacted discipline)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q224_").toString
+    ev.select(line.as("value")).write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("score", IntegerType)))
+    val q = graft.source.QuarantinedRead.csv(s, tmp, schema,
+      options = Map("header" -> "false"))
+    val clean = q.clean
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("score").cast("long")).as("detail"))
+      .select(concat(lit("clean:"), col("event_type")).as("bucket"),
+        col("n"), col("id_sum"), col("detail"))
+    val quar = q.quarantine
+      .withColumn("reason",
+        when(size(split(col(q.corruptCol), ",")) === 2, lit("short"))
+          .otherwise(lit("untypeable")))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(length(col(q.corruptCol)).cast("long")).as("detail"))
+      .select(concat(lit("quarantined:"), col("reason")).as("bucket"),
+        col("n"), col("id_sum"), col("detail"))
+    clean.unionByName(quar).orderBy("bucket")
+  }
+
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
     // Day-N retention curve at N in {1,3,7,14}: cohort bounded by the
     // observed corpus end (no false churn on unfinished offsets),
@@ -3551,6 +3610,7 @@ object SparkEntry {
     "q221_nightly_composite" -> (q221_nightly_composite _),
     "q222_sql_twin" -> (q222_sql_twin _),
     "q223_unigram_segment" -> (q223_unigram_segment _),
+    "q224_quarantine_gate" -> (q224_quarantine_gate _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

@@ -250,7 +250,21 @@ object QuarantinedRead {
 
   private def split(raw: DataFrame, corruptCol: String,
                     obs: Option[org.apache.spark.sql.Observation]): Quarantined = {
-    val parsed = obs.fold(raw)(o => raw.observe(o,
+    // ANTI-PRUNING GUARD (load-bearing): the CSV/JSON parsers only
+    // convert the columns a query references (column pruning), and a
+    // record is only marked corrupt if a REQUIRED field fails — so a
+    // downstream aggregate that doesn't touch, say, the int column
+    // with the untypeable token would see its malformed rows parse
+    // "clean" and the quarantine side come back EMPTY. This
+    // tautological filter (length of a non-null concat is always
+    // ≥ 0, but the optimizer cannot prove it) references every data
+    // column, forcing the full-width parse that makes corrupt-ness
+    // well-defined regardless of what the consumer selects.
+    val dataCols = raw.columns.filterNot(_ == corruptCol)
+    val guarded = raw.filter(
+      length(concat_ws("", dataCols.map(c => col(s"`$c`").cast("string"))
+        .toIndexedSeq: _*)) >= 0)
+    val parsed = obs.fold(guarded)(o => guarded.observe(o,
       sum(col(corruptCol).isNull.cast("long")).as("records_clean"),
       sum(col(corruptCol).isNotNull.cast("long")).as("records_quarantined")))
     // NOTE: both sides keep the full column list. Spark (≥2.3)

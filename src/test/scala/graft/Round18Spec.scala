@@ -90,6 +90,28 @@ class Round18Spec extends SparkSpec {
     assert(quar.head.getAs[String]("_corrupt_record") == "{broken")
   }
 
+  // ---- quarantine: column pruning must never hide malformed rows ----
+
+  test("QuarantinedRead.csv: a query referencing a column subset still quarantines rows whose OTHER fields are malformed") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-qprune").toString
+    val csv = s"$dir/in.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "id,score,name\n" +
+        "1,10,alpha\n" +
+        "2,notanint,beta\n" + // malformed in a column the query ignores
+        "3,30\n")             // token-count mismatch
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", IntegerType),
+      StructField("name", StringType)))
+    val q = graft.source.QuarantinedRead.csv(spark, csv, schema)
+    // the aggregates reference ONLY id / the corrupt col — before the
+    // anti-pruning guard, the parser skipped converting `score`, no
+    // row was ever marked corrupt, and the quarantine came back empty
+    assert(q.quarantine.agg(count(lit(1))).head().getLong(0) == 2L)
+    assert(q.clean.agg(sum(col("id"))).head().getLong(0) == 1L)
+  }
+
   // ---- drift-tolerant changelog: _change_type silent-loss guard ----
 
   test("DriftTolerantChangelogSource: a batch missing a required downstream-filter column fails loudly") {

@@ -5489,6 +5489,126 @@ SELECT a.cluster_id, a.n_docs, a.sum_chars, a.min_chars, a.max_chars,
 FROM agg a JOIN hq USING (cluster_id) JOIN kk USING (cluster_id)
 ORDER BY cluster_id"""
 
+  /** Dirty-nightly twin (q225): q221's from-scratch recompute with the
+    * delta REPLACED by what SURVIVES the dirty ingest — the oracle
+    * replays the landing-batch derivation AND the planted-corruption
+    * exclusions in arithmetic: mutants (id 2e6+d, d % 7 = 0, text +
+    * ' qqq zzz qqq') minus the untypeable-id rows (d % 21 = 0), exact
+    * copies (id 3e6+d, d % 11 = 5, stage-1 fodder), bridges (q221
+    * pairing) minus the truncated-json rows (k % 5 = 2). Delta n_chars
+    * is length(text) — the repair step's recomputation, because batch
+    * schemas never carried it — and bridge source is the repair
+    * coalesce's 'bridge' (the drifted column the conform null-filled).
+    * Equality = merge ≡ recompute across quarantine + schema drift +
+    * the whole incremental family. */
+  private val q225 = """
+WITH RECURSIVE realx AS (
+  SELECT doc_id, "text", n_chars, source FROM documents),
+sel AS (
+  SELECT TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g')) AS ntext,
+    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM realx WHERE doc_id % 11 = 3),
+bk AS (SELECT (rn + 1) // 2 AS k, rn % 2 AS side, ntext FROM sel),
+br AS (
+  SELECT CAST(1000000 + k AS BIGINT) AS doc_id,
+    max(CASE WHEN side = 1 THEN ntext END) || ' ' ||
+      max(CASE WHEN side = 0 THEN ntext END) AS "text"
+  FROM bk GROUP BY k HAVING count(*) = 2),
+brd AS (
+  SELECT doc_id, "text", CAST(length("text") AS BIGINT) AS n_chars,
+    'bridge' AS source
+  FROM br WHERE (doc_id - 1000000) % 5 <> 2),
+mut AS (
+  SELECT doc_id + 2000000 AS doc_id, "text" || ' qqq zzz qqq' AS "text",
+    CAST(length("text" || ' qqq zzz qqq') AS BIGINT) AS n_chars, source
+  FROM realx WHERE doc_id % 7 = 0 AND doc_id % 21 <> 0),
+cpy AS (
+  SELECT doc_id + 3000000 AS doc_id, "text",
+    CAST(length("text") AS BIGINT) AS n_chars, source
+  FROM realx WHERE doc_id % 11 = 5),
+allx AS (
+  SELECT * FROM realx UNION ALL SELECT * FROM brd
+  UNION ALL SELECT * FROM mut UNION ALL SELECT * FROM cpy),
+fps AS (
+  SELECT doc_id, "text", n_chars, source,
+    md5(TRIM(regexp_replace(LOWER("text"), '\s+', ' ', 'g'))) AS fp,
+    CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END AS is_delta
+  FROM allx),
+kept AS (
+  SELECT doc_id, "text", n_chars, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY is_delta, doc_id) AS rn
+    FROM fps) WHERE rn = 1),
+t AS (
+  SELECT doc_id, string_split_regex(trim(lower("text")), '\s+') AS toks FROM kept),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM gd GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE)
+    / (CAST(sa.sz AS DOUBLE) + CAST(sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= 0.3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+lab AS (
+  SELECT k.doc_id, COALESCE(c.cluster_id, k.doc_id) AS cluster_id,
+    k.n_chars, k.source
+  FROM kept k LEFT JOIN clusters c ON c.id = k.doc_id),
+agg AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+  FROM lab GROUP BY 1),
+hb AS (
+  SELECT cluster_id, CAST(CASE WHEN n_chars < 64 THEN n_chars
+    ELSE (length(bin(n_chars)) - 1 - 6) * 64 +
+         (n_chars >> (length(bin(n_chars)) - 1 - 6)) END AS BIGINT) AS bin
+  FROM lab WHERE n_chars > 0),
+hst AS (SELECT cluster_id, bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM hb GROUP BY 1, 2),
+hcum AS (
+  SELECT cluster_id, bin,
+    sum(cnt) OVER (PARTITION BY cluster_id ORDER BY bin) AS cum,
+    sum(cnt) OVER (PARTITION BY cluster_id) AS n
+  FROM hst),
+hq AS (
+  SELECT cluster_id, min(bin) AS p50_bin
+  FROM hcum WHERE cum * 100 >= 50 * n GROUP BY 1),
+kh AS (
+  SELECT DISTINCT cluster_id,
+    ('0x' || substr(md5(source), 1, 16))::UBIGINT AS h
+  FROM lab WHERE source IS NOT NULL),
+kr AS (
+  SELECT cluster_id, h,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY h) AS rn
+  FROM kh),
+kk AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_src_sketch,
+    max(h) AS kth
+  FROM kr WHERE rn <= 64 GROUP BY 1)
+SELECT a.cluster_id, a.n_docs, a.sum_chars, a.min_chars, a.max_chars,
+  hq.p50_bin,
+  CAST(CASE WHEN p50_bin < 64 THEN p50_bin
+    ELSE (64 + p50_bin % 64) << (p50_bin // 64 - 1) END AS BIGINT) AS p50_low,
+  kk.n_src_sketch,
+  CAST(CASE WHEN kth >= 9223372036854775808::UBIGINT
+    THEN kth::HUGEINT - 18446744073709551616::HUGEINT
+    ELSE kth::HUGEINT END AS BIGINT) AS src_kth_min
+FROM agg a JOIN hq USING (cluster_id) JOIN kk USING (cluster_id)
+ORDER BY cluster_id"""
+
   /** Unigram-segmentation twin (q223), GENERATED from the frozen
     * [[graft.analyze.UnigramFixture]] (the q94 replay discipline):
     * a forward-only integer Viterbi DP, unrolled per end-position
@@ -6319,6 +6439,7 @@ FROM s GROUP BY 1 ORDER BY 1"""
     "q220_drift_report" -> q220,
     "q224_quarantine_gate" -> q224,
     "q221_nightly_composite" -> q221,
+    "q225_dirty_nightly" -> q225,
     // SQL-surface twin: same operator, same oracle (q41's) — the gate
     // proves the registered-function path hash-matches the Scala API
     "q222_sql_twin" -> q41,

@@ -2857,8 +2857,6 @@ object SparkEntry {
     // merge ≡ recompute end-to-end, at output granularity.
     // From-scratch dedup semantics: history takes precedence within a
     // fingerprint (the archive was ingested first), then lowest id.
-    import graft.relational.Relational
-    import graft.analyze.{Hdr, KmvDistinct}
     val real = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
     val ntext = trim(regexp_replace(lower(col("text")), "\\s+", " "))
@@ -2881,6 +2879,19 @@ object SparkEntry {
         col("n_chars"), col("source"))
     val docs = real.unionByName(bridges).unionByName(copies)
       .withColumn("fp", TA.fingerprint(col("text")))
+    nightlyCompositeChain(docs)
+  }
+
+  /** The q221/q225 incremental refresh chain over a corpus of
+    * `(doc_id, text, n_chars, source, fp)` where delta rows carry
+    * `doc_id >= 1e6` (history ids are all below — doc-id order within a
+    * fingerprint IS (is_history, doc_id) keep order). Stages 1–5 as
+    * documented at [[q221_nightly_composite]]; shared verbatim by the
+    * dirty-delta composite (q225), whose delta arrives through the
+    * quarantine + schema-drift ingest instead of a trusted union. */
+  private def nightlyCompositeChain(docs: DataFrame): DataFrame = {
+    import graft.relational.Relational
+    import graft.analyze.{Hdr, KmvDistinct}
     val isDelta = col("doc_id") >= 1000000L
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
 
@@ -3092,6 +3103,103 @@ object SparkEntry {
       .select(concat(lit("quarantined:"), col("reason")).as("bucket"),
         col("n"), col("id_sum"), col("detail"))
     clean.unionByName(quar).orderBy("bucket")
+  }
+
+  private def q225_dirty_nightly(s: SparkSession, dir: String): DataFrame = {
+    // The DIRTY-NIGHTLY COMPOSITE — the q221 incremental chain fed by a
+    // delta that arrives the way 100 TB deltas actually arrive: as
+    // json-lines landing batches with DRIFTED schemas AND MALFORMED
+    // rows. The full messy-data ingest path runs under ONE oracle gate:
+    //   a. two landing batches are derived deterministically from
+    //      documents — batch 0 (schema doc_id, text, source) carries
+    //      NEAR-DUP MUTANTS (id 2e6+d for d % 7 = 0, text + a 3-token
+    //      tail: survives exact dedup, near-dups its original, joins
+    //      its cluster) and EXACT COPIES (id 3e6+d for d % 11 = 5,
+    //      stage-1 fodder); batch 1 (schema doc_id, text — the
+    //      `source` column DROPPED by the drifting producer) carries
+    //      the q221 BRIDGE docs (id 1e6+k, cluster mergers);
+    //   b. planted corruption: mutants of d % 21 = 0 docs carry an
+    //      untypeable doc_id token ("bad<id>"), bridges of k % 5 = 2
+    //      are truncated mid-string — both must QUARANTINE, so their
+    //      docs never enter the corpus (visibly: a quarantined mutant
+    //      shrinks its cluster, a quarantined bridge leaves two
+    //      history clusters UNMERGED);
+    //   c. each batch parses through QuarantinedRead.json (PERMISSIVE,
+    //      its own declared schema); the clean survivors land as
+    //      parquet batch dirs and are re-read through
+    //      DriftTolerantChangelogSource — footer-schema evolution
+    //      null-fills the dropped `source`, which the repair step
+    //      rebuilds (coalesce → 'bridge') along with n_chars
+    //      (length(text)) so the drifted column flows into the KMV
+    //      source sketch and the dropped lengths into agg/HDR;
+    //   d. the q221 chain runs unchanged on history ∪ clean delta.
+    // The oracle recomputes FROM SCRATCH over documents, replaying the
+    // mutation/corruption arithmetic in SQL — merge ≡ recompute across
+    // the drift + quarantine + incremental family composite.
+    import org.apache.spark.sql.types._
+    val real = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+
+    // -- batch 0: mutants + exact copies, with untypeable-id corruption
+    val mut = real.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("__bad", pmod(col("doc_id"), lit(21)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" qqq zzz qqq")).as("text"),
+        col("source"), col("__bad"))
+    val cpy = real.filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+        col("source"), lit(false).as("__bad"))
+    val b0 = mut.unionByName(cpy).select(
+      when(col("__bad"),
+          to_json(struct(concat(lit("bad"), col("doc_id").cast("string"))
+            .as("doc_id"), col("text"), col("source"))))
+        .otherwise(to_json(struct(col("doc_id"), col("text"), col("source"))))
+        .as("value"))
+
+    // -- batch 1: bridges (q221 rule), schema DROPS `source`; k % 5 = 2
+    //    lines truncated mid-string (malformed json)
+    val ntext = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val wSz = Window.orderBy(col("n_chars"), col("doc_id"))
+    val bridges = real.filter(pmod(col("doc_id"), lit(11)) === 3)
+      .select(col("doc_id"), ntext.as("ntext"), col("n_chars"))
+      .withColumn("rn", row_number().over(wSz))
+      .withColumn("k", ((col("rn") + 1) / 2).cast("long"))
+      .groupBy(col("k"))
+      .agg(max(when(col("rn") % 2 === 1, col("ntext"))).as("t1"),
+        max(when(col("rn") % 2 === 0, col("ntext"))).as("t2"),
+        count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select((lit(1000000L) + col("k")).as("doc_id"),
+        concat(col("t1"), lit(" "), col("t2")).as("text"),
+        (pmod(col("k"), lit(5)) === 2).as("__bad"))
+    val b1 = bridges.select(
+      when(col("__bad"), concat(lit("{\"doc_id\":"),
+          col("doc_id").cast("string"), lit(",\"text\":\"trunc")))
+        .otherwise(to_json(struct(col("doc_id"), col("text"))))
+        .as("value"))
+
+    // -- land, quarantine-split per batch, clean sides → parquet
+    //    changelog batches, drift-tolerant union, repair, chain
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q225_").toString
+    b0.write.mode("overwrite").text(s"$tmp/land/batch=0000")
+    b1.write.mode("overwrite").text(s"$tmp/land/batch=0001")
+    val schema0 = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val schema1 = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    graft.source.QuarantinedRead.json(s, s"$tmp/land/batch=0000", schema0)
+      .clean.write.mode("overwrite").parquet(s"$tmp/clean/batch=0000")
+    graft.source.QuarantinedRead.json(s, s"$tmp/land/batch=0001", schema1)
+      .clean.write.mode("overwrite").parquet(s"$tmp/clean/batch=0001")
+    val delta = new graft.source.DriftTolerantChangelogSource(s, s"$tmp/clean")
+      .since(None)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        coalesce(col("source"), lit("bridge")).as("source"))
+
+    val docs = real.unionByName(delta)
+      .withColumn("fp", TA.fingerprint(col("text")))
+    nightlyCompositeChain(docs)
   }
 
   private def q209_dayn_retention(s: SparkSession, dir: String): DataFrame =
@@ -3611,6 +3719,7 @@ object SparkEntry {
     "q222_sql_twin" -> (q222_sql_twin _),
     "q223_unigram_segment" -> (q223_unigram_segment _),
     "q224_quarantine_gate" -> (q224_quarantine_gate _),
+    "q225_dirty_nightly" -> (q225_dirty_nightly _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

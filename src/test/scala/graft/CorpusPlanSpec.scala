@@ -100,7 +100,8 @@ class CorpusPlanSpec extends SparkSpec {
     "q203_mixture_allocation" -> "water-filling windows over the per-SOURCE aggregate: catalog-sized global cumsum class",
     "q207_segment_migration" -> "q155's customer-count scalar aggregates (x2 periods): 1-row relations",
     "q209_dayn_retention" -> "corpus-max-day scalar aggregate + offsets-sized (4-row) final report",
-    "q221_nightly_composite" -> "bridge-fixture global rank over the %11 doc subset: fixture-derivation only (corpus/11 rows at gate scale; the production delta arrives as data, not via this rank)")
+    "q221_nightly_composite" -> "bridge-fixture global rank over the %11 doc subset: fixture-derivation only (corpus/11 rows at gate scale; the production delta arrives as data, not via this rank)",
+    "q225_dirty_nightly" -> "same bridge-fixture global rank as q221 (fixture-derivation only); the production dirty delta arrives as landing files, not via this rank")
 
   test("no gated plan contains a CartesianProduct; BNLJ/SinglePartition are allowlisted") {
     val offendersCart = scala.collection.mutable.ArrayBuffer[String]()

@@ -133,6 +133,86 @@ class Round18Spec extends SparkSpec {
     assert(open.since(None).count() == 2)
   }
 
+  // ---- dirty-nightly composite: the quarantine × drift × incremental
+  //      interactions no per-stage gate can see (q225's pins) ----
+
+  test("dirty delta: a QUARANTINED bridge leaves two history clusters unmerged; a clean one merges them; the drift-dropped source column is repaired into the delta") {
+    import org.apache.spark.sql.types._
+    val d1 = "alpha beta gamma delta epsilon"
+    val d2 = "one two three four five"
+    val hist = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val bridgeLine = s"""{"doc_id":1000001,"text":"$d1 $d2"}"""
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def runWith(line: String): (Map[Long, Long], Seq[String]) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-dirtyn").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/land"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/land/b.json"), line + "\n")
+      // quarantine split with the batch's own (source-less) schema,
+      // clean side → parquet changelog batch, drift-tolerant re-read
+      graft.source.QuarantinedRead.json(spark, s"$root/land", schema)
+        .clean.write.parquet(s"$root/clean/batch=0000")
+      val delta = new graft.source.DriftTolerantChangelogSource(
+          spark, s"$root/clean").since(None)
+      // repair: the drifted (absent → null-filled) source column
+      assert(!delta.columns.contains("source"),
+        "batch schema never carried source")
+      val repaired = delta.withColumn("source", lit("bridge"))
+      val docs = hist.withColumn("source", lit("archive"))
+        .unionByName(repaired)
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.3)
+      val touches = col("id_a") >= 1000000L || col("id_b") >= 1000000L
+      val stored = graft.dedup.Dedup.connectedComponents(
+        pairs.filter(!touches), "id_a", "id_b")
+      val refreshed = graft.dedup.Dedup.incrementalComponents(
+        stored, pairs.filter(touches), "id_a", "id_b")
+      val lab = docs.join(refreshed.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cid"), col("source"))
+      val labels = lab.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val deltaSources = lab.filter(col("doc_id") >= 1000000L)
+        .select("source").collect().map(_.getString(0)).toSeq
+      (labels, deltaSources)
+    }
+
+    // clean bridge: history docs 1 and 2 MERGE, bridge carries the
+    // repaired source into the cluster
+    val (merged, srcs) = runWith(bridgeLine)
+    assert(merged(1L) == merged(2L),
+      s"clean bridge failed to merge history clusters: $merged")
+    assert(merged(1000001L) == merged(1L))
+    assert(srcs == Seq("bridge"))
+
+    // truncated (quarantined) bridge: the SAME content arriving
+    // malformed must quarantine, so the merge never happens
+    val (unmerged, none) = runWith(bridgeLine.dropRight(15))
+    assert(unmerged(1L) != unmerged(2L),
+      s"quarantined bridge still merged history clusters: $unmerged")
+    assert(!unmerged.contains(1000001L) && none.isEmpty,
+      "malformed bridge row leaked into the clean corpus")
+  }
+
+  test("QuarantinedRead.json: an untypeable field in one column quarantines the row (q225's batch-0 corruption mode)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-juntype").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"doc_id":1,"text":"ok"}""" + "\n" +
+        """{"doc_id":"bad2","text":"poisoned"}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = graft.source.QuarantinedRead.json(spark, dir, schema)
+    assert(q.clean.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val quar = q.quarantine.collect()
+    assert(quar.length == 1)
+    assert(quar.head.getAs[String]("_corrupt_record").contains("bad2"))
+  }
+
   // ---- unigram seeding: rare singles enter the seed vocab ----
 
   test("unigramTrainWithStats: a rare single character outside the top-4x substrings still enters the vocab") {

@@ -6443,6 +6443,9 @@ FROM s GROUP BY 1 ORDER BY 1"""
     // SQL-surface twin: same operator, same oracle (q41's) — the gate
     // proves the registered-function path hash-matches the Scala API
     "q222_sql_twin" -> q41,
+    // SQL-surface twin #2: q82's incremental-dedup family through the
+    // registered `fingerprint` kernel — same operator, same oracle
+    "q226_sql_incremental" -> q82,
     "q223_unigram_segment" -> q223,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }

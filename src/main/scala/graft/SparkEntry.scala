@@ -3016,6 +3016,30 @@ object SparkEntry {
       ORDER BY id_a, id_b""")
   }
 
+  private def q226_sql_incremental(s: SparkSession, dir: String): DataFrame = {
+    // Second PURE-SQL family twin (the q222 discipline on the exact-
+    // dedup family): q82's incremental-ingest dedup re-written entirely
+    // as spark.sql over a temp view + the runtime-registered
+    // `fingerprint` kernel — batch (doc_id % 5 = 4) deduped within
+    // itself by window rank, then NOT EXISTS (planned as a left-anti
+    // join on 16-byte fingerprints — document text never shuffles)
+    // against DISTINCT history fingerprints. Gated against q82's own
+    // oracle: the SQL surface must hash-match the Scala API exactly.
+    graft.functions.GraftExtensions.registerAll(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+    s.sql("""
+      WITH fps AS (
+        SELECT doc_id, lang, fingerprint(text) AS fp FROM graft_documents),
+      hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 4),
+      batch AS (
+        SELECT doc_id, lang, fp,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fps WHERE doc_id % 5 = 4)
+      SELECT doc_id, lang, fp FROM batch b
+      WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+      ORDER BY doc_id""")
+  }
+
   private def q223_unigram_segment(s: SparkSession, dir: String): DataFrame = {
     // Unigram-LM (SentencePiece-style) segmentation with a FROZEN
     // vocabulary (UnigramFixture — Viterbi-EM-trained once on
@@ -3720,6 +3744,7 @@ object SparkEntry {
     "q223_unigram_segment" -> (q223_unigram_segment _),
     "q224_quarantine_gate" -> (q224_quarantine_gate _),
     "q225_dirty_nightly" -> (q225_dirty_nightly _),
+    "q226_sql_incremental" -> (q226_sql_incremental _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * lsh_sig(vec, bits, dim), l2_normalize(vec),
   * deletion_neighborhood(s, maxDeletes), nfc_normalize(s),
   * strip_accents(s), hdr_bin(v, subBits), hdr_low(bin, subBits),
-  * url_normalize(u), url_host(u), and nb_classify(tokens, model) where
+  * url_normalize(u), url_host(u), fingerprint(text),
+  * rolling_hash(text), token_count(text), and
+  * nb_classify(tokens, model) where
   * `model` is the [[NbModel]] compact literal — so SQL-only users get
   * the same codepaths as the Scala API (q222 is the gated proof: a
   * curation query written entirely in SQL over these functions,
@@ -143,7 +145,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => viaColumn(UrlFunctions.urlNormalize)(args.head)),
     (new FunctionIdentifier("url_host"),
       new ExpressionInfo(UrlFunctions.getClass.getName, "url_host"),
-      (args: Seq[Expression]) => viaColumn(UrlFunctions.urlHost)(args.head)))
+      (args: Seq[Expression]) => viaColumn(UrlFunctions.urlHost)(args.head)),
+    (new FunctionIdentifier("fingerprint"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "fingerprint"),
+      (args: Seq[Expression]) =>
+        viaColumn(graft.analyze.TextAnalysis.fingerprint)(args.head)),
+    (new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "rolling_hash"),
+      (args: Seq[Expression]) =>
+        viaColumn(graft.analyze.TextAnalysis.rollingHash)(args.head)),
+    (new FunctionIdentifier("token_count"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "token_count"),
+      (args: Seq[Expression]) =>
+        viaColumn(graft.analyze.TextAnalysis.tokenCount)(args.head)))
 
   /** Runtime registration on a live session — for sessions the caller
     * did not build (notebooks, the driver's Verify session). Idempotent:

@@ -153,6 +153,22 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spark.sql(s"SELECT unigram_segment('window', '$um') v")
       .head.getSeq[String](0).toSeq == Seq("w", "indo", "w"))
 
+    // fingerprint / rolling_hash / token_count: parity with the Column
+    // API (the q226 pure-SQL dedup twin rides fingerprint)
+    val txt = "  Hello   WORLD  again "
+    val trio = q("fingerprint",
+      s"SELECT fingerprint('$txt') v").getString(0)
+    tested += "rolling_hash"; tested += "token_count"
+    val sqlRow = spark.sql(
+      s"SELECT rolling_hash('$txt') r, token_count('$txt') t").head
+    val colRow = Seq(txt).toDF("x").select(
+      graft.analyze.TextAnalysis.fingerprint(col("x")).as("f"),
+      graft.analyze.TextAnalysis.rollingHash(col("x")).as("r"),
+      graft.analyze.TextAnalysis.tokenCount(col("x")).as("t")).head
+    assert(trio == colRow.getAs[String]("f"))
+    assert(sqlRow.getLong(0) == colRow.getAs[Long]("r"))
+    assert(sqlRow.getInt(1) == 3 && colRow.getAs[Int]("t") == 3)
+
     // completeness: this spec exercises EVERY registered function
     val registered = graft.functions.GraftExtensions.registrations
       .map(_._1.funcName).toSet

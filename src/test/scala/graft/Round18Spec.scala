@@ -213,6 +213,112 @@ class Round18Spec extends SparkSpec {
     assert(quar.head.getAs[String]("_corrupt_record").contains("bad2"))
   }
 
+  // ---- composed streaming nightly refresh: stream ≡ batch across a
+  //      2-batch split with a forced cluster merge, replay-idempotent ----
+
+  test("NightlyRefresh: two micro-batches (one forcing a cluster merge) end in the same report as a from-scratch batch recompute; a crash-replayed epoch changes nothing") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-nref").toString
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+
+    val a1 = "alpha beta gamma delta epsilon"
+    val a2 = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six"
+    val b2 = "one two three four five six seven"
+    val bridge = s"$a1 $b"
+    // append-ordered ids: seed < batch0 < batch1 (the changelog contract)
+    val seed = Seq((1L, a1, "s1"), (2L, a2, "s1"), (3L, b, "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def line(id: Long, text: String, source: String) =
+      s"""{"doc_id":$id,"text":"$text","n_chars":${text.length},"source":"$source"}"""
+    // batch 0: a near-dup joining B's cluster + an exact copy of a1 (dies)
+    val f0 = line(101L, b2, "b0") + "\n" + line(102L, a1, "b0") + "\n"
+    // batch 1: the BRIDGE — merges the {1,2} and {3,101} clusters, so
+    // their stored agg/HDR/KMV states must collide and combine
+    val f1 = line(201L, bridge, "br") + "\n"
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("n_chars", LongType),
+      StructField("source", StringType)))
+    def startQ() = graft.streaming.NightlyRefresh.start(
+      spark.readStream.schema(schema).json(src), seed,
+      s"$root/state", s"$root/ckpt", shingleN = 3, threshold = 0.3, k = 64)
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/f0.json"), f0)
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable() // epoch 0
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/f1.json"), f1)
+      q1.processAllAvailable() // epoch 1: the forced merge
+    } finally q1.stop()
+
+    def report(): Seq[Seq[Any]] = {
+      val e = graft.streaming.NightlyRefresh.latestEpoch(spark, s"$root/state")
+      assert(e.contains(1L), s"expected epochs 0 and 1, latest = $e")
+      spark.read.parquet(s"$root/state/epoch=1/report")
+        .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toSeq
+    }
+
+    // from-scratch recompute over seed ∪ both batches, same public ops
+    val all = seed.unionByName(Seq((101L, b2, "b0"), (102L, a1, "b0"),
+        (201L, bridge, "br")).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val kept = all
+      .withColumn("fp", graft.analyze.TextAnalysis.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1).drop("rn")
+    val labels = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.ngramJaccardPairs(kept, "doc_id", "text", 3, 0.3),
+      "id_a", "id_b")
+    val lab = kept.join(labels.select(col("id").as("doc_id"),
+        col("cluster_id").as("__c")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__c"), col("doc_id")).as("cluster_id"),
+        col("n_chars"), col("source"))
+    val agg = graft.relational.Relational
+      .aggState(lab, Seq("cluster_id"), "n_chars")
+    val kmv = lab.filter(col("source").isNotNull)
+      .select(col("cluster_id"),
+        graft.analyze.KmvDistinct.md5Low64(col("source")).as("__h"))
+      .groupBy(col("cluster_id"))
+      .agg(graft.analyze.KmvDistinct.stateUdaf(64)(col("__h")).as("state"))
+    val expected = agg.select(col("cluster_id"), col("n").as("n_docs"),
+        col("sum_v").cast("long").as("sum_chars"),
+        col("min_v").as("min_chars"), col("max_v").as("max_chars"))
+      .join(graft.analyze.Hdr.hdrQuantiles(
+          graft.analyze.Hdr.hdrState(lab, "cluster_id", "n_chars"),
+          "cluster_id", Seq(50))
+        .select(col("cluster_id"), col("bin").as("p50_bin"),
+          col("q_low").as("p50_low")), Seq("cluster_id"))
+      .join(kmv.select(col("cluster_id"),
+        size(col("state")).cast("long").as("n_src_sketch"),
+        element_at(col("state"), -1).as("src_kth_min")), Seq("cluster_id"))
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toSeq
+
+    val got = report()
+    assert(got == expected, s"stream $got != batch recompute $expected")
+    // the bridge really merged everything surviving into ONE cluster
+    assert(got.length == 1 && got.head.head == 1L, got.toString)
+    assert(got.head(1) == 5L, s"expected 5 surviving docs: $got")
+
+    // crash-replay epoch 1: delete its commit marker and restart — the
+    // replay re-reads epoch 0 and overwrites epoch 1; nothing changes
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.streams.active.isEmpty, "first query never deregistered")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/ckpt/commits/1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/ckpt/commits/.1.crc"))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(report() == expected, "replayed epoch diverged from the batch recompute")
+  }
+
   // ---- unigram seeding: rare singles enter the seed vocab ----
 
   test("unigramTrainWithStats: a rare single character outside the top-4x substrings still enters the vocab") {

@@ -60,6 +60,72 @@ object UnigramProbe {
         val (tS, rS) = run(out, 64)
         val (tV, _) = run(base, 256)
         println(f"""{"query":"unigram_train(probe)","t1":$t1%.2f,"t$scale":$tS%.2f,"ratio":${tS / t1}%.2f,"exponent":${math.log(tS / t1) / math.log(scale.toDouble)}%.2f,"t_vocab4x":$tV%.2f,"vocab_ratio":${tV / t1}%.2f,"round_costs_1":"${r1.mkString(",")}","round_costs_S":"${rS.mkString(",")}"}""")
+      case "vocab" =>
+        // REALISTIC-VOCAB measurement (VERDICT r17 task 5): training at
+        // SentencePiece-scale vocabularies (1k / 4k / 8k) over the 1×
+        // derivative corpus, maxPieceLen 6 (8k distinct ≤4-char pieces
+        // barely exist; realistic vocabs carry longer pieces). Per size:
+        // total wall, the SEEDING stage alone (substring explode +
+        // top-4×vocab collect — the candidate cap is the knob if this
+        // dominates), and the per-round Viterbi costs (monotonicity at
+        // scale). The E-step runs over distinct words regardless of
+        // vocab; what grows with vocab is the model riding the
+        // expression (piece trie + cost map literals).
+        import org.apache.spark.sql.functions._
+        val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        // the scale-mode marker perturbation: the raw synthetic corpus
+        // has a tiny distinct-word pool (training collapses to ~32
+        // pieces); the per-position hash markers give the distinct-word
+        // mass a real corpus has, which is what vocab growth feeds on
+        def writeDerivative(dir: String): Unit =
+          Tables.load(spark, sf, "documents")
+            .select(col("doc_id"),
+              array_join(transform(split(col("text"), " "),
+                (w, i) => when(i % 3 === 2,
+                  concat(w, lit(" zq"),
+                    abs(xxhash64(col("doc_id"), i)).cast("string")))
+                  .otherwise(w)), " ").as("text"))
+            .write.mode("overwrite").parquet(s"file:$dir/documents.parquet")
+        val base = "/tmp/graft_unigram_vocab1"
+        writeDerivative(base)
+        val docs = spark.read.parquet(s"$base/documents.parquet")
+        val maxLen = 6
+        def seedWall(vs: Int): Double = {
+          // the trainer's seeding stage, replicated stand-alone so its
+          // share of the wall is measurable without instrumenting the
+          // trainer itself
+          val t0 = System.nanoTime()
+          val words = docs
+            .select(explode(graft.analyze.TextAnalysis
+              .tokens(lower(col("text")))).as("w"))
+            .filter(length(col("w")) > 0)
+            .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          val pc = words.select(col("cnt"), explode(flatten(
+              transform(sequence(lit(1), length(col("w"))), i =>
+                transform(sequence(lit(1),
+                    least(lit(maxLen), length(col("w")) - i + 1)),
+                  l => col("w").substr(i, l))))).as("p"))
+            .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+          val n = pc.orderBy(col("n").desc, col("p").asc)
+            .limit(vs * 4).collect().length
+          require(n > 0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def run(vs: Int): (Double, Seq[Long], Int) = {
+          val t0 = System.nanoTime()
+          val (vocab, rc) = graft.analyze.TextAnalysis
+            .unigramTrainWithStats(docs, "text", vocabSize = vs,
+              maxPieceLen = maxLen, emRounds = 4)
+          ((System.nanoTime() - t0) / 1e9, rc, vocab.size)
+        }
+        run(64) // warm-up, discarded
+        Seq(1000, 4096, 8192).foreach { vs =>
+          val (w, rc, attained) = run(vs)
+          val sw = seedWall(vs)
+          val mono = rc.sliding(2).forall {
+            case Seq(a, b) => b <= a; case _ => true }
+          println(f"""{"query":"unigram_vocab(probe)","vocab":$vs,"attained":$attained,"wall":$w%.2f,"seed_wall":$sw%.2f,"seed_share":${sw / w}%.2f,"monotone":$mono,"round_costs":"${rc.mkString(",")}"}""")
+        }
     }
     spark.stop()
   }

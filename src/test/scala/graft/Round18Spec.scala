@@ -319,6 +319,57 @@ class Round18Spec extends SparkSpec {
     assert(report() == expected, "replayed epoch diverged from the batch recompute")
   }
 
+  test("NightlyRefresh: a third epoch re-keys states through a root that was ITSELF produced by an earlier incremental merge") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-nref3").toString
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+    val a = "alpha beta gamma delta epsilon"
+    val b = "one two three four five six"
+    val c = "red green blue cyan magenta yellow"
+    val seed = Seq((1L, a, "s"), (2L, b, "s"), (3L, c, "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def line(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","n_chars":${text.length},"source":"d"}"""
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("n_chars", LongType),
+      StructField("source", StringType)))
+    val q = graft.streaming.NightlyRefresh.start(
+      spark.readStream.schema(schema).json(src), seed,
+      s"$root/state", s"$root/ckpt")
+    try {
+      // epoch 0: near-dup of A → {1, 101}
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/f0.json"), line(101L, s"$a zeta") + "\n")
+      q.processAllAvailable()
+      // epoch 1: bridge A–B → merge {1,101} with {2} under root 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/f1.json"), line(201L, s"$a $b") + "\n")
+      q.processAllAvailable()
+      // epoch 2: bridge B–C — B's state rows are keyed by root 1, a
+      // label minted by epoch 1's incrementalComponents, and C's by 3;
+      // the rekey must route BOTH into the union's min root
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/f2.json"), line(301L, s"$b $c") + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.streaming.NightlyRefresh
+      .latestEpoch(spark, s"$root/state").contains(2L))
+    val rep = spark.read.parquet(s"$root/state/epoch=2/report").collect()
+    assert(rep.length == 1, s"expected ONE merged cluster: ${rep.toSeq}")
+    val r = rep.head
+    assert(r.getAs[Long]("cluster_id") == 1L)
+    assert(r.getAs[Long]("n_docs") == 6L, r.toString)
+    // exact decomposable aggregates across the three merges
+    val lens = Seq(a, s"$a zeta", b, s"$a $b", c, s"$b $c").map(_.length.toLong)
+    assert(r.getAs[Long]("sum_chars") == lens.sum, r.toString)
+    assert(r.getAs[Long]("min_chars") == lens.min)
+    assert(r.getAs[Long]("max_chars") == lens.max)
+    // KMV distinct sources: s, d
+    assert(r.getAs[Long]("n_src_sketch") == 2L, r.toString)
+  }
+
   // ---- unigram seeding: rare singles enter the seed vocab ----
 
   test("unigramTrainWithStats: a rare single character outside the top-4x substrings still enters the vocab") {

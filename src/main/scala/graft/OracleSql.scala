@@ -6446,6 +6446,9 @@ FROM s GROUP BY 1 ORDER BY 1"""
     // SQL-surface twin #2: q82's incremental-dedup family through the
     // registered `fingerprint` kernel — same operator, same oracle
     "q226_sql_incremental" -> q82,
+    // SQL-surface twin #3: q29's quality-profile family through the
+    // registered curation kernels — same operator, same oracle
+    "q227_sql_quality" -> q29,
     "q223_unigram_segment" -> q223,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }

@@ -3040,6 +3040,23 @@ object SparkEntry {
       ORDER BY doc_id""")
   }
 
+  private def q227_sql_quality(s: SparkSession, dir: String): DataFrame = {
+    // Third PURE-SQL family twin: the q29 text-quality profile through
+    // the registered curation kernels (stopword_ratio / punct_ratio /
+    // mean_word_length / quality_score) — the corpus-curation family a
+    // SQL-only consumer runs daily, gated on q29's own oracle.
+    graft.functions.GraftExtensions.registerAll(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+    s.sql("""
+      SELECT doc_id,
+        stopword_ratio(text) AS stopword_ratio,
+        punct_ratio(text) AS punct_ratio,
+        mean_word_length(text) AS mean_word_len,
+        quality_score(text) AS quality
+      FROM graft_documents
+      ORDER BY doc_id""")
+  }
+
   private def q223_unigram_segment(s: SparkSession, dir: String): DataFrame = {
     // Unigram-LM (SentencePiece-style) segmentation with a FROZEN
     // vocabulary (UnigramFixture — Viterbi-EM-trained once on
@@ -3745,6 +3762,7 @@ object SparkEntry {
     "q224_quarantine_gate" -> (q224_quarantine_gate _),
     "q225_dirty_nightly" -> (q225_dirty_nightly _),
     "q226_sql_incremental" -> (q226_sql_incremental _),
+    "q227_sql_quality" -> (q227_sql_quality _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

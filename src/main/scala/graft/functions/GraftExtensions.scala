@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * deletion_neighborhood(s, maxDeletes), nfc_normalize(s),
   * strip_accents(s), hdr_bin(v, subBits), hdr_low(bin, subBits),
   * url_normalize(u), url_host(u), fingerprint(text),
-  * rolling_hash(text), token_count(text), and
-  * nb_classify(tokens, model) where
+  * rolling_hash(text), token_count(text), stopword_ratio(text),
+  * punct_ratio(text), mean_word_length(text), quality_score(text),
+  * lang_id(text), and nb_classify(tokens, model) where
   * `model` is the [[NbModel]] compact literal — so SQL-only users get
   * the same codepaths as the Scala API (q222 is the gated proof: a
   * curation query written entirely in SQL over these functions,
@@ -160,7 +161,32 @@ object GraftExtensions {
       new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
         "token_count"),
       (args: Seq[Expression]) =>
-        viaColumn(graft.analyze.TextAnalysis.tokenCount)(args.head)))
+        viaColumn(graft.analyze.TextAnalysis.tokenCount)(args.head)),
+    (new FunctionIdentifier("stopword_ratio"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "stopword_ratio"),
+      (args: Seq[Expression]) =>
+        viaColumn(c => graft.analyze.TextAnalysis.stopwordRatio(c))(args.head)),
+    (new FunctionIdentifier("punct_ratio"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "punct_ratio"),
+      (args: Seq[Expression]) =>
+        viaColumn(graft.analyze.TextAnalysis.punctRatio)(args.head)),
+    (new FunctionIdentifier("mean_word_length"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "mean_word_length"),
+      (args: Seq[Expression]) =>
+        viaColumn(graft.analyze.TextAnalysis.meanWordLength)(args.head)),
+    (new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "quality_score"),
+      (args: Seq[Expression]) =>
+        viaColumn(graft.analyze.TextAnalysis.qualityScore)(args.head)),
+    (new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(graft.analyze.TextAnalysis.getClass.getName,
+        "lang_id"),
+      (args: Seq[Expression]) =>
+        viaColumn(graft.analyze.TextAnalysis.langIdHeuristic)(args.head)))
 
   /** Runtime registration on a live session — for sessions the caller
     * did not build (notebooks, the driver's Verify session). Idempotent:

@@ -169,6 +169,26 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sqlRow.getLong(0) == colRow.getAs[Long]("r"))
     assert(sqlRow.getInt(1) == 3 && colRow.getAs[Int]("t") == 3)
 
+    // curation kernels: parity with the Column API (q227's family)
+    val prose = "The quick brown fox, and the lazy dog. It is fine."
+    Seq("stopword_ratio", "punct_ratio", "mean_word_length",
+      "quality_score", "lang_id").foreach(tested += _)
+    val curSql = spark.sql(
+      s"""SELECT stopword_ratio('$prose') sw, punct_ratio('$prose') pr,
+          mean_word_length('$prose') mwl, quality_score('$prose') q,
+          lang_id('$prose') l""").head
+    val curCol = Seq(prose).toDF("x").select(
+      graft.analyze.TextAnalysis.stopwordRatio(col("x")).as("sw"),
+      graft.analyze.TextAnalysis.punctRatio(col("x")).as("pr"),
+      graft.analyze.TextAnalysis.meanWordLength(col("x")).as("mwl"),
+      graft.analyze.TextAnalysis.qualityScore(col("x")).as("q"),
+      graft.analyze.TextAnalysis.langIdHeuristic(col("x")).as("l")).head
+    Seq("sw", "pr", "mwl", "q").foreach { f =>
+      assert(curSql.getAs[Double](f) == curCol.getAs[Double](f), f)
+    }
+    assert(curSql.getAs[String]("l") == "en" &&
+      curCol.getAs[String]("l") == "en")
+
     // completeness: this spec exercises EVERY registered function
     val registered = graft.functions.GraftExtensions.registrations
       .map(_._1.funcName).toSet

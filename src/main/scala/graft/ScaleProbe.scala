@@ -28,7 +28,7 @@ object ScaleProbe {
     "q40_minhash_neardups", "q41_simhash_neardups", "q42_ngram_jaccard",
     "q53_corpus_prep", "q63_neardup_clusters", "q70_cluster_survivors",
     "q92_dedup_agreement", "q217_containment_pairs",
-    "q221_nightly_composite", "q223_unigram_segment",
+    "q221_nightly_composite", "q225_dirty_nightly", "q223_unigram_segment",
     // ANN family: the vec_id < 8 filter keeps the query COUNT at 8 at
     // every scale (at high replication those are near-identical replicas
     // of the lowest originals — fine for timing); corpus grows scale×

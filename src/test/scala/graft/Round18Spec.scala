@@ -370,6 +370,112 @@ class Round18Spec extends SparkSpec {
     assert(r.getAs[Long]("n_src_sketch") == 2L, r.toString)
   }
 
+  test("NightlyRefresh property: randomized corpora and epoch splits — stream ≡ from-scratch recompute (3 seeds)") {
+    import org.apache.spark.sql.types._
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "one", "two", "three", "four", "five", "six", "red", "green", "blue",
+      "cyan", "apple", "pear", "plum", "kiwi", "north", "south", "east",
+      "west", "stone", "river", "cloud", "ember", "frost", "grove")
+
+    def recompute(all: org.apache.spark.sql.DataFrame): Seq[Vector[Any]] = {
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val kept = all
+        .withColumn("fp", graft.analyze.TextAnalysis.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1).drop("rn")
+      val labels = graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.ngramJaccardPairs(kept, "doc_id", "text", 3, 0.3),
+        "id_a", "id_b")
+      val lab = kept.join(labels.select(col("id").as("doc_id"),
+          col("cluster_id").as("__c")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__c"), col("doc_id")).as("cluster_id"),
+          col("n_chars"), col("source"))
+      val agg = graft.relational.Relational
+        .aggState(lab, Seq("cluster_id"), "n_chars")
+      val kmv = lab.filter(col("source").isNotNull)
+        .select(col("cluster_id"),
+          graft.analyze.KmvDistinct.md5Low64(col("source")).as("__h"))
+        .groupBy(col("cluster_id"))
+        .agg(graft.analyze.KmvDistinct.stateUdaf(64)(col("__h")).as("state"))
+      agg.select(col("cluster_id"), col("n").as("n_docs"),
+          col("sum_v").cast("long").as("sum_chars"),
+          col("min_v").as("min_chars"), col("max_v").as("max_chars"))
+        .join(graft.analyze.Hdr.hdrQuantiles(
+            graft.analyze.Hdr.hdrState(lab, "cluster_id", "n_chars"),
+            "cluster_id", Seq(50))
+          .select(col("cluster_id"), col("bin").as("p50_bin"),
+            col("q_low").as("p50_low")), Seq("cluster_id"))
+        .join(kmv.select(col("cluster_id"),
+          size(col("state")).cast("long").as("n_src_sketch"),
+          element_at(col("state"), -1).as("src_kth_min")), Seq("cluster_id"))
+        .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toSeq
+    }
+
+    Seq(7L, 23L, 99L).foreach { sd =>
+      val rnd = new scala.util.Random(sd)
+      def freshDoc() = Seq.fill(4 + rnd.nextInt(5))(
+        pool(rnd.nextInt(pool.size))).mkString(" ")
+      val seedTexts = Vector.fill(25)(freshDoc())
+      // batches mix fresh docs, exact copies (die in stage 1), and
+      // near-dup mutants (survive, join clusters) of anything earlier
+      var seen = seedTexts
+      def batchTexts(m: Int): Vector[String] = Vector.fill(m) {
+        val t = rnd.nextInt(10) match {
+          case 0 | 1 | 2   => seen(rnd.nextInt(seen.size)) // exact copy
+          case 3 | 4 | 5   => seen(rnd.nextInt(seen.size)) + " " +
+            pool(rnd.nextInt(pool.size)) // near-dup mutant
+          case _           => freshDoc()
+        }
+        seen = seen :+ t; t
+      }
+      val b0 = batchTexts(8); val b1 = batchTexts(8)
+
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-nrefp$sd").toString
+      val src = s"$root/src"
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+      val seedDf = seedTexts.zipWithIndex
+        .map { case (t, i) => (i + 1L, t, s"s${i % 3}") }
+        .toDF("doc_id", "text", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      def jl(id: Long, t: String, srcTag: String) =
+        s"""{"doc_id":$id,"text":"$t","n_chars":${t.length},"source":"$srcTag"}"""
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("n_chars", LongType),
+        StructField("source", StringType)))
+      val q = graft.streaming.NightlyRefresh.start(
+        spark.readStream.schema(schema).json(src), seedDf,
+        s"$root/state", s"$root/ckpt")
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$src/f0.json"),
+          b0.zipWithIndex.map { case (t, i) => jl(101L + i, t, "b0") }
+            .mkString("", "\n", "\n"))
+        q.processAllAvailable()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$src/f1.json"),
+          b1.zipWithIndex.map { case (t, i) => jl(201L + i, t, "b1") }
+            .mkString("", "\n", "\n"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val e = graft.streaming.NightlyRefresh.latestEpoch(spark, s"$root/state")
+      assert(e.contains(1L), s"seed $sd: latest epoch $e")
+      val got = spark.read.parquet(s"$root/state/epoch=1/report")
+        .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toSeq
+      val all = seedDf.unionByName(
+        (b0.zipWithIndex.map { case (t, i) => (101L + i, t, "b0") } ++
+          b1.zipWithIndex.map { case (t, i) => (201L + i, t, "b1") })
+          .toDF("doc_id", "text", "source")
+          .withColumn("n_chars", length(col("text")).cast("long")))
+      val expected = recompute(all)
+      assert(got == expected,
+        s"seed $sd: stream diverged from recompute\n got=$got\n exp=$expected")
+    }
+  }
+
   // ---- unigram seeding: rare singles enter the seed vocab ----
 
   test("unigramTrainWithStats: a rare single character outside the top-4x substrings still enters the vocab") {

@@ -79,9 +79,27 @@ object NightlyRefreshProbe {
         val tSteady = time(q.processAllAvailable())
         val e = graft.streaming.NightlyRefresh.latestEpoch(spark, s"$root/state")
           .getOrElse(sys.error("no epoch written"))
-        def rows(t: String) =
-          spark.read.parquet(s"$root/state/epoch=$e/$t").count()
-        println(f"""{"query":"nightly_refresh(probe)","corpus":$n,"batch":${b1.count()},"seed_wall":$tSeed%.2f,"steady_wall":$tSteady%.2f,"docs_rows":${rows("docs")},"labels_rows":${rows("labels")},"agg_rows":${rows("agg")}}""")
+        import graft.streaming.NightlyRefresh
+        val docs = NightlyRefresh.currentDocs(spark, s"$root/state").count()
+        val labels = NightlyRefresh.currentLabels(spark, s"$root/state").count()
+        val agg = NightlyRefresh
+          .currentState(spark, s"$root/state", "agg").count()
+        // bytes written per epoch: the append-only contract says the
+        // STEADY epoch's directory is delta-sized, not corpus-sized
+        def dirBytes(p: String): Long = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(hp)) 0L
+          else {
+            val it = fs.listFiles(hp, true)
+            var total = 0L
+            while (it.hasNext) total += it.next().getLen
+            total
+          }
+        }
+        val seedBytes = dirBytes(s"$root/state/epoch=0")
+        val steadyBytes = dirBytes(s"$root/state/epoch=$e")
+        println(f"""{"query":"nightly_refresh(probe)","corpus":$n,"batch":${b1.count()},"seed_wall":$tSeed%.2f,"steady_wall":$tSteady%.2f,"seed_bytes":$seedBytes,"steady_bytes":$steadyBytes,"docs_rows":$docs,"labels_rows":$labels,"agg_rows":$agg}""")
       } finally q.stop()
     }
     spark.stop()

@@ -6443,12 +6443,18 @@ FROM s GROUP BY 1 ORDER BY 1"""
     // SQL-surface twin: same operator, same oracle (q41's) — the gate
     // proves the registered-function path hash-matches the Scala API
     "q222_sql_twin" -> q41,
+    // the composed STREAM over q221's corpus must land exactly where the
+    // batch chain and the from-scratch recompute land — same oracle
+    "q228_streaming_refresh" -> q221,
     // SQL-surface twin #2: q82's incremental-dedup family through the
     // registered `fingerprint` kernel — same operator, same oracle
     "q226_sql_incremental" -> q82,
     // SQL-surface twin #3: q29's quality-profile family through the
     // registered curation kernels — same operator, same oracle
     "q227_sql_quality" -> q29,
+    // SQL-surface twin #4: q48's IVF top-k through the registered ANN
+    // kernels (IvfModel centroid literal) — same operator, same oracle
+    "q229_sql_ann" -> q48,
     "q223_unigram_segment" -> q223,
     "q64_bigram_topk" -> q64,
   ).map { case (k, v) => k -> v.trim }

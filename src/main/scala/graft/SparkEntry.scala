@@ -2859,9 +2859,20 @@ object SparkEntry {
     // fingerprint (the archive was ingested first), then lowest id.
     val real = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+    val docs = real.unionByName(q221Bridges(real)).unionByName(q221Copies(real))
+      .withColumn("fp", TA.fingerprint(col("text")))
+    nightlyCompositeChain(docs)
+  }
+
+  /** q221's BRIDGE fixture over the real documents (doc_id 1e6+k, text =
+    * two n_chars-adjacent %11=3 docs' normalized texts joined by one
+    * space — near-dups BOTH endpoints, so each bridge merges their
+    * stored clusters). Shared by q221, q225 (as json landing lines) and
+    * q228 (as the second streaming epoch). */
+  private def q221Bridges(real: DataFrame): DataFrame = {
     val ntext = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val wSz = Window.orderBy(col("n_chars"), col("doc_id"))
-    val bridges = real.filter(pmod(col("doc_id"), lit(11)) === 3)
+    real.filter(pmod(col("doc_id"), lit(11)) === 3)
       .select(col("doc_id"), ntext.as("ntext"), col("n_chars"))
       .withColumn("rn", row_number().over(wSz))
       .withColumn("k", ((col("rn") + 1) / 2).cast("long"))
@@ -2874,12 +2885,48 @@ object SparkEntry {
         concat(col("t1"), lit(" "), col("t2")).as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("source", lit("bridge"))
-    val copies = real.filter(pmod(col("doc_id"), lit(7)) === 0)
+  }
+
+  /** q221's exact-COPY fixture (doc_id 2e6+d for d %7 = 0, text
+    * verbatim — stage-1 exact-dedup fodder). */
+  private def q221Copies(real: DataFrame): DataFrame =
+    real.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
         col("n_chars"), col("source"))
-    val docs = real.unionByName(bridges).unionByName(copies)
-      .withColumn("fp", TA.fingerprint(col("text")))
-    nightlyCompositeChain(docs)
+
+  private def q228_streaming_refresh(s: SparkSession, dir: String): DataFrame = {
+    // The COMPOSED STREAM under the driver's oracle gate (the q225
+    // discipline applied to CONTINUOUS ingest): q221's corpus driven
+    // through graft.streaming.NightlyRefresh — the production bucketed
+    // append-only state layout — as two REAL micro-batch epochs
+    // (epoch 0: seed ∪ exact copies, which die in stage 1 and init the
+    // stored state; epoch 1: the bridge docs, whose pairs MERGE stored
+    // clusters so every state family re-keys across the epoch
+    // boundary), then the CURRENT report resolved from the epoch-keyed
+    // delta snapshots (latest-epoch-wins + tombstones). The oracle is
+    // q221's from-scratch recompute: stream ≡ batch ≡ oracle, with the
+    // foreachBatch path — epoch discovery via commit markers, gram-
+    // bucket-pruned candidate join, affected-component label refresh,
+    // state re-key, merge-on-read resolution — all under the hash gate,
+    // not just ScalaTest. Unique temp state root per invocation (the
+    // writeCompacted discipline); the stream runs synchronously and
+    // stops before the report is read.
+    val real = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q228_").toString
+    val src = s"$tmp/src"
+    q221Copies(real).write.mode("overwrite").parquet(s"$src/f0")
+    val st = s"$tmp/state"
+    val q = graft.streaming.NightlyRefresh.start(
+      s.readStream.schema(real.schema).parquet(s"$src/*"),
+      real, st, s"$tmp/ckpt")
+    try {
+      q.processAllAvailable() // epoch 0: seed init ∪ copies
+      q221Bridges(real).write.mode("overwrite").parquet(s"$src/f1")
+      q.processAllAvailable() // epoch 1: bridges force cross-epoch merges
+    } finally q.stop()
+    graft.streaming.NightlyRefresh.currentReport(s, st)
+      .orderBy("cluster_id")
   }
 
   /** The q221/q225 incremental refresh chain over a corpus of
@@ -3055,6 +3102,57 @@ object SparkEntry {
         quality_score(text) AS quality
       FROM graft_documents
       ORDER BY doc_id""")
+  }
+
+  private def q229_sql_ann(s: SparkSession, dir: String): DataFrame = {
+    // Fourth PURE-SQL family twin: the ANN stack. q48's IVF top-k
+    // re-written entirely as spark.sql over a temp view + the
+    // registered ANN kernels — the centroid matrix travels as the
+    // IvfModel compact string literal (the nb_classify model-literal
+    // discipline: a SQL-only consumer pastes a trained index into the
+    // query text; the parsed literal satisfies the kernels'
+    // row-constant contract by construction). The Scala wrapper only
+    // performs buildSampled's own metadata-sized centroid collect (the
+    // nlist lowest-id vectors ARE the index) and interpolates the
+    // literal; everything else — assignment, probe selection,
+    // exact-decimal cosine, per-query rank — is SQL. Gated against
+    // q48's own oracle: the SQL surface must hash-match the Scala API.
+    graft.functions.GraftExtensions.registerAll(s)
+    val emb = t(s, dir, "embeddings")
+    emb.createOrReplaceTempView("graft_embeddings")
+    val centroids = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(16).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val model = graft.functions.IvfModel.serialize(centroids)
+    s.sql(s"""
+      WITH assigned AS (
+        SELECT vec_id AS id, embedding AS vec,
+               ivf_assign(embedding, '$model') AS cell,
+               dot_exact(embedding, embedding) AS n2
+        FROM graft_embeddings),
+      queries AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               dot_exact(embedding, embedding) AS qn2
+        FROM graft_embeddings WHERE vec_id < 8),
+      probes AS (
+        SELECT query_id, explode(ivf_probes(qv, '$model', 4)) AS cell
+        FROM queries),
+      cand AS (
+        SELECT q.query_id, a.id,
+               CASE WHEN sqrt(q.qn2) * sqrt(a.n2) > 0
+                    THEN dot_exact(q.qv, a.vec) / (sqrt(q.qn2) * sqrt(a.n2))
+                    ELSE 0.0 END AS cos
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN queries q ON q.query_id = p.query_id
+        WHERE a.id <> q.query_id)
+      SELECT query_id, id AS neighbor_id, cos, rank
+      FROM (SELECT query_id, id, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, id ASC) AS rank
+            FROM cand)
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")
   }
 
   private def q223_unigram_segment(s: SparkSession, dir: String): DataFrame = {
@@ -3763,6 +3861,8 @@ object SparkEntry {
     "q225_dirty_nightly" -> (q225_dirty_nightly _),
     "q226_sql_incremental" -> (q226_sql_incremental _),
     "q227_sql_quality" -> (q227_sql_quality _),
+    "q228_streaming_refresh" -> (q228_streaming_refresh _),
+    "q229_sql_ann" -> (q229_sql_ann _),
     "q206_matched_market" -> (q206_matched_market _),
     "q207_segment_migration" -> (q207_segment_migration _),
     "q208_language_mixing" -> (q208_language_mixing _),

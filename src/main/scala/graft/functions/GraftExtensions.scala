@@ -27,10 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `model` is the [[NbModel]] compact literal — so SQL-only users get
   * the same codepaths as the Scala API (q222 is the gated proof: a
   * curation query written entirely in SQL over these functions,
-  * hash-matching q41's oracle). The IVF and Bloom kernels are
-  * deliberately NOT registered: their second child must be
-  * row-constant (a broadcast relation column), a contract SQL cannot
-  * enforce. */
+  * hash-matching q41's oracle). The ANN kernels ride the same
+  * model-literal discipline: ivf_assign(vec, model) and
+  * ivf_probes(vec, model, nprobe) take the [[IvfModel]] compact
+  * centroid literal — a parsed literal satisfies the row-constant
+  * contract the kernels require by construction (q229 gates the whole
+  * SQL IVF search against q48's oracle). The Bloom kernel stays
+  * unregistered: its sketch is a runtime binary relation, not a
+  * carryable literal. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.registrations.foreach(ext.injectFunction)
@@ -133,6 +137,15 @@ object GraftExtensions {
           UnigramModel.parse(strArg(args(1), "unigram_segment"))
         UnigramSegmentExpr(args.head, pieces, costs, unk, maxLen)
       }),
+    (new FunctionIdentifier("ivf_assign"),
+      new ExpressionInfo(classOf[IvfAssignExpr].getName, "ivf_assign"),
+      (args: Seq[Expression]) => IvfAssignExpr(args.head,
+        IvfModel.literal(strArg(args(1), "ivf_assign")))),
+    (new FunctionIdentifier("ivf_probes"),
+      new ExpressionInfo(classOf[IvfProbesExpr].getName, "ivf_probes"),
+      (args: Seq[Expression]) => IvfProbesExpr(args.head,
+        IvfModel.literal(strArg(args(1), "ivf_probes")),
+        intArg(args(2), "ivf_probes"))),
     (new FunctionIdentifier("hdr_bin"),
       new ExpressionInfo(graft.analyze.Hdr.getClass.getName, "hdr_bin"),
       (args: Seq[Expression]) => viaColumn(

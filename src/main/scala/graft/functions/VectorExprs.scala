@@ -445,6 +445,46 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Compact literal form of an IVF centroid matrix, so SQL-only
+  * consumers can carry a trained index into `ivf_assign(vec, model)` /
+  * `ivf_probes(vec, model, nprobe)` as ONE string literal — the
+  * nb_classify model-literal discipline applied to the ANN stack (a SQL
+  * surface cannot pass a broadcast relation column; a parsed literal
+  * satisfies the row-constant contract by construction — the Scala API
+  * keeps the 1-row broadcast relation, which stays the right form for
+  * plan-compare-heavy pipelines). `Double.toString` round-trips
+  * bit-exactly through `toDouble`, so the parsed matrix IS the built
+  * one (spec-gated; q229 gates the whole SQL search against q48's
+  * oracle). Format: `dim=<d>|v1,v2,...|v1,v2,...` — one `|`-separated
+  * segment per centroid. */
+object IvfModel {
+  def serialize(centroids: Array[Array[Double]]): String = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids.head.length
+    centroids.foreach(c => require(c.length == dim,
+      s"ragged centroid matrix: ${c.length} != $dim"))
+    (s"dim=$dim" +: centroids.toSeq.map(_.mkString(","))).mkString("|")
+  }
+
+  def parse(s: String): Array[Array[Double]] = {
+    val segs = s.split('|')
+    require(segs.length >= 2 && segs.head.startsWith("dim="),
+      "ivf model must be dim=<d>|v1,v2,...|...")
+    val dim = segs.head.stripPrefix("dim=").toInt
+    val m = segs.tail.map(_.split(',').map(_.toDouble))
+    m.foreach(c => require(c.length == dim,
+      s"centroid dim ${c.length} != declared $dim"))
+    m
+  }
+
+  /** The parsed matrix as a Catalyst literal (array<array<double>>). */
+  def literal(s: String): Expression =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      parse(s).map(_.toSeq).toSeq,
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false))
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
   def dotExact(a: Column, b: Column): Column =

@@ -15,44 +15,154 @@ import graft.source.FsOps
   * the survivor fingerprints, near-dup pair detection touching the
   * batch, incremental connected-components label refresh, and the
   * agg / HDR / KMV state re-key + merge (merged clusters COLLIDE and
-  * their states combine) — then snapshots every state table under an
-  * EPOCH-KEYED directory (the egressStreamToPath discipline).
+  * their states combine) — then writes ONLY the epoch's DELTA under an
+  * epoch-keyed directory.
   *
-  * Replay idempotency is structural, not dedup-assisted: epoch `e`
-  * reads its inputs from the newest `epoch=<k < e>` snapshot and
-  * OVERWRITES `epoch=<e>` — a crash-replayed micro-batch re-reads the
-  * same untouched predecessor and rewrites exactly its own directory,
-  * so the state lineage is identical whether the epoch ran once or
-  * five times. Readers consume the newest epoch that the streaming
-  * checkpoint has committed.
+  * == State layout: bucketed, append-only (the 100 TB posture) ==
+  *
+  * Every epoch writes a DELTA-SIZED directory `epoch=<e>/` and never
+  * rewrites history (r18's full-snapshot rewrite was the one
+  * self-flagged scale gap in shipped code — write amplification
+  * proportional to the corpus per epoch):
+  *
+  *   - `docs/`    the epoch's newly-SURVIVING documents, with their
+  *                fingerprint and (sorted, distinct) shingle-hash set —
+  *                shingled ONCE at ingest, never re-shingled. The
+  *                current corpus is the plain union across epochs
+  *                (append-only: docs are never superseded).
+  *   - `grams/bkt=<b>/`  the PREFIX-gram posting list of the epoch's
+  *                survivors, hash-bucketed by gram (`pmod(g, buckets)`).
+  *                The prefix is the first |sh|−⌈t·|sh|⌉+1 hashes under
+  *                GRAM-HASH-ascending order — a total order that never
+  *                changes as the corpus grows (a df-rarity order, the
+  *                batch optimization `Dedup.ngramJaccardPairs` uses,
+  *                would re-rank history on every ingest). Both-sided
+  *                prefix filtering under one global order is exact:
+  *                J(A,B) ≥ t ⇒ |A∩B| ≥ max(⌈t|A|⌉,⌈t|B|⌉) = o, and two
+  *                prefixes of length |X|−o+1 under the same order must
+  *                share the smallest common element. The candidate join
+  *                therefore reads ONLY the partitions whose bucket
+  *                appears in the delta's gram set — directory-level
+  *                pruning against the archive.
+  *   - `labels/`  CHANGED rows only: (id, cluster_id) for new docs and
+  *                for archive docs whose component merged. Ids never
+  *                disappear, so the current mapping is latest-epoch-wins
+  *                per id, no tombstones.
+  *   - `agg/ hdr/ kmv/ report/`  state rows for clusters TOUCHED by the
+  *                epoch (new, merged-into, or batch-extended), plus
+  *                TOMBSTONES (`__del = true`) for roots that merged away.
+  *                Current state = latest-epoch-wins per cluster, dead
+  *                keys dropped.
+  *
+  * A `_COMMITTED` marker is the LAST file written in an epoch; every
+  * reader (and [[latestEpoch]]) filters on it, so a crash mid-epoch can
+  * never expose a torn snapshot (ADVICE r18). Replay idempotency stays
+  * structural: epoch `e` reads only committed epochs `< e` and
+  * overwrites exactly `epoch=<e>` — the lineage is identical whether
+  * the epoch ran once or five times.
   *
   * Contract (the changelog convention): doc ids are append-ordered —
   * a batch's ids exceed every id already in the corpus — so
   * keep-lowest-id-per-fingerprint equals keep-first-arrival and the
   * stream's output matches a from-scratch batch recompute over the
-  * union (Round18Spec pins the equality across a forced cluster
-  * merge).
+  * union (Round18Spec pins the equality across forced cluster merges;
+  * q228 puts the composed stream itself under the driver's oracle gate
+  * against q221's from-scratch recompute).
   *
-  * Scale notes: the per-epoch heavyweight piece is candidate pair
-  * detection against the survivor corpus — the same cost the nightly
-  * batch pays, here amortized per micro-batch; the states stay
-  * cluster-sized and the label refresh touches only the delta's
-  * components (star edges ∪ delta, never the archive's edge set). The
-  * survivor corpus snapshot is the one state that grows with the
-  * corpus; at 100 TB it lives bucketed by fingerprint/shingle-block
-  * and epochs append rather than rewrite — the rewrite here keeps the
-  * local fixture simple, flagged as the production delta. */
+  * Scale notes, per epoch at a delta of d docs over a corpus of N:
+  * shingling is O(d) (once per doc, at ingest); the candidate join
+  * shuffles delta prefix grams against the PRUNED archive buckets (the
+  * only stage whose reads grow with the archive's posting list — and
+  * those are 24-byte (g, id, sz) rows, never text); the exact-Jaccard
+  * verify joins candidate ids against the stored shingle sets through a
+  * broadcast semi-filter, so only candidates' arrays shuffle; the label
+  * refresh runs CC over the AFFECTED components only (their star edges
+  * ∪ the delta's pairs — never the archive's edge set); state re-key
+  * joins ride a broadcast of the delta-component-sized root map; and
+  * every write is delta-sized. The corpus-sized work that remains is
+  * column-pruned SCANS (fp for exact dedup, the label mapping, pruned
+  * gram buckets) — reads, not shuffles, not writes. Long streams
+  * compact periodically (union-of-epochs read cost grows with epoch
+  * count — the same merge-on-read trade Delta/Iceberg make); the local
+  * fixtures stay at ≤4 epochs. */
 object NightlyRefresh {
 
-  /** Newest snapshot epoch strictly below `before` (or the newest of
-    * all when `before` is None). */
+  /** Epoch commit marker — written LAST; readers filter on it. */
+  val CommittedMarker = "_COMMITTED"
+
+  private def fsOps(spark: SparkSession) = new FsOps(spark)
+
+  /** Committed epoch ids strictly below `before` (all when None),
+    * ascending. Un-marked (torn / in-flight) epoch dirs are invisible. */
+  def committedEpochs(spark: SparkSession, statePath: String,
+                      before: Option[Long] = None): Seq[Long] = {
+    val fs = fsOps(spark)
+    fs.listPrefixes(statePath.stripSuffix("/"))
+      .flatMap { p =>
+        val leaf = p.split('/').last
+        if (leaf.startsWith("epoch=")) Some((p, leaf.drop(6).toLong)) else None
+      }
+      .collect { case (p, e)
+        if before.forall(e < _) && fs.exists(s"$p/$CommittedMarker") => e }
+      .sorted
+  }
+
+  /** Newest COMMITTED epoch strictly below `before` (or newest of all). */
   def latestEpoch(spark: SparkSession, statePath: String,
                   before: Option[Long] = None): Option[Long] =
-    new FsOps(spark).listPrefixes(statePath.stripSuffix("/"))
-      .map(_.split('/').last)
-      .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
-      .filter(e => before.forall(e < _))
-      .sorted.lastOption
+    committedEpochs(spark, statePath, before).lastOption
+
+  // ---- readers over the append-only layout ----------------------------
+
+  private def tablePaths(statePath: String, epochs: Seq[Long],
+                         table: String): Seq[String] =
+    epochs.map(e => s"${statePath.stripSuffix("/")}/epoch=$e/$table")
+
+  /** Latest-epoch-wins per `key`, tombstones dropped. Rows arrive with
+    * the `__epoch` data column baked in at write time. */
+  private def resolve(df: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    df.withColumn("__mx", max(col("__epoch")).over(w))
+      .filter(col("__epoch") === col("__mx") && !col("__del"))
+      .drop("__epoch", "__mx", "__del")
+  }
+
+  /** Current survivor documents (plain union — docs are append-only).
+    * Columns: doc_id, text, n_chars, source, fp, sz, sh. Consumers that
+    * read one column (the fp anti-join set, the shingle fetch) rely on
+    * parquet column pruning — text never loads unless asked for. */
+  def currentDocs(spark: SparkSession, statePath: String,
+                  before: Option[Long] = None): DataFrame =
+    spark.read.parquet(
+      tablePaths(statePath, committedEpochs(spark, statePath, before),
+        "docs"): _*)
+
+  /** Current id → cluster_id mapping (latest-epoch-wins; ids never die).
+    * Docs absent from the mapping are singletons (their own id). */
+  def currentLabels(spark: SparkSession, statePath: String,
+                    before: Option[Long] = None): DataFrame = {
+    val df = spark.read.parquet(
+      tablePaths(statePath, committedEpochs(spark, statePath, before),
+        "labels"): _*)
+    val w = Window.partitionBy(col("id"))
+    df.withColumn("__mx", max(col("__epoch")).over(w))
+      .filter(col("__epoch") === col("__mx"))
+      .drop("__epoch", "__mx")
+  }
+
+  /** Current per-cluster state table (`agg` | `hdr` | `kmv`), resolved. */
+  def currentState(spark: SparkSession, statePath: String, table: String,
+                   before: Option[Long] = None): DataFrame =
+    resolve(spark.read.parquet(
+      tablePaths(statePath, committedEpochs(spark, statePath, before),
+        table): _*), "cluster_id")
+
+  /** Current full report (q221's output shape per surviving cluster). */
+  def currentReport(spark: SparkSession, statePath: String,
+                    before: Option[Long] = None): DataFrame =
+    currentState(spark, statePath, "report", before)
+
+  // ---- state derivation helpers ---------------------------------------
 
   private def kmvOf(lab: DataFrame, k: Int): DataFrame = lab
     .filter(col("source").isNotNull)
@@ -60,8 +170,8 @@ object NightlyRefresh {
     .groupBy(col("cluster_id"))
     .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("state"))
 
-  /** Label a survivor frame with stored/refreshed components
-    * (unlabeled docs are their own singleton cluster). */
+  /** Label a survivor frame with refreshed components (unlabeled docs
+    * are their own singleton cluster). */
   private def labeled(docs: DataFrame, labels: DataFrame): DataFrame =
     docs.join(labels.select(col("id").as("doc_id"),
         col("cluster_id").as("__c")), Seq("doc_id"), "left")
@@ -71,16 +181,20 @@ object NightlyRefresh {
 
   /** Start the composed refresh over a streaming document frame with
     * columns (doc_id, text, n_chars, source). `seedDocs` is the
-    * historical corpus the first epoch initializes state from (exact
-    * dedup + from-scratch CC + state build — the same derivation the
-    * batch chain's "stored" side uses). Snapshots land under
-    * `statePath/epoch=<id>/{docs,labels,agg,hdr,kmv,report}`; the
-    * report carries q221's output shape per cluster. */
+    * historical corpus; it is folded into the FIRST epoch's batch (an
+    * epoch with no committed predecessor runs the identical incremental
+    * path against empty state — from-scratch init and steady ingest are
+    * one code path). Epoch deltas land under
+    * `statePath/epoch=<id>/{docs,grams,labels,agg,hdr,kmv,report}`;
+    * read the composed outputs through [[currentReport]] /
+    * [[currentLabels]] / [[currentDocs]]. */
   def start(deltaDocs: DataFrame, seedDocs: DataFrame, statePath: String,
             checkpointDir: String, shingleN: Int = 3,
             threshold: Double = 0.3, k: Int = 64, subBits: Int = 6,
+            gramBuckets: Int = 16,
             onEpoch: (Long, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(gramBuckets >= 1, s"gramBuckets must be >= 1; got $gramBuckets")
     val st = statePath.stripSuffix("/")
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
 
@@ -88,101 +202,250 @@ object NightlyRefresh {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        val prev = latestEpoch(spark, st, before = Some(epochId))
+        val fs = fsOps(spark)
+        val out = s"$st/epoch=$epochId"
+        // a replayed epoch re-enters un-committed: drop the marker first
+        // so readers never see a half-overwritten directory as committed
+        fs.delete(s"$out/$CommittedMarker")
+        val epochs = committedEpochs(spark, st, before = Some(epochId))
+        val isFirst = epochs.isEmpty
+        val eff = if (isFirst) seedDocs.unionByName(batch) else batch
 
-        // ---- load (or seed) the five state tables -------------------
-        val (docs0, labels0, agg0, hdr0, kmv0) = prev match {
-          case Some(p) =>
-            val d = s"$st/epoch=$p"
-            (spark.read.parquet(s"$d/docs"),
-              spark.read.parquet(s"$d/labels"),
-              spark.read.parquet(s"$d/agg"),
-              spark.read.parquet(s"$d/hdr"),
-              spark.read.parquet(s"$d/kmv"))
-          case None =>
-            val kept = seedDocs
-              .withColumn("fp", TA.fingerprint(col("text")))
-              .withColumn("rn", row_number().over(wFp))
-              .filter(col("rn") === 1).drop("rn")
-              .localCheckpoint(true)
-            val labels = Dedup.connectedComponents(
-              Dedup.ngramJaccardPairs(kept, "doc_id", "text",
-                shingleN, threshold),
-              "id_a", "id_b").localCheckpoint(true)
-            val lab = labeled(kept, labels)
-            (kept, labels,
-              Relational.aggState(lab, Seq("cluster_id"), "n_chars"),
-              Hdr.hdrState(lab, "cluster_id", "n_chars", subBits),
-              kmvOf(lab, k))
-        }
+        // empty prior-state frames carry the schemas the state builders
+        // produce, so the first epoch runs the same incremental path
+        val emptyLab = batch.filter(lit(false))
+          .select(col("doc_id"), col("doc_id").as("cluster_id"),
+            col("n_chars"), col("source"))
+        def emptyLabels = emptyLab.select(col("doc_id").as("id"),
+          col("cluster_id"))
 
-        // ---- stage 1: exact dedup against the survivor fingerprints
-        val keptB = batch
+        // ---- stage 1: exact dedup (in-batch window, then anti-join
+        //      against the stored fingerprints — a column-pruned scan)
+        val storedFps =
+          if (isFirst) eff.filter(lit(false))
+            .select(TA.fingerprint(col("text")).as("fp"))
+          // no .distinct(): left_anti ignores right-side multiplicity,
+          // so the dedup aggregation would be a pure corpus-sized shuffle
+          else currentDocs(spark, st, Some(epochId)).select("fp")
+        val keptB = eff
           .withColumn("fp", TA.fingerprint(col("text")))
           .withColumn("rn", row_number().over(wFp))
           .filter(col("rn") === 1).drop("rn")
-          .join(docs0.select("fp").distinct(), Seq("fp"), "left_anti")
+          .join(storedFps, Seq("fp"), "left_anti")
+          .withColumn("sh", Dedup.shingles(col("text"), shingleN))
+          .withColumn("sz", size(col("sh")))
           .localCheckpoint(true)
 
-        // ---- stage 2: pairs touching the batch → label refresh ------
-        val pairsAll = Dedup.ngramJaccardPairs(
-          docs0.unionByName(keptB), "doc_id", "text", shingleN, threshold)
-        val mark = keptB.select(col("doc_id")).withColumn("__inb", lit(1))
-        val touching = pairsAll
-          .join(mark.select(col("doc_id").as("id_a"), col("__inb").as("__a")),
-            Seq("id_a"), "left")
-          .join(mark.select(col("doc_id").as("id_b"), col("__inb").as("__b")),
-            Seq("id_b"), "left")
-          .filter(col("__a").isNotNull || col("__b").isNotNull)
-          .drop("__a", "__b")
+        // ---- stage 2: candidate pairs via the bucketed prefix-gram
+        //      postings; every pair has >= 1 delta endpoint
+        val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .cast("int")
+        val prefB = keptB.filter(col("sz") > 0)
+          .select(col("doc_id").as("id"), col("sz"),
+            explode(slice(col("sh"), lit(1), prefLen)).as("g"))
+          .withColumn("bkt", pmod(col("g"), lit(gramBuckets.toLong)))
           .localCheckpoint(true)
-        val refreshed = Dedup.incrementalComponents(labels0, touching,
+        // the delta's bucket set: metadata-sized (<= gramBuckets values)
+        val deltaBkts = prefB.select("bkt").distinct()
+          .collect().map(_.getLong(0))
+        val gramDirs = tablePaths(st, epochs, "grams")
+          // an all-duplicate epoch writes no postings (partitionBy of an
+          // empty frame leaves no schema-bearing file) — skip bare dirs
+          .filter(p => fs.listPrefixes(p).exists(_.contains("bkt=")))
+        // one read PER epoch dir, unioned: a single multi-path read would
+        // run partition discovery across the epoch= parents and reject
+        // the layout as conflicting; per-root reads each discover only
+        // their own bkt= partitions, and the isin filter prunes those
+        // directories per branch
+        val archPref =
+          if (gramDirs.isEmpty)
+            prefB.filter(lit(false)).select("g", "id", "sz")
+          else gramDirs.map(p => spark.read.parquet(p)
+              .filter(col("bkt").isin(deltaBkts: _*)) // partition pruning
+              .select(col("g"), col("id"), col("sz")))
+            .reduce(_ unionByName _)
+        // ---- exact-Jaccard-verified pairs with >= 1 delta endpoint.
+        //      FIRST epoch: all docs are the delta — use the batch
+        //      detector (its df-rarity prefix order keeps hot grams out
+        //      of the candidate join; the verified pair SET is the same
+        //      under any prefix order, so stored state is unaffected).
+        //      Steady epochs: hash-ordered delta prefix against the
+        //      bucket-pruned archive postings, then verify against only
+        //      the CANDIDATES' stored shingle sets (broadcast
+        //      semi-filter — arrays of non-candidates never shuffle; at
+        //      100 TB the docs table is additionally id-bucketed so the
+        //      scan itself row-group-prunes).
+        val touching = (if (isFirst)
+          Dedup.ngramJaccardPairs(keptB, "doc_id", "text",
+              shingleN, threshold)
+            .select("id_a", "id_b")
+        else {
+          val rightPref = archPref.unionByName(prefB.select("g", "id", "sz"))
+          val cand = prefB
+            .select(col("g"), col("id").as("id_l"), col("sz").as("sz_l"))
+            .join(rightPref.select(col("g"), col("id").as("id_r"),
+              col("sz").as("sz_r")), Seq("g"))
+            .filter(col("id_l") =!= col("id_r") &&
+              least(col("sz_l"), col("sz_r")).cast("double") >=
+                lit(threshold) * greatest(col("sz_l"), col("sz_r")).cast("double"))
+            .select(least(col("id_l"), col("id_r")).as("id_a"),
+              greatest(col("id_l"), col("id_r")).as("id_b"))
+            .dropDuplicates("id_a", "id_b")
+          val shAll = currentDocs(spark, st, Some(epochId))
+            .select(col("doc_id").as("id"), col("sh"))
+            .unionByName(keptB.select(col("doc_id").as("id"), col("sh")))
+          val candIds = cand.select(col("id_a").as("id"))
+            .union(cand.select(col("id_b").as("id"))).distinct()
+          val shCand = shAll.join(broadcast(candIds), Seq("id"))
+            .localCheckpoint(true)
+          cand
+            .join(shCand.select(col("id").as("id_a"), col("sh").as("__sa")),
+              Seq("id_a"))
+            .join(shCand.select(col("id").as("id_b"), col("sh").as("__sb")),
+              Seq("id_b"))
+            .filter(Dedup.jaccard(col("__sa"), col("__sb")) >= threshold)
+            .select("id_a", "id_b")
+        }).localCheckpoint(true)
+
+        // ---- stage 3: label refresh over AFFECTED components only.
+        //      Components are disjoint, so CC over (affected star edges
+        //      ∪ delta pairs) equals the full-corpus incremental run
+        //      restricted to affected nodes; untouched labels stand.
+        //      The broadcast filters run BEFORE latest-wins resolution,
+        //      so the resolve window shuffles only the affected subset,
+        //      never the corpus-sized mapping. Filtering on the VALUE
+        //      (cluster_id ∈ affRoots) before resolution is exact
+        //      because affRoots are CURRENT roots: an id that ever
+        //      mapped to a current root still maps to it (components
+        //      only merge, and a merged-away root is no longer current),
+        //      so every kept row for an id carries its one current root.
+        val labelsRaw =
+          if (isFirst) emptyLabels.withColumn("__epoch", lit(0L))
+          else spark.read.parquet(tablePaths(st, epochs, "labels"): _*)
+        def latestById(df: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("id"))
+          df.withColumn("__mx", max(col("__epoch")).over(w))
+            .filter(col("__epoch") === col("__mx"))
+            .drop("__epoch", "__mx")
+        }
+        val deltaIds = keptB.select(col("doc_id").as("id"))
+        val archEnds = touching.select(col("id_a").as("id"))
+          .union(touching.select(col("id_b").as("id"))).distinct()
+          .join(deltaIds, Seq("id"), "left_anti")
+        val affRoots = latestById(
+            labelsRaw.join(broadcast(archEnds), Seq("id")))
+          .select(col("cluster_id")).distinct()
+        val affLabels = labelsRaw.join(broadcast(affRoots), Seq("cluster_id"))
+          .select(col("id"), col("cluster_id"))
+          .dropDuplicates("id", "cluster_id").localCheckpoint(true)
+        val refreshed = Dedup.incrementalComponents(affLabels, touching,
           "id_a", "id_b").localCheckpoint(true)
+        val labelsNew = refreshed
+          .join(affLabels, Seq("id", "cluster_id"), "left_anti")
+
+        // ---- stages 4–6: state re-key + merge, affected clusters only.
+        //      Every old root of an affected component appears as a node
+        //      in `refreshed` (star edges carry it), so an inner join
+        //      against the broadcast root map selects exactly the
+        //      affected old state rows; roots that mapped elsewhere
+        //      become tombstones.
         val rootMap = refreshed
           .select(col("id").as("cid_old"), col("cluster_id").as("cid_new"))
-        def rekey(state: DataFrame): DataFrame = state
-          .withColumnRenamed("cluster_id", "cid_old")
-          .join(rootMap, Seq("cid_old"), "left")
-          .withColumn("cluster_id", coalesce(col("cid_new"), col("cid_old")))
+        // affected old state rows: broadcast KEY-filter the raw epoch
+        // deltas first, resolve latest-wins over that delta-sized
+        // subset only (a key filter keeps every version of a kept key,
+        // so the restricted resolve equals the full resolve restricted)
+        def affectedOld(table: String, empty: => DataFrame): DataFrame = {
+          val aff =
+            if (isFirst) empty
+            else resolve(
+              spark.read.parquet(tablePaths(st, epochs, table): _*)
+                .join(broadcast(rootMap
+                  .select(col("cid_old").as("cluster_id")).distinct()),
+                  Seq("cluster_id")),
+              "cluster_id")
+          aff.withColumnRenamed("cluster_id", "cid_old")
+            .join(broadcast(rootMap), Seq("cid_old"))
+        }
+        def deadKeys(aff: DataFrame): DataFrame = aff
+          .filter(col("cid_old") =!= col("cid_new"))
+          .select(col("cid_old").as("cluster_id")).distinct()
+        def rekeyed(aff: DataFrame): DataFrame = aff
+          .withColumn("cluster_id", col("cid_new"))
           .drop("cid_old", "cid_new")
-        val bLab = labeled(keptB, refreshed)
+        val bLab = labeled(keptB.select("doc_id", "n_chars", "source"),
+          refreshed)
 
-        // ---- stages 3–5: state re-key (collisions = merged clusters)
-        //      + merge with the batch's own states --------------------
-        val agg1 = Relational.mergeAggStates(
-          Relational.reduceAggState(rekey(agg0), Seq("cluster_id")),
+        val aggAff = affectedOld("agg",
+          Relational.aggState(emptyLab, Seq("cluster_id"), "n_chars"))
+          .localCheckpoint(true)
+        val aggRows = Relational.mergeAggStates(
+          Relational.reduceAggState(rekeyed(aggAff), Seq("cluster_id")),
           Relational.aggState(bLab, Seq("cluster_id"), "n_chars"),
           Seq("cluster_id"))
-        val hdr1 = Hdr.mergeHdrStates("cluster_id",
-          rekey(hdr0), Hdr.hdrState(bLab, "cluster_id", "n_chars", subBits))
-        val kmv1 = rekey(kmv0).unionByName(kmvOf(bLab, k))
+
+        val hdrAff = affectedOld("hdr",
+          Hdr.hdrState(emptyLab, "cluster_id", "n_chars", subBits))
+          .localCheckpoint(true)
+        val hdrRows = Hdr.mergeHdrStates("cluster_id",
+          rekeyed(hdrAff), Hdr.hdrState(bLab, "cluster_id", "n_chars", subBits))
+
+        val kmvAff = affectedOld("kmv", kmvOf(emptyLab, k))
+          .localCheckpoint(true)
+        val kmvRows = rekeyed(kmvAff).unionByName(kmvOf(bLab, k))
           .select(col("cluster_id"), explode(col("state")).as("__h"))
           .groupBy(col("cluster_id"))
           .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("state"))
 
-        val report = agg1.select(col("cluster_id"),
+        val reportRows = aggRows.select(col("cluster_id"),
             col("n").as("n_docs"),
             col("sum_v").cast("long").as("sum_chars"),
             col("min_v").as("min_chars"), col("max_v").as("max_chars"))
-          .join(Hdr.hdrQuantiles(hdr1, "cluster_id", Seq(50), subBits)
+          .join(Hdr.hdrQuantiles(hdrRows, "cluster_id", Seq(50), subBits)
             .select(col("cluster_id"), col("bin").as("p50_bin"),
               col("q_low").as("p50_low")), Seq("cluster_id"))
-          .join(kmv1.select(col("cluster_id"),
+          .join(kmvRows.select(col("cluster_id"),
             size(col("state")).cast("long").as("n_src_sketch"),
             element_at(col("state"), -1).as("src_kth_min")),
             Seq("cluster_id"))
 
-        // ---- snapshot epoch e (overwrite ⇒ replay-idempotent) -------
-        val out = s"$st/epoch=$epochId"
-        docs0.unionByName(keptB)
-          .write.mode(SaveMode.Overwrite).parquet(s"$out/docs")
-        refreshed.write.mode(SaveMode.Overwrite).parquet(s"$out/labels")
-        agg1.write.mode(SaveMode.Overwrite).parquet(s"$out/agg")
-        hdr1.write.mode(SaveMode.Overwrite).parquet(s"$out/hdr")
-        kmv1.write.mode(SaveMode.Overwrite).parquet(s"$out/kmv")
-        report.write.mode(SaveMode.Overwrite).parquet(s"$out/report")
+        // ---- write the epoch DELTA (overwrite ⇒ replay-idempotent),
+        //      then the commit marker LAST
+        def stamp(df: DataFrame): DataFrame = df
+          .withColumn("__del", lit(false))
+          .withColumn("__epoch", lit(epochId))
+        def tombstone(dead: DataFrame, like: DataFrame): DataFrame = {
+          val nulls = like.columns.filterNot(Set("cluster_id", "__del",
+            "__epoch")).map(c =>
+            lit(null).cast(like.schema(c).dataType).as(c))
+          dead.select(col("cluster_id") +: nulls.toIndexedSeq: _*)
+            .withColumn("__del", lit(true))
+            .withColumn("__epoch", lit(epochId))
+        }
+        def writeState(rows: DataFrame, aff: DataFrame, name: String): Unit = {
+          val live = stamp(rows)
+          live.unionByName(tombstone(deadKeys(aff), live))
+            .write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
+        }
+        keptB.write.mode(SaveMode.Overwrite).parquet(s"$out/docs")
+        prefB.select(col("bkt"), col("g"), col("id"), col("sz"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+          .parquet(s"$out/grams")
+        labelsNew.withColumn("__epoch", lit(epochId))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/labels")
+        writeState(aggRows, aggAff, "agg")
+        writeState(hdrRows, hdrAff, "hdr")
+        writeState(kmvRows, kmvAff, "kmv")
+        writeState(reportRows, aggAff, "report")
+        fs.writeString(s"$out/$CommittedMarker", "")
+        // live-cluster count via partial-aggregated max_by, not the
+        // window resolve — the count must not re-shuffle the corpus
         onEpoch(epochId,
-          spark.read.parquet(s"$out/report").count())
+          spark.read.parquet(tablePaths(st,
+              committedEpochs(spark, st, Some(epochId + 1)), "report"): _*)
+            .groupBy(col("cluster_id"))
+            .agg(max_by(col("__del"), col("__epoch")).as("__d"))
+            .filter(!col("__d")).count())
       }
       .start()
   }

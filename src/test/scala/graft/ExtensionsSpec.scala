@@ -189,6 +189,28 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(curSql.getAs[String]("l") == "en" &&
       curCol.getAs[String]("l") == "en")
 
+    // ANN kernels via the IvfModel compact literal (q229's route):
+    // parity with the Column API's broadcast-relation form
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0), Array(-5.0, 5.0))
+    val im = graft.functions.IvfModel.serialize(cents)
+    assert(graft.functions.IvfModel.parse(im).map(_.toSeq).toSeq ==
+      cents.map(_.toSeq).toSeq, "IvfModel must round-trip bit-exactly")
+    val annSql = q("ivf_assign",
+      s"""SELECT ivf_assign(array(CAST(9.0 AS FLOAT), CAST(9.5 AS FLOAT)),
+            '$im') v""").getInt(0)
+    assert(annSql == 1, s"nearest centroid must be cell 1, got $annSql")
+    tested += "ivf_probes"
+    val probes = spark.sql(
+      s"""SELECT ivf_probes(array(CAST(-4.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+            '$im', 2) v""").head.getSeq[Int](0)
+    assert(probes == Seq(2, 0), s"probe order must be (dist, cell) asc: $probes")
+    val annCol = Seq(Seq(9.0f, 9.5f)).toDF("v")
+      .crossJoin(broadcast(Seq(Tuple1(cents.map(_.toSeq).toSeq)).toDF("m")))
+      .select(graft.functions.VectorFunctions.ivfAssign(col("v"), col("m")))
+      .head.getInt(0)
+    assert(annCol == annSql,
+      "SQL model-literal path must match the broadcast-relation path")
+
     // completeness: this spec exercises EVERY registered function
     val registered = graft.functions.GraftExtensions.registrations
       .map(_._1.funcName).toSet

@@ -257,7 +257,7 @@ class Round18Spec extends SparkSpec {
     def report(): Seq[Seq[Any]] = {
       val e = graft.streaming.NightlyRefresh.latestEpoch(spark, s"$root/state")
       assert(e.contains(1L), s"expected epochs 0 and 1, latest = $e")
-      spark.read.parquet(s"$root/state/epoch=1/report")
+      graft.streaming.NightlyRefresh.currentReport(spark, s"$root/state")
         .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toSeq
     }
 
@@ -356,7 +356,8 @@ class Round18Spec extends SparkSpec {
     } finally q.stop()
     assert(graft.streaming.NightlyRefresh
       .latestEpoch(spark, s"$root/state").contains(2L))
-    val rep = spark.read.parquet(s"$root/state/epoch=2/report").collect()
+    val rep = graft.streaming.NightlyRefresh
+      .currentReport(spark, s"$root/state").collect()
     assert(rep.length == 1, s"expected ONE merged cluster: ${rep.toSeq}")
     val r = rep.head
     assert(r.getAs[Long]("cluster_id") == 1L)
@@ -463,7 +464,8 @@ class Round18Spec extends SparkSpec {
 
       val e = graft.streaming.NightlyRefresh.latestEpoch(spark, s"$root/state")
       assert(e.contains(1L), s"seed $sd: latest epoch $e")
-      val got = spark.read.parquet(s"$root/state/epoch=1/report")
+      val got = graft.streaming.NightlyRefresh
+        .currentReport(spark, s"$root/state")
         .collect().map(_.toSeq.toVector).sortBy(_.head.toString).toSeq
       val all = seedDf.unionByName(
         (b0.zipWithIndex.map { case (t, i) => (101L + i, t, "b0") } ++

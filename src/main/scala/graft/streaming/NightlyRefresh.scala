@@ -90,6 +90,11 @@ object NightlyRefresh {
   /** Epoch commit marker — written LAST; readers filter on it. */
   val CommittedMarker = "_COMMITTED"
 
+  /** Default (no-op) `onEpoch` sentinel: when the caller does not ask
+    * for the live-cluster count, the per-epoch report-union count job
+    * is skipped entirely, not computed and discarded. */
+  val NoOnEpoch: (Long, Long) => Unit = (_, _) => ()
+
   private def fsOps(spark: SparkSession) = new FsOps(spark)
 
   /** Committed epoch ids strictly below `before` (all when None),
@@ -133,9 +138,11 @@ object NightlyRefresh {
     * parquet column pruning — text never loads unless asked for. */
   def currentDocs(spark: SparkSession, statePath: String,
                   before: Option[Long] = None): DataFrame =
-    spark.read.parquet(
-      tablePaths(statePath, committedEpochs(spark, statePath, before),
-        "docs"): _*)
+    docsOver(spark, statePath, committedEpochs(spark, statePath, before))
+
+  private def docsOver(spark: SparkSession, statePath: String,
+                       epochs: Seq[Long]): DataFrame =
+    spark.read.parquet(tablePaths(statePath, epochs, "docs"): _*)
 
   /** Current id → cluster_id mapping (latest-epoch-wins; ids never die).
     * Docs absent from the mapping are singletons (their own id). */
@@ -192,7 +199,7 @@ object NightlyRefresh {
             checkpointDir: String, shingleN: Int = 3,
             threshold: Double = 0.3, k: Int = 64, subBits: Int = 6,
             gramBuckets: Int = 16,
-            onEpoch: (Long, Long) => Unit = (_, _) => ())
+            onEpoch: (Long, Long) => Unit = NoOnEpoch)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(gramBuckets >= 1, s"gramBuckets must be >= 1; got $gramBuckets")
     val st = statePath.stripSuffix("/")
@@ -202,6 +209,12 @@ object NightlyRefresh {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
+        // label every phase (guide §1.5): the epoch runs ~a dozen jobs
+        // and an unlabeled UI/listener cannot attribute the wall time
+        def phase[T](name: String)(f: => T): T = {
+          spark.sparkContext.setJobDescription(s"nref e$epochId: $name")
+          try f finally spark.sparkContext.setJobDescription(null)
+        }
         val fs = fsOps(spark)
         val out = s"$st/epoch=$epochId"
         // a replayed epoch re-enters un-committed: drop the marker first
@@ -219,6 +232,10 @@ object NightlyRefresh {
         def emptyLabels = emptyLab.select(col("doc_id").as("id"),
           col("cluster_id"))
 
+        // one parquet relation over the committed epochs' docs tables,
+        // shared by the fp anti-join and the shingle fetch (each consumer
+        // column-prunes its own scan; the dir listing happens once)
+        lazy val docsBefore = docsOver(spark, st, epochs)
         // ---- stage 1: exact dedup (in-batch window, then anti-join
         //      against the stored fingerprints — a column-pruned scan)
         val storedFps =
@@ -226,8 +243,9 @@ object NightlyRefresh {
             .select(TA.fingerprint(col("text")).as("fp"))
           // no .distinct(): left_anti ignores right-side multiplicity,
           // so the dedup aggregation would be a pure corpus-sized shuffle
-          else currentDocs(spark, st, Some(epochId)).select("fp")
-        val keptB = eff
+          else docsBefore.select("fp")
+        val keptB = phase("s1 exact dedup") {
+          eff
           .withColumn("fp", TA.fingerprint(col("text")))
           .withColumn("rn", row_number().over(wFp))
           .filter(col("rn") === 1).drop("rn")
@@ -235,19 +253,21 @@ object NightlyRefresh {
           .withColumn("sh", Dedup.shingles(col("text"), shingleN))
           .withColumn("sz", size(col("sh")))
           .localCheckpoint(true)
+        }
 
         // ---- stage 2: candidate pairs via the bucketed prefix-gram
         //      postings; every pair has >= 1 delta endpoint
         val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
           .cast("int")
-        val prefB = keptB.filter(col("sz") > 0)
+        val prefB = phase("s2 delta prefix") { keptB.filter(col("sz") > 0)
           .select(col("doc_id").as("id"), col("sz"),
             explode(slice(col("sh"), lit(1), prefLen)).as("g"))
           .withColumn("bkt", pmod(col("g"), lit(gramBuckets.toLong)))
           .localCheckpoint(true)
+        }
         // the delta's bucket set: metadata-sized (<= gramBuckets values)
-        val deltaBkts = prefB.select("bkt").distinct()
-          .collect().map(_.getLong(0))
+        val deltaBkts = phase("s2 bucket set") { prefB.select("bkt").distinct()
+          .collect().map(_.getLong(0)) }
         val gramDirs = tablePaths(st, epochs, "grams")
           // an all-duplicate epoch writes no postings (partitionBy of an
           // empty frame leaves no schema-bearing file) — skip bare dirs
@@ -281,7 +301,7 @@ object NightlyRefresh {
             .select("id_a", "id_b")
         else {
           val rightPref = archPref.unionByName(prefB.select("g", "id", "sz"))
-          val cand = prefB
+          val cand = phase("s2 candidate join") { prefB
             .select(col("g"), col("id").as("id_l"), col("sz").as("sz_l"))
             .join(rightPref.select(col("g"), col("id").as("id_r"),
               col("sz").as("sz_r")), Seq("g"))
@@ -291,13 +311,18 @@ object NightlyRefresh {
             .select(least(col("id_l"), col("id_r")).as("id_a"),
               greatest(col("id_l"), col("id_r")).as("id_b"))
             .dropDuplicates("id_a", "id_b")
-          val shAll = currentDocs(spark, st, Some(epochId))
+            // materialize: cand feeds the candIds broadcast AND the
+            // verify join — lazy, the bucket-pruned archive candidate
+            // join (the epoch's heaviest shuffle) would execute twice
+            .localCheckpoint(true)
+          }
+          val shAll = docsBefore
             .select(col("doc_id").as("id"), col("sh"))
             .unionByName(keptB.select(col("doc_id").as("id"), col("sh")))
           val candIds = cand.select(col("id_a").as("id"))
             .union(cand.select(col("id_b").as("id"))).distinct()
-          val shCand = shAll.join(broadcast(candIds), Seq("id"))
-            .localCheckpoint(true)
+          val shCand = phase("s2 cand shingles") {
+            shAll.join(broadcast(candIds), Seq("id")).localCheckpoint(true) }
           cand
             .join(shCand.select(col("id").as("id_a"), col("sh").as("__sa")),
               Seq("id_a"))
@@ -305,7 +330,8 @@ object NightlyRefresh {
               Seq("id_b"))
             .filter(Dedup.jaccard(col("__sa"), col("__sb")) >= threshold)
             .select("id_a", "id_b")
-        }).localCheckpoint(true)
+        })
+        val touchingM = phase("s2 verified pairs")(touching.localCheckpoint(true))
 
         // ---- stage 3: label refresh over AFFECTED components only.
         //      Components are disjoint, so CC over (affected star edges
@@ -329,19 +355,21 @@ object NightlyRefresh {
             .drop("__epoch", "__mx")
         }
         val deltaIds = keptB.select(col("doc_id").as("id"))
-        val archEnds = touching.select(col("id_a").as("id"))
-          .union(touching.select(col("id_b").as("id"))).distinct()
+        val archEnds = touchingM.select(col("id_a").as("id"))
+          .union(touchingM.select(col("id_b").as("id"))).distinct()
           .join(deltaIds, Seq("id"), "left_anti")
         val affRoots = latestById(
             labelsRaw.join(broadcast(archEnds), Seq("id")))
           .select(col("cluster_id")).distinct()
         val affLabels = labelsRaw.join(broadcast(affRoots), Seq("cluster_id"))
           .select(col("id"), col("cluster_id"))
-          .dropDuplicates("id", "cluster_id").localCheckpoint(true)
-        val refreshed = Dedup.incrementalComponents(affLabels, touching,
-          "id_a", "id_b").localCheckpoint(true)
+          .dropDuplicates("id", "cluster_id")
+        val affLabelsM = phase("s3 affected labels")(affLabels.localCheckpoint(true))
+        val refreshed = phase("s3 label refresh") {
+          Dedup.incrementalComponents(affLabelsM, touchingM,
+            "id_a", "id_b").localCheckpoint(true) }
         val labelsNew = refreshed
-          .join(affLabels, Seq("id", "cluster_id"), "left_anti")
+          .join(affLabelsM, Seq("id", "cluster_id"), "left_anti")
 
         // ---- stages 4–6: state re-key + merge, affected clusters only.
         //      Every old root of an affected component appears as a node
@@ -376,26 +404,31 @@ object NightlyRefresh {
         val bLab = labeled(keptB.select("doc_id", "n_chars", "source"),
           refreshed)
 
-        val aggAff = affectedOld("agg",
+        val aggAff = phase("s4 agg old")(affectedOld("agg",
           Relational.aggState(emptyLab, Seq("cluster_id"), "n_chars"))
-          .localCheckpoint(true)
-        val aggRows = Relational.mergeAggStates(
+          .localCheckpoint(true))
+        // each state-row frame feeds TWO consumers (its own table write
+        // and the report join) — materialize once, delta-sized frames
+        val aggRows = phase("s4 agg rows")(Relational.mergeAggStates(
           Relational.reduceAggState(rekeyed(aggAff), Seq("cluster_id")),
           Relational.aggState(bLab, Seq("cluster_id"), "n_chars"),
-          Seq("cluster_id"))
+          Seq("cluster_id")).localCheckpoint(true))
 
-        val hdrAff = affectedOld("hdr",
+        val hdrAff = phase("s4 hdr old")(affectedOld("hdr",
           Hdr.hdrState(emptyLab, "cluster_id", "n_chars", subBits))
-          .localCheckpoint(true)
-        val hdrRows = Hdr.mergeHdrStates("cluster_id",
+          .localCheckpoint(true))
+        val hdrRows = phase("s4 hdr rows")(Hdr.mergeHdrStates("cluster_id",
           rekeyed(hdrAff), Hdr.hdrState(bLab, "cluster_id", "n_chars", subBits))
+          .localCheckpoint(true))
 
-        val kmvAff = affectedOld("kmv", kmvOf(emptyLab, k))
-          .localCheckpoint(true)
-        val kmvRows = rekeyed(kmvAff).unionByName(kmvOf(bLab, k))
+        val kmvAff = phase("s4 kmv old")(affectedOld("kmv", kmvOf(emptyLab, k))
+          .localCheckpoint(true))
+        val kmvRows = phase("s4 kmv rows")(rekeyed(kmvAff)
+          .unionByName(kmvOf(bLab, k))
           .select(col("cluster_id"), explode(col("state")).as("__h"))
           .groupBy(col("cluster_id"))
           .agg(KmvDistinct.stateUdaf(k)(col("__h")).as("state"))
+          .localCheckpoint(true))
 
         val reportRows = aggRows.select(col("cluster_id"),
             col("n").as("n_docs"),
@@ -427,25 +460,48 @@ object NightlyRefresh {
           live.unionByName(tombstone(deadKeys(aff), live))
             .write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
         }
-        keptB.write.mode(SaveMode.Overwrite).parquet(s"$out/docs")
-        prefB.select(col("bkt"), col("g"), col("id"), col("sz"))
-          .write.mode(SaveMode.Overwrite).partitionBy("bkt")
-          .parquet(s"$out/grams")
-        labelsNew.withColumn("__epoch", lit(epochId))
-          .write.mode(SaveMode.Overwrite).parquet(s"$out/labels")
-        writeState(aggRows, aggAff, "agg")
-        writeState(hdrRows, hdrAff, "hdr")
-        writeState(kmvRows, kmvAff, "kmv")
-        writeState(reportRows, aggAff, "report")
+        // the seven table writes are independent once their inputs are
+        // materialized — overlap them (guide §2.6): later writes back-fill
+        // executors freed by earlier writes' task tails, and the driver
+        // plans them from separate threads. Every input is a checkpointed
+        // frame or a pure function of one, so no write recomputes another
+        // stage. Job descriptions are thread-local: set inside each task.
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          val writes: Seq[(String, () => Unit)] = Seq(
+            "docs" -> (() =>
+              keptB.write.mode(SaveMode.Overwrite).parquet(s"$out/docs")),
+            "grams" -> (() =>
+              prefB.select(col("bkt"), col("g"), col("id"), col("sz"))
+                .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+                .parquet(s"$out/grams")),
+            "labels" -> (() =>
+              labelsNew.withColumn("__epoch", lit(epochId))
+                .write.mode(SaveMode.Overwrite).parquet(s"$out/labels")),
+            "agg" -> (() => writeState(aggRows, aggAff, "agg")),
+            "hdr" -> (() => writeState(hdrRows, hdrAff, "hdr")),
+            "kmv" -> (() => writeState(kmvRows, kmvAff, "kmv")),
+            "report" -> (() => writeState(reportRows, aggAff, "report")))
+          try Await.result(
+            Future.sequence(writes.map { case (n, f) =>
+              Future(phase(s"s6 write $n")(f())) }),
+            Duration.Inf)
+          finally pool.shutdown()
+        }
         fs.writeString(s"$out/$CommittedMarker", "")
         // live-cluster count via partial-aggregated max_by, not the
         // window resolve — the count must not re-shuffle the corpus
-        onEpoch(epochId,
+        if (!(onEpoch eq NoOnEpoch)) phase("s7 onEpoch count")(onEpoch(epochId,
           spark.read.parquet(tablePaths(st,
               committedEpochs(spark, st, Some(epochId + 1)), "report"): _*)
             .groupBy(col("cluster_id"))
             .agg(max_by(col("__del"), col("__epoch")).as("__d"))
-            .filter(!col("__d")).count())
+            .filter(!col("__d")).count()))
       }
       .start()
   }

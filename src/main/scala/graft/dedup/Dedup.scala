@@ -1215,10 +1215,14 @@ object Dedup extends graft.core.Logging {
                        gramHash: String = "xxhash64"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]; got $threshold")
+    // one shingle pass (the ngramJaccardPairs materialization rationale:
+    // five subtree executions otherwise — dfreq, prefix, the full posting
+    // side of the candidate join, and both verify sides)
     val sh = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleN, gramHash).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
+      .localCheckpoint(true)
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))

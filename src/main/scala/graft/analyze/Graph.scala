@@ -218,14 +218,6 @@ object GraphOps {
       scale > 0, "bad pageRank parameters")
     val n0 = nodes.select(col("node")).distinct()
     val tSet = teleport.map(_.select(col("node")).distinct()).getOrElse(n0)
-    // teleport flag resolved once; __t is 0/1 as a long so every term
-    // stays integer ("seeds" outside the vertex set are ignored)
-    val n = n0.join(tSet.withColumn("__t", lit(1L)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__t"), lit(0L)).as("__t")).persist()
-    val nCount = n.count()
-    require(nCount > 0, "pageRank needs at least one node")
-    val tCount = n.filter(col("__t") === 1L).count()
-    require(tCount > 0, "pageRank needs at least one teleport/seed node")
     val ew = edges.groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w"))
     val outW = ew.groupBy(col("src")).agg(sum(col("w")).as("ow"))
@@ -242,39 +234,61 @@ object GraphOps {
         s"Long.MaxValue/scale = ${Long.MaxValue / scale}; lower `scale` or " +
         "pre-normalize edge weights")
 
-    // dangling vertex set resolved once; per-iteration mass is then a
-    // single semi-join + sum over the current ranks
-    val danglingNodes = n.join(outW, n("node") === outW("src"), "left_anti")
-      .select(col("node")).persist()
-    val nDangling = danglingNodes.count()
+    // teleport flag (__t) and dangling flag (__d) resolved once as 0/1
+    // longs, so every downstream term stays integer AND the per-iteration
+    // dangling mass can ride the iterate's own materialization as an
+    // observed metric (Σ rank_fp·__d) instead of a separate semi-join +
+    // collect job per iteration ("seeds" outside the vertex set are
+    // ignored; a vertex is dangling iff it has no out-edge)
+    val n = n0.join(tSet.withColumn("__t", lit(1L)), Seq("node"), "left")
+      .join(edgesN.select(col("src").as("node")).distinct()
+        .withColumn("__o", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("__t"),
+        when(col("__o").isNull, lit(1L)).otherwise(lit(0L)).as("__d"))
+      .persist()
+    // one setup aggregation instead of three counts
+    val hdr = n.agg(count(lit(1)), coalesce(sum(col("__t")), lit(0L)),
+      coalesce(sum(col("__d")), lit(0L))).head()
+    val nCount = hdr.getLong(0)
+    require(nCount > 0, "pageRank needs at least one node")
+    val tCount = hdr.getLong(1)
+    require(tCount > 0, "pageRank needs at least one teleport/seed node")
+    val nDangling = hdr.getLong(2)
 
     val oneMinusD = 100L - dampingNum
     val baseTerm = lit(oneMinusD * scale) // div (100 * |T|) below
     // localCheckpoint each iterate: lineage stays O(1) across the loop
-    // and no cache pins outlive the call
-    var ranks = n.select(col("node"),
-      (col("__t") * idiv(lit(scale), lit(tCount))).as("rank_fp")).localCheckpoint()
+    // and no cache pins outlive the call. The dangling mass of the
+    // iterate rides the SAME materialization as an Observation (the CC
+    // operator's one-job-per-round policy) — when the graph has no
+    // dangling vertices the metric is skipped entirely.
+    def observed(df: DataFrame): (DataFrame, () => Long) =
+      if (nDangling == 0) (df.localCheckpoint(), () => 0L)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val ck = df.observe(obs, coalesce(sum(col("rank_fp") * col("__d")),
+          lit(0L)).as("dang")).localCheckpoint()
+        (ck, () => obs.get("dang").asInstanceOf[Long])
+      }
+    var (ranks, dangOf) = observed(n.select(col("node"), col("__d"),
+      (col("__t") * idiv(lit(scale), lit(tCount))).as("rank_fp")))
     var iter = 0
     var converged = false
     while (iter < iterations && !converged) {
       val prev = ranks
-      // the per-iteration mass collect is a driver job — skip all of
-      // them when the vertex set has no dangling nodes at all
-      val dangling =
-        if (nDangling == 0) 0L
-        else prev.join(danglingNodes, Seq("node"), "left_semi")
-          .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
+      val dangling = dangOf()
       val inSums = prev.join(edgesN, prev("node") === edgesN("src"))
         .groupBy(col("dst"))
         .agg(sum(idiv(col("rank_fp") * col("w"), col("ow"))).as("in_sum"))
-      ranks = n.join(inSums, n("node") === inSums("dst"), "left")
-        .select(n("node"),
+      val next = observed(n.join(inSums, n("node") === inSums("dst"), "left")
+        .select(n("node"), n("__d"),
           (n("__t") * idiv(baseTerm, lit(100L * tCount)) +
             idiv(lit(dampingNum) *
               (coalesce(col("in_sum"), lit(0L)) +
                 n("__t") * idiv(lit(dangling), lit(tCount))),
-              lit(100L))).as("rank_fp"))
-        .localCheckpoint()
+              lit(100L))).as("rank_fp")))
+      ranks = next._1
+      dangOf = next._2
       tolFp.foreach { tol =>
         val delta = prev.select(col("node"), col("rank_fp").as("__r0"))
           .join(ranks.select(col("node"), col("rank_fp").as("__r1")), "node")
@@ -289,7 +303,6 @@ object GraphOps {
       (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
     n.unpersist()
     edgesN.unpersist()
-    danglingNodes.unpersist()
     out
   }
 }

@@ -2939,6 +2939,13 @@ object SparkEntry {
   private def nightlyCompositeChain(docs: DataFrame): DataFrame = {
     import graft.relational.Relational
     import graft.analyze.{Hdr, KmvDistinct}
+    // label each eager stage (guide §1.5) so listeners/UI can attribute
+    // the chain's ~80 jobs
+    def phase[T](name: String)(f: => T): T = {
+      val sc = docs.sparkSession.sparkContext
+      sc.setJobDescription(s"nightly: $name")
+      try f finally sc.setJobDescription(null)
+    }
     val isDelta = col("doc_id") >= 1000000L
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
 
@@ -2947,42 +2954,59 @@ object SparkEntry {
     // pair set feeds BOTH CC calls — materialize once (the
     // connectedComponents lineage discipline) so the dedup windows and
     // the candidate detector run once, not per consumer.
-    val keptHist = docs.filter(!isDelta)
+    val keptHist = phase("s1 hist dedup")(docs.filter(!isDelta)
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
-      .drop("rn").localCheckpoint(true)
-    val keptDelta = docs.filter(isDelta)
+      .drop("rn").localCheckpoint(true))
+    val keptDelta = phase("s1 delta dedup")(docs.filter(isDelta)
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
       .drop("rn")
       .join(keptHist.select("fp").distinct(), Seq("fp"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val survivors = keptHist.unionByName(keptDelta)
 
     // stage 2 — incremental CC: the delta's pairs (either endpoint in
     // the batch) merge into stored labels built from archive-only pairs
-    val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
-      shingleN = 3, threshold = 0.3).localCheckpoint(true)
+    // shingle the survivor set ONCE (checkpoint) and run the detector
+    // from shingles: the text entry point re-shingles its input once per
+    // physical subtree — six times per call — and the survivor union is
+    // already an ExistingRDD with no planner stats to lose
+    val shingled = phase("s2 shingle")(survivors
+      .select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .localCheckpoint(true))
+    val pairs = phase("s2 pair detect")(
+      Dedup.ngramJaccardPairsFromShingles(shingled, threshold = 0.3)
+        .localCheckpoint(true))
     val touchesDelta = col("id_a") >= 1000000L || col("id_b") >= 1000000L
-    val stored = Dedup.connectedComponents(pairs.filter(!touchesDelta),
-      "id_a", "id_b")
-    val refreshed = Dedup.incrementalComponents(stored,
-      pairs.filter(touchesDelta), "id_a", "id_b")
+    val stored = phase("s2 stored CC")(
+      Dedup.connectedComponents(pairs.filter(!touchesDelta), "id_a", "id_b"))
+    val refreshed = phase("s2 incr CC")(Dedup.incrementalComponents(stored,
+      pairs.filter(touchesDelta), "id_a", "id_b"))
 
     // label views: old (stored) key per history doc, the old→new root
     // mapping, and the new key per delta doc
     val rootMap = refreshed
       .select(col("id").as("cid_old"), col("cluster_id").as("cid_new"))
-    val histLab = keptHist.join(
+    // histLab/deltaLab each feed THREE state families (agg, HDR, KMV) —
+    // materialize once or the label join executes three times per side
+    val histLab = phase("s3 hist labels")(keptHist.join(
         stored.select(col("id"), col("cluster_id").as("__c")),
         col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cid_old"),
         col("n_chars"), col("source"))
-    val deltaLab = keptDelta.join(
+      .localCheckpoint(true))
+    val deltaLab = phase("s3 delta labels")(keptDelta.join(
         refreshed.select(col("id"), col("cluster_id").as("__c")),
         col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cluster_id"),
         col("n_chars"), col("source"))
+      .localCheckpoint(true))
+    // rootMap is delta-component-sized by construction (old→new roots of
+    // clusters the delta touched) — broadcast it (the NightlyRefresh
+    // re-key discipline); checkpointed inputs otherwise plan every rekey
+    // as a sort-merge join of unknown-size sides
     def rekey(state: DataFrame): DataFrame = state
-      .join(rootMap, Seq("cid_old"), "left")
+      .join(broadcast(rootMap), Seq("cid_old"), "left")
       .withColumn("cluster_id", coalesce(col("cid_new"), col("cid_old")))
       .drop("cid_old", "cid_new")
 

@@ -591,7 +591,13 @@ object Dedup extends graft.core.Logging {
         // the change count rides the SAME action that materializes the
         // round: Dataset.checkpoint executes under withAction, so the
         // Observation listener fires on the checkpoint job — one Spark
-        // job per round, not two
+        // job per round, not two.
+        // (r19 A/B, rejected: TWO hops per materialization — same fixed
+        // point, half the checkpoints — measured MORE wall and ~60% MORE
+        // jobs at bench scale: each AQE exchange materializes as its own
+        // job, so the doubled per-round exchange count outweighs the
+        // halved round count on the shallow graphs the gated operators
+        // produce.)
         val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
         val updated = materialize(hop(labels.withColumn("label0", col("label")))
           .observe(obs, sum((col("label") =!= col("label0")).cast("long"))
@@ -1162,9 +1168,26 @@ object Dedup extends graft.core.Logging {
     * for a fixed threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
-                        gramHash: String = "xxhash64"): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN, gramHash).as("sh"))
+                        gramHash: String = "xxhash64"): DataFrame =
+    ngramJaccardPairsFromShingles(
+      df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN, gramHash).as("sh")),
+      threshold)
+
+  /** [[ngramJaccardPairs]] over an ALREADY-SHINGLED frame (`id`, `sh` =
+    * sorted distinct gram hashes) — for callers that hold a materialized
+    * shingle table (the nightly composite chain checkpoints its survivor
+    * set; the streaming refresh STORES shingles at ingest). The plain
+    * text entry point re-shingles its input once per physical subtree —
+    * six times per call (df-frequency ×2, prefix window ×2, both verify
+    * sides); over a checkpointed shingle frame each subtree is a memory
+    * scan instead. The verified pair set is identical. NOT materialized
+    * here: a lazy (e.g. parquet-backed) `shingled` keeps its planner
+    * size estimates, which is measurably better for raw-table callers
+    * (broadcastable df-frequency / verify sides). */
+  def ngramJaccardPairsFromShingles(shingled: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val sh = shingled.select(col("id"), col("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))

@@ -296,8 +296,11 @@ object NightlyRefresh {
         //      100 TB the docs table is additionally id-bucketed so the
         //      scan itself row-group-prunes).
         val touching = (if (isFirst)
-          Dedup.ngramJaccardPairs(keptB, "doc_id", "text",
-              shingleN, threshold)
+          // keptB already carries the stored shingle sets — the
+          // from-shingles entry point skips the text kernel's six
+          // re-shingling subtree executions (same verified pair set)
+          Dedup.ngramJaccardPairsFromShingles(
+              keptB.select(col("doc_id").as("id"), col("sh")), threshold)
             .select("id_a", "id_b")
         else {
           val rightPref = archPref.unionByName(prefB.select("g", "id", "sz"))

@@ -941,7 +941,12 @@ object Dedup extends graft.core.Logging {
                                   textCol: String, k: Int, minDocs: Int,
                                   keepGram: Boolean = false,
                                   gramHash: String = "md5"): DataFrame = {
+    // materialize the (gram, id, pos) span table: it feeds the
+    // duplicate-gram aggregation AND the join back — unmaterialized the
+    // per-position gram hashing (md5 on the oracle-gated path) runs
+    // twice over the corpus
     val spans = kGramPositions(docs, idCol, textCol, k, gramHash)
+      .localCheckpoint(true)
     val dupGrams = spans.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -1290,6 +1295,11 @@ object Dedup extends graft.core.Logging {
     * (q69) when even the detectors are too big to run corpus-wide. */
   def pairAgreement(ref: DataFrame, cand: DataFrame,
                     aCol: String, bCol: String): DataFrame = {
+    // NOT materialized (r19 A/B, rejected): the three aggregates below
+    // share one job, whose scheduler overlaps the two detector pipelines
+    // across the cores and reuses their identical exchanges
+    // (ReuseExchange fires within a single plan); eager checkpoints
+    // serialized the detectors and measured 1.5-2x slower on q92/q102.
     val r = ref.select(col(aCol).as("a"), col(bCol).as("b"))
     val c = cand.select(col(aCol).as("a"), col(bCol).as("b"))
     val nr = r.agg(count(lit(1)).as("n_ref"))

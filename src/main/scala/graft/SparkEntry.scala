@@ -919,10 +919,14 @@ object SparkEntry {
     // this query is their composition, end to end.
     val docs = t(s, dir, "documents")
     val quality = docs.filter(TA.qualityScore(col("text")) >= 0.75)
+    // materialized: exactKept feeds the near-dup candidate join AND the
+    // survivor anti-join — the quality-kernel scan + fingerprint window
+    // would otherwise run once per consumer
     val exactKept = Dedup.exactDedup(
       quality.select(col("doc_id"), col("lang"),
         TA.fingerprint(col("text")).as("fp")),
       Seq("fp"), col("doc_id")).select("doc_id", "lang")
+      .localCheckpoint(true)
     // feed near-dup detection from the raw table joined to kept ids:
     // re-deriving the quality frame here would re-run its regexes once
     // per internal reuse of the PPJoin pipeline
@@ -2663,10 +2667,14 @@ object SparkEntry {
     // defect: the report is how a pipeline decides whether to swap.
     import graft.analyze.TextAnalysis
     val docs = t(s, dir, "documents")
+    // materialized: `labeled` feeds BOTH the training split and the
+    // scoring split, so the percentile gate (a full quality-kernel pass
+    // + per-stratum rank) would otherwise run once per consumer
     val kept = TextAnalysis.stratumQuantileGate(
         docs.withColumn("quality", TA.qualityScore(col("text"))),
         "source", col("quality"), col("doc_id"), keepFrac = 0.5)
       .select(col("doc_id"), lit(1).as("__k"))
+      .localCheckpoint(true)
     val labeled = docs.join(kept, Seq("doc_id"), "left")
       .withColumn("gate_label",
         when(col("__k").isNotNull, lit("keep")).otherwise(lit("drop")))
@@ -3481,8 +3489,14 @@ object SparkEntry {
     // quantile_disc computes (probed over n×p sweeps), so the fallback's
     // kept set is hash-oracle-able: same rows q90 keeps, minus the rank
     // column the fallback exists to avoid computing.
+    // project to the three output columns and materialize BEFORE the
+    // gate: the sketch path reads its input three times (stratum sizes,
+    // thresholds, filter) and the quality kernel is four regex passes
+    // per row — unmaterialized it ran once per consumer over full rows
     val docs = t(s, dir, "documents")
-      .withColumn("quality", TA.qualityScore(col("text")))
+      .select(col("doc_id"), col("source"),
+        TA.qualityScore(col("text")).as("quality"))
+      .localCheckpoint(true)
     TA.stratumQuantileGate(docs, "source", col("quality"), col("doc_id"),
         keepFrac = 0.5, maxExactStratumRows = 0, accuracy = 1000000)
       .select("doc_id", "source", "quality")

@@ -383,8 +383,14 @@ object Dedup extends graft.core.Logging {
                     maxHamming: Int = 4, hashKind: String = "dhash",
                     nChunks: Int = 0): DataFrame = {
     val chunks = if (nChunks == 0) maxHamming + 1 else nChunks
+    // materialize the 16-byte signature table: both self-join sides of
+    // the chunk blocking read it, and the subtree ABOVE it (blob decode
+    // + pooling + hash — the modality's dominant CPU) must run once,
+    // not once per side. Cheap for text simhash (left lazy there);
+    // decisive when the signature pass decodes media bytes.
     val sigs = graft.multimodal.MultiModal
       .perceptualHashes(media, idCol, bytesCol, hashKind)
+      .localCheckpoint(true)
     hammingPairsFromSigs(sigs, maxHamming, chunks)
   }
 
@@ -405,8 +411,10 @@ object Dedup extends graft.core.Logging {
   def audioNearDups(media: DataFrame, idCol: String, bytesCol: String,
                     maxHamming: Int = 4, nChunks: Int = 0): DataFrame = {
     val chunks = if (nChunks == 0) maxHamming + 1 else nChunks
+    // materialized for the same reason as imageNearDups (decode once)
     val sigs = graft.multimodal.MultiModal
       .audioPerceptualHashes(media, idCol, bytesCol)
+      .localCheckpoint(true)
     hammingPairsFromSigs(sigs, maxHamming, chunks)
   }
 
@@ -469,8 +477,11 @@ object Dedup extends graft.core.Logging {
                     maxHamming: Int = 4, hashKind: String = "dhash",
                     nChunks: Int = 0): DataFrame = {
     val chunks = if (nChunks == 0) maxHamming + 1 else nChunks
+    // materialized for the same reason as imageNearDups (decode once;
+    // video decodes three probe frames per blob)
     val sigs = graft.multimodal.MultiModal
       .videoPerceptualHashes(media, idCol, bytesCol, hashKind)
+      .localCheckpoint(true)
     hammingPairsFromRoledSigs(sigs, maxHamming, chunks)
   }
 

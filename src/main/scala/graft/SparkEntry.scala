@@ -1183,6 +1183,10 @@ object SparkEntry {
             .cast("double")
           + (h("q109n_", col("vec_id"), i) % 97).cast("double") / 1000.0)
         .cast("float")).as("embedding"))
+      // materialized: the synthesized vectors (128 md5 derivations per
+      // row) feed five consumers across separate actions (codebook
+      // sample, encode, both exact sides, the ADC query side)
+      .localCheckpoint(true)
     val queries = emb.filter(col("vec_id") < 8)
     val cb = Pq.buildSampled(emb, "vec_id", "embedding", m = 4, ks = 256)
     val codes = Pq.encode(emb, "vec_id", "embedding", cb)

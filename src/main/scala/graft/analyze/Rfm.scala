@@ -66,6 +66,12 @@ object Rfm {
   private[graft] def scoreBase(base: DataFrame, custCol: String,
                                nTiles: Int, buckets: Int): DataFrame = {
     val n = base.agg(count(lit(1)).as("__n"))
+    // joined-back per axis ON PURPOSE (r19 A/B, chaining rejected):
+    // saltedRowNumber references its input twice internally (the local
+    // rank and the bucket counts), so CHAINING the three ranks
+    // re-executes the whole upstream chain per reference — measured 3x
+    // slower on the migration report than ranking three cheap
+    // projections and joining them back by customer.
     def score(metric: String, descending: Boolean, out: String): DataFrame =
       graft.core.Skew.saltedRowNumber(
           base.select(col(custCol), col(metric)), Seq.empty, col(metric),

@@ -113,10 +113,15 @@ object UserProfileJob {
     val feed: graft.source.ChangeFeedSource =
       if (conf.driftTolerant)
         // _change_type is required in every batch: the isin filter
-        // below would silently drop a whole null-filled batch otherwise
+        // below would silently drop a whole null-filled batch otherwise.
+        // tsCol too (ADVICE r18): the since(bookmark) path only needs it
+        // when a bookmark exists, so a FIRST, bookmark-less run over a
+        // batch missing tsCol would otherwise egress those rows with
+        // null timestamps and exclude them from the new bookmark — the
+        // loud failure must fire before the first egress, not the second
         new graft.source.DriftTolerantChangelogSource(
           spark, conf.changelogPath, conf.tsCol,
-          requiredCols = Seq("_change_type"))
+          requiredCols = Seq("_change_type", conf.tsCol))
       else new ChangelogTableSource(spark, conf.changelogPath, conf.tsCol)
     val changes = feed.since(bookmark)
       .filter(col("_change_type").isin("insert", "update_postimage"))

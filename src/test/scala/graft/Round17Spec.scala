@@ -205,6 +205,34 @@ class Round17Spec extends SparkSpec {
       s"expected the rigid read to drop a drifted column, got $rigidCols")
   }
 
+  test("UserProfileJob driftTolerant: FIRST (bookmark-less) run over a batch missing tsCol fails loudly, before any egress") {
+    // ADVICE r18: since(None) needs no tsCol to read, so a first run over
+    // a batch lacking it used to egress null-timestamp rows and exclude
+    // them from the new bookmark — the failure only fired on run two.
+    // requiredCols now carries tsCol: the job must refuse up front.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = java.nio.file.Files.createTempDirectory("graft-driftts").toString
+    Seq(("1", "9876543210", "insert", 1L))
+      .toDF("customer_id", "mobile", "_change_type", "_commit_version")
+      .write.parquet(s"$root/changelog/batch=0001") // no _commit_timestamp
+    Seq(("mobile", true))
+      .toDF("property_name", "clevertap").write.parquet(s"$root/mapping")
+    val conf = graft.jobs.UserProfileJob.Conf(
+      jobName = "drift_ts_test", changelogPath = s"$root/changelog",
+      bookmarkPath = s"$root/bookmarks", keyCol = "customer_id",
+      tsCol = "_commit_timestamp", tiebreakCol = "_commit_version",
+      platform = "clevertap", mappingPath = s"$root/mapping",
+      typeMap = Map("mobile" -> "mobile_sanity"),
+      swapKeyMap = Map("customer_id" -> "identity_id"),
+      driftTolerant = true)
+    var posted = 0
+    val e = intercept[IllegalArgumentException] {
+      graft.jobs.UserProfileJob.run(spark, conf, b => { posted += 1; (200, "ok") })
+    }
+    assert(e.getMessage.contains("_commit_timestamp"))
+    assert(posted == 0, "no batch may be egressed before the guard fires")
+  }
+
   // ---- malformed-record quarantine (PERMISSIVE ingress) ----
 
   test("QuarantinedRead.csv: malformed rows quarantined with raw line; clean rows unaffected; counts ride one action") {

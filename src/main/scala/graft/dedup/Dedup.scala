@@ -952,12 +952,7 @@ object Dedup extends graft.core.Logging {
                                   textCol: String, k: Int, minDocs: Int,
                                   keepGram: Boolean = false,
                                   gramHash: String = "md5"): DataFrame = {
-    // materialize the (gram, id, pos) span table: it feeds the
-    // duplicate-gram aggregation AND the join back — unmaterialized the
-    // per-position gram hashing (md5 on the oracle-gated path) runs
-    // twice over the corpus
     val spans = kGramPositions(docs, idCol, textCol, k, gramHash)
-      .localCheckpoint(true)
     val dupGrams = spans.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
